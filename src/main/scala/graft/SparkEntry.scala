@@ -1,13 +1,259 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator has a `queries` entry; SQL-expressible
+  * ones also have an `oracleSql` entry (DuckDB dialect, same column
+  * names and value normalization — epoch-ms BIGINT timestamps, rounded
+  * doubles, BIGINT integer aggregates — so the driver's sorted-column
+  * hash compare is meaningful).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    GraftSession.tune(spark)
+    Analytics.goldSalesMetrics(spark, "/root/testdata/sf0.001")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core
+    "q1_pricing_summary"   -> ((s, d) => Relational.q1PricingSummary(s, d)),
+    "q3_shipping_priority" -> ((s, d) => Relational.q3ShippingPriority(s, d)),
+    "q5_region_revenue"    -> ((s, d) => Relational.q5RegionRevenue(s, d)),
+    "topn_per_group"       -> ((s, d) => Relational.topnPerGroup(s, d)),
+    "rollup_sales"         -> ((s, d) => Relational.rollupSales(s, d)),
+    // event analytics
+    "events_json"          -> ((s, d) => Events.eventsJson(s, d)),
+    "events_windowed"      -> ((s, d) => Events.eventsWindowed(s, d)),
+    "sessionize"           -> ((s, d) => Events.sessionize(s, d)),
+    "asof_join"            -> ((s, d) => Events.asofJoin(s, d)),
+    // silver conforming transforms
+    "dim_customer"         -> ((s, d) => Conform.dimCustomer(s, d)),
+    "dim_part"             -> ((s, d) => Conform.dimPart(s, d)),
+    "dim_supplier"         -> ((s, d) => Conform.dimSupplier(s, d)),
+    "fact_lineitem"        -> ((s, d) => Conform.factLineitem(s, d)),
+    "fact_orders"          -> ((s, d) => Conform.factOrders(s, d)),
+    "fact_events"          -> ((s, d) => Conform.factEvents(s, d)),
+    // gold analytics
+    "gold_sales_metrics"   -> ((s, d) => Analytics.goldSalesMetrics(s, d)),
+    "gold_finance"         -> ((s, d) => Analytics.goldFinance(s, d)),
+    "gold_funnel"          -> ((s, d) => Analytics.goldFunnel(s, d)),
+    // data quality
+    "dq_checks"            -> ((s, d) => Quality.dqChecks(s, d)),
+    "dq_freshness"         -> ((s, d) => Quality.dqFreshness(s, d))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+         round(avg(l_quantity),4) AS avg_qty,
+         round(avg(l_extendedprice),4) AS avg_price,
+         round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1,2,3 ORDER BY revenue DESC, order_date, l_orderkey LIMIT 10""",
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM customer JOIN orders ON c_custkey=o_custkey
+         JOIN lineitem ON l_orderkey=o_orderkey
+         JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+         JOIN nation ON s_nationkey=n_nationkey
+         JOIN region ON n_regionkey=r_regionkey
+         WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY 1""",
+    "topn_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t WHERE rn <= 3""",
+    "rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_price,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k
+         FROM events GROUP BY 1""",
+    "events_windowed" ->
+      """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,
+         event_type, count(*) AS n, round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1,2""",
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value FROM events),
+         s AS (SELECT user_id, ts_ms, value,
+                 CASE WHEN lag(ts_ms) OVER w IS NULL THEN 1
+                      WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)),
+         t AS (SELECT user_id, ts_ms, value,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+               FROM s)
+         SELECT user_id, session_idx, min(ts_ms) AS session_start_ms,
+           max(ts_ms) AS session_end_ms, count(*) AS n_events,
+           round(sum(value),2) AS sum_value
+         FROM t GROUP BY 1,2""",
+    "asof_join" ->
+      """WITH v AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+                      max(event_id) AS event_id
+                    FROM events WHERE event_type='view' GROUP BY 1,2),
+         p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_id
+               FROM events WHERE event_type='purchase')
+         SELECT p.event_id AS purchase_event_id, p.user_id,
+           p.ts_ms AS purchase_ts_ms, v.event_id AS view_event_id,
+           v.ts_ms AS view_ts_ms, p.ts_ms - v.ts_ms AS gap_ms
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_ms >= v.ts_ms""",
+    "dim_customer" ->
+      """SELECT md5(CAST(c_custkey AS VARCHAR)) AS customer_key, c_custkey, c_name,
+         c_name || ' / ' || c_mktsegment AS customer_label, c_mktsegment, c_acctbal,
+         COALESCE(n_name,'UNKNOWN') AS nation_name,
+         COALESCE(r_name,'UNKNOWN') AS region_name,
+         (o.o_custkey IS NOT NULL) AS has_orders
+         FROM customer
+         LEFT JOIN nation ON c_nationkey=n_nationkey
+         LEFT JOIN region ON n_regionkey=r_regionkey
+         LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey=o.o_custkey""",
+    "dim_part" ->
+      """SELECT md5(CAST(p_partkey AS VARCHAR)) AS part_key, p_partkey, p_name,
+         p_brand, p_type, p_size, p_retailprice FROM part""",
+    "dim_supplier" ->
+      """SELECT md5(CAST(s_suppkey AS VARCHAR)) AS supplier_key, s_suppkey, s_name,
+         COALESCE(n_name,'UNKNOWN') AS nation_name,
+         COALESCE(r_name,'UNKNOWN') AS region_name, s_acctbal
+         FROM supplier
+         LEFT JOIN nation ON s_nationkey=n_nationkey
+         LEFT JOIN region ON n_regionkey=r_regionkey""",
+    "fact_lineitem" ->
+      """SELECT md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS lineitem_key,
+         l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus,
+         CAST(l_shipdate AS DATE) AS ship_date,
+         COALESCE(o_totalprice, 0.0) AS order_totalprice,
+         COALESCE(o_orderstatus,'NA') AS order_status
+         FROM lineitem LEFT JOIN orders ON l_orderkey=o_orderkey""",
+    "fact_orders" ->
+      """SELECT md5(CAST(o_orderkey AS VARCHAR)) AS order_key, o_orderkey,
+         CAST(o_orderdate AS DATE) AS order_date, o_orderstatus, o_orderpriority,
+         o_totalprice, c_name AS customer_name,
+         COALESCE(c_mktsegment,'NA') AS mktsegment,
+         COALESCE(n_name,'UNKNOWN') AS nation_name
+         FROM orders LEFT JOIN customer ON o_custkey=c_custkey
+         LEFT JOIN nation ON c_nationkey=n_nationkey""",
+    "fact_events" ->
+      """SELECT md5(CAST(event_id AS VARCHAR)) AS event_key, event_id, user_id,
+         epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_type,
+         CASE event_type WHEN 'view' THEN 'Inquiry' WHEN 'click' THEN 'Application'
+           WHEN 'signup' THEN 'Admitted' WHEN 'purchase' THEN 'Enrolled'
+           ELSE 'Other' END AS funnel_stage,
+         value, c_name AS customer_name,
+         COALESCE(c_mktsegment,'NA') AS mktsegment
+         FROM events LEFT JOIN customer ON user_id=c_custkey""",
+    "gold_sales_metrics" ->
+      """SELECT l_returnflag, c_mktsegment, o_orderpriority,
+         count(DISTINCT o_custkey) AS total_customers,
+         round(sum(l_quantity),2) AS total_qty,
+         round(avg(c_acctbal),4) AS avg_acctbal,
+         round(CAST(count(DISTINCT CASE WHEN o_orderstatus='F' THEN o_custkey END) AS DOUBLE)
+           / NULLIF(count(DISTINCT o_custkey),0),4) AS finished_rate,
+         count(DISTINCT CASE WHEN c_acctbal<0 THEN o_custkey END) AS negative_bal_customers,
+         round(CAST(count(*) AS DOUBLE)/NULLIF(count(DISTINCT l_orderkey),0),4) AS avg_order_lines
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         GROUP BY 1,2,3""",
+    "gold_finance" ->
+      """WITH yt AS (SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS yearly_total
+                     FROM orders GROUP BY 1)
+         SELECT CAST(year(o_orderdate) AS VARCHAR) AS fiscal_year, c_mktsegment,
+         count(DISTINCT o_custkey) AS total_customers,
+         round(sum(l_extendedprice*l_discount),2) AS total_discount,
+         round(sum(l_extendedprice*l_discount)*0.92,2) AS total_disbursed,
+         round(avg(l_extendedprice*l_discount),4) AS avg_discount_per_line,
+         round(sum(l_extendedprice*l_discount)/NULLIF(max(yearly_total),0),6) AS budget_utilization
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         LEFT JOIN yt ON year(o_orderdate)=yt.yr
+         WHERE l_discount > 0 GROUP BY 1,2""",
+    "gold_funnel" ->
+      """SELECT COALESCE(c_mktsegment,'Unknown') AS segment,
+         count(CASE WHEN event_type='view' THEN 1 END) AS inquiries,
+         count(CASE WHEN event_type='click' THEN 1 END) AS applications,
+         count(CASE WHEN event_type='signup' THEN 1 END) AS admits,
+         count(CASE WHEN event_type='purchase' THEN 1 END) AS enrolled,
+         count(CASE WHEN event_type='error' THEN 1 END) AS errors,
+         round(CAST(count(CASE WHEN event_type='purchase' THEN 1 END) AS DOUBLE)
+           / NULLIF(count(CASE WHEN event_type='signup' THEN 1 END),0),4) AS yield_rate,
+         round(CAST(count(CASE WHEN event_type='signup' THEN 1 END)
+             - count(CASE WHEN event_type='purchase' THEN 1 END) AS DOUBLE)
+           / NULLIF(count(CASE WHEN event_type='signup' THEN 1 END),0),4) AS melt_rate,
+         round(sum(value),2) AS expected_revenue,
+         (SELECT event_type FROM events GROUP BY 1 ORDER BY count(*) DESC, event_type LIMIT 1) AS top_event_type
+         FROM events LEFT JOIN customer ON user_id=c_custkey
+         GROUP BY 1""",
+    "dq_checks" ->
+      """SELECT 'customer' AS table_name, 'not_null_pk' AS check_name,
+           count(CASE WHEN c_custkey IS NULL THEN 1 END) AS value,
+           count(CASE WHEN c_custkey IS NULL THEN 1 END)=0 AS passed FROM customer
+         UNION ALL
+         SELECT 'orders', 'not_null_pk',
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END),
+           count(CASE WHEN o_orderkey IS NULL THEN 1 END)=0 FROM orders
+         UNION ALL
+         SELECT 'customer', 'no_duplicates',
+           count(*) - count(DISTINCT c_custkey),
+           count(*) - count(DISTINCT c_custkey)=0 FROM customer
+         UNION ALL
+         SELECT 'orders', 'no_duplicates',
+           count(*) - count(DISTINCT o_orderkey),
+           count(*) - count(DISTINCT o_orderkey)=0 FROM orders
+         UNION ALL
+         SELECT 'lineitem', 'no_duplicates',
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber))=0 FROM lineitem
+         UNION ALL
+         SELECT 'customer', 'row_count', count(*), count(*)>0 FROM customer
+         UNION ALL
+         SELECT 'orders', 'row_count', count(*), count(*)>0 FROM orders
+         UNION ALL
+         SELECT 'lineitem', 'row_count', count(*), count(*)>0 FROM lineitem
+         UNION ALL
+         SELECT 'lineitem->orders', 'referential_integrity', count(*), count(*)=0
+           FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey=l_orderkey)
+         UNION ALL
+         SELECT 'orders->customer', 'referential_integrity', count(*), count(*)=0
+           FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey=o_custkey)
+         UNION ALL
+         SELECT 'lineitem', 'value_range',
+           count(CASE WHEN l_discount<0 OR l_discount>1 OR l_quantity<=0 THEN 1 END),
+           count(CASE WHEN l_discount<0 OR l_discount>1 OR l_quantity<=0 THEN 1 END)=0 FROM lineitem
+         UNION ALL
+         SELECT 'orders', 'value_range',
+           count(CASE WHEN o_totalprice<=0 THEN 1 END),
+           count(CASE WHEN o_totalprice<=0 THEN 1 END)=0 FROM orders""",
+    "dq_freshness" ->
+      """WITH t AS (SELECT event_type, epoch_ms(CAST(max(ts) AS TIMESTAMP)) AS last_ts_ms,
+                      count(*) AS n_rows FROM events GROUP BY 1)
+         SELECT event_type, last_ts_ms, n_rows,
+           (SELECT max(last_ts_ms) FROM t) - last_ts_ms AS lag_ms FROM t"""
+  )
 }

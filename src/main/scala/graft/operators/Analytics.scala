@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Gold-layer analytics models — Spark-native equivalent of the
+  * reference's gold Trino models (ref: defs/gold_analytics/defs.yaml).
+  *
+  * Scale notes: each model is one shuffle on its GROUP BY key with
+  * partial aggregation; scalar "top-1" subqueries are computed as 1-row
+  * broadcast cross joins, never driver-side collects.
+  */
+object Analytics {
+
+  /** gold_sales_metrics ⇄ ref enrollment_metrics (gold defs.yaml:13):
+    * COUNT DISTINCT, conditional COUNT DISTINCT ratio (retention_rate),
+    * AVG over a joined dim, count-per-distinct ratio (avg_class_size).
+    */
+  def goldSalesMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_returnflag"), col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("total_customers"),
+        round(sum("l_quantity"), 2).as("total_qty"),
+        round(avg("c_acctbal"), 4).as("avg_acctbal"),
+        round(
+          countDistinct(when(col("o_orderstatus") === "F", col("o_custkey"))).cast("double") /
+            nullif(countDistinct(col("o_custkey")), lit(0)), 4).as("finished_rate"),
+        countDistinct(when(col("c_acctbal") < 0, col("o_custkey"))).as("negative_bal_customers"),
+        round(count(lit(1)).cast("double") /
+          nullif(countDistinct(col("l_orderkey")), lit(0)), 4).as("avg_order_lines"))
+  }
+
+  /** gold_finance ⇄ ref financial_aid_analytics (gold defs.yaml:52):
+    * filtered agg + derived-key (YEAR) join to a second fact + budget
+    * utilization ratio.
+    */
+  def goldFinance(spark: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val yearlyTotals = ord
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(sum("o_totalprice").as("yearly_total"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("l_discount") > 0)
+      .join(broadcast(yearlyTotals), year(col("o_orderdate")) === col("yr"), "left")
+      .groupBy(year(col("o_orderdate")).cast("string").as("fiscal_year"), col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("total_customers"),
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("total_discount"),
+        round(sum(col("l_extendedprice") * col("l_discount")) * 0.92, 2).as("total_disbursed"),
+        round(avg(col("l_extendedprice") * col("l_discount")), 4).as("avg_discount_per_line"),
+        round(sum(col("l_extendedprice") * col("l_discount")) /
+          nullif(max(col("yearly_total")), lit(0.0)), 6).as("budget_utilization"))
+  }
+
+  /** gold_funnel ⇄ ref admissions_funnel (gold defs.yaml:91):
+    * pivot-style conditional counts, yield/melt rates, top-1 scalar
+    * subquery (tie-broken for determinism — ref's ORDER BY COUNT(*) DESC
+    * LIMIT 1 is ambiguous on ties).
+    */
+  def goldFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev   = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val top1 = ev.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+      .limit(1)
+      .select(col("event_type").as("top_event_type"))
+    def stage(t: String) = count(when(col("event_type") === t, 1))
+    ev.join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("Unknown")).as("segment"))
+      .agg(
+        stage("view").as("inquiries"),
+        stage("click").as("applications"),
+        stage("signup").as("admits"),
+        stage("purchase").as("enrolled"),
+        stage("error").as("errors"),
+        round(stage("purchase").cast("double") / nullif(stage("signup"), lit(0)), 4).as("yield_rate"),
+        round((stage("signup") - stage("purchase")).cast("double") /
+          nullif(stage("signup"), lit(0)), 4).as("melt_rate"),
+        round(sum("value"), 2).as("expected_revenue"))
+      .crossJoin(broadcast(top1))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics in batch form. The reference's S3 sensors +
+  * hourly admissions refresh (ref: s3_data_landing_component.py sensors;
+  * defs/schedules/defs.yaml) map to Structured Streaming; these are the
+  * batch mirrors of those pipelines (the streaming versions live in
+  * graft.streaming.EventStreams and are spec-verified against these).
+  *
+  * Timestamps are emitted as epoch milliseconds (BIGINT) so results are
+  * representation-stable across engines.
+  */
+object Events {
+
+  /** JSON property extraction from the events.props payload column. */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+  }
+
+  /** Hourly time-bucket aggregation — batch mirror of the watermarked
+    * streaming window aggregation.
+    */
+  def eventsWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(
+        unix_millis(date_trunc("hour", col("ts"))).as("bucket_ms"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity): lag → boundary
+    * flag → running sum = session index → per-session rollup. One
+    * shuffle on user_id; all window work is partition-local.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+    val gapMs = 30L * 60 * 1000
+    ev.withColumn("new_session",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > gapMs, 1)
+          .otherwise(when(lag(col("ts_ms"), 1).over(byUser).isNull, 1).otherwise(0)))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+  }
+
+  /** As-of join: each purchase event matched to the latest prior-or-equal
+    * 'view' event of the same user.
+    *
+    * Spark lacks a native as-of join; rather than a per-key loop this is
+    * the scalable union + single-window formulation: tag both sides, sort
+    * within user by (ts, side) and carry the last view forward. Exactly
+    * one shuffle on user_id, no skew-prone range cross-join.
+    * (View ties on (user_id, ts) are pre-reduced to max(event_id) so the
+    * match is well-defined.)
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .agg(max(col("event_id")).as("event_id"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id"), lit(1).as("side"))
+
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    views.unionByName(purchases)
+      .withColumn("view_event_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_ts_ms",
+        last(when(col("side") === 0, col("ts_ms")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("event_id").as("purchase_event_id"),
+        col("user_id"),
+        col("ts_ms").as("purchase_ts_ms"),
+        col("view_event_id"),
+        col("view_ts_ms"),
+        (col("ts_ms") - col("view_ts_ms")).as("gap_ms"))
+  }
+}
