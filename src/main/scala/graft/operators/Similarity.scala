@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (64-dim float vectors).
+  *
+  * Scale posture: brute-force top-k broadcasts the (small) query set
+  * against the full corpus — linear scan, no shuffle of the corpus.
+  * The LSH variant buckets by random-hyperplane signature so candidate
+  * pairs are bucket-local; exact cosine re-checks candidates.
+  */
+object Similarity {
+
+  /** embeddings with double-precision vector + L2 norm (computed once). */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+
+  private val dotExpr = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+
+  /** Brute-force cosine top-k: the exactness baseline for ANN. */
+  def annTopk(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(expr(dotExpr) / (col("norm") * col("qnorm")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Exact cosine near-duplicate pairs, blocked by label. */
+  def neardupCosine(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val e = vectors(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("label").cast("long").as("label"), col("vec_a"), col("vec_b"),
+        round(col("cosine"), 5).as("cosine"))
+  }
+
+  /** Random-hyperplane LSH ANN, multi-table: 8 tables × 6 sign bits
+    * from deterministic pseudo-random hyperplanes (murmur3-derived ±1
+    * components). A pair is a candidate if it collides in ANY table
+    * (single-table sign-LSH has near-zero recall at moderate cosine);
+    * candidates get exact cosine and are deduped across tables.
+    */
+  def annLsh(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val tables = 8
+    val bits = 6
+    val e = vectors(spark, dir)
+      .withColumn("tb", explode(expr(
+        s"""transform(sequence(0, ${tables - 1}), t -> named_struct('t', t, 'sig',
+              aggregate(sequence(0, ${bits - 1}), 0, (acc, b) ->
+                acc + IF(aggregate(transform(sequence(1, size(v)), j ->
+                           element_at(v, j) * IF((hash(t * 64 + b, j) & 1) = 1, 1.0D, -1.0D)),
+                         0D, (a, x) -> a + x) >= 0D, shiftleft(1, b), 0))))""")))
+      .select(col("vec_id"), col("v"), col("norm"), col("tb.t"), col("tb.sig"))
+    val a = e.select(col("t"), col("sig"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("t"), col("sig"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("t", "sig"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(round(first(col("cosine")), 5).as("cosine"))
+  }
+}

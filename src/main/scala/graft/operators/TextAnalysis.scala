@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token statistics, language-ID heuristic, quality
+  * scoring, content fingerprinting. All single-pass, codegen-friendly
+  * column expressions — no shuffles except final aggregations.
+  */
+object TextAnalysis {
+
+  private val stopwordsEn = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Marker-word sets for the n-gram language heuristic (public
+    * stopword lists). Deterministic and portable: the prediction is
+    * argmax of distinct-token overlap with each set, ties broken by
+    * fixed language order (en, de, es, fr), 'und' when all zero.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "que", "y"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("w", TextFns.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("w")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"))
+
+  /** Language identification via marker-word overlap. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", array_distinct(TextFns.tokens(lower(col("text")))))
+    val scored = markers.foldLeft(docs) { case (df, (code, ws)) =>
+      df.withColumn(s"score_$code",
+        size(array_intersect(col("toks"), array(ws.map(lit): _*))).cast("long"))
+    }
+    val best = markers.foldRight(lit("und"): Column) { case ((code, _), acc) =>
+      val s = col(s"score_$code")
+      val isMax = markers.map { case (c, _) => s >= col(s"score_$c") }.reduce(_ && _)
+      when(s > 0 && isMax, lit(code)).otherwise(acc)
+    }
+    scored.select(
+      col("doc_id"), col("lang").as("declared_lang"),
+      best.as("predicted_lang"),
+      col("score_en"), col("score_de"), col("score_es"), col("score_fr"))
+      .withColumn("agree", col("declared_lang") === col("predicted_lang"))
+  }
+
+  /** Quality scoring: alpha/punct/stopword ratios + composite score
+    * (the length/punct/stopword heuristics used for pretraining-data
+    * filtering).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(stopwordsEn.map(lit): _*)
+    Tables.documents(spark, dir)
+      .withColumn("w", TextFns.tokens(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("double"))
+      .withColumn("n_toks", size(col("w")).cast("double"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") / col("n_chars"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("double") / col("n_chars"))
+      .withColumn("stop_ratio",
+        size(array_intersect(array_distinct(col("w")), stopArr)).cast("double") /
+          greatest(size(array_distinct(col("w"))).cast("double"), lit(1.0)))
+      .withColumn("avg_token_len",
+        (col("n_chars") - col("n_toks") + 1.0) / col("n_toks"))
+      .select(
+        col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_toks").cast("long").as("n_tokens"),
+        round(col("alpha_ratio"), 4).as("alpha_ratio"),
+        round(col("punct_ratio"), 4).as("punct_ratio"),
+        round(col("stop_ratio"), 4).as("stop_ratio"),
+        round(col("avg_token_len"), 4).as("avg_token_len"),
+        round(
+          lit(0.4) * col("alpha_ratio")
+            + lit(0.3) * least(col("n_toks") / 50.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - col("punct_ratio")), 4).as("quality_score"))
+  }
+
+  /** Winnowing-style content fingerprint: min md5 over 5-gram word
+    * shingles (k-gram min-hash). Documents shorter than 5 tokens fall
+    * back to whole-text md5.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("w", TextFns.tokens(col("text")))
+      .withColumn("sh", TextFns.shingleExpr("w", 5))
+      .select(
+        col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        when(size(col("w")) >= 5,
+          array_min(expr("transform(sh, s -> md5(cast(s as binary)))")))
+          .otherwise(md5(col("text").cast("binary"))).as("fingerprint"))
+}

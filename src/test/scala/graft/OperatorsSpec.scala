@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class RelationalSpec extends SparkSpec {
+  test("q1 aggregates every (returnflag, linestatus) group once") {
+    val df = Relational.q1PricingSummary(spark, sf).cache()
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    assert(df.count() ==
+      li.select(col("l_returnflag"), col("l_linestatus")).distinct().count())
+    val totalRows = df.agg(sum("count_order")).head.getLong(0)
+    assert(totalRows == li.count())
+  }
+
+  test("topn keeps at most 3 rows per group, ranked by price") {
+    val df = Relational.topnPerGroup(spark, sf).cache()
+    val perGroup = df.groupBy("o_orderpriority").count().collect()
+    assert(perGroup.forall(_.getLong(1) <= 3))
+    assert(df.filter(col("rn") > 3).count() == 0)
+  }
+
+  test("rollup includes a grand-total row equal to table count") {
+    val df = Relational.rollupSales(spark, sf)
+    val grand = df.filter(col("g_flag") === 1 && col("g_status") === 1).collect()
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables.lineitem(spark, sf).count())
+  }
+}
+
+class EventsSpec extends SparkSpec {
+  test("asof join matches every purchase to the latest prior view") {
+    val df = Events.asofJoin(spark, sf).cache()
+    val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    assert(df.count() == purchases.count())
+    assert(df.filter(col("view_ts_ms") > col("purchase_ts_ms")).count() == 0)
+    assert(df.filter(col("gap_ms") < 0).count() == 0)
+  }
+
+  test("sessions are disjoint and cover all events") {
+    val df = Events.sessionize(spark, sf).cache()
+    val totalEvents = df.agg(sum("n_events")).head.getLong(0)
+    assert(totalEvents == Tables.events(spark, sf).count())
+    assert(df.filter(col("session_end_ms") < col("session_start_ms")).count() == 0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  test("minhash estimate tracks exact jaccard on surfaced pairs") {
+    val pairs = Dedup.dedupMinhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val exact = r.getAs[Double]("exact_jaccard")
+      assert(math.abs(est - exact) <= 0.3, s"est $est vs exact $exact")
+    }
+  }
+
+  test("minhash finds the high-jaccard pairs ngram_jaccard finds") {
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.dedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(mh), s"missing ${exact.diff(mh)}")
+  }
+
+  test("simhash pairs are within the hamming bound") {
+    val df = Dedup.dedupSimhash(spark, sf).cache()
+    assert(df.filter(col("hamming") > 3).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("exact dedup partitions the corpus") {
+    val df = Dedup.dedupExact(spark, sf)
+    assert(df.agg(sum("n_copies")).head.getLong(0) ==
+      Tables.documents(spark, sf).count())
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  test("ann_topk returns k ranked neighbors per query") {
+    val df = Similarity.annTopk(spark, sf).cache()
+    assert(df.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    assert(df.filter(col("cosine") > 1.0001 || col("cosine") < -1.0001).count() == 0)
+  }
+
+  test("ann_lsh finds a nonempty, threshold-respecting subset of exact pairs") {
+    val lsh = Similarity.annLsh(spark, sf).cache()
+    assert(lsh.count() > 0)
+    assert(lsh.filter(col("cosine") < 0.35).count() == 0)
+    // every LSH pair must appear in the unblocked exact pair set
+    val exactAll = Similarity.neardupCosine(spark, sf)
+    // neardup_cosine is label-blocked; re-derive unblocked exact pairs
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    val exact = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)") / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.35)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = lsh.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+    assert(exactAll.count() >= 0) // label-blocked variant runs
+  }
+}
+
+class EntrySpec extends SparkSpec {
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has an oracle or is a documented rows-only op") {
+    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh")
+    assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
