@@ -32,18 +32,7 @@ object TextFns {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
-  /** MinHash signature: for seeds 0..n-1, min over shingles of the
-    * seeded murmur3 hash. One pass over the shingle array per seed.
-    */
-  def minhashSignature(shingles: String, n: Int): Column =
-    expr(s"transform(sequence(0, ${n - 1}), i -> array_min(transform($shingles, s -> hash(i, s))))")
-
-  /** 64-bit SimHash over a (multiset) token array column: bit b is set
-    * when tokens whose xxhash64 has bit b outnumber those that don't.
-    */
-  def simhash64(tokArr: String): Column =
-    expr(
-      s"""aggregate(sequence(0, 63), 0L, (acc, b) ->
-            acc | IF(size(filter($tokArr, t -> ((xxhash64(t) >> b) & 1) = 1)) * 2 > size($tokArr),
-                     shiftleft(1L, b), 0L))""")
+  // MinHash / SimHash sketches live in graft.functions.Sketches as
+  // custom Catalyst expressions: builtin higher-order functions would
+  // re-evaluate the hash array per outer-lambda iteration (64x).
 }

@@ -22,21 +22,33 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
 
-  /** Exact 3-gram-shingle Jaccard near-dup pairs, blocked on lang so
-    * the self-join stays bounded. (Blocking on (lang, source) misses
-    * cross-source duplicates — the planted near-dups in the corpus do
-    * cross sources; at 100 TB the unblocked variant is dedupMinhash.)
+  /** Exact 3-gram-shingle Jaccard near-dup pairs (lang-blocked).
+    *
+    * Never materializes the quadratic self-join: candidates come from a
+    * prefix-filtered inverted index (PPJoin-style). With shingles in a
+    * global total order (lexicographic), any pair with J >= t must
+    * share a shingle within each doc's first (n - ceil(t*n) + 1)
+    * shingles — so only prefix postings are joined, then the few
+    * candidates get the exact Jaccard. Scales as shuffle-on-shingle,
+    * not docs².
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("w", TextFns.tokens(col("text")))
       .filter(size(col("w")) >= 3)
-      .withColumn("sh", TextFns.shingleExpr("w", 3))
+      .withColumn("sh", array_sort(TextFns.shingleExpr("w", 3)))
       .select(col("doc_id"), col("lang"), col("sh"))
-    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang"))
+      .cache()
+    val prefix = d.select(col("lang"), col("doc_id"),
+      explode(expr(s"slice(sh, 1, size(sh) - cast(ceil($threshold * size(sh)) as int) + 1)")).as("s"))
+    val cand = prefix.select(col("lang"), col("doc_id").as("doc_a"), col("s"))
+      .join(prefix.select(col("lang"), col("doc_id").as("doc_b"), col("s")), Seq("lang", "s"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -51,11 +63,12 @@ object Dedup {
     val numHashes = 64
     val bands = 16
     val rowsPerBand = numHashes / bands
+    graft.functions.Sketches.register(spark)
     val d = Tables.documents(spark, dir)
       .withColumn("w", TextFns.tokens(col("text")))
       .filter(size(col("w")) >= 3)
       .withColumn("sh", TextFns.shingleExpr("w", 3))
-      .withColumn("sig", TextFns.minhashSignature("sh", numHashes))
+      .withColumn("sig", expr(s"minhash_sig(transform(sh, s -> xxhash64(s)), $numHashes)"))
       .select(col("doc_id"), col("sh"), col("sig"))
       .cache()
 
@@ -90,9 +103,10 @@ object Dedup {
     * collide on at least one chunk), verified by bit_count(xor) <= 3.
     */
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    graft.functions.Sketches.register(spark)
     val d = Tables.documents(spark, dir)
       .withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("simhash", TextFns.simhash64("toks"))
+      .withColumn("simhash", expr("simhash_bits(transform(toks, t -> xxhash64(t)))"))
       .select(col("doc_id"), col("simhash"))
 
     val chunked = d.select(

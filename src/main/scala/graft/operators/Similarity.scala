@@ -59,16 +59,22 @@ object Similarity {
     * (single-table sign-LSH has near-zero recall at moderate cosine);
     * candidates get exact cosine and are deduped across tables.
     */
-  def annLsh(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
+             dim: Int = 64): DataFrame = {
     val tables = 8
     val bits = 6
+    // Deterministic ±1 hyperplanes embedded as literal arrays: the sign
+    // bits become pure codegen'd arithmetic (no per-element hash calls).
+    val rnd = new scala.util.Random(20260812L)
+    val planes = Array.fill(tables * bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    def planeDot(p: Array[Double]) =
+      aggregate(zip_with(col("v"), array(p.map(lit).toIndexedSeq: _*), _ * _), lit(0.0), _ + _)
+    def tableSig(t: Int) =
+      (0 until bits).map(b => when(planeDot(planes(t * bits + b)) >= 0, 1 << b).otherwise(0))
+        .reduce(_ + _)
     val e = vectors(spark, dir)
-      .withColumn("tb", explode(expr(
-        s"""transform(sequence(0, ${tables - 1}), t -> named_struct('t', t, 'sig',
-              aggregate(sequence(0, ${bits - 1}), 0, (acc, b) ->
-                acc + IF(aggregate(transform(sequence(1, size(v)), j ->
-                           element_at(v, j) * IF((hash(t * 64 + b, j) & 1) = 1, 1.0D, -1.0D)),
-                         0D, (a, x) -> a + x) >= 0D, shiftleft(1, b), 0))))""")))
+      .withColumn("tb", explode(array(
+        (0 until tables).map(t => struct(lit(t).as("t"), tableSig(t).as("sig"))): _*)))
       .select(col("vec_id"), col("v"), col("norm"), col("tb.t"), col("tb.sig"))
     val a = e.select(col("t"), col("sig"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("t"), col("sig"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
