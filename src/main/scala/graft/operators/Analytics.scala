@@ -22,7 +22,7 @@ object Analytics {
     val ord  = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_returnflag"), col("c_mktsegment"), col("o_orderpriority"))
       .agg(
         countDistinct(col("o_custkey")).as("total_customers"),
@@ -48,7 +48,7 @@ object Analytics {
       .groupBy(year(col("o_orderdate")).as("yr"))
       .agg(sum("o_totalprice").as("yearly_total"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("l_discount") > 0)
       .join(broadcast(yearlyTotals), year(col("o_orderdate")) === col("yr"), "left")
       .groupBy(year(col("o_orderdate")).cast("string").as("fiscal_year"), col("c_mktsegment"))
@@ -74,7 +74,7 @@ object Analytics {
       .limit(1)
       .select(col("event_type").as("top_event_type"))
     def stage(t: String) = count(when(col("event_type") === t, 1))
-    ev.join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+    ev.join(cust, col("user_id") === col("c_custkey"), "left")
       .groupBy(coalesce(col("c_mktsegment"), lit("Unknown")).as("segment"))
       .agg(
         stage("view").as("inquiries"),

@@ -14,9 +14,10 @@ import graft.Tables
   * oracle-comparable — at scale this also makes the transforms
   * idempotent re-runs instead of append-only drift.
   *
-  * Scale notes: nation/region/supplier are broadcast; the DISTINCT
-  * semi-join flag (ref dim_students.is_athlete) is expressed as a
-  * pre-aggregated broadcastable key set, not a row-multiplying join.
+  * Scale notes: nation/region (schema-bounded) are broadcast-hinted;
+  * customer-scale joins are left to AQE. The DISTINCT semi-join flag
+  * (ref dim_students.is_athlete) is expressed as a pre-aggregated key
+  * set joined once, not a row-multiplying join.
   */
 object Conform {
 
@@ -33,7 +34,7 @@ object Conform {
     cust
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"), "left")
-      .join(broadcast(buyers), col("c_custkey") === col("o_custkey"), "left")
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left")
       .select(
         sk(col("c_custkey")).as("customer_key"),
         col("c_custkey"),
@@ -94,7 +95,7 @@ object Conform {
     val cust = Tables.customer(spark, dir)
     val nat  = Tables.nation(spark, dir)
     ord
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+      .join(cust, col("o_custkey") === col("c_custkey"), "left")
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
       .select(
         sk(col("o_orderkey")).as("order_key"),
@@ -113,7 +114,7 @@ object Conform {
   def factEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev   = Tables.events(spark, dir)
     val cust = Tables.customer(spark, dir)
-    ev.join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+    ev.join(cust, col("user_id") === col("c_custkey"), "left")
       .select(
         sk(col("event_id")).as("event_key"),
         col("event_id"), col("user_id"),

@@ -15,6 +15,11 @@ import graft.Tables
   * pass verdict, matching the reference's pass rule
   * (trino_iceberg_transform_component.py:206: zero-violation checks pass
   * at value==0, volume checks at value>0).
+  *
+  * Scale notes: all per-table checks for one table are computed in a
+  * SINGLE scan-aggregate (then unpivoted with stack), so the whole
+  * summary costs one pass per table plus one anti-join per FK edge —
+  * not one job per check.
   */
 object Quality {
 
@@ -23,46 +28,63 @@ object Quality {
     val ord  = Tables.orders(spark, dir)
     val li   = Tables.lineitem(spark, dir)
 
-    def row(table: String, check: String, value: DataFrame, zeroPass: Boolean): DataFrame =
-      value.select(
-        lit(table).as("table_name"),
-        lit(check).as("check_name"),
-        col("v").cast("long").as("value"),
-        (if (zeroPass) col("v") === 0 else col("v") > 0).as("passed"))
+    // one scan per table computing every intra-table check, unpivoted
+    val custChecks = cust.agg(
+        count(when(col("c_custkey").isNull, 1)).as("nn"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("dup"),
+        count(lit(1)).as("rc"))
+      .selectExpr(
+        """stack(3,
+             'customer', 'not_null_pk',   nn,  nn = 0,
+             'customer', 'no_duplicates', dup, dup = 0,
+             'customer', 'row_count',     rc,  rc > 0
+           ) AS (table_name, check_name, value, passed)""")
 
-    val checks = Seq(
-      row("customer", "not_null_pk",
-        cust.agg(count(when(col("c_custkey").isNull, 1)).as("v")), zeroPass = true),
-      row("orders", "not_null_pk",
-        ord.agg(count(when(col("o_orderkey").isNull, 1)).as("v")), zeroPass = true),
-      row("customer", "no_duplicates",
-        cust.agg((count(lit(1)) - countDistinct(col("c_custkey"))).as("v")), zeroPass = true),
-      row("orders", "no_duplicates",
-        ord.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("v")), zeroPass = true),
-      row("lineitem", "no_duplicates",
-        li.agg((count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v")),
-        zeroPass = true),
-      row("customer", "row_count", cust.agg(count(lit(1)).as("v")), zeroPass = false),
-      row("orders", "row_count", ord.agg(count(lit(1)).as("v")), zeroPass = false),
-      row("lineitem", "row_count", li.agg(count(lit(1)).as("v")), zeroPass = false),
-      // orphan FK rows: fact keys with no parent — left_anti keeps the
-      // scan-side distributed; parent key sets are broadcastable.
-      row("lineitem->orders", "referential_integrity",
-        li.join(broadcast(ord.select(col("o_orderkey"))),
-            col("l_orderkey") === col("o_orderkey"), "left_anti")
-          .agg(count(lit(1)).as("v")), zeroPass = true),
-      row("orders->customer", "referential_integrity",
-        ord.join(broadcast(cust.select(col("c_custkey"))),
-            col("o_custkey") === col("c_custkey"), "left_anti")
-          .agg(count(lit(1)).as("v")), zeroPass = true),
-      row("lineitem", "value_range",
-        li.agg(count(when(
-          col("l_discount") < 0 || col("l_discount") > 1 || col("l_quantity") <= 0, 1)).as("v")),
-        zeroPass = true),
-      row("orders", "value_range",
-        ord.agg(count(when(col("o_totalprice") <= 0, 1)).as("v")), zeroPass = true)
-    )
-    checks.reduce(_ unionByName _)
+    val ordChecks = ord.agg(
+        count(when(col("o_orderkey").isNull, 1)).as("nn"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup"),
+        count(lit(1)).as("rc"),
+        count(when(col("o_totalprice") <= 0, 1)).as("vr"))
+      .selectExpr(
+        """stack(4,
+             'orders', 'not_null_pk',   nn,  nn = 0,
+             'orders', 'no_duplicates', dup, dup = 0,
+             'orders', 'row_count',     rc,  rc > 0,
+             'orders', 'value_range',   vr,  vr = 0
+           ) AS (table_name, check_name, value, passed)""")
+
+    val liChecks = li.agg(
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup"),
+        count(lit(1)).as("rc"),
+        count(when(
+          col("l_discount") < 0 || col("l_discount") > 1 || col("l_quantity") <= 0, 1)).as("vr"))
+      .selectExpr(
+        """stack(3,
+             'lineitem', 'no_duplicates', dup, dup = 0,
+             'lineitem', 'row_count',     rc,  rc > 0,
+             'lineitem', 'value_range',   vr,  vr = 0
+           ) AS (table_name, check_name, value, passed)""")
+
+    // orphan FK rows: left_anti keeps the fact side distributed; the
+    // parent key set shuffles (or broadcasts when small, per AQE).
+    def orphans(label: String, fact: DataFrame, factKey: String,
+                parentKeys: DataFrame, parentKey: String): DataFrame =
+      fact.join(parentKeys, col(factKey) === col(parentKey), "left_anti")
+        .agg(count(lit(1)).as("v"))
+        .select(
+          lit(label).as("table_name"),
+          lit("referential_integrity").as("check_name"),
+          col("v").cast("long").as("value"),
+          (col("v") === 0).as("passed"))
+
+    val riChecks = Seq(
+      orphans("lineitem->orders", li, "l_orderkey", ord.select(col("o_orderkey")), "o_orderkey"),
+      orphans("orders->customer", ord, "o_custkey", cust.select(col("c_custkey")), "c_custkey"))
+
+    (Seq(custChecks, ordChecks, liChecks) ++ riChecks)
+      .map(df => df.select(col("table_name"), col("check_name"),
+        col("value").cast("long").as("value"), col("passed")))
+      .reduce(_ unionByName _)
   }
 
   /** Freshness per event source (ref bronze freshness SLA checks):

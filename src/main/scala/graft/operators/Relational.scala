@@ -10,9 +10,11 @@ import graft.Tables
   * defs/silver_transforms/defs.yaml, defs/gold_analytics/defs.yaml).
   *
   * Scale notes: every query is a declarative DataFrame plan so Catalyst
-  * pushes filters/pruning into the parquet scans; dimension tables
-  * (region/nation/supplier/customer at dim-scale) are explicitly
-  * broadcast; facts shuffle at most once per aggregation key.
+  * pushes filters/pruning into the parquet scans. Broadcast hints are
+  * only placed on tables whose size is bounded by the schema
+  * (region=5, nation=25 rows, filtered supplier); anything that scales
+  * with the data (customer, orders) is left to Catalyst/AQE statistics.
+  * Facts shuffle at most once per aggregation key.
   */
 object Relational {
 
@@ -33,14 +35,16 @@ object Relational {
   }
 
   /** 3-way join + agg + deterministic top-N (TPC-H Q3 shape).
-    * customer is small relative to the facts → broadcast.
+    * No broadcast hint on customer: it scales with the fact tables, so
+    * the choice is left to Catalyst/AQE stats (auto-broadcast at test
+    * scale, shuffle join at 100 TB).
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li   = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
@@ -58,7 +62,7 @@ object Relational {
     val nat  = Tables.nation(spark, dir)
     val reg  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
                              col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
