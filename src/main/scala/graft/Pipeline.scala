@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Analytics, Conform, Quality}
+
+/** Layered pipeline runner — the compute analog of the reference's
+  * scheduled jobs (ref: defs/schedules/defs.yaml: bronze_nightly_
+  * ingestion → silver_daily_transforms → gold_daily_analytics), minus
+  * the scheduler itself (cron/sensors are an orchestration concern; the
+  * Structured Streaming pipelines in graft.streaming cover the
+  * event-driven path).
+  *
+  * Running a layer materializes its models to `warehouseDir/<layer>/
+  * <model>` as parquet, mirroring the reference's Iceberg-table-per-
+  * transform layout; quality gates run after silver like the
+  * reference's asset checks.
+  */
+object Pipeline {
+
+  val silverModels: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dim_customer"  -> Conform.dimCustomer _,
+    "dim_part"      -> Conform.dimPart _,
+    "dim_supplier"  -> Conform.dimSupplier _,
+    "fact_lineitem" -> Conform.factLineitem _,
+    "fact_orders"   -> Conform.factOrders _,
+    "fact_events"   -> Conform.factEvents _)
+
+  val goldModels: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gold_sales_metrics" -> Analytics.goldSalesMetrics _,
+    "gold_finance"       -> Analytics.goldFinance _,
+    "gold_funnel"        -> Analytics.goldFunnel _)
+
+  private def materialize(spark: SparkSession, srcDir: String, warehouseDir: String,
+                          layer: String,
+                          models: Map[String, (SparkSession, String) => DataFrame]): Map[String, Long] =
+    models.map { case (name, fn) =>
+      val out = s"$warehouseDir/$layer/$name"
+      fn(spark, srcDir).write.mode("overwrite").parquet(out)
+      name -> spark.read.parquet(out).count()
+    }
+
+  /** silver_daily_transforms analog: conform all dims/facts, then run
+    * the quality gate. Returns per-model row counts; throws if any
+    * zero-violation check fails (the reference's ERROR severity).
+    */
+  def runSilver(spark: SparkSession, srcDir: String, warehouseDir: String): Map[String, Long] = {
+    val counts = materialize(spark, srcDir, warehouseDir, "silver", silverModels)
+    val failures = Quality.dqChecks(spark, srcDir)
+      .filter(org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.col("passed")))
+      .collect()
+    if (failures.nonEmpty)
+      throw new IllegalStateException(
+        s"quality gate failed: ${failures.map(r => s"${r.get(0)}/${r.get(1)}=${r.get(2)}").mkString(", ")}")
+    counts
+  }
+
+  /** gold_daily_analytics analog. */
+  def runGold(spark: SparkSession, srcDir: String, warehouseDir: String): Map[String, Long] =
+    materialize(spark, srcDir, warehouseDir, "gold", goldModels)
+
+  /** Full daily run: silver (with quality gate) then gold. */
+  def runAll(spark: SparkSession, srcDir: String, warehouseDir: String): Map[String, Long] =
+    runSilver(spark, srcDir, warehouseDir) ++ runGold(spark, srcDir, warehouseDir)
+}

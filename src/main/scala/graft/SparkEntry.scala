@@ -59,7 +59,9 @@ object SparkEntry {
     "neardup_cosine"       -> ((s, d) => Similarity.neardupCosine(s, d)),
     "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
     // multimodal plumbing
-    "mm_features"          -> ((s, d) => Multimodal.mmFeatures(s, d))
+    "mm_features"          -> ((s, d) => Multimodal.mmFeatures(s, d)),
+    // lineage metadata (ref column-lineage)
+    "lineage"              -> ((s, d) => Lineage.lineage(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -242,9 +244,9 @@ object SparkEntry {
            count(*) - count(DISTINCT o_orderkey),
            count(*) - count(DISTINCT o_orderkey)=0 FROM orders
          UNION ALL
-         SELECT 'lineitem', 'no_duplicates',
-           count(*) - count(DISTINCT (l_orderkey, l_linenumber)),
-           count(*) - count(DISTINCT (l_orderkey, l_linenumber))=0 FROM lineitem
+         SELECT 'lineitem', 'not_null_pk',
+           count(CASE WHEN l_orderkey IS NULL THEN 1 END),
+           count(CASE WHEN l_orderkey IS NULL THEN 1 END)=0 FROM lineitem
          UNION ALL
          SELECT 'customer', 'row_count', count(*), count(*)>0 FROM customer
          UNION ALL
@@ -364,6 +366,7 @@ object SparkEntry {
          md5(text) AS content_hash,
          64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS fake_width,
          1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS fake_frames
-         FROM documents"""
+         FROM documents""",
+    "lineage" -> operators.Lineage.oracleSql
   )
 }

@@ -53,16 +53,20 @@ object Quality {
              'orders', 'value_range',   vr,  vr = 0
            ) AS (table_name, check_name, value, passed)""")
 
+    // facts get not_null_pk/row_count/value_range but NOT no_duplicates,
+    // matching the reference's per-transform check assignment (ref
+    // silver defs.yaml: fact_enrollments has no no_duplicates check) —
+    // and indeed (l_orderkey, l_linenumber) is not unique in this data.
     val liChecks = li.agg(
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup"),
+        count(when(col("l_orderkey").isNull, 1)).as("nn"),
         count(lit(1)).as("rc"),
         count(when(
           col("l_discount") < 0 || col("l_discount") > 1 || col("l_quantity") <= 0, 1)).as("vr"))
       .selectExpr(
         """stack(3,
-             'lineitem', 'no_duplicates', dup, dup = 0,
-             'lineitem', 'row_count',     rc,  rc > 0,
-             'lineitem', 'value_range',   vr,  vr = 0
+             'lineitem', 'not_null_pk', nn,  nn = 0,
+             'lineitem', 'row_count',   rc,  rc > 0,
+             'lineitem', 'value_range', vr,  vr = 0
            ) AS (table_name, check_name, value, passed)""")
 
     // orphan FK rows: left_anti keeps the fact side distributed; the

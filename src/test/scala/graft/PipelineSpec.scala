@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Bronze
+
+class BronzeSpec extends SparkSpec {
+  test("landing->bronze roundtrip stamps metadata and partitions by date") {
+    val tmp = java.nio.file.Files.createTempDirectory("bronze").toString
+    val out = Bronze.ingest(spark, s"$sf/customer.parquet", "parquet",
+      "peoplesoft-analog", "customer", "2026-08-12", "batch-001", s"$tmp/customer")
+    assert(out.columns.contains("_ingest_date"))
+    val read = spark.read.parquet(s"$tmp/customer")
+    assert(read.count() == Tables.customer(spark, sf).count())
+    assert(read.select("_source_system").distinct().head.getString(0) == "peoplesoft-analog")
+    // partition pruning works on the ingest date
+    assert(read.filter(col("_ingest_date") === "2026-08-12").count() == read.count())
+    assert(read.filter(col("_ingest_date") === "1999-01-01").count() == 0)
+  }
+
+  test("csv and json landing formats roundtrip") {
+    val tmp = java.nio.file.Files.createTempDirectory("landing").toString
+    val nat = Tables.nation(spark, sf)
+    nat.write.mode("overwrite").option("header", "true").csv(s"$tmp/nation_csv")
+    nat.write.mode("overwrite").json(s"$tmp/nation_json")
+    val fromCsv = Bronze.readLanding(spark, s"$tmp/nation_csv", "csv")
+    val fromJson = Bronze.readLanding(spark, s"$tmp/nation_json", "json")
+    assert(fromCsv.count() == 25)
+    assert(fromJson.count() == 25)
+    assert(fromJson.columns.sorted.sameElements(nat.columns.sorted))
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  test("daily run materializes silver+gold and passes the quality gate") {
+    val tmp = java.nio.file.Files.createTempDirectory("warehouse").toString
+    val counts = Pipeline.runAll(spark, sf, tmp)
+    assert(counts.keySet == Pipeline.silverModels.keySet ++ Pipeline.goldModels.keySet)
+    assert(counts("dim_customer") == Tables.customer(spark, sf).count())
+    assert(counts("gold_funnel") > 0)
+    // materialized tables are readable parquet
+    assert(spark.read.parquet(s"$tmp/gold/gold_sales_metrics").count() == counts("gold_sales_metrics"))
+  }
+
+  test("lineage covers every silver model column exactly once") {
+    val lin = operators.Lineage.lineage(spark, sf)
+    val models = lin.select("model").distinct().collect().map(_.getString(0)).toSet
+    assert(models == Pipeline.silverModels.keySet)
+    // every output column of each conform transform appears in lineage
+    Pipeline.silverModels.foreach { case (name, fn) =>
+      val cols = fn(spark, sf).columns.toSet
+      val linCols = lin.filter(col("model") === name)
+        .select("column_name").distinct().collect().map(_.getString(0)).toSet
+      assert(linCols == cols, s"$name: lineage $linCols vs actual $cols")
+    }
+  }
+}
