@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -82,11 +82,93 @@ object Sketches {
     override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(newChild)
   }
 
+  /** Dot product of two array<double> columns in one JVM loop.
+    * Left-to-right accumulation — identical result to a sequential
+    * fold, so oracle parity with DuckDB's list_dot_product holds.
+    */
+  case class DotProductD(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(s)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
+      copy(l, r)
+  }
+
+  /** Random-hyperplane sign signatures for all LSH tables in one pass:
+    * returns array<int> of `tables` signatures, each `bits` sign bits
+    * of dot(v, plane) with deterministic ±1 planes from splitmix64 of
+    * (seed, plane, component). One JVM loop instead of
+    * tables·bits·dim lambda evaluations.
+    */
+  case class LshSigs(child: Expression, tables: Int, bits: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    @transient private var planesCache: Array[Array[Double]] = _
+    @transient private var planesDim: Int = -1
+
+    private def planes(dim: Int): Array[Array[Double]] = {
+      if (planesCache == null || planesDim != dim) {
+        def splitmix(s: Long): Long = {
+          var z = s + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z ^ (z >>> 31)
+        }
+        planesCache = Array.tabulate(tables * bits) { p =>
+          Array.tabulate(dim) { j =>
+            if ((splitmix(seed ^ (p.toLong << 32) ^ j.toLong) & 1L) == 1L) 1.0 else -1.0
+          }
+        }
+        planesDim = dim
+      }
+      planesCache
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val pl = planes(dim)
+      val sigs = new Array[Int](tables)
+      var t = 0
+      while (t < tables) {
+        var sig = 0
+        var b = 0
+        while (b < bits) {
+          val p = pl(t * bits + b)
+          var dot = 0.0
+          var j = 0
+          while (j < dim) { dot += v.getDouble(j) * p(j); j += 1 }
+          if (dot >= 0) sig |= (1 << b)
+          b += 1
+        }
+        sigs(t) = sig
+        t += 1
+      }
+      new GenericArrayData(sigs)
+    }
+    override protected def withNewChildInternal(newChild: Expression): LshSigs = copy(newChild)
+  }
+
   /** Register the sketch functions for use via expr()/SQL. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash_bits", es => SimHashBits(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_d", es => DotProductD(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_sigs",
+      es => LshSigs(es.head,
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval().asInstanceOf[Int],
+        es(3).eval().asInstanceOf[Int].toLong), "scala_udf")
   }
 }

@@ -25,27 +25,42 @@ object Dedup {
   /** Exact 3-gram-shingle Jaccard near-dup pairs (lang-blocked).
     *
     * Never materializes the quadratic self-join: candidates come from a
-    * prefix-filtered inverted index (PPJoin-style). With shingles in a
-    * global total order (lexicographic), any pair with J >= t must
-    * share a shingle within each doc's first (n - ceil(t*n) + 1)
-    * shingles — so only prefix postings are joined, then the few
-    * candidates get the exact Jaccard. Scales as shuffle-on-shingle,
-    * not docs².
+    * prefix-filtered inverted index (PPJoin-style). With each doc's
+    * shingles in a global total order — rarest-first by per-lang
+    * document frequency — any pair with J >= t must share a shingle
+    * within each doc's first (n - ceil(t*n) + 1) shingles, so only the
+    * (rare-shingle) prefix postings are joined. A size filter
+    * (J >= t ⇒ t·|a| <= |b| <= |a|/t) prunes candidates further before
+    * the exact Jaccard verify. Scales as shuffle-on-shingle, not docs².
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("w", TextFns.tokens(col("text")))
       .filter(size(col("w")) >= 3)
-      .withColumn("sh", array_sort(TextFns.shingleExpr("w", 3)))
-      .select(col("doc_id"), col("lang"), col("sh"))
+      .withColumn("sh", TextFns.shingleExpr("w", 3))
+      .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
       .cache()
-    val prefix = d.select(col("lang"), col("doc_id"),
-      explode(expr(s"slice(sh, 1, size(sh) - cast(ceil($threshold * size(sh)) as int) + 1)")).as("s"))
-    val cand = prefix.select(col("lang"), col("doc_id").as("doc_a"), col("s"))
-      .join(prefix.select(col("lang"), col("doc_id").as("doc_b"), col("s")), Seq("lang", "s"))
-      .filter(col("doc_a") < col("doc_b"))
+
+    // rarest-first prefix: global order = (document frequency, shingle)
+    val docFreq = d.select(col("lang"), explode(col("sh")).as("s"))
+      .groupBy(col("lang"), col("s")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("doc_id")).orderBy(col("df"), col("s"))
+    val prefix = d.select(col("lang"), col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      .join(docFreq, Seq("lang", "s"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
+      .select(col("lang"), col("doc_id"), col("n"), col("s"))
+
+    val cand = prefix.select(col("lang"), col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
+      .join(prefix.select(col("lang"), col("s"), col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("lang", "s"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("nb") >= ceil(lit(threshold) * col("na")) &&
+        col("na") >= ceil(lit(threshold) * col("nb")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

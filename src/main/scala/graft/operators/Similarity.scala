@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Sketches
 
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (64-dim float vectors).
@@ -11,17 +12,23 @@ import graft.Tables
   * against the full corpus — linear scan, no shuffle of the corpus.
   * The LSH variant buckets by random-hyperplane signature so candidate
   * pairs are bucket-local; exact cosine re-checks candidates.
+  *
+  * Vector math runs through the custom DotProductD / LshSigs Catalyst
+  * expressions (one JVM loop per row) — builtin zip_with+aggregate
+  * lambdas evaluate interpreted per element, ~50x slower on the
+  * pairwise paths. Accumulation order matches a sequential fold, so
+  * DuckDB oracle parity (list_dot_product) holds.
   */
 object Similarity {
 
   /** embeddings with double-precision vector + L2 norm (computed once). */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    Sketches.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
-      .withColumn("norm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+      .withColumn("norm", expr("sqrt(dot_d(v, v))"))
       .select(col("vec_id"), col("label"), col("v"), col("norm"))
-
-  private val dotExpr = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+  }
 
   /** Brute-force cosine top-k: the exactness baseline for ANN. */
   def annTopk(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5): DataFrame = {
@@ -30,7 +37,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(expr(dotExpr) / (col("norm") * col("qnorm")), 5))
+      .withColumn("cosine", round(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -45,44 +52,30 @@ object Similarity {
     val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (col("na") * col("nb")))
+      .withColumn("cosine", expr("dot_d(va, vb)") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("label").cast("long").as("label"), col("vec_a"), col("vec_b"),
         round(col("cosine"), 5).as("cosine"))
   }
 
-  /** Random-hyperplane LSH ANN, multi-table: 8 tables × 6 sign bits
-    * from deterministic pseudo-random hyperplanes (murmur3-derived ±1
-    * components). A pair is a candidate if it collides in ANY table
-    * (single-table sign-LSH has near-zero recall at moderate cosine);
-    * candidates get exact cosine and are deduped across tables.
+  /** Random-hyperplane LSH ANN, multi-table: 8 tables × 6 sign bits.
+    * A pair is a candidate if it collides in ANY table (single-table
+    * sign-LSH has near-zero recall at moderate cosine); candidates get
+    * exact cosine and are deduped across tables.
     */
-  def annLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
-             dim: Int = 64): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val tables = 8
     val bits = 6
-    // Deterministic ±1 hyperplanes embedded as literal arrays: the sign
-    // bits become pure codegen'd arithmetic (no per-element hash calls).
-    val rnd = new scala.util.Random(20260812L)
-    val planes = Array.fill(tables * bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-    def planeDot(p: Array[Double]) =
-      aggregate(zip_with(col("v"), array(p.map(lit).toIndexedSeq: _*), _ * _), lit(0.0), _ + _)
-    def tableSig(t: Int) =
-      (0 until bits).map(b => when(planeDot(planes(t * bits + b)) >= 0, 1 << b).otherwise(0))
-        .reduce(_ + _)
     val e = vectors(spark, dir)
-      .withColumn("tb", explode(array(
-        (0 until tables).map(t => struct(lit(t).as("t"), tableSig(t).as("sig"))): _*)))
-      .select(col("vec_id"), col("v"), col("norm"), col("tb.t"), col("tb.sig"))
+      .withColumn("sigs", expr(s"lsh_sigs(v, $tables, $bits, 20260812)"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        posexplode(col("sigs")).as(Seq("t", "sig")))
     val a = e.select(col("t"), col("sig"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("t"), col("sig"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("t", "sig"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-          (col("na") * col("nb"))).as("cosine"))
+        (expr("dot_d(va, vb)") / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(round(first(col("cosine")), 5).as("cosine"))
