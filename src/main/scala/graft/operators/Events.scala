@@ -44,11 +44,13 @@ object Events {
     * flag → running sum = session index → per-session rollup. One
     * shuffle on user_id; all window work is partition-local.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeDf(Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value")))
+
+  /** DataFrame-level sessionization: input (user_id, ts_ms, value). */
+  def sessionizeDf(ev: DataFrame, gapMs: Long = 30L * 60 * 1000): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
-    val gapMs = 30L * 60 * 1000
     ev.withColumn("new_session",
         when(col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) > gapMs, 1)
           .otherwise(when(lag(col("ts_ms"), 1).over(byUser).isNull, 1).otherwise(0)))
@@ -72,8 +74,11 @@ object Events {
     * (View ties on (user_id, ts) are pre-reduced to max(event_id) so the
     * match is well-defined.)
     */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinDf(Tables.events(spark, dir))
+
+  /** DataFrame-level as-of join: input (event_id, user_id, ts, event_type). */
+  def asofJoinDf(ev: DataFrame): DataFrame = {
     val views = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
       .agg(max(col("event_id")).as("event_id"))

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Events
+
+/** Property-based checks on randomly generated inputs — semantics that
+  * the fixed-dataset oracle can't probe (boundary gaps, ties, single-
+  * event users, adversarial timestamps).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Draw `n` samples from a generator with fixed seeds (scalatestplus
+    * is not in the offline dependency cache, so sampling is manual).
+    */
+  private def forSamples[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(60), Seed(i.toLong))
+        .foreach(body)
+    }
+
+  private val gapMs = 30L * 60 * 1000
+
+  private val eventsGen: Gen[List[(Long, Long, Double)]] =
+    Gen.listOf(for {
+      user <- Gen.choose(0L, 4L)
+      ts   <- Gen.choose(0L, 6L * gapMs)
+      v    <- Gen.choose(0, 1000).map(_ / 10.0)
+    } yield (user, ts, v))
+
+  test("sessionize: sessions partition events; boundaries respect the gap") {
+    forSamples(eventsGen) { rows =>
+      if (rows.nonEmpty) {
+        import spark.implicits._
+        val ev = rows.toDF("user_id", "ts_ms", "value")
+        val sessions = Events.sessionizeDf(ev, gapMs).collect()
+        // partition: every event accounted for exactly once
+        assert(sessions.map(_.getAs[Long]("n_events")).sum == rows.size)
+        // per user: sessions ordered, separated by > gap, non-overlapping
+        sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+          val sorted = ss.sortBy(_.getAs[Long]("session_idx"))
+          sorted.foreach(s => assert(
+            s.getAs[Long]("session_start_ms") <= s.getAs[Long]("session_end_ms")))
+          sorted.sliding(2).foreach {
+            case Array(a, b) =>
+              assert(b.getAs[Long]("session_start_ms") - a.getAs[Long]("session_end_ms") > gapMs)
+            case _ =>
+          }
+        }
+        // within-session max gap <= gapMs: recompute from raw events
+        val byUser = rows.groupBy(_._1)
+        byUser.foreach { case (u, evs) =>
+          val ts = evs.map(_._2).sorted
+          val expectedSessions = 1 + ts.sliding(2).count {
+            case Seq(a, b) => b - a > gapMs
+            case _ => false
+          }
+          val got = sessions.count(_.getAs[Long]("user_id") == u)
+          assert(got == expectedSessions, s"user $u: $got vs $expectedSessions")
+        }
+      }
+    }
+  }
+
+  private val asofGen: Gen[List[(Long, Long, Long, String)]] =
+    Gen.listOf(for {
+      id   <- Gen.choose(0L, 100000L)
+      user <- Gen.choose(0L, 3L)
+      ts   <- Gen.choose(0L, 1000L)
+      tpe  <- Gen.oneOf("view", "purchase", "click")
+    } yield (id, user, ts, tpe)).map(_.distinctBy(_._1))
+
+  test("asof join: matches the latest prior-or-equal view, per purchase") {
+    forSamples(asofGen) { rows =>
+      if (rows.nonEmpty) {
+        import spark.implicits._
+        val ev = rows.toDF("event_id", "user_id", "ts_ms", "event_type")
+          .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+        val got = Events.asofJoinDf(ev).collect()
+          .map(r => (r.getAs[Long]("purchase_event_id"), Option(r.getAs[java.lang.Long]("view_event_id")).map(_.toLong)))
+          .toMap
+        val views = rows.filter(_._4 == "view")
+        val purchases = rows.filter(_._4 == "purchase")
+        assert(got.size == purchases.size)
+        purchases.foreach { case (pid, user, pts, _) =>
+          val eligible = views.filter(v => v._2 == user && v._3 <= pts)
+          val expected = if (eligible.isEmpty) None
+            else {
+              val maxTs = eligible.map(_._3).max
+              Some(eligible.filter(_._3 == maxTs).map(_._1).max) // ties: max event_id
+            }
+          assert(got(pid) == expected, s"purchase $pid: ${got(pid)} vs $expected")
+        }
+      }
+    }
+  }
+
+  test("minhash estimate approximates exact jaccard on random token sets") {
+    import spark.implicits._
+    functions.Sketches.register(spark)
+    val gen = for {
+      base   <- Gen.listOfN(30, Gen.choose(0, 40)).map(_.distinct)
+      other  <- Gen.listOfN(30, Gen.choose(0, 40)).map(_.distinct)
+    } yield (base.map("t" + _), other.map("t" + _))
+    forSamples(gen) { case (a, b) =>
+      if (a.nonEmpty && b.nonEmpty) {
+        val df = Seq((1L, a), (2L, b)).toDF("id", "toks")
+          .withColumn("sig", expr("minhash_sig(transform(toks, t -> xxhash64(t)), 64)"))
+        val sigs = df.orderBy("id").select("sig").collect()
+          .map(_.getSeq[Long](0))
+        val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 64.0
+        val exact = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+        assert(math.abs(est - exact) <= 0.35, s"est $est exact $exact")
+      }
+    }
+  }
+}
