@@ -106,6 +106,16 @@ object EventStreams {
     * of the state store equivalent — here recomputed from batch for
     * comparison purposes.
     */
+  /** Streaming funnel-stage counts (update mode) — the streaming analog
+    * of the reference's hourly admissions refresh feeding
+    * admissions_funnel (ref: defs/schedules/defs.yaml
+    * admissions_hourly_refresh + gold defs.yaml:91).
+    */
+  def funnelCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(graft.operators.Conform.funnelStage(col("event_type")).as("funnel_stage"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
   def runToMemorySink(df: DataFrame, name: String, mode: String = "append"): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()

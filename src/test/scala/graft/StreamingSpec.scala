@@ -24,6 +24,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming funnel counts (update mode) match batch stage counts") {
+    val stream = EventStreams.readEvents(spark, stagedPath)
+    EventStreams.runToMemorySink(
+      EventStreams.funnelCounts(stream), "funnel_out", mode = "complete")
+    val streamed = spark.table("funnel_out")
+    val batch = EventStreams.funnelCounts(Tables.events(spark, sf))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val ev = Tables.events(spark, sf)
+    val salted = graft.functions.Skew.saltedCountSum(ev, Seq("event_type"), "value")
+      .withColumn("sum_value", round(col("sum_value"), 6))
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
   test("streaming sessionization closed sessions match batch sessions") {
     import spark.implicits._
     val stream = EventStreams.readEvents(spark, stagedPath)
