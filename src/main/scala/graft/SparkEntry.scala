@@ -58,6 +58,7 @@ object SparkEntry {
     "ann_topk"             -> ((s, d) => Similarity.annTopk(s, d)),
     "neardup_cosine"       -> ((s, d) => Similarity.neardupCosine(s, d)),
     "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
+    "ann_ivf"              -> ((s, d) => Similarity.annIvf(s, d)),
     // multimodal plumbing
     "mm_features"          -> ((s, d) => Multimodal.mmFeatures(s, d)),
     // lineage metadata (ref column-lineage)

@@ -58,6 +58,49 @@ object Similarity {
         round(col("cosine"), 5).as("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (Spark ML,
+    * fixed seed) partitions the corpus into cells; each query probes
+    * its `probes` nearest cells and ranks candidates by exact cosine.
+    * The scan per query drops from N to ~N·probes/cells; at 100 TB the
+    * cell assignment is the partitioning key, so a probe touches only
+    * its cells' partitions.
+    */
+  def annIvf(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+             cells: Int = 16, probes: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v"))).cache()
+    val model = new KMeans().setK(cells).setSeed(42L).setFeaturesCol("features").fit(e)
+    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+      .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
+
+    // centroids are k×dim — tiny, so the query→cells map is computed on
+    // the driver and broadcast-joined.
+    val centers = model.clusterCenters.map(_.toArray)
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    import spark.implicits._
+    val centersDf = centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val qCells = q.crossJoin(broadcast(centersDf))
+      .withColumn("dist", expr(
+        "dot_d(qv, qv) - 2 * dot_d(qv, centroid) + dot_d(centroid, centroid)"))
+      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("cr") <= probes)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("cell"))
+
+    val scored = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"),
+        col("rank"), col("cell").cast("long").as("cell"))
+  }
+
   /** Random-hyperplane LSH ANN, multi-table: 8 tables × 6 sign bits.
     * A pair is a candidate if it collides in ANY table (single-table
     * sign-LSH has near-zero recall at moderate cosine); candidates get

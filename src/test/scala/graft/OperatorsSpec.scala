@@ -85,6 +85,17 @@ class SimilaritySpec extends SparkSpec {
     assert(df.filter(col("cosine") > 1.0001 || col("cosine") < -1.0001).count() == 0)
   }
 
+  test("ann_ivf returns k ranked candidates per query with useful recall") {
+    val ivf = Similarity.annIvf(spark, sf).cache()
+    assert(ivf.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    val exact = Similarity.annTopk(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    info(s"IVF recall@5 vs brute force: $recall")
+    assert(recall > 0.0)
+  }
+
   test("ann_lsh finds a nonempty, threshold-respecting subset of exact pairs") {
     val lsh = Similarity.annLsh(spark, sf).cache()
     assert(lsh.count() > 0)
@@ -114,7 +125,7 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query key has an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh")
+    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf")
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
