@@ -2,27 +2,27 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Custom Catalyst expressions for the sketching operators.
+/** Custom Catalyst expressions for the sketching / vector operators.
   *
-  * Builtin higher-order functions re-evaluate their argument arrays per
-  * outer-lambda iteration after projection collapse, which makes
-  * 64-permutation sketches O(64·hash) per element. These expressions do
-  * the whole sketch in one JVM pass over a pre-hashed token array.
-  * CodegenFallback is fine here: the per-row work dominates and the
-  * expressions sit right before a shuffle, not inside a hot codegen'd
-  * pipeline.
+  * Builtin higher-order functions evaluate their lambdas interpreted,
+  * per element, and re-evaluate collapsed projection arguments per
+  * outer-lambda iteration — which makes 64-permutation sketches
+  * O(64·hash) per element and pairwise dot products ~50x slower than a
+  * JVM loop. Each expression here does its whole kernel in one pass,
+  * and generates code that calls the kernel directly so the expression
+  * stays inside whole-stage codegen (no interpreted fallback row path).
   */
 object Sketches {
 
   /** 64-bit SimHash from an array<long> of per-token hashes. */
-  case class SimHashBits(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHashBits(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+
+    def compute(arr: ArrayData): Long = {
       val n = arr.numElements()
       val counts = new Array[Int](64)
       var i = 0
@@ -35,7 +35,15 @@ object Sketches {
       var sim = 0L
       var b = 0
       while (b < 64) { if (counts(b) * 2 > n) sim |= (1L << b); b += 1 }
-      java.lang.Long.valueOf(sim)
+      sim
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashBits].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
     }
     override protected def withNewChildInternal(newChild: Expression): SimHashBits = copy(newChild)
   }
@@ -46,24 +54,16 @@ object Sketches {
     * from splitmix64 — one base hash per shingle instead of one seeded
     * hash per (shingle, permutation).
     */
-  case class MinHashSig(child: Expression, numPerms: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSig(child: Expression, numPerms: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     private lazy val (as, bs): (Array[Long], Array[Long]) = {
-      def splitmix(seed: Long): Long = {
-        var z = seed + 0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        z ^ (z >>> 31)
-      }
-      val a = Array.tabulate(numPerms)(i => splitmix(i.toLong * 2) | 1L)
-      val b = Array.tabulate(numPerms)(i => splitmix(i.toLong * 2 + 1))
+      val a = Array.tabulate(numPerms)(i => Splitmix.mix(i.toLong * 2) | 1L)
+      val b = Array.tabulate(numPerms)(i => Splitmix.mix(i.toLong * 2 + 1))
       (a, b)
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): ArrayData = {
       val n = arr.numElements()
       val mins = Array.fill(numPerms)(Long.MaxValue)
       var i = 0
@@ -79,6 +79,13 @@ object Sketches {
       }
       new GenericArrayData(mins)
     }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
     override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(newChild)
   }
 
@@ -86,9 +93,9 @@ object Sketches {
     * Left-to-right accumulation — identical result to a sequential
     * fold, so oracle parity with DuckDB's list_dot_product holds.
     */
-  case class DotProductD(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class DotProductD(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
+
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
@@ -98,6 +105,21 @@ object Sketches {
       while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
       java.lang.Double.valueOf(s)
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductD =
       copy(l, r)
   }
@@ -105,11 +127,10 @@ object Sketches {
   /** Random-hyperplane sign signatures for all LSH tables in one pass:
     * returns array<int> of `tables` signatures, each `bits` sign bits
     * of dot(v, plane) with deterministic ±1 planes from splitmix64 of
-    * (seed, plane, component). One JVM loop instead of
-    * tables·bits·dim lambda evaluations.
+    * (seed, plane, component).
     */
   case class LshSigs(child: Expression, tables: Int, bits: Int, seed: Long)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
     @transient private var planesCache: Array[Array[Double]] = _
@@ -117,15 +138,9 @@ object Sketches {
 
     private def planes(dim: Int): Array[Array[Double]] = {
       if (planesCache == null || planesDim != dim) {
-        def splitmix(s: Long): Long = {
-          var z = s + 0x9e3779b97f4a7c15L
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^ (z >>> 31)
-        }
         planesCache = Array.tabulate(tables * bits) { p =>
           Array.tabulate(dim) { j =>
-            if ((splitmix(seed ^ (p.toLong << 32) ^ j.toLong) & 1L) == 1L) 1.0 else -1.0
+            if ((Splitmix.mix(seed ^ (p.toLong << 32) ^ j.toLong) & 1L) == 1L) 1.0 else -1.0
           }
         }
         planesDim = dim
@@ -133,8 +148,7 @@ object Sketches {
       planesCache
     }
 
-    override def nullSafeEval(input: Any): Any = {
-      val v = input.asInstanceOf[ArrayData]
+    def compute(v: ArrayData): ArrayData = {
       val dim = v.numElements()
       val pl = planes(dim)
       val sigs = new Array[Int](tables)
@@ -155,7 +169,23 @@ object Sketches {
       }
       new GenericArrayData(sigs)
     }
+
+    override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("lsh", this, classOf[LshSigs].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
     override protected def withNewChildInternal(newChild: Expression): LshSigs = copy(newChild)
+  }
+
+  private object Splitmix {
+    def mix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
   }
 
   /** Register the sketch functions for use via expr()/SQL. Idempotent. */

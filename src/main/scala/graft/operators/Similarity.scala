@@ -70,7 +70,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v"))).cache()
-    val model = new KMeans().setK(cells).setSeed(42L).setFeaturesCol("features").fit(e)
+    // few iterations: a coarse quantizer needs rough cells, not convergence
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(e)
     val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
 
