@@ -179,6 +179,40 @@ object Sketches {
     override protected def withNewChildInternal(newChild: Expression): LshSigs = copy(newChild)
   }
 
+  /** Jaccard similarity of two SORTED string arrays via two-pointer
+    * merge: O(|a|+|b|) with no set materialization. Same rational value
+    * as |intersect|/|union| — oracle parity holds.
+    */
+  case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val na = a.numElements()
+      val nb = b.numElements()
+      var i = 0
+      var j = 0
+      var common = 0
+      while (i < na && j < nb) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { common += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      val union = na + nb - common
+      if (union == 0) 0.0 else common.toDouble / union
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("jacc", this, classOf[JaccardSorted].getName)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+      copy(l, r)
+  }
+
   private object Splitmix {
     def mix(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
@@ -195,6 +229,8 @@ object Sketches {
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("dot_d", es => DotProductD(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_sorted",
+      es => JaccardSorted(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_sigs",
       es => LshSigs(es.head,
         es(1).eval().asInstanceOf[Int],

@@ -34,10 +34,11 @@ object Dedup {
     * the exact Jaccard verify. Scales as shuffle-on-shingle, not docs².
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    graft.functions.Sketches.register(spark)
     val d = Tables.documents(spark, dir)
       .withColumn("w", TextFns.tokens(col("text")))
       .filter(size(col("w")) >= 3)
-      .withColumn("sh", TextFns.shingleExpr("w", 3))
+      .withColumn("sh", array_sort(TextFns.shingleExpr("w", 3)))
       .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
       .cache()
 
@@ -51,7 +52,12 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
       .select(col("lang"), col("doc_id"), col("n"), col("s"))
+      .cache() // joined with itself below; avoid recomputing the rank window twice
 
+    // (A PPJoin positional filter was considered here but is unsound
+    // without exact common-before-position counts, which a relational
+    // reformulation can't see — the size filter + rarest-first prefix
+    // carry the pruning instead.)
     val cand = prefix.select(col("lang"), col("s"), col("doc_id").as("doc_a"), col("n").as("na"))
       .join(prefix.select(col("lang"), col("s"), col("doc_id").as("doc_b"), col("n").as("nb")),
         Seq("lang", "s"))
@@ -64,7 +70,7 @@ object Dedup {
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", TextFns.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
