@@ -50,6 +50,7 @@ object SparkEntry {
     "lang_id"              -> ((s, d) => TextAnalysis.langId(s, d)),
     "quality_score"        -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "doc_fingerprint"      -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
+    "redact_pii"           -> ((s, d) => TextAnalysis.redactPii(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -326,6 +327,17 @@ object SparkEntry {
            CASE WHEN len(w) >= 5 THEN list_min(list_transform(sh, s -> md5(s)))
                 ELSE md5(text) END AS fingerprint
          FROM u""",
+    "redact_pii" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+         CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs,
+         CAST(length(
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^\s]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+         FROM documents""",
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",

@@ -91,6 +91,28 @@ object TextAnalysis {
             + lit(0.3) * (lit(1.0) - col("punct_ratio")), 4).as("quality_score"))
   }
 
+  /** PII scrubbing: redact emails, URLs, and long digit runs (the
+    * standard pretraining-corpus hygiene pass). Patterns are chosen to
+    * be portable between Java regex and RE2 so the oracle can replay
+    * them.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val email  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url    = "https?://[^\\s]+"
+    val digits = "[0-9]{6,}"
+    def count(pat: String) =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      count(email).as("n_emails"),
+      count(url).as("n_urls"),
+      count(digits).as("n_digit_runs"),
+      length(
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          email, "<EMAIL>"), url, "<URL>"), digits, "<NUM>"))
+        .cast("long").as("redacted_len"))
+  }
+
   /** Winnowing-style content fingerprint: min md5 over 5-gram word
     * shingles (k-gram min-hash). Documents shorter than 5 tokens fall
     * back to whole-text md5.
