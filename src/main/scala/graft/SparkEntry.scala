@@ -29,6 +29,7 @@ object SparkEntry {
     // event analytics
     "events_json"          -> ((s, d) => Events.eventsJson(s, d)),
     "events_windowed"      -> ((s, d) => Events.eventsWindowed(s, d)),
+    "events_stats"         -> ((s, d) => Events.eventsStats(s, d)),
     "sessionize"           -> ((s, d) => Events.sessionize(s, d)),
     "asof_join"            -> ((s, d) => Events.asofJoin(s, d)),
     // silver conforming transforms
@@ -119,6 +120,14 @@ object SparkEntry {
       """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,
          event_type, count(*) AS n, round(sum(value),2) AS sum_value
          FROM events GROUP BY 1,2""",
+    "events_stats" ->
+      """SELECT event_type, count(*) AS n,
+         count(DISTINCT user_id) AS distinct_users,
+         round(quantile_cont(value, 0.5), 4) AS median_value,
+         round(quantile_cont(value, 0.9), 4) AS p90_value,
+         round(min(value), 4) AS min_value,
+         round(max(value), 4) AS max_value
+         FROM events GROUP BY 1""",
     "sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value FROM events),
          s AS (SELECT user_id, ts_ms, value,

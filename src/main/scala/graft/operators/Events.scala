@@ -27,6 +27,23 @@ object Events {
         round(avg(col("k")), 4).as("avg_k"))
   }
 
+  /** Distribution statistics per event type: exact percentiles (median,
+    * p90), min/max, exact distinct users. Exact `percentile` (not
+    * approx_percentile) so the oracle can replay it; at 100 TB swap in
+    * approx_percentile/HLL for one-pass sketching.
+    */
+  def eventsStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("distinct_users"),
+        round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
+        round(min("value"), 4).as("min_value"),
+        round(max("value"), 4).as("max_value"))
+  }
+
   /** Hourly time-bucket aggregation — batch mirror of the watermarked
     * streaming window aggregation.
     */

@@ -24,6 +24,7 @@ object Bronze {
                   schema: Option[StructType] = None): DataFrame = {
     val base = format.toLowerCase match {
       case "parquet" => spark.read.format("parquet")
+      case "orc"     => spark.read.format("orc")
       case "csv"     => spark.read.format("csv").option("header", "true")
       case "json"    => spark.read.format("json")
       case other     => throw new IllegalArgumentException(s"unsupported landing format: $other")
@@ -48,6 +49,26 @@ object Bronze {
     df.write.mode("overwrite")
       .partitionBy("_ingest_date")
       .parquet(outPath)
+
+  /** Event-driven landing→bronze: a Structured Streaming file source
+    * watches the landing path (the reference's S3 sensor, ref:
+    * s3_data_landing_component.py sensors) and appends each new file's
+    * rows to the bronze path. Returns the started query; callers stop
+    * it (tests: processAllAvailable + stop).
+    */
+  def streamIngest(spark: SparkSession, landingPath: String, schema: StructType,
+                   sourceSystem: String, table: String, ingestDate: String,
+                   bronzePath: String, checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.schema(schema).parquet(landingPath)
+    val stamped = withIngestMeta(raw, sourceSystem, table, ingestDate,
+      batchId = s"stream-$ingestDate")
+    stamped.writeStream
+      .format("parquet")
+      .option("path", bronzePath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode("append")
+      .start()
+  }
 
   /** Full landing→bronze hop for one table. */
   def ingest(spark: SparkSession, landingPath: String, format: String,

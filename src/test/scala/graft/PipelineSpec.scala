@@ -17,6 +17,22 @@ class BronzeSpec extends SparkSpec {
     assert(read.filter(col("_ingest_date") === "1999-01-01").count() == 0)
   }
 
+  test("streaming ingest picks up landing files into bronze") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_ingest").toString
+    val nat = Tables.nation(spark, sf)
+    nat.write.mode("overwrite").parquet(s"$tmp/landing")
+    val q = Bronze.streamIngest(spark, s"$tmp/landing", nat.schema,
+      "highered-analog", "nation", "2026-08-12", s"$tmp/bronze", s"$tmp/ckpt")
+    q.processAllAvailable()
+    // a second file lands: the sensor analog picks it up incrementally
+    nat.limit(5).write.mode("append").parquet(s"$tmp/landing")
+    q.processAllAvailable()
+    q.stop()
+    val bronze = spark.read.parquet(s"$tmp/bronze")
+    assert(bronze.count() == 30)
+    assert(bronze.select("_source_system").distinct().head.getString(0) == "highered-analog")
+  }
+
   test("csv and json landing formats roundtrip") {
     val tmp = java.nio.file.Files.createTempDirectory("landing").toString
     val nat = Tables.nation(spark, sf)
