@@ -61,4 +61,36 @@ object Pipeline {
   /** Full daily run: silver (with quality gate) then gold. */
   def runAll(spark: SparkSession, srcDir: String, warehouseDir: String): Map[String, Long] =
     runSilver(spark, srcDir, warehouseDir) ++ runGold(spark, srcDir, warehouseDir)
+
+  /** Bucketed fact materialization: fact_lineitem and fact_orders are
+    * written bucketed + sorted on the order key, so every downstream
+    * order-grain join between them is co-located — zero shuffle
+    * exchanges at any scale. This is the Spark-native equivalent of the
+    * co-location the reference gets from Iceberg partitioning; at
+    * 100 TB the bucket count is sized so one bucket fits an executor.
+    */
+  def materializeBucketedFacts(spark: SparkSession, srcDir: String,
+                               buckets: Int = 32): Unit = {
+    Conform.factLineitem(spark, srcDir).write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_fact_lineitem_b")
+    Conform.factOrders(spark, srcDir).write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_fact_orders_b")
+  }
+
+  /** Order-grain revenue join over the bucketed facts (plans with no
+    * shuffle exchange — see PipelineSpec).
+    */
+  def bucketedOrderRevenue(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.table("graft_fact_lineitem_b")
+      .join(spark.table("graft_fact_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        first(col("o_totalprice")).as("o_totalprice"))
+  }
 }

@@ -57,6 +57,18 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/gold/gold_sales_metrics").count() == counts("gold_sales_metrics"))
   }
 
+  test("bucketed fact join plans with zero shuffle exchanges") {
+    Pipeline.materializeBucketedFacts(spark, sf, buckets = 4)
+    val joined = Pipeline.bucketedOrderRevenue(spark)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected co-located bucketed join, got:\n$plan")
+    // and the result matches the unbucketed equivalent
+    val expected = operators.Conform.factLineitem(spark, sf)
+      .groupBy("l_orderkey").count().count()
+    assert(joined.count() == expected)
+  }
+
   test("lineage covers every silver model column exactly once") {
     val lin = operators.Lineage.lineage(spark, sf)
     val models = lin.select("model").distinct().collect().map(_.getString(0)).toSet
