@@ -52,6 +52,7 @@ object SparkEntry {
     "quality_score"        -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "doc_fingerprint"      -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "redact_pii"           -> ((s, d) => TextAnalysis.redactPii(s, d)),
+    "dataset_split"        -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -336,6 +337,15 @@ object SparkEntry {
            CASE WHEN len(w) >= 5 THEN list_min(list_transform(sh, s -> md5(s)))
                 ELSE md5(text) END AS fingerprint
          FROM u""",
+    "dataset_split" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         b AS (SELECT doc_id,
+             (ascii(substr(hx, 1, 1)) * 256 + ascii(substr(hx, 2, 1))) % 10 AS bucket
+           FROM h)
+         SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b""",
     "redact_pii" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

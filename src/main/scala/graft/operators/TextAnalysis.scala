@@ -91,6 +91,20 @@ object TextAnalysis {
             + lit(0.3) * (lit(1.0) - col("punct_ratio")), 4).as("quality_score"))
   }
 
+  /** Deterministic train/val/test split (8/1/1) by content-independent
+    * key hash — stable under re-runs and corpus growth, no RNG state.
+    * The bucket is derived from md5 bytes so the same rows land in the
+    * same split on any engine (portable to the oracle via ascii()).
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bucket = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 10
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      bucket.cast("long").as("bucket"),
+      when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test").as("split"))
+  }
+
   /** PII scrubbing: redact emails, URLs, and long digit runs (the
     * standard pretraining-corpus hygiene pass). Patterns are chosen to
     * be portable between Java regex and RE2 so the oracle can replay
