@@ -71,6 +71,21 @@ object Pipeline {
     */
   def materializeBucketedFacts(spark: SparkSession, srcDir: String,
                                buckets: Int = 32): Unit = {
+    // idempotent across JVMs: the in-memory catalog forgets tables on
+    // restart but their warehouse directories persist, and saveAsTable
+    // refuses to reuse an orphan location
+    Seq("graft_fact_lineitem_b", "graft_fact_orders_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     Conform.factLineitem(spark, srcDir).write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
