@@ -60,52 +60,62 @@ object EventStreams {
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"), col("sum_value"))
 
-  case class Ev(user_id: Long, ts_ms: Long, value: Double)
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double) {
+    def ts_ms: Long = ts.getTime
+  }
   case class SessionState(start: Long, end: Long, n: Long, sum: Double, idx: Long)
   case class SessionOut(user_id: Long, session_idx: Long, session_start_ms: Long,
                         session_end_ms: Long, n_events: Long, sum_value: Double)
 
   /** Stateful sessionization with flatMapGroupsWithState (30-minute
-    * gap). Emits closed sessions; the final open session per user is
-    * emitted on state timeout (or at end-of-stream in tests via a
-    * processAllAvailable + timeout pass).
+    * gap). Emits a session as soon as a newer event closes it; the
+    * still-open session is flushed by event-time timeout once the
+    * watermark passes its gap window (production path — without it a
+    * user's final session would never be emitted).
     *
     * Per-group events are not guaranteed ordered across micro-batches;
-    * within a test's single batch we sort the group's buffer. At
-    * production scale the watermark bounds the buffer.
+    * each batch's group buffer is sorted, and the watermark bounds how
+    * late events can arrive.
     */
   def sessionizeStream(spark: SparkSession, events: DataFrame, gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
     import spark.implicits._
     events
-      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), col("value"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, evs, state: GroupState[List[SessionState]]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.value))
-          var sessions = state.getOption.getOrElse(Nil)
-          var closed = List.empty[SessionOut]
-          for (e <- sorted) {
-            sessions match {
-              case cur :: rest if e.ts_ms - cur.end <= gapMs =>
-                sessions = cur.copy(end = e.ts_ms, n = cur.n + 1, sum = cur.sum + e.value) :: rest
-              case cur :: rest =>
-                closed = SessionOut(uid, cur.idx, cur.start, cur.end, cur.n, cur.sum) :: closed
-                sessions = SessionState(e.ts_ms, e.ts_ms, 1, e.value, cur.idx + 1) :: rest
-              case Nil =>
-                sessions = SessionState(e.ts_ms, e.ts_ms, 1, e.value, 1) :: Nil
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap window: flush it
+            val out = state.getOption.getOrElse(Nil)
+              .map(s => SessionOut(uid, s.idx, s.start, s.end, s.n, s.sum))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.value))
+            var sessions = state.getOption.getOrElse(Nil)
+            var closed = List.empty[SessionOut]
+            for (e <- sorted) {
+              sessions match {
+                case cur :: rest if e.ts_ms - cur.end <= gapMs =>
+                  sessions = cur.copy(end = e.ts_ms, n = cur.n + 1, sum = cur.sum + e.value) :: rest
+                case cur :: rest =>
+                  closed = SessionOut(uid, cur.idx, cur.start, cur.end, cur.n, cur.sum) :: closed
+                  sessions = SessionState(e.ts_ms, e.ts_ms, 1, e.value, cur.idx + 1) :: rest
+                case Nil =>
+                  sessions = SessionState(e.ts_ms, e.ts_ms, 1, e.value, 1) :: Nil
+              }
             }
+            state.update(sessions)
+            sessions.headOption.foreach(cur =>
+              state.setTimeoutTimestamp(cur.end + gapMs))
+            closed.reverseIterator
           }
-          state.update(sessions)
-          closed.reverseIterator
       }
   }
 
-  /** Flush helper for tests: the still-open sessions per user, read out
-    * of the state store equivalent — here recomputed from batch for
-    * comparison purposes.
-    */
   /** Streaming funnel-stage counts (update mode) — the streaming analog
     * of the reference's hourly admissions refresh feeding
     * admissions_funnel (ref: defs/schedules/defs.yaml
