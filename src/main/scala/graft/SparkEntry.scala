@@ -30,6 +30,7 @@ object SparkEntry {
     "events_json"          -> ((s, d) => Events.eventsJson(s, d)),
     "events_windowed"      -> ((s, d) => Events.eventsWindowed(s, d)),
     "events_stats"         -> ((s, d) => Events.eventsStats(s, d)),
+    "events_approx"        -> ((s, d) => Events.eventsApprox(s, d)),
     "sessionize"           -> ((s, d) => Events.sessionize(s, d)),
     "asof_join"            -> ((s, d) => Events.asofJoin(s, d)),
     // silver conforming transforms

@@ -44,6 +44,21 @@ object Events {
         round(max("value"), 4).as("max_value"))
   }
 
+  /** Sketch-based approximate statistics — the one-pass scale path for
+    * eventsStats (HLL distinct counts, quantile sketches). No SQL
+    * oracle (sketch internals are engine-specific); the spec bounds the
+    * error against the exact version.
+    */
+  def eventsApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        round(expr("approx_percentile(value, 0.5, 1000)"), 4).as("approx_median"),
+        round(expr("approx_percentile(value, 0.9, 1000)"), 4).as("approx_p90"))
+  }
+
   /** Hourly time-bucket aggregation — batch mirror of the watermarked
     * streaming window aggregation.
     */

@@ -46,6 +46,19 @@ class EventsSpec extends SparkSpec {
   }
 }
 
+class ApproxSpec extends SparkSpec {
+  test("approx stats track exact stats within sketch error bounds") {
+    val exact = graft.operators.Events.eventsStats(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("distinct_users"), r.getAs[Double]("median_value"))).toMap
+    graft.operators.Events.eventsApprox(spark, sf).collect().foreach { r =>
+      val (users, median) = exact(r.getAs[String]("event_type"))
+      assert(math.abs(r.getAs[Long]("approx_users") - users) <= users * 0.1 + 1)
+      assert(math.abs(r.getAs[Double]("approx_median") - median) <= math.abs(median) * 0.2 + 1)
+    }
+  }
+}
+
 class DedupSpec extends SparkSpec {
   test("minhash estimate tracks exact jaccard on surfaced pairs") {
     val pairs = Dedup.dedupMinhash(spark, sf).collect()
@@ -125,7 +138,7 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query key has an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf")
+    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf", "events_approx")
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
