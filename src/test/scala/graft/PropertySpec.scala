@@ -96,6 +96,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaccard_sorted equals the set-based jaccard on random token arrays") {
+    import spark.implicits._
+    functions.Sketches.register(spark)
+    // tokens include multi-byte and mixed-case strings: guards that
+    // array_sort's ordering matches UTF8String.compareTo inside the
+    // two-pointer merge
+    val tokGen = Gen.listOfN(25, Gen.oneOf(
+      Gen.choose(0, 50).map("tok" + _),
+      Gen.oneOf("Ā", "ß", "日本", "Zz", "a b", "")))
+    forSamples(Gen.zip(tokGen, tokGen)) { case (a, b) =>
+      val df = Seq((a.distinct, b.distinct)).toDF("a", "b")
+        .selectExpr(
+          "jaccard_sorted(array_sort(a), array_sort(b)) AS fast",
+          "size(array_intersect(a, b)) / cast(size(array_union(a, b)) as double) AS ref")
+      val r = df.head
+      assert(r.getDouble(0) == r.getDouble(1), s"$a vs $b")
+    }
+  }
+
+  test("dot_d equals the fold-based dot product bit for bit") {
+    import spark.implicits._
+    functions.Sketches.register(spark)
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 7.0))
+    forSamples(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b").selectExpr(
+        "dot_d(a, b) AS fast",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x) AS ref").head
+      assert(r.getDouble(0) == r.getDouble(1))
+    }
+  }
+
   test("minhash estimate approximates exact jaccard on random token sets") {
     import spark.implicits._
     functions.Sketches.register(spark)
