@@ -26,6 +26,8 @@ object SparkEntry {
     "q5_region_revenue"    -> ((s, d) => Relational.q5RegionRevenue(s, d)),
     "topn_per_group"       -> ((s, d) => Relational.topnPerGroup(s, d)),
     "rollup_sales"         -> ((s, d) => Relational.rollupSales(s, d)),
+    "customer_segments"    -> ((s, d) => Relational.customerSegments(s, d)),
+    "events_pivot"         -> ((s, d) => Relational.eventsPivot(s, d)),
     // event analytics
     "events_json"          -> ((s, d) => Events.eventsJson(s, d)),
     "events_windowed"      -> ((s, d) => Events.eventsWindowed(s, d)),
@@ -113,6 +115,23 @@ object SparkEntry {
          round(sum(l_extendedprice),2) AS sum_price,
          count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "customer_segments" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS id FROM orders),
+         purchasers AS (SELECT DISTINCT user_id AS id FROM events WHERE event_type='purchase')
+         SELECT 'buyers' AS segment, count(*) AS n FROM buyers
+         UNION ALL SELECT 'purchasers', count(*) FROM purchasers
+         UNION ALL SELECT 'both', count(*) FROM (SELECT id FROM buyers INTERSECT SELECT id FROM purchasers) t
+         UNION ALL SELECT 'buyers_only', count(*) FROM (SELECT id FROM buyers EXCEPT SELECT id FROM purchasers) t
+         UNION ALL SELECT 'purchasers_only', count(*) FROM (SELECT id FROM purchasers EXCEPT SELECT id FROM buyers) t""",
+    "events_pivot" ->
+      """SELECT COALESCE(c_mktsegment, 'Unknown') AS segment,
+         count(CASE WHEN event_type='view' THEN 1 END) AS view,
+         count(CASE WHEN event_type='click' THEN 1 END) AS click,
+         count(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+         count(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+         count(CASE WHEN event_type='error' THEN 1 END) AS error
+         FROM events LEFT JOIN customer ON user_id=c_custkey
+         GROUP BY 1""",
     "events_json" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,

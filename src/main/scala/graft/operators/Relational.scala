@@ -83,6 +83,34 @@ object Relational {
       .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** Set operations (INTERSECT / EXCEPT / UNION ALL): audience segment
+    * sizes — customers who ordered vs users who purchased in events.
+    */
+  def customerSegments(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.orders(spark, dir).select(col("o_custkey").as("id")).distinct()
+    val purchasers = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("id")).distinct()
+    def seg(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("segment"), col("n"))
+    seg("buyers", buyers)
+      .unionByName(seg("purchasers", purchasers))
+      .unionByName(seg("both", buyers.intersect(purchasers)))
+      .unionByName(seg("buyers_only", buyers.except(purchasers)))
+      .unionByName(seg("purchasers_only", purchasers.except(buyers)))
+  }
+
+  /** Native pivot: event counts per market segment × event type. */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev   = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    ev.join(cust, col("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("Unknown")).as("segment"))
+      .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+      .count()
+      .na.fill(0L)
+  }
+
   /** GROUP BY ROLLUP with GROUPING() disambiguation. */
   def rollupSales(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
