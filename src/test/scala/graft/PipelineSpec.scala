@@ -33,6 +33,25 @@ class BronzeSpec extends SparkSpec {
     assert(bronze.select("_source_system").distinct().head.getString(0) == "highered-analog")
   }
 
+  test("streaming ingest resumes from checkpoint without re-ingesting") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_resume").toString
+    val nat = Tables.nation(spark, sf)
+    nat.write.mode("overwrite").parquet(s"$tmp/landing")
+    val q1 = Bronze.streamIngest(spark, s"$tmp/landing", nat.schema,
+      "sap-analog", "nation", "2026-08-12", s"$tmp/bronze", s"$tmp/ckpt")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(spark.read.parquet(s"$tmp/bronze").count() == 25)
+    // new file lands while the query is down; a restarted query with the
+    // same checkpoint must ingest ONLY the new file (exactly-once)
+    nat.limit(3).write.mode("append").parquet(s"$tmp/landing")
+    val q2 = Bronze.streamIngest(spark, s"$tmp/landing", nat.schema,
+      "sap-analog", "nation", "2026-08-12", s"$tmp/bronze", s"$tmp/ckpt")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.parquet(s"$tmp/bronze").count() == 28)
+  }
+
   test("csv and json landing formats roundtrip") {
     val tmp = java.nio.file.Files.createTempDirectory("landing").toString
     val nat = Tables.nation(spark, sf)
