@@ -76,15 +76,11 @@ object Pipeline {
     // refuses to reuse an orphan location
     Seq("graft_fact_lineitem_b", "graft_fact_orders_b").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
+      // Hadoop Path/FileSystem resolves the warehouse URI (scheme or
+      // plain path, spaces included) uniformly — no java.net.URI parsing
+      val loc = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
     }
     Conform.factLineitem(spark, srcDir).write.mode("overwrite")
       .format("parquet")

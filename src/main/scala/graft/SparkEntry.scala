@@ -74,25 +74,25 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-         round(avg(l_quantity),4) AS avg_qty,
-         round(avg(l_extendedprice),4) AS avg_price,
-         round(avg(l_discount),4) AS avg_disc,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_charge,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)/count(l_quantity),4) AS avg_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)/count(l_extendedprice),4) AS avg_price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)/count(l_discount),4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1,2""",
     "q3_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))),2) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey=o_orderkey
          JOIN customer ON o_custkey=c_custkey
          WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
            AND l_shipdate > TIMESTAMP '1998-01-01'
          GROUP BY 1,2,3 ORDER BY revenue DESC, order_date, l_orderkey LIMIT 10""",
     "q5_region_revenue" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT n_name, CAST(round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))),2) AS DOUBLE) AS revenue
          FROM customer JOIN orders ON c_custkey=o_custkey
          JOIN lineitem ON l_orderkey=o_orderkey
          JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
@@ -111,8 +111,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
          CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-         round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice),2) AS sum_price,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_price,
          count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
     "customer_segments" ->
@@ -135,11 +135,11 @@ object SparkEntry {
     "events_json" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-         round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k
+         round(CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS DOUBLE)/count(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k
          FROM events GROUP BY 1""",
     "events_windowed" ->
       """SELECT epoch_ms(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS bucket_ms,
-         event_type, count(*) AS n, round(sum(value),2) AS sum_value
+         event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1,2""",
     "events_stats" ->
       """SELECT event_type, count(*) AS n,
@@ -161,7 +161,7 @@ object SparkEntry {
                FROM s)
          SELECT user_id, session_idx, min(ts_ms) AS session_start_ms,
            max(ts_ms) AS session_end_ms, count(*) AS n_events,
-           round(sum(value),2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_value
          FROM t GROUP BY 1,2""",
     "asof_join" ->
       """WITH v AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
@@ -221,8 +221,8 @@ object SparkEntry {
     "gold_sales_metrics" ->
       """SELECT l_returnflag, c_mktsegment, o_orderpriority,
          count(DISTINCT o_custkey) AS total_customers,
-         round(sum(l_quantity),2) AS total_qty,
-         round(avg(c_acctbal),4) AS avg_acctbal,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))),2) AS DOUBLE) AS total_qty,
+         round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)/count(c_acctbal),4) AS avg_acctbal,
          round(CAST(count(DISTINCT CASE WHEN o_orderstatus='F' THEN o_custkey END) AS DOUBLE)
            / NULLIF(count(DISTINCT o_custkey),0),4) AS finished_rate,
          count(DISTINCT CASE WHEN c_acctbal<0 THEN o_custkey END) AS negative_bal_customers,
@@ -231,14 +231,14 @@ object SparkEntry {
          JOIN customer ON o_custkey=c_custkey
          GROUP BY 1,2,3""",
     "gold_finance" ->
-      """WITH yt AS (SELECT year(o_orderdate) AS yr, sum(o_totalprice) AS yearly_total
+      """WITH yt AS (SELECT year(o_orderdate) AS yr, CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS yearly_total
                      FROM orders GROUP BY 1)
          SELECT CAST(year(o_orderdate) AS VARCHAR) AS fiscal_year, c_mktsegment,
          count(DISTINCT o_custkey) AS total_customers,
-         round(sum(l_extendedprice*l_discount),2) AS total_discount,
-         round(sum(l_extendedprice*l_discount)*0.92,2) AS total_disbursed,
-         round(avg(l_extendedprice*l_discount),4) AS avg_discount_per_line,
-         round(sum(l_extendedprice*l_discount)/NULLIF(max(yearly_total),0),6) AS budget_utilization
+         CAST(round(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))),2) AS DOUBLE) AS total_discount,
+         round(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE)*0.92,2) AS total_disbursed,
+         round(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE)/count(l_extendedprice*l_discount),4) AS avg_discount_per_line,
+         round(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE)/NULLIF(max(yearly_total),0),6) AS budget_utilization
          FROM lineitem JOIN orders ON l_orderkey=o_orderkey
          JOIN customer ON o_custkey=c_custkey
          LEFT JOIN yt ON year(o_orderdate)=yt.yr
@@ -255,7 +255,7 @@ object SparkEntry {
          round(CAST(count(CASE WHEN event_type='signup' THEN 1 END)
              - count(CASE WHEN event_type='purchase' THEN 1 END) AS DOUBLE)
            / NULLIF(count(CASE WHEN event_type='signup' THEN 1 END),0),4) AS melt_rate,
-         round(sum(value),2) AS expected_revenue,
+         CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS expected_revenue,
          (SELECT event_type FROM events GROUP BY 1 ORDER BY count(*) DESC, event_type LIMIT 1) AS top_event_type
          FROM events LEFT JOIN customer ON user_id=c_custkey
          GROUP BY 1""",

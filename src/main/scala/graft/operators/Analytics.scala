@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Money.{dsum, msum, mavg, rnd}
 
 /** Gold-layer analytics models — Spark-native equivalent of the
   * reference's gold Trino models (ref: defs/gold_analytics/defs.yaml).
@@ -26,13 +27,13 @@ object Analytics {
       .groupBy(col("l_returnflag"), col("c_mktsegment"), col("o_orderpriority"))
       .agg(
         countDistinct(col("o_custkey")).as("total_customers"),
-        round(sum("l_quantity"), 2).as("total_qty"),
-        round(avg("c_acctbal"), 4).as("avg_acctbal"),
-        round(
+        msum(col("l_quantity")).as("total_qty"),
+        mavg(col("c_acctbal")).as("avg_acctbal"),
+        rnd(
           countDistinct(when(col("o_orderstatus") === "F", col("o_custkey"))).cast("double") /
             nullif(countDistinct(col("o_custkey")), lit(0)), 4).as("finished_rate"),
         countDistinct(when(col("c_acctbal") < 0, col("o_custkey"))).as("negative_bal_customers"),
-        round(count(lit(1)).cast("double") /
+        rnd(count(lit(1)).cast("double") /
           nullif(countDistinct(col("l_orderkey")), lit(0)), 4).as("avg_order_lines"))
   }
 
@@ -46,7 +47,7 @@ object Analytics {
     val cust = Tables.customer(spark, dir)
     val yearlyTotals = ord
       .groupBy(year(col("o_orderdate")).as("yr"))
-      .agg(sum("o_totalprice").as("yearly_total"))
+      .agg(dsum(col("o_totalprice")).as("yearly_total"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("l_discount") > 0)
@@ -54,10 +55,10 @@ object Analytics {
       .groupBy(year(col("o_orderdate")).cast("string").as("fiscal_year"), col("c_mktsegment"))
       .agg(
         countDistinct(col("o_custkey")).as("total_customers"),
-        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("total_discount"),
-        round(sum(col("l_extendedprice") * col("l_discount")) * 0.92, 2).as("total_disbursed"),
-        round(avg(col("l_extendedprice") * col("l_discount")), 4).as("avg_discount_per_line"),
-        round(sum(col("l_extendedprice") * col("l_discount")) /
+        msum(col("l_extendedprice") * col("l_discount")).as("total_discount"),
+        rnd(dsum(col("l_extendedprice") * col("l_discount")) * 0.92, 2).as("total_disbursed"),
+        mavg(col("l_extendedprice") * col("l_discount")).as("avg_discount_per_line"),
+        rnd(dsum(col("l_extendedprice") * col("l_discount")) /
           nullif(max(col("yearly_total")), lit(0.0)), 6).as("budget_utilization"))
   }
 
@@ -82,10 +83,10 @@ object Analytics {
         stage("signup").as("admits"),
         stage("purchase").as("enrolled"),
         stage("error").as("errors"),
-        round(stage("purchase").cast("double") / nullif(stage("signup"), lit(0)), 4).as("yield_rate"),
-        round((stage("signup") - stage("purchase")).cast("double") /
+        rnd(stage("purchase").cast("double") / nullif(stage("signup"), lit(0)), 4).as("yield_rate"),
+        rnd((stage("signup") - stage("purchase")).cast("double") /
           nullif(stage("signup"), lit(0)), 4).as("melt_rate"),
-        round(sum("value"), 2).as("expected_revenue"))
+        msum(col("value")).as("expected_revenue"))
       .crossJoin(broadcast(top1))
   }
 }

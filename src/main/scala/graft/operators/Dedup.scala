@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Money.rnd
 import graft.functions.TextFns
 
 /** Deduplication operators for training-data pipelines over the
@@ -72,7 +73,7 @@ object Dedup {
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), rnd(col("jaccard"), 6).as("jaccard"))
   }
 
   /** MinHash + LSH near-dup detection: 64-permutation signature →
@@ -115,8 +116,8 @@ object Dedup {
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
-        round(col("est_jaccard"), 4).as("est_jaccard"),
-        round(TextFns.jaccard(col("sh_a"), col("sh_b")), 6).as("exact_jaccard"))
+        rnd(col("est_jaccard"), 4).as("est_jaccard"),
+        rnd(TextFns.jaccard(col("sh_a"), col("sh_b")), 6).as("exact_jaccard"))
   }
 
   /** SimHash near-dup detection: 64-bit signature; candidates share one

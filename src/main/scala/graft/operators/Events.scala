@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.Money.{msum, rnd}
 
 /** Event-stream analytics in batch form. The reference's S3 sensors +
   * hourly admissions refresh (ref: s3_data_landing_component.py sensors;
@@ -24,7 +25,7 @@ object Events {
       .agg(
         count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
-        round(avg(col("k")), 4).as("avg_k"))
+        rnd(sum(col("k")) / count(col("k")), 4).as("avg_k"))
   }
 
   /** Distribution statistics per event type: exact percentiles (median,
@@ -38,10 +39,10 @@ object Events {
       .agg(
         count(lit(1)).as("n"),
         countDistinct(col("user_id")).as("distinct_users"),
-        round(expr("percentile(value, 0.5)"), 4).as("median_value"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90_value"),
-        round(min("value"), 4).as("min_value"),
-        round(max("value"), 4).as("max_value"))
+        rnd(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        rnd(expr("percentile(value, 0.9)"), 4).as("p90_value"),
+        rnd(min("value"), 4).as("min_value"),
+        rnd(max("value"), 4).as("max_value"))
   }
 
   /** Sketch-based approximate statistics — the one-pass scale path for
@@ -69,7 +70,7 @@ object Events {
         col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum("value"), 2).as("sum_value"))
+        msum(col("value")).as("sum_value"))
   }
 
   /** Gap-based sessionization (30-minute inactivity): lag → boundary
@@ -93,7 +94,7 @@ object Events {
         min(col("ts_ms")).as("session_start_ms"),
         max(col("ts_ms")).as("session_end_ms"),
         count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"))
+        msum(col("value")).as("sum_value"))
   }
 
   /** As-of join: each purchase event matched to the latest prior-or-equal

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.Money
+import graft.functions.Money.msum
 
 /** Core relational query surface — the join/aggregate/window SQL shapes
   * the reference executes through Trino (ref:
@@ -12,8 +14,8 @@ import graft.Tables
   * Scale notes: every query is a declarative DataFrame plan so Catalyst
   * pushes filters/pruning into the parquet scans. Broadcast hints are
   * only placed on tables whose size is bounded by the schema
-  * (region=5, nation=25 rows, filtered supplier); anything that scales
-  * with the data (customer, orders) is left to Catalyst/AQE statistics.
+  * (region=5, nation=25 rows); anything that scales with the data
+  * (customer, orders, supplier) is left to Catalyst/AQE statistics.
   * Facts shuffle at most once per aggregation key.
   */
 object Relational {
@@ -24,13 +26,13 @@ object Relational {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        msum(col("l_quantity")).as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_base_price"),
+        msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        msum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        Money.mavg(col("l_quantity")).as("avg_qty"),
+        Money.mavg(col("l_extendedprice")).as("avg_price"),
+        Money.mavg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -46,12 +48,17 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
       .limit(10)
   }
 
-  /** 6-way join with broadcast dimensions (TPC-H Q5 shape). */
+  /** 6-way join with broadcast dimensions (TPC-H Q5 shape).
+    * Broadcast hints only on the schema-bounded tables (nation=25,
+    * region≤5 rows). Supplier scales linearly with data volume, so it is
+    * left to Catalyst/AQE statistics — broadcast at test scale, shuffle
+    * join at 100 TB — like customer/orders.
+    */
   def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val ord = Tables.orders(spark, dir)
@@ -63,12 +70,12 @@ object Relational {
     val reg  = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
-                             col("c_nationkey") === col("s_nationkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(msum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
   }
 
   /** Top-N per group via window row_number — partition-local sort, one
@@ -118,8 +125,8 @@ object Relational {
       .agg(
         grouping(col("l_returnflag")).cast("long").as("g_flag"),
         grouping(col("l_linestatus")).cast("long").as("g_status"),
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_price"),
+        msum(col("l_quantity")).as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_price"),
         count(lit(1)).as("n"))
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Money.rnd
 import graft.functions.Sketches
 
 /** Approximate-nearest-neighbor / similarity search over the
@@ -37,7 +38,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+      .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -55,7 +56,7 @@ object Similarity {
       .withColumn("cosine", expr("dot_d(va, vb)") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select(col("label").cast("long").as("label"), col("vec_a"), col("vec_b"),
-        round(col("cosine"), 5).as("cosine"))
+        rnd(col("cosine"), 5).as("cosine"))
   }
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer (Spark ML,
@@ -94,7 +95,7 @@ object Similarity {
 
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+      .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -123,6 +124,6 @@ object Similarity {
         (expr("dot_d(va, vb)") / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .groupBy(col("vec_a"), col("vec_b"))
-      .agg(round(first(col("cosine")), 5).as("cosine"))
+      .agg(rnd(first(col("cosine")), 5).as("cosine"))
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Money.rnd
 import graft.functions.TextFns
 
 /** Text-analysis operators for a training-data pipeline over the
@@ -81,11 +82,11 @@ object TextAnalysis {
         col("doc_id"),
         col("n_chars").cast("long").as("n_chars"),
         col("n_toks").cast("long").as("n_tokens"),
-        round(col("alpha_ratio"), 4).as("alpha_ratio"),
-        round(col("punct_ratio"), 4).as("punct_ratio"),
-        round(col("stop_ratio"), 4).as("stop_ratio"),
-        round(col("avg_token_len"), 4).as("avg_token_len"),
-        round(
+        rnd(col("alpha_ratio"), 4).as("alpha_ratio"),
+        rnd(col("punct_ratio"), 4).as("punct_ratio"),
+        rnd(col("stop_ratio"), 4).as("stop_ratio"),
+        rnd(col("avg_token_len"), 4).as("avg_token_len"),
+        rnd(
           lit(0.4) * col("alpha_ratio")
             + lit(0.3) * least(col("n_toks") / 50.0, lit(1.0))
             + lit(0.3) * (lit(1.0) - col("punct_ratio")), 4).as("quality_score"))

@@ -56,7 +56,7 @@ object EventStreams {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.functions.Money.msum(col("value")).as("sum_value"))
       .select(unix_millis(col("window.start")).as("bucket_ms"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -64,6 +64,10 @@ object EventStreams {
     def ts_ms: Long = ts.getTime
   }
   case class SessionState(start: Long, end: Long, n: Long, sum: Double, idx: Long)
+  /** Per-user session tracker: at most one open session, plus the last
+    * emitted session index so indices stay unique across timeout flushes.
+    */
+  case class SessTracker(lastIdx: Long, open: List[SessionState])
   case class SessionOut(user_id: Long, session_idx: Long, session_start_ms: Long,
                         session_end_ms: Long, n_events: Long, sum_value: Double)
 
@@ -74,43 +78,60 @@ object EventStreams {
     * user's final session would never be emitted).
     *
     * Per-group events are not guaranteed ordered across micro-batches;
-    * each batch's group buffer is sorted, and the watermark bounds how
-    * late events can arrive.
+    * each batch's group buffer is sorted, an in-gap event merges with
+    * start = min, end = max (so an out-of-order event arriving within
+    * the watermark cannot regress the open session's bounds), and the
+    * session counter survives timeout flushes in state — no duplicate
+    * (user_id, session_idx) keys. The counter itself is dropped after
+    * `counterTtlMs` of user inactivity (second timeout), bounding state
+    * size at 100 TB: an idx restart then requires a user silent for the
+    * whole TTL.
     */
-  def sessionizeStream(spark: SparkSession, events: DataFrame, gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+  def sessionizeStream(spark: SparkSession, events: DataFrame, gapMs: Long = 30L * 60 * 1000,
+                       counterTtlMs: Long = 24L * 3600 * 1000): Dataset[SessionOut] = {
     import spark.implicits._
     events
       .withWatermark("ts", "1 minute")
       .select(col("user_id"), col("ts"), col("value"))
       .as[Ev]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], SessionOut](
+      .flatMapGroupsWithState[SessTracker, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid, evs, state: GroupState[List[SessionState]]) =>
+        case (uid, evs, state: GroupState[SessTracker]) =>
           if (state.hasTimedOut) {
-            // watermark passed the open session's gap window: flush it
-            val out = state.getOption.getOrElse(Nil)
-              .map(s => SessionOut(uid, s.idx, s.start, s.end, s.n, s.sum))
-            state.remove()
-            out.iterator
+            val t = state.getOption.getOrElse(SessTracker(0, Nil))
+            if (t.open.isEmpty) {
+              // second timeout with nothing open: drop the counter
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed the open session's gap window: flush it,
+              // keep the counter alive for counterTtlMs
+              val out = t.open.map(s => SessionOut(uid, s.idx, s.start, s.end, s.n, s.sum))
+              state.update(SessTracker(t.open.map(_.idx).max, Nil))
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + counterTtlMs)
+              out.iterator
+            }
           } else {
             val sorted = evs.toSeq.sortBy(e => (e.ts_ms, e.value))
-            var sessions = state.getOption.getOrElse(Nil)
+            var t = state.getOption.getOrElse(SessTracker(0, Nil))
             var closed = List.empty[SessionOut]
             for (e <- sorted) {
-              sessions match {
-                case cur :: rest if e.ts_ms - cur.end <= gapMs =>
-                  sessions = cur.copy(end = e.ts_ms, n = cur.n + 1, sum = cur.sum + e.value) :: rest
-                case cur :: rest =>
+              t.open match {
+                case cur :: _ if e.ts_ms - cur.end <= gapMs =>
+                  t = t.copy(open = cur.copy(
+                    start = math.min(cur.start, e.ts_ms),
+                    end = math.max(cur.end, e.ts_ms),
+                    n = cur.n + 1, sum = cur.sum + e.value) :: Nil)
+                case cur :: _ =>
                   closed = SessionOut(uid, cur.idx, cur.start, cur.end, cur.n, cur.sum) :: closed
-                  sessions = SessionState(e.ts_ms, e.ts_ms, 1, e.value, cur.idx + 1) :: rest
+                  t = SessTracker(cur.idx, SessionState(e.ts_ms, e.ts_ms, 1, e.value, cur.idx + 1) :: Nil)
                 case Nil =>
-                  sessions = SessionState(e.ts_ms, e.ts_ms, 1, e.value, 1) :: Nil
+                  t = t.copy(open = SessionState(e.ts_ms, e.ts_ms, 1, e.value, t.lastIdx + 1) :: Nil)
               }
             }
-            state.update(sessions)
-            sessions.headOption.foreach(cur =>
-              state.setTimeoutTimestamp(cur.end + gapMs))
+            state.update(t)
+            t.open.headOption.foreach(cur => state.setTimeoutTimestamp(cur.end + gapMs))
             closed.reverseIterator
           }
       }
@@ -124,7 +145,7 @@ object EventStreams {
   def funnelCounts(events: DataFrame): DataFrame =
     events
       .groupBy(graft.operators.Conform.funnelStage(col("event_type")).as("funnel_stage"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), graft.functions.Money.msum(col("value")).as("total_value"))
 
   def runToMemorySink(df: DataFrame, name: String, mode: String = "append"): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
