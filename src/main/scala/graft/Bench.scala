@@ -1,12 +1,23 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR
   * and prints ONE JSON line. A full warmup pass runs first so the
-  * timed pass measures steady-state engine throughput (plan + codegen
+  * timed passes measure steady-state engine throughput (plan + codegen
   * compiled, JIT warm, parquet footers in page cache) rather than JVM
   * startup — the regime that matters for a long-running cluster.
+  *
+  * The benchmarked action is a `noop`-sink write, not count():
+  * count() lets Catalyst prune every projected column, so
+  * row-preserving queries (redact_pii, token_count, fact_*) would be
+  * timed without their regex/hash work. The noop sink consumes every
+  * column of every row and discards it — full computation, no I/O.
+  *
+  * A query that throws is reported in a separate "failed" list with
+  * value -1, never as a (fast-looking) partial elapsed time. Two timed
+  * passes run after warmup and the per-query minimum is kept —
+  * single-sample local[32] timings carry ±30% background-load noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,25 +32,40 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Full materialization of every column, zero sink cost.
+    def consume(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup: execute each query once (ignore failures; timed pass reports them)
+    // warmup: execute each query once (ignore failures; timed passes report them)
     names.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
+      try consume(SparkEntry.queries(n)(spark, sfDir))
       catch { case _: Throwable => () }
       spark.catalog.clearCache() // operators cache intermediates; isolate queries
     }
 
+    val timedRuns = 2
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // not part of the measured query
-      name -> dt
+      var best = Double.MaxValue
+      var failed = false
+      var run = 0
+      while (run < timedRuns && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          consume(SparkEntry.queries(name)(spark, sfDir))
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => failed = true }
+        spark.catalog.clearCache() // not part of the measured query
+        run += 1
+      }
+      name -> (if (failed) -1.0 else best)
     }
+    val ok = results.filter(_._2 >= 0)
+    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failedNames.mkString("[", ",", "]")},"runs":$timedRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,9 +71,19 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v"))).cache()
+    // The quantizer is fit on a seeded sample capped at ~10k vectors,
+    // never the full corpus: coarse cells need rough centroids, and a
+    // full-corpus fit is linear in corpus size per invocation — the
+    // one 100 TB scale-killer in the original formulation. The sample
+    // is deterministic (fixed seed), so cell assignments reproduce.
+    val sampleCap = 10000L
+    val total = e.count()
+    val train =
+      if (total <= sampleCap) e
+      else e.sample(withReplacement = false, sampleCap.toDouble / total, 42L)
     // few iterations: a coarse quantizer needs rough cells, not convergence
     val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(e)
+      .setFeaturesCol("features").fit(train)
     val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
 
