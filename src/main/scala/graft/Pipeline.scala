@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Conform, Quality}
+import org.apache.spark.sql.functions.{col, timestamp_millis, to_date}
+import graft.lake.LakeTable
+import graft.operators.{Analytics, Conform, Contracts, Quality}
 
 /** Layered pipeline runner — the compute analog of the reference's
   * scheduled jobs (ref: defs/schedules/defs.yaml: bronze_nightly_
@@ -11,9 +13,13 @@ import graft.operators.{Analytics, Conform, Quality}
   * event-driven path).
   *
   * Running a layer materializes its models to `warehouseDir/<layer>/
-  * <model>` as parquet, mirroring the reference's Iceberg-table-per-
-  * transform layout; quality gates run after silver like the
-  * reference's asset checks.
+  * <model>` as graft.lake transaction-log tables — the analog of the
+  * reference's Iceberg-table-per-transform layout (ref:
+  * trino_iceberg_transform_component.py:116-123): atomic versioned
+  * overwrites, time travel, schema evolution and MERGE, with the
+  * 100 TB fact tables date-partitioned so time filters prune at the
+  * file-index level. Quality gates (row checks + declared schema
+  * contracts) run after each layer like the reference's asset checks.
   */
 object Pipeline {
 
@@ -30,13 +36,41 @@ object Pipeline {
     "gold_finance"       -> Analytics.goldFinance _,
     "gold_funnel"        -> Analytics.goldFunnel _)
 
+  /** Date partitioning for the tables that are huge at 100 TB: a time
+    * filter on them must prune files, not scan seven years. Dims and
+    * gold rollups stay unpartitioned (schema-bounded or small).
+    */
+  val partitioning: Map[String, Seq[String]] = Map(
+    "fact_events"   -> Seq("event_date"),
+    "fact_lineitem" -> Seq("ship_date"))
+
+  /** Materialization-time derived columns (partition keys that are not
+    * model output columns). Declared in the schema contract — they are
+    * part of the stored table a consumer sees.
+    */
+  private def withDerived(name: String, df: DataFrame): DataFrame = name match {
+    case "fact_events" =>
+      df.withColumn("event_date", to_date(timestamp_millis(col("ts_ms"))))
+    case _ => df
+  }
+
+  def tablePath(warehouseDir: String, layer: String, name: String): String =
+    s"$warehouseDir/$layer/$name"
+
   private def materialize(spark: SparkSession, srcDir: String, warehouseDir: String,
                           layer: String,
                           models: Map[String, (SparkSession, String) => DataFrame]): Map[String, Long] =
     models.map { case (name, fn) =>
-      val out = s"$warehouseDir/$layer/$name"
-      fn(spark, srcDir).write.mode("overwrite").parquet(out)
-      name -> spark.read.parquet(out).count()
+      val out = tablePath(warehouseDir, layer, name)
+      val df = withDerived(name, fn(spark, srcDir))
+      LakeTable.overwrite(spark, out, df, partitioning.getOrElse(name, Nil))
+      val materialized = LakeTable.read(spark, out)
+      Contracts.all.get(name).foreach { expected =>
+        val drift = Contracts.drift(materialized.schema, expected)
+        if (drift.nonEmpty)
+          throw new IllegalStateException(s"schema contract violated for $name: $drift")
+      }
+      name -> materialized.count()
     }
 
   /** silver_daily_transforms analog: conform all dims/facts, then run

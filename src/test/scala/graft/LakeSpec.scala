@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+
+/** Table-format semantics: atomic versioned overwrite, time travel,
+  * append, schema evolution, file-granularity MERGE, commit-race
+  * behavior, vacuum.
+  */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("overwrite commits atomic versions; time travel reads history") {
+    val t = tmpTable("lake_ow")
+    val v1 = LakeTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(v1 == 1L)
+    val v2 = LakeTable.overwrite(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    assert(v2 == 2L)
+    // latest is the new data; v1 still reads in full (snapshot isolation)
+    assert(LakeTable.read(spark, t).as[(Long, String)].collect().toSet == Set((3L, "c")))
+    assert(LakeTable.read(spark, t, asOf = Some(1L)).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+    val hist = LakeTable.history(spark, t).collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    assert(hist.map(_.getString(2)).toSet == Set("OVERWRITE"))
+  }
+
+  test("append adds rows and merges new columns (old rows read null)") {
+    val t = tmpTable("lake_ap")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    LakeTable.append(spark, t, Seq((2L, "b", 9.5)).toDF("id", "s", "score"))
+    val out = LakeTable.read(spark, t)
+    assert(out.columns.toSeq == Seq("id", "s", "score"))
+    assert(out.count() == 2)
+    assert(out.filter(col("id") === 1L).select("score").head.isNullAt(0))
+    assert(out.filter(col("id") === 2L).select("score").head.getDouble(0) == 9.5)
+    // conflicting type on an existing column is refused, not silently cast
+    intercept[IllegalArgumentException] {
+      LakeTable.append(spark, t, Seq(("x", "b", 1.0)).toDF("id", "s", "score"))
+    }
+  }
+
+  test("merge upserts by key and rewrites only affected files") {
+    val t = tmpTable("lake_mg")
+    // two partitions -> at least two files; updates touch only one
+    val base = Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0))
+      .toDF("id", "part", "v")
+    LakeTable.overwrite(spark, t, base, partitionBy = Seq("part"))
+    val before = LakeTable.latestSnapshot(spark, t).get
+    val updates = Seq((2L, "p1", 99.0), (4L, "p1", 40.0)).toDF("id", "part", "v")
+    LakeTable.merge(spark, t, updates, keys = Seq("id"))
+    val out = LakeTable.read(spark, t).select("id", "v").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
+    // copy-on-write is file-granular: every file without a matched key
+    // (all of p2, and any p1 file not holding id=2) carries over by
+    // reference; only files containing a matched key are rewritten
+    val after = LakeTable.latestSnapshot(spark, t).get
+    val carried = before.files.toSet.intersect(after.files.toSet)
+    val removed = before.files.toSet.diff(after.files.toSet)
+    assert(before.files.filter(_.startsWith("part=p2")).toSet.subsetOf(carried))
+    assert(removed.nonEmpty, "expected the matched file to be rewritten")
+    assert(removed.forall(_.startsWith("part=p1")))
+    // unmatched-key merge is a pure insert: no files rewritten
+    LakeTable.merge(spark, t, Seq((5L, "p3", 50.0)).toDF("id", "part", "v"), Seq("id"))
+    val afterInsert = LakeTable.latestSnapshot(spark, t).get
+    assert(after.files.toSet.subsetOf(afterInsert.files.toSet))
+    assert(LakeTable.read(spark, t).count() == 5)
+  }
+
+  test("a taken version number is never clobbered; writers retry past it") {
+    val t = tmpTable("lake_cc")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    // another writer publishes version 2 between our read and commit:
+    // simulate by pre-writing the version file a loser would race
+    val racing = LakeTable.latestSnapshot(spark, t).get.copy(version = 2L, operation = "RACER")
+    val m = LakeTable.getClass.getDeclaredMethod("tryCommit",
+      classOf[org.apache.spark.sql.SparkSession], classOf[String],
+      classOf[LakeTable.Snapshot])
+    m.setAccessible(true)
+    assert(m.invoke(LakeTable, spark, t, racing).asInstanceOf[Boolean])
+    assert(!m.invoke(LakeTable, spark, t, racing).asInstanceOf[Boolean],
+      "second commit of the same version must lose")
+    // a normal writer lands after the racer without clobbering it
+    val v = LakeTable.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    assert(v == 3L)
+    assert(LakeTable.snapshotAt(spark, t, 2L).operation == "RACER")
+  }
+
+  test("vacuum drops files beyond retention; latest still reads") {
+    val t = tmpTable("lake_vc")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    LakeTable.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    LakeTable.overwrite(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    val deleted = LakeTable.vacuum(spark, t, retainVersions = 1)
+    assert(deleted > 0)
+    assert(LakeTable.read(spark, t).as[(Long, String)].collect().toSet == Set((3L, "c")))
+    // history metadata survives vacuum even though v1's data does not
+    assert(LakeTable.history(spark, t).count() == 3)
+    intercept[Exception] {
+      LakeTable.read(spark, t, asOf = Some(1L)).collect()
+    }
+  }
+}

@@ -72,8 +72,41 @@ class PipelineSpec extends SparkSpec {
     assert(counts.keySet == Pipeline.silverModels.keySet ++ Pipeline.goldModels.keySet)
     assert(counts("dim_customer") == Tables.customer(spark, sf).count())
     assert(counts("gold_funnel") > 0)
-    // materialized tables are readable parquet
-    assert(spark.read.parquet(s"$tmp/gold/gold_sales_metrics").count() == counts("gold_sales_metrics"))
+    // materialized tables are readable lake tables with one commit each
+    val gsm = Pipeline.tablePath(tmp, "gold", "gold_sales_metrics")
+    assert(lake.LakeTable.read(spark, gsm).count() == counts("gold_sales_metrics"))
+    assert(lake.LakeTable.versions(spark, gsm) == Seq(1L))
+    // materialized schemas match the declared contracts
+    (Pipeline.silverModels.keySet.map(("silver", _)) ++ Pipeline.goldModels.keySet.map(("gold", _)))
+      .foreach { case (layer, name) =>
+        val actual = lake.LakeTable.read(spark, Pipeline.tablePath(tmp, layer, name)).schema
+        assert(operators.Contracts.conforms(actual, operators.Contracts.all(name)),
+          s"$name: ${operators.Contracts.drift(actual, operators.Contracts.all(name))}")
+      }
+    // a re-run is an atomic versioned overwrite, not an in-place clobber
+    val counts2 = Pipeline.runGold(spark, sf, tmp)
+    assert(counts2("gold_sales_metrics") == counts("gold_sales_metrics"))
+    assert(lake.LakeTable.versions(spark, gsm) == Seq(1L, 2L))
+  }
+
+  test("partitioned facts prune on the partition column") {
+    val tmp = java.nio.file.Files.createTempDirectory("warehouse_part").toString
+    Pipeline.runSilver(spark, sf, tmp)
+    val li = lake.LakeTable.read(spark, Pipeline.tablePath(tmp, "silver", "fact_lineitem"))
+    val pruned = li.filter(col("ship_date") === java.sql.Date.valueOf("1996-01-02"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    // the partition filter reached the file index and pruned the scan
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on the scan")
+    val totalParts = li.select("ship_date").distinct().count()
+    assert(scan.selectedPartitions.partitionCount < totalParts,
+      s"scan read ${scan.selectedPartitions.partitionCount} of $totalParts partitions")
+    assert(scan.selectedPartitions.partitionCount <= 1)
+    // and the data still reads correctly under the pruned plan
+    val expected = operators.Conform.factLineitem(spark, sf)
+      .filter(col("ship_date") === java.sql.Date.valueOf("1996-01-02")).count()
+    assert(pruned.count() == expected)
   }
 
   test("bucketed fact join plans with zero shuffle exchanges") {
