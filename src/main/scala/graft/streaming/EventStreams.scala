@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
+import graft.lake.LakeTable
 
 /** Structured Streaming pipelines — the Spark-native analog of the
   * reference's event-driven layer: S3 file sensors that trigger on new
@@ -146,6 +147,38 @@ object EventStreams {
     events
       .groupBy(graft.operators.Conform.funnelStage(col("event_type")).as("funnel_stage"))
       .agg(count(lit(1)).as("n"), graft.functions.Money.msum(col("value")).as("total_value"))
+
+  /** Streaming gold refresh: each micro-batch's changed hourly windows
+    * MERGE into a lake gold table keyed on (bucket_ms, event_type) —
+    * the incremental analog of the reference's admissions_hourly_refresh
+    * schedule recomputing its gold model (ref: defs/schedules/defs.yaml).
+    *
+    * Update mode emits a window's full new aggregate whenever a batch
+    * touches it, and the keyed MERGE replaces that row in the table, so
+    * replaying a batch after a failure converges to the same table
+    * state (idempotent upsert = effectively exactly-once), and a query
+    * restarted from its checkpoint continues without recomputing old
+    * windows. Only files holding updated windows are rewritten
+    * (file-granular copy-on-write), not the whole gold table.
+    */
+  def windowedGoldToLake(spark: SparkSession, events: DataFrame,
+                         table: String, checkpoint: String): StreamingQuery =
+    windowedCounts(events).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.persist()
+        try {
+          if (b.count() > 0) {
+            if (LakeTable.latestSnapshot(spark, table).isEmpty)
+              LakeTable.overwrite(spark, table, b.toDF())
+            else
+              LakeTable.merge(spark, table, b.toDF(), Seq("bucket_ms", "event_type"))
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .start()
 
   def runToMemorySink(df: DataFrame, name: String, mode: String = "append"): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
