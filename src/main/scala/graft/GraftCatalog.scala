@@ -32,6 +32,22 @@ object GraftCatalog {
     }
   }
 
+  /** Register the MATERIALIZED lake tables of a pipeline warehouse as
+    * temp views (`<name>_tbl`, to keep the lazy model views available
+    * alongside) — the analog of the reference's Glue-cataloged Iceberg
+    * tables being queryable by name in Trino. Partition pruning works
+    * through the view: the view body is a lake snapshot scan.
+    */
+  def registerLake(spark: SparkSession, warehouseDir: String): Unit =
+    Seq("silver" -> Pipeline.silverModels.keySet, "gold" -> Pipeline.goldModels.keySet)
+      .foreach { case (layer, names) =>
+        names.foreach { name =>
+          val path = Pipeline.tablePath(warehouseDir, layer, name)
+          if (graft.lake.LakeTable.versions(spark, path).nonEmpty)
+            graft.lake.LakeTable.read(spark, path).createOrReplaceTempView(s"${name}_tbl")
+        }
+      }
+
   /** Full SQL surface in one call. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     registerTables(spark, dir)

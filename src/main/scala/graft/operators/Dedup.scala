@@ -41,7 +41,10 @@ object Dedup {
       .filter(size(col("w")) >= 3)
       .withColumn("sh", array_sort(TextFns.shingleExpr("w", 3)))
       .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
-      .cache()
+      // reused three times (doc-freq scan, prefix build, verify joins),
+      // but shingle arrays are ~10x the document text: DISK_ONLY keeps
+      // the re-read cheap without pinning executor memory at 100 TB
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     // rarest-first prefix: global order = (document frequency, shingle)
     val docFreq = d.select(col("lang"), explode(col("sh")).as("s"))

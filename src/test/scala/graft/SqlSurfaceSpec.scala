@@ -20,6 +20,23 @@ class SqlSurfaceSpec extends SparkSpec {
       s"filter not pushed:\n$plan")
   }
 
+  test("materialized lake tables are queryable via SQL with partition pruning") {
+    val tmp = java.nio.file.Files.createTempDirectory("sql_lake").toString
+    Pipeline.runSilver(spark, sf, tmp)
+    GraftCatalog.registerLake(spark, tmp)
+    assert(spark.sql("SELECT count(*) FROM dim_customer_tbl").head.getLong(0) ==
+      Tables.customer(spark, sf).count())
+    // a time filter on the partitioned fact prunes through the view
+    // (filter-only: an aggregate would wrap the scan in an AQE plan)
+    val pruned = spark.sql(
+      "SELECT * FROM fact_lineitem_tbl WHERE ship_date = DATE'1996-01-02'")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount <= 1)
+  }
+
   test("sketch functions are available in SQL without registration") {
     // GraftSession.builder injects GraftExtensions — no Sketches.register
     GraftCatalog.registerTables(spark, sf)
