@@ -327,6 +327,40 @@ object LakeTable {
     next.version
   }
 
+  // --------------------------------------------------------------- compact
+
+  /** Bin-pack small data files (streaming MERGE and frequent appends
+    * accumulate them) into fewer, larger ones — the OPTIMIZE /
+    * rewrite_data_files analog. Files already at or above
+    * `smallFileBytes` carry over by reference; only the small ones are
+    * read back and rewritten, partitioning preserved. Rows are
+    * untouched, so every reader sees identical data before and after;
+    * earlier versions still time-travel (vacuum reclaims the old small
+    * files once they age out of retention). Returns the committed
+    * version, or the current one if there was nothing to pack.
+    */
+  def compact(spark: SparkSession, table: String,
+              smallFileBytes: Long = 32L << 20): Long = {
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    val f = fs(spark, table)
+    val base = dataPath(table)
+    val (small, big) = snap.files.partition(rel =>
+      f.getFileStatus(new Path(base, rel)).getLen < smallFileBytes)
+    if (small.size <= 1) return snap.version
+    val rows = spark.read
+      .option("basePath", base.toString)
+      .schema(snap.schema)
+      .parquet(small.map(rel => new Path(base, rel).toString): _*)
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val newFiles = stageFiles(spark, table, rows, snap.partitionColumns)
+    val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
+      snap.schema, snap.partitionColumns, big ++ newFiles)
+    if (!tryCommit(spark, table, next))
+      throw new ConcurrentCommitException(s"COMPACT on $table lost the commit race")
+    next.version
+  }
+
   // ---------------------------------------------------------------- vacuum
 
   /** Delete data files referenced only by versions older than the

@@ -89,6 +89,30 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.snapshotAt(spark, t, 2L).operation == "RACER")
   }
 
+  test("compact bin-packs small files without changing rows; history still travels") {
+    val t = tmpTable("lake_cp")
+    LakeTable.overwrite(spark, t, Seq((1L, "p1", 1.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    (2L to 6L).foreach { i =>
+      LakeTable.append(spark, t, Seq((i, s"p${i % 2}", i.toDouble)).toDF("id", "part", "v"))
+    }
+    val before = LakeTable.latestSnapshot(spark, t).get
+    assert(before.files.size >= 6)
+    val preCompactVersion = before.version
+    val rowsBefore = LakeTable.read(spark, t).as[(Long, String, Double)].collect().toSet
+    LakeTable.compact(spark, t)
+    val after = LakeTable.latestSnapshot(spark, t).get
+    assert(after.operation == "COMPACT")
+    assert(after.files.size < before.files.size,
+      s"${after.files.size} files after compact, ${before.files.size} before")
+    assert(LakeTable.read(spark, t).as[(Long, String, Double)].collect().toSet == rowsBefore)
+    // pre-compact version still time-travels (vacuum, not compact, reclaims)
+    assert(LakeTable.read(spark, t, asOf = Some(preCompactVersion)).count() == 6)
+    // a second compact on an already-packed table is a no-op version-wise
+    val v = LakeTable.compact(spark, t)
+    assert(v == after.version || LakeTable.latestSnapshot(spark, t).get.files.size <= after.files.size)
+  }
+
   test("vacuum drops files beyond retention; latest still reads") {
     val t = tmpTable("lake_vc")
     LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
