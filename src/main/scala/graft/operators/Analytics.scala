@@ -17,24 +17,45 @@ object Analytics {
   /** gold_sales_metrics ⇄ ref enrollment_metrics (gold defs.yaml:13):
     * COUNT DISTINCT, conditional COUNT DISTINCT ratio (retention_rate),
     * AVG over a joined dim, count-per-distinct ratio (avg_class_size).
+    *
+    * Formulated as a two-level aggregation: a flat groupBy with four
+    * countDistinct aggregates makes Spark Expand every fact row x4
+    * before the shuffle. Pre-aggregating at (group keys, customer)
+    * grain shrinks the fact shuffle (one distinct column instead of
+    * three) and turns the customer-level distincts into plain
+    * sums/flags — the order-grain distinct stays exact because an
+    * order belongs to exactly one customer. Values are bit-identical
+    * to the flat form: decimal sums are associative and the ratios
+    * divide the same exact integers.
     */
   def goldSalesMetrics(spark: SparkSession, dir: String): DataFrame = {
     val li   = Tables.lineitem(spark, dir)
     val ord  = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val perCustomer = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_returnflag"), col("c_mktsegment"), col("o_orderpriority"),
+        col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(dec)).as("qty_dec"),
+        sum(col("c_acctbal").cast(dec)).as("acct_dec"),
+        count(col("c_acctbal")).as("n_acct"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        max(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("has_finished"),
+        max(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("has_negative"))
+    perCustomer
       .groupBy(col("l_returnflag"), col("c_mktsegment"), col("o_orderpriority"))
       .agg(
-        countDistinct(col("o_custkey")).as("total_customers"),
-        msum(col("l_quantity")).as("total_qty"),
-        mavg(col("c_acctbal")).as("avg_acctbal"),
-        rnd(
-          countDistinct(when(col("o_orderstatus") === "F", col("o_custkey"))).cast("double") /
-            nullif(countDistinct(col("o_custkey")), lit(0)), 4).as("finished_rate"),
-        countDistinct(when(col("c_acctbal") < 0, col("o_custkey"))).as("negative_bal_customers"),
-        rnd(count(lit(1)).cast("double") /
-          nullif(countDistinct(col("l_orderkey")), lit(0)), 4).as("avg_order_lines"))
+        count(lit(1)).as("total_customers"),
+        round(sum(col("qty_dec")), 2).cast("double").as("total_qty"),
+        rnd(sum(col("acct_dec")).cast("double") / sum(col("n_acct")), 4).as("avg_acctbal"),
+        rnd(sum(col("has_finished")).cast("double") /
+          nullif(count(lit(1)), lit(0L)), 4).as("finished_rate"),
+        sum(col("has_negative")).as("negative_bal_customers"),
+        rnd(sum(col("n_rows")).cast("double") /
+          nullif(sum(col("n_orders")), lit(0L)), 4).as("avg_order_lines"))
   }
 
   /** gold_finance ⇄ ref financial_aid_analytics (gold defs.yaml:52):
