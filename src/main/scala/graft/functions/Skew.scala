@@ -29,7 +29,7 @@ object Skew {
   def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
                      salt: Int = 16): DataFrame = {
     val keyCols: Seq[Column] = keys.map(col)
-    df.withColumn("_salt", pmod(xxhash64(df.columns.map(col): _*), lit(salt)))
+    df.withColumn("_salt", pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salt)))
       .groupBy(keyCols :+ col("_salt"): _*)
       .agg(count(lit(1)).as("_n"), sum(valueCol).as("_s"))
       .groupBy(keyCols: _*)
