@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Money.{dsum, msum, mavg, rnd}
+import graft.functions.Money.{dsum, msum, rnd}
 
 /** Gold-layer analytics models — Spark-native equivalent of the
   * reference's gold Trino models (ref: defs/gold_analytics/defs.yaml).
@@ -61,26 +61,46 @@ object Analytics {
   /** gold_finance ⇄ ref financial_aid_analytics (gold defs.yaml:52):
     * filtered agg + derived-key (YEAR) join to a second fact + budget
     * utilization ratio.
+    *
+    * Same two-level shape as [[goldSalesMetrics]]: pre-aggregate at
+    * (year, segment, customer) so the fact shuffle carries no distinct
+    * Expand, then count customers as rows. The yearly-totals join lands
+    * AFTER aggregation on the ~35-row result instead of on every fact
+    * row. Values are bit-identical (associative decimal sums, same
+    * exact quotients); the oracle is unchanged.
     */
   def goldFinance(spark: SparkSession, dir: String): DataFrame = {
     val li   = Tables.lineitem(spark, dir)
     val ord  = Tables.orders(spark, dir)
     val cust = Tables.customer(spark, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val yearlyTotals = ord
       .groupBy(year(col("o_orderdate")).as("yr"))
       .agg(dsum(col("o_totalprice")).as("yearly_total"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val product = col("l_extendedprice") * col("l_discount")
+    val perCustomer = li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .filter(col("l_discount") > 0)
-      .join(broadcast(yearlyTotals), year(col("o_orderdate")) === col("yr"), "left")
-      .groupBy(year(col("o_orderdate")).cast("string").as("fiscal_year"), col("c_mktsegment"))
+      .groupBy(year(col("o_orderdate")).as("yr"), col("c_mktsegment"), col("o_custkey"))
       .agg(
-        countDistinct(col("o_custkey")).as("total_customers"),
-        msum(col("l_extendedprice") * col("l_discount")).as("total_discount"),
-        rnd(dsum(col("l_extendedprice") * col("l_discount")) * 0.92, 2).as("total_disbursed"),
-        mavg(col("l_extendedprice") * col("l_discount")).as("avg_discount_per_line"),
-        rnd(dsum(col("l_extendedprice") * col("l_discount")) /
-          nullif(max(col("yearly_total")), lit(0.0)), 6).as("budget_utilization"))
+        sum(product.cast(dec)).as("disc_dec"),
+        count(product).as("n_lines"))
+    perCustomer
+      .groupBy(col("yr"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("total_customers"),
+        sum(col("disc_dec")).as("disc_dec"),
+        sum(col("n_lines")).as("n_lines"))
+      .join(broadcast(yearlyTotals), Seq("yr"), "left")
+      .select(
+        col("yr").cast("string").as("fiscal_year"),
+        col("c_mktsegment"),
+        col("total_customers"),
+        round(col("disc_dec"), 2).cast("double").as("total_discount"),
+        rnd(col("disc_dec").cast("double") * 0.92, 2).as("total_disbursed"),
+        rnd(col("disc_dec").cast("double") / col("n_lines"), 4).as("avg_discount_per_line"),
+        rnd(col("disc_dec").cast("double") /
+          nullif(col("yearly_total"), lit(0.0)), 6).as("budget_utilization"))
   }
 
   /** gold_funnel ⇄ ref admissions_funnel (gold defs.yaml:91):
