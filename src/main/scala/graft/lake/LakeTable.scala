@@ -338,9 +338,17 @@ object LakeTable {
     * earlier versions still time-travel (vacuum reclaims the old small
     * files once they age out of retention). Returns the committed
     * version, or the current one if there was nothing to pack.
+    *
+    * `sortBy` clusters the rewritten files on the given columns
+    * (sortWithinPartitions — no extra shuffle): parquet then stores
+    * tight min/max stats per row group, so point/range filters on
+    * those columns skip row groups at scan time — the lightweight
+    * cousin of Z-ordering, and at 100 TB the difference between
+    * reading a row group and reading a partition.
     */
   def compact(spark: SparkSession, table: String,
-              smallFileBytes: Long = 32L << 20): Long = {
+              smallFileBytes: Long = 32L << 20,
+              sortBy: Seq[String] = Nil): Long = {
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val f = fs(spark, table)
@@ -348,11 +356,18 @@ object LakeTable {
     val (small, big) = snap.files.partition(rel =>
       f.getFileStatus(new Path(base, rel)).getLen < smallFileBytes)
     if (small.size <= 1) return snap.version
-    val rows = spark.read
+    val packed = spark.read
       .option("basePath", base.toString)
       .schema(snap.schema)
       .parquet(small.map(rel => new Path(base, rel).toString): _*)
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    // partition cols lead the sort so the write path's required
+    // ordering is already satisfied and it does not re-sort (which
+    // would destroy the clustering)
+    val rows =
+      if (sortBy.isEmpty) packed
+      else packed.sortWithinPartitions(
+        (snap.partitionColumns ++ sortBy).map(col): _*)
     val newFiles = stageFiles(spark, table, rows, snap.partitionColumns)
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
       snap.schema, snap.partitionColumns, big ++ newFiles)

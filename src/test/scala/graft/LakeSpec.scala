@@ -113,6 +113,28 @@ class LakeSpec extends SparkSpec {
     assert(v == after.version || LakeTable.latestSnapshot(spark, t).get.files.size <= after.files.size)
   }
 
+  test("compact with sortBy clusters rows inside each rewritten file") {
+    val t = tmpTable("lake_sort")
+    val r = new scala.util.Random(7)
+    LakeTable.overwrite(spark, t,
+      (1 to 50).map(i => (r.nextInt(1000).toLong, i.toLong)).toDF("id", "seq"))
+    (1 to 3).foreach { _ =>
+      LakeTable.append(spark, t,
+        (1 to 50).map(i => (r.nextInt(1000).toLong, i.toLong)).toDF("id", "seq"))
+    }
+    LakeTable.compact(spark, t, sortBy = Seq("id"))
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    // every data file holds an id-sorted run -> tight parquet min/max
+    // stats per row group (the data-skipping property)
+    snap.files.foreach { rel =>
+      val ids = spark.read.schema(snap.schema)
+        .parquet(s"$t/data/$rel").select("id")
+        .collect().map(_.getLong(0))
+      assert(ids.sameElements(ids.sorted), s"$rel is not clustered on id")
+    }
+    assert(LakeTable.read(spark, t).count() == 200)
+  }
+
   test("vacuum drops files beyond retention; latest still reads") {
     val t = tmpTable("lake_vc")
     LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
