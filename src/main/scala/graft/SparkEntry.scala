@@ -56,6 +56,8 @@ object SparkEntry {
     "doc_fingerprint"      -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "redact_pii"           -> ((s, d) => TextAnalysis.redactPii(s, d)),
     "dataset_split"        -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
+    "decontaminate"        -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "stratified_sample"    -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -365,6 +367,30 @@ object SparkEntry {
          SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
                 ELSE 'test' END AS split
+         FROM b""",
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+             ELSE [] END AS sh
+           FROM t),
+         bench AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM s WHERE doc_id < 25) t),
+         corpus AS (SELECT doc_id, sh FROM s WHERE doc_id >= 25),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+         hits AS (SELECT ex.doc_id, count(*) AS n_shared FROM ex JOIN bench USING (s) GROUP BY 1)
+         SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+         FROM corpus c LEFT JOIN hits h USING (doc_id)""",
+    "stratified_sample" ->
+      """WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+         b AS (SELECT doc_id, source,
+             (ascii(substr(hx, 1, 1)) * 256 + ascii(substr(hx, 2, 1))) % 100 AS bucket,
+             25 + (CAST(substr(source, 4, 10) AS INT) % 4) * 25 AS rate_pct
+           FROM h)
+         SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(rate_pct AS BIGINT) AS rate_pct, bucket < rate_pct AS sampled
          FROM b""",
     "redact_pii" ->
       """SELECT doc_id,

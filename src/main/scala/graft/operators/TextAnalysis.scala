@@ -142,4 +142,49 @@ object TextAnalysis {
         when(size(col("w")) >= 5,
           array_min(expr("transform(sh, s -> md5(cast(s as binary)))")))
           .otherwise(md5(col("text").cast("binary"))).as("fingerprint"))
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * 5-gram shingle with a benchmark/eval set (train-test overlap
+    * hygiene; here the first `benchmarkMax` doc_ids stand in for the
+    * eval set). The benchmark shingle set is bounded — eval sets are
+    * small by nature — so it broadcast-joins against the exploded
+    * corpus shingles; the corpus never self-joins, and the per-doc
+    * rollup is the only shuffle. Scale path at 100 TB: identical plan,
+    * benchmark set still broadcastable.
+    */
+  def decontaminate(spark: SparkSession, dir: String, benchmarkMax: Long = 25): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("w", TextFns.tokens(col("text")))
+      .withColumn("sh", when(size(col("w")) >= 5, TextFns.shingleExpr("w", 5))
+        .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("sh"))
+    val bench = docs.filter(col("doc_id") < benchmarkMax)
+      .select(explode(col("sh")).as("s")).distinct()
+      .withColumn("hit", lit(1))
+    docs.filter(col("doc_id") >= benchmarkMax)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        explode_outer(col("sh")).as("s"))
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(col("hit")).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") > 0).as("contaminated"))
+  }
+
+  /** Deterministic stratified sampling: each source stratum keeps a
+    * fixed rate (25/50/75/100% cycling by source index), decided by a
+    * content-independent md5 bucket of the doc key — the same rows
+    * survive on every engine and every run, no RNG state, and the
+    * decision is row-local (zero shuffles at any scale).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val bucket = (ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 100
+    val rate = lit(25) + (substring(col("source"), 4, 10).cast("int") % 4) * lit(25)
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      bucket.cast("long").as("bucket"),
+      rate.cast("long").as("rate_pct"),
+      (bucket < rate).as("sampled"))
+  }
 }

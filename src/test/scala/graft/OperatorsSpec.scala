@@ -89,6 +89,48 @@ class DedupSpec extends SparkSpec {
     assert(df.agg(sum("n_copies")).head.getLong(0) ==
       Tables.documents(spark, sf).count())
   }
+
+  test("decontaminate covers the corpus and flags exactly the overlapping docs") {
+    val benchmarkMax = 25L
+    val df = TextAnalysis.decontaminate(spark, sf, benchmarkMax).cache()
+    val docs = Tables.documents(spark, sf)
+    // one row per corpus doc, none for benchmark docs
+    assert(df.count() == docs.filter(col("doc_id") >= benchmarkMax).count())
+    assert(df.filter(col("doc_id") < benchmarkMax).count() == 0)
+    assert(df.filter(col("n_shared") > col("n_shingles")).count() == 0)
+    assert(df.filter(col("contaminated") =!= (col("n_shared") > 0)).count() == 0)
+    // cross-check against a brute-force shingle intersection
+    val sh = docs
+      .withColumn("w", graft.functions.TextFns.tokens(col("text")))
+      .filter(size(col("w")) >= 5)
+      .withColumn("sh", graft.functions.TextFns.shingleExpr("w", 5))
+    val benchSet = sh.filter(col("doc_id") < benchmarkMax)
+      .select(explode(col("sh")).as("s")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = sh.filter(col("doc_id") >= benchmarkMax)
+      .select(col("doc_id"), col("sh"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[String](1).count(benchSet.contains).toLong)
+      .toMap
+    df.filter(col("n_shingles") > 0).collect().foreach { r =>
+      assert(r.getAs[Long]("n_shared") == expected(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("stratified sample decides row-locally from key hash and stratum rate") {
+    val df = TextAnalysis.stratifiedSample(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+    assert(df.filter(col("sampled") =!= (col("bucket") < col("rate_pct"))).count() == 0)
+    // all four stratum rates occur, and no stratum is emptied outright
+    assert(df.select("rate_pct").distinct().count() == 4)
+    val worst = df.groupBy("source", "rate_pct")
+      .agg(sum(when(col("sampled"), 1).otherwise(0)).as("kept"), count(lit(1)).as("n"))
+      .filter(col("rate_pct") >= 50 && col("kept") === 0).count()
+    assert(worst == 0, "a >=50% stratum kept zero rows")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
