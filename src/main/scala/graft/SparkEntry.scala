@@ -58,6 +58,7 @@ object SparkEntry {
     "dataset_split"        -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
     "decontaminate"        -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "stratified_sample"    -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "rep_ngrams"           -> ((s, d) => TextAnalysis.repNgrams(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -383,6 +384,19 @@ object SparkEntry {
            CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
            COALESCE(h.n_shared, 0) > 0 AS contaminated
          FROM corpus c LEFT JOIN hits h USING (doc_id)""",
+    "rep_ngrams" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         g AS (SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END AS g
+           FROM t)
+         SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(g) > 0
+             THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4)
+             ELSE 0.0 END AS dup_ratio
+         FROM g""",
     "stratified_sample" ->
       """WITH h AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
          b AS (SELECT doc_id, source,

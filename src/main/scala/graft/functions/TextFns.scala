@@ -12,21 +12,27 @@ object TextFns {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word n-gram shingles over a token array column named by
-    * `tokArr` (expression string), e.g. shingles("w", 3).
+  /** All word n-gram shingles (with repeats, in order) over a token
+    * array column named by `tokArr` (expression string).
     */
-  def shingleExpr(tokArr: String, n: Int): Column = {
+  def shingleAllExpr(tokArr: String, n: Int): Column = {
     // Guarded IF keeps element_at in-bounds (ANSI mode throws on OOB),
     // and avoids sequence(1, 0) = [1, 0] descending-surprise on short docs.
     val parts = (1 to n).map(k => s"element_at($tokArr, i + ${k - 1})").mkString(", ")
     expr(
-      s"""array_distinct(filter(
+      s"""filter(
             transform(sequence(1, size($tokArr)),
                       i -> IF(i + ${n - 1} <= size($tokArr),
                               concat_ws(' ', $parts),
                               CAST(NULL AS STRING))),
-            x -> x IS NOT NULL))""")
+            x -> x IS NOT NULL)""")
   }
+
+  /** Distinct word n-gram shingles over a token array column named by
+    * `tokArr` (expression string), e.g. shingles("w", 3).
+    */
+  def shingleExpr(tokArr: String, n: Int): Column =
+    array_distinct(shingleAllExpr(tokArr, n))
 
   /** Jaccard similarity of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column =

@@ -171,6 +171,27 @@ object TextAnalysis {
         (col("n_shared") > 0).as("contaminated"))
   }
 
+  /** Within-document repetition: fraction of duplicated 3-gram
+    * occurrences (1 - distinct/total) — the standard boilerplate /
+    * degenerate-text signal for pretraining-data filtering. Row-local
+    * (zero shuffles); documents under 3 tokens report zero grams and
+    * ratio 0.
+    */
+  def repNgrams(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("w", TextFns.tokens(col("text")))
+      .withColumn("g", when(size(col("w")) >= 3, TextFns.shingleAllExpr("w", 3))
+        .otherwise(array().cast("array<string>")))
+      .select(
+        col("doc_id"),
+        size(col("g")).cast("long").as("n_grams"),
+        size(array_distinct(col("g"))).cast("long").as("n_distinct"),
+        when(size(col("g")) > 0,
+          rnd(lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+            size(col("g")).cast("double"), 4))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
   /** Deterministic stratified sampling: each source stratum keeps a
     * fixed rate (25/50/75/100% cycling by source index), decided by a
     * content-independent md5 bucket of the doc key — the same rows

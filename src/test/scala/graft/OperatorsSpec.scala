@@ -119,6 +119,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("rep_ngrams measures within-doc 3-gram repetition; planted dups score high") {
+    val df = TextAnalysis.repNgrams(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("n_distinct") > col("n_grams")).count() == 0)
+    assert(df.filter(col("dup_ratio") < 0 || col("dup_ratio") > 1).count() == 0)
+    // a doc that is one phrase repeated should dominate the ranking
+    val repeated = Seq((9999L, ("lorem ipsum dolor " * 20).trim))
+    import spark.implicits._
+    val synth = repeated.toDF("doc_id", "text")
+      .withColumn("w", graft.functions.TextFns.tokens(col("text")))
+      .withColumn("g", graft.functions.TextFns.shingleAllExpr("w", 3))
+      .select((lit(1.0) - size(array_distinct(col("g"))).cast("double") /
+        size(col("g")).cast("double")).as("r"))
+    assert(synth.head.getDouble(0) > 0.9)
+  }
+
   test("stratified sample decides row-locally from key hash and stratum rate") {
     val df = TextAnalysis.stratifiedSample(spark, sf).cache()
     assert(df.count() == Tables.documents(spark, sf).count())
