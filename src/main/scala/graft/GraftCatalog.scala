@@ -79,5 +79,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es(1).eval().asInstanceOf[Int],
       es(2).eval().asInstanceOf[Int],
       es(3).eval().asInstanceOf[Int].toLong))
+    inject("char_entropy", es => CharEntropy(es.head))
   }
 }

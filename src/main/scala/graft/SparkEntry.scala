@@ -59,6 +59,8 @@ object SparkEntry {
     "decontaminate"        -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "stratified_sample"    -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "rep_ngrams"           -> ((s, d) => TextAnalysis.repNgrams(s, d)),
+    "char_entropy"         -> ((s, d) => TextAnalysis.charEntropy(s, d)),
+    "top_terms"            -> ((s, d) => TextAnalysis.topTerms(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -384,6 +386,22 @@ object SparkEntry {
            CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
            COALESCE(h.n_shared, 0) > 0 AS contaminated
          FROM corpus c LEFT JOIN hits h USING (doc_id)""",
+    "char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+         f AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
+         tot AS (SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS t FROM f GROUP BY 1)
+         SELECT f.doc_id,
+           CAST(max(d.n_chars) AS BIGINT) AS n_chars,
+           round(sum(-(cnt / t) * log2(cnt / t)), 4) AS entropy
+         FROM f JOIN tot USING (doc_id)
+         JOIN (SELECT doc_id, length(text) AS n_chars FROM documents) d USING (doc_id)
+         GROUP BY 1""",
+    "top_terms" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+                    FROM documents),
+         f AS (SELECT term, count(*) AS n FROM t WHERE term <> '' GROUP BY 1)
+         SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+         FROM f ORDER BY n DESC, term LIMIT 20""",
     "rep_ngrams" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          g AS (SELECT doc_id,

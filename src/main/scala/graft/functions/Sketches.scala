@@ -213,6 +213,49 @@ object Sketches {
       copy(l, r)
   }
 
+  /** Shannon entropy (bits per character) of a string's code-point
+    * distribution — the degenerate-text signal (binary junk, repeated
+    * chars score low). One pass to histogram + one pass over SORTED
+    * code points to sum, so the fp accumulation order is deterministic
+    * regardless of partitioning. A builtin formulation would need
+    * explode → two shuffles for a row-local quantity; this is a single
+    * projection inside whole-stage codegen.
+    */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+
+    def compute(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+      val str = s.toString
+      val n = str.codePointCount(0, str.length)
+      if (n == 0) return 0.0
+      val counts = new java.util.TreeMap[Integer, Integer]()
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        val c = counts.get(cp)
+        counts.put(cp, if (c == null) 1 else c + 1)
+        i += Character.charCount(cp)
+      }
+      var h = 0.0
+      val it = counts.values().iterator()
+      val ln2 = Math.log(2.0)
+      while (it.hasNext) {
+        val p = it.next().toDouble / n
+        h -= p * (Math.log(p) / ln2)
+      }
+      h
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Double.valueOf(compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("entropy", this, classOf[CharEntropy].getName)
+      defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): CharEntropy = copy(newChild)
+  }
+
   private object Splitmix {
     def mix(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
@@ -236,5 +279,7 @@ object Sketches {
         es(1).eval().asInstanceOf[Int],
         es(2).eval().asInstanceOf[Int],
         es(3).eval().asInstanceOf[Int].toLong), "scala_udf")
+    reg.createOrReplaceTempFunction("char_entropy",
+      es => CharEntropy(es.head), "scala_udf")
   }
 }

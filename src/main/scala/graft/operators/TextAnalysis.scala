@@ -192,6 +192,38 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_ratio"))
   }
 
+  /** Character-entropy quality signal: Shannon entropy (bits/char) of
+    * each document's code-point distribution — binary junk and
+    * repeated-character degenerate text score low, natural language
+    * sits around 4-5 bits. Computed by the codegen'd CharEntropy
+    * expression in one projection pass; a builtin formulation would
+    * explode to characters and shuffle twice for a row-local quantity.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Sketches.register(spark)
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      rnd(expr("char_entropy(text)"), 4).as("entropy"))
+  }
+
+  /** Corpus-level term frequency: top-k lowercase whitespace tokens
+    * with a deterministic tie-break — the canonical two-phase
+    * (map-side-combined) distributed word count; the ordered limit
+    * runs on the aggregated, vocabulary-bounded result.
+    */
+  def topTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic stratified sampling: each source stratum keeps a
     * fixed rate (25/50/75/100% cycling by source index), decided by a
     * content-independent md5 bucket of the doc key — the same rows

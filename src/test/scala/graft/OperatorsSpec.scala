@@ -135,6 +135,30 @@ class DedupSpec extends SparkSpec {
     assert(synth.head.getDouble(0) > 0.9)
   }
 
+  test("char_entropy: zero for constant text, log2(n) for distinct chars, bounded for corpus") {
+    import spark.implicits._
+    graft.functions.Sketches.register(spark)
+    val synth = Seq(("aaaaaaaa", 0.0), ("abcd", 2.0), ("abcdefgh", 3.0))
+      .toDF("text", "expected")
+      .withColumn("h", expr("char_entropy(text)"))
+    synth.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("h") - r.getAs[Double]("expected")) < 1e-12,
+        r.getAs[String]("text"))
+    }
+    val corpus = TextAnalysis.charEntropy(spark, sf)
+    assert(corpus.filter(col("entropy") < 0).count() == 0)
+    assert(corpus.filter(col("entropy") > 8).count() == 0) // log2(charset) bound
+  }
+
+  test("top_terms ranks the vocabulary deterministically") {
+    val df = TextAnalysis.topTerms(spark, sf).collect()
+    assert(df.length == 20)
+    assert(df.map(_.getAs[Long]("rank")).toSeq == (1L to 20L))
+    val ns = df.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sorted.reverse, "counts must be non-increasing")
+    assert(df.map(_.getAs[String]("term")).distinct.length == 20)
+  }
+
   test("stratified sample decides row-locally from key hash and stratum rate") {
     val df = TextAnalysis.stratifiedSample(spark, sf).cache()
     assert(df.count() == Tables.documents(spark, sf).count())
