@@ -88,6 +88,25 @@ object Pipeline {
     counts
   }
 
+  /** Incremental silver refresh for the date-partitioned fact_events:
+    * conform ONLY the given event dates and MERGE them into the
+    * existing lake table by event_key. This is the daily operating
+    * mode at 100 TB — a late-landing or corrected day touches that
+    * day's partition files (the MERGE's copy-on-write is file-
+    * granular and the matched keys all live in the refreshed dates'
+    * partitions), while a full overwrite would rewrite years of
+    * history. Idempotent: replaying a date converges to the same
+    * table. Returns the committed version.
+    */
+  def refreshFactEvents(spark: SparkSession, srcDir: String, warehouseDir: String,
+                        dates: Seq[String]): Long = {
+    val t = tablePath(warehouseDir, "silver", "fact_events")
+    val updates = withDerived("fact_events", Conform.factEvents(spark, srcDir))
+      .filter(org.apache.spark.sql.functions.col("event_date")
+        .isin(dates.map(java.sql.Date.valueOf): _*))
+    LakeTable.merge(spark, t, updates, keys = Seq("event_key"))
+  }
+
   /** gold_daily_analytics analog. */
   def runGold(spark: SparkSession, srcDir: String, warehouseDir: String): Map[String, Long] =
     materialize(spark, srcDir, warehouseDir, "gold", goldModels)

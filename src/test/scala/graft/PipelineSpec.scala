@@ -137,6 +137,31 @@ class PipelineSpec extends SparkSpec {
     assert(carried.size >= before.files.size - nUpd.toInt)
   }
 
+  test("incremental date refresh rewrites only that date's partition files") {
+    val tmp = java.nio.file.Files.createTempDirectory("warehouse_incr").toString
+    Pipeline.runSilver(spark, sf, tmp)
+    val t = Pipeline.tablePath(tmp, "silver", "fact_events")
+    val full = lake.LakeTable.read(spark, t)
+    val total = full.count()
+    val day = full.select(col("event_date")).distinct().orderBy("event_date")
+      .head.getDate(0).toString
+    val before = lake.LakeTable.latestSnapshot(spark, t).get
+    Pipeline.refreshFactEvents(spark, sf, tmp, Seq(day))
+    val after = lake.LakeTable.latestSnapshot(spark, t).get
+    // same rows (idempotent replay of an unchanged day)...
+    assert(lake.LakeTable.read(spark, t).count() == total)
+    assert(after.operation == "MERGE" && after.version == before.version + 1)
+    // ...and the rewrite stayed inside that day's partition
+    val removed = before.files.toSet.diff(after.files.toSet)
+    val added = after.files.toSet.diff(before.files.toSet)
+    assert(removed.nonEmpty && added.nonEmpty)
+    assert(removed.forall(_.startsWith(s"event_date=$day/")), removed.mkString(","))
+    assert(added.forall(_.startsWith(s"event_date=$day/")), added.mkString(","))
+    // content unchanged vs a fresh full conform
+    val expected = operators.Conform.factEvents(spark, sf).count()
+    assert(total == expected)
+  }
+
   test("bucketed fact join plans with zero shuffle exchanges") {
     Pipeline.materializeBucketedFacts(spark, sf, buckets = 4)
     val joined = Pipeline.bucketedOrderRevenue(spark)
