@@ -103,16 +103,18 @@ object Dedup {
         s"transform(sequence(0, ${bands - 1}), b -> named_struct('band', b, 'bh', hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))")).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bh"))
 
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+    // the signature estimate is row-local, so compute + threshold it
+    // BEFORE the pair-dedup: the distinct then shuffles only
+    // (doc_a, doc_b, est) for pairs that pass — never the two
+    // 64-element signature arrays per bucket collision (est is a pure
+    // function of the pair, so deduping with it keeps pair granularity)
+    val est = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .distinct()
-
-    val est = cand.withColumn("est_jaccard",
-      expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / cast($numHashes as double)"))
+        expr(s"size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), v -> v)) / cast($numHashes as double)").as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .distinct()
 
     est
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -140,12 +142,15 @@ object Dedup {
         "transform(sequence(0, 3), c -> named_struct('chunk', c, 'ch', (simhash >> (c * 16)) & 65535))")).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk"), col("cc.ch"))
 
+    // hamming is row-local and cheap, and most chunk collisions fail it:
+    // filtering BEFORE the pair-dedup means the distinct shuffles only
+    // near-duplicates, not every bucket collision
     chunked.as("x").join(chunked.as("y"), Seq("chunk", "ch"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }
