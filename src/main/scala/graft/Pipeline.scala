@@ -104,7 +104,11 @@ object Pipeline {
     val updates = withDerived("fact_events", Conform.factEvents(spark, srcDir))
       .filter(org.apache.spark.sql.functions.col("event_date")
         .isin(dates.map(java.sql.Date.valueOf): _*))
-    LakeTable.merge(spark, t, updates, keys = Seq("event_key"))
+    // event_key determines event_date, so the matched-file detection can
+    // be scoped to the refreshed dates' partitions — the one-day refresh
+    // reads one day's files, not the whole fact
+    LakeTable.merge(spark, t, updates, keys = Seq("event_key"),
+      scopeToUpdatePartitions = true)
   }
 
   /** gold_daily_analytics analog. */

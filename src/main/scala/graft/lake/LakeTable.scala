@@ -17,9 +17,11 @@ import org.json4s.jackson.JsonMethods
   * implemented directly on Spark + Hadoop FileSystem primitives:
   *
   *  - ACID commits: a snapshot is one immutable JSON file in
-  *    `_graft_log/` named by zero-padded version; publishing is a
-  *    single atomic rename (rename-to-existing fails, so concurrent
-  *    writers serialize by optimistic retry). Readers always see a
+  *    `_graft_log/` named by zero-padded version; publishing is an
+  *    atomic put-if-absent (hard link on local POSIX filesystems,
+  *    FileContext.rename(Rename.NONE) elsewhere — see publishIfAbsent),
+  *    so concurrent writers serialize by optimistic retry and a taken
+  *    version can never be silently clobbered. Readers always see a
   *    complete snapshot — never a half-written directory.
   *  - Snapshot isolation + time travel: each log entry carries the full
   *    file list and schema; `read(asOf = version)` reconstructs any
@@ -37,12 +39,16 @@ import org.json4s.jackson.JsonMethods
   *  - Vacuum: unreferenced files (crashed writes, overwritten
   *    versions beyond the retention window) are deleted.
   *
-  * Scale notes: the log is O(files) per snapshot — at real scale you
-  * would add Delta-style checkpoint compaction and a manifest-backed
-  * FileIndex instead of a driver-side path list, but the commit
-  * protocol, copy-on-write MERGE and pruning behavior are the same
-  * ones the production formats use. Data is never rewritten except the
-  * matched files of a MERGE; overwrite is a metadata swap.
+  * Scale notes: every snapshot is full-state (complete file list +
+  * schema), so reads never replay a multi-file log; "what is the
+  * newest version" resolves through the O(1) `_latest_hint` file
+  * (written post-commit, verified + probed forward on read) instead of
+  * an O(commits) directory listing. The remaining O(files) cost of one
+  * snapshot JSON is the piece a production format shards into
+  * manifests; the commit protocol, copy-on-write MERGE and pruning
+  * behavior are the same ones those formats use. Data is never
+  * rewritten except the matched files of a MERGE; overwrite is a
+  * metadata swap.
   *
   * Layout:
   * {{{
@@ -105,20 +111,76 @@ object LakeTable {
     finally in.close()
   }
 
-  /** All committed versions, ascending. */
+  // a committed snapshot is exactly 20 digits + ".json"; anything else in
+  // _graft_log/ (hint file, tmp files, foreign droppings) is not a version
+  private val VersionFileName = """(\d{20})\.json""".r
+
+  /** All committed versions, ascending. O(log-dir listing) — used by
+    * history/time-travel/vacuum; the latest-snapshot hot path goes
+    * through the hint file instead (see [[latestVersion]]).
+    */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val f = fs(spark, table)
     val lp = logPath(table)
     if (!f.exists(lp)) Seq.empty
     else f.listStatus(lp).toSeq
       .map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(n => n.stripSuffix(".json").toLong)
+      .collect { case VersionFileName(digits) => digits.toLong }
       .sorted
   }
 
+  // --------------------------------------------------- latest-version hint
+  //
+  // Resolving "latest" by listing _graft_log/ is O(commits) per read — at
+  // daily-commit cadence over years that listing is the reader's metadata
+  // bottleneck (the problem Delta solves with _last_checkpoint and Iceberg
+  // with version-hint.text). Every graft snapshot is already full-state
+  // (it carries the complete file list + schema), so no multi-file log
+  // replay is needed — only "what is the newest version?". A best-effort
+  // `_latest_hint` file answers that in O(1): written after every
+  // successful commit, read + probed-forward on access. The hint is
+  // advisory only — it can lag (writer crashed between commit and hint;
+  // racing writers overwrite it out of order) but correctness never
+  // depends on it: readers verify the hinted version exists, probe
+  // forward past it, and fall back to the full listing when it is
+  // missing or unparsable.
+
+  private def hintFile(table: String) = new Path(logPath(table), "_latest_hint")
+
+  private def writeLatestHint(f: FileSystem, table: String, v: Long): Unit =
+    try {
+      val out = f.create(hintFile(table), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => () } // advisory — never fail a commit
+
+  private def readHint(f: FileSystem, table: String): Option[Long] =
+    try {
+      val p = hintFile(table)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        s.toLongOption.filter(_ > 0)
+      }
+    } catch { case _: java.io.IOException => None }
+
+  /** Newest committed version: hint + forward probe (O(1) + O(commits
+    * since the hint was written)), falling back to the O(commits)
+    * directory listing when there is no usable hint.
+    */
+  private def latestVersion(spark: SparkSession, table: String): Option[Long] = {
+    val f = fs(spark, table)
+    readHint(f, table).filter(h => f.exists(versionFile(table, h))) match {
+      case Some(h) =>
+        var v = h
+        while (f.exists(versionFile(table, v + 1))) v += 1
+        Some(v)
+      case None => versions(spark, table).lastOption
+    }
+  }
+
   def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
-    versions(spark, table).lastOption.map(v => snapshotAt(spark, table, v))
+    latestVersion(spark, table).map(v => snapshotAt(spark, table, v))
 
   def snapshotAt(spark: SparkSession, table: String, version: Long): Snapshot = {
     val f = fs(spark, table)
@@ -131,18 +193,52 @@ object LakeTable {
   /** Commit `snap` as `snap.version` iff that version does not exist yet.
     * Returns false on a lost race (version taken by another writer).
     */
-  private def tryCommit(spark: SparkSession, table: String, snap: Snapshot): Boolean = {
+  private[lake] def tryCommit(spark: SparkSession, table: String, snap: Snapshot): Boolean = {
     val f = fs(spark, table)
     f.mkdirs(logPath(table))
     val target = versionFile(table, snap.version)
-    if (f.exists(target)) return false
+    if (f.exists(target)) return false // fast path only; atomicity is in the publish
     val tmp = new Path(logPath(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write(renderSnapshot(snap).getBytes("UTF-8")) finally out.close()
-    // atomic publish: rename fails (returns false) if target appeared
-    val ok = f.rename(tmp, target)
-    if (!ok) f.delete(tmp, false)
-    ok
+    val won = publishIfAbsent(f, tmp, target)
+    if (won) writeLatestHint(f, table, snap.version)
+    won
+  }
+
+  /** Atomically publish the fully-written `tmp` as `target` iff `target`
+    * does not exist. A plain `FileSystem.rename` cannot do this on the
+    * local filesystem: it is POSIX rename(2), which silently REPLACES an
+    * existing target, so an exists() pre-check leaves a TOCTOU window in
+    * which two racing writers both "win" the same version and one
+    * snapshot is lost. Per scheme:
+    *  - `file`: publish via a hard link — link(2) fails with EEXIST
+    *    atomically in the kernel, the put-if-absent primitive.
+    *  - others: `FileContext.rename` with `Options.Rename.NONE`, which
+    *    contractually fails with FileAlreadyExistsException when the
+    *    destination exists; on HDFS the check-and-rename is a single
+    *    NameNode operation.
+    */
+  private def publishIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean = {
+    val won =
+      if (f.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+        try { fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.PathExistsException        => false
+        }
+      }
+    // link path: tmp still exists either way; rename path: only on loss.
+    try f.delete(tmp, false) catch { case _: java.io.IOException => () }
+    won
   }
 
   // ------------------------------------------------------------- data files
@@ -177,6 +273,11 @@ object LakeTable {
     f.delete(staging, true)
     moved.toSeq
   }
+
+  /** Decoded filesystem path of an `input_file_name()` value. */
+  private def decodeFileUri(fileUri: String): String =
+    try new Path(new java.net.URI(fileUri)).toUri.getPath
+    catch { case _: java.net.URISyntaxException => new Path(fileUri).toUri.getPath }
 
   private def relativize(base: Path, p: Path): String = {
     val b = base.toUri.getPath.stripSuffix("/")
@@ -285,24 +386,64 @@ object LakeTable {
     * invalidate the copied files, so a lost race aborts with
     * ConcurrentCommitException rather than rebasing (the production
     * formats do the same for conflicting row-level operations).
+    *
+    * `scopeToUpdatePartitions` restricts the matched-file detection
+    * scan to the partitions present in `updates` — the daily operating
+    * mode for a date-partitioned 100 TB fact, where an unscoped
+    * detection would scan the WHOLE table to refresh one day. Sound iff
+    * the merge key determines the partition value (a matched key can
+    * only live in its update row's partition — e.g. event_key →
+    * event_date); with that contract broken, a matched row in an
+    * unscanned partition would survive next to its replacement. This is
+    * the same discipline Delta asks of users via partition predicates
+    * in the MERGE condition.
     */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
-            keys: Seq[String]): Long = {
+            keys: Seq[String], scopeToUpdatePartitions: Boolean = false): Long = {
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val keyCols = keys.map(col)
     val updKeys = updates.select(keyCols: _*).distinct()
 
+    // Detection source: partition-prune to the updates' partitions when
+    // scoped (Catalyst prunes at the file-index level, so only those
+    // partitions' files are read), else the whole snapshot.
+    val detectionSource =
+      if (scopeToUpdatePartitions && snap.partitionColumns.nonEmpty) {
+        val pcols = snap.partitionColumns
+        // distinct partition tuples of the updates — bounded by the
+        // number of partitions touched, not by update rows
+        val tuples = updates.select(pcols.map(col): _*).distinct().collect()
+        val pred =
+          if (tuples.isEmpty) lit(false)
+          else tuples.map { r =>
+            pcols.zipWithIndex.map { case (c, i) =>
+              if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+            }.reduce(_ && _)
+          }.reduce(_ || _)
+        read(spark, table).filter(pred)
+      } else read(spark, table)
+
     // which files contain a matched key? (file names only — bounded by
     // file count, not row count)
     val base = dataPath(table).toString
-    val affectedAbs = read(spark, table)
+    val affectedAbs = detectionSource
       .withColumn("__file", input_file_name())
       .join(broadcast(updKeys), keys)
       .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val affectedRel = snap.files.filter(rel =>
-      affectedAbs.exists(abs => abs.endsWith("/" + rel) || abs.endsWith(rel)))
+      .collect().map(_.getString(0))
+
+    // input_file_name() yields the file's URI string, percent-encoded;
+    // snapshot paths are raw. Decode and strip the data root exactly —
+    // an endsWith match on the encoded form misses partition values
+    // that URI-escape (e.g. spaces), silently leaving the matched file
+    // un-rewritten and the table with duplicate keys.
+    val baseRaw = dataPath(table).toUri.getPath.stripSuffix("/")
+    val affectedSet = affectedAbs.flatMap { abs =>
+      val p = decodeFileUri(abs)
+      if (p.startsWith(baseRaw + "/")) Some(p.drop(baseRaw.length + 1)) else None
+    }.toSet
+    val affectedRel = snap.files.filter(affectedSet.contains)
 
     val ordered = snap.schema.fieldNames.map(col).toIndexedSeq
     val rewritten =
@@ -383,13 +524,23 @@ object LakeTable {
     * writes. Time travel further back than the retention window stops
     * working (the log entries remain for history). Returns the number
     * of files deleted.
+    *
+    * `graceMs` protects concurrent writers: a file younger than the
+    * grace window is never deleted even if unreferenced, because it may
+    * be an in-flight writer's freshly staged/moved data whose commit
+    * has not landed yet (the same reason Delta's VACUUM defaults to a
+    * 7-day retention). Staging dirs are likewise only swept once they
+    * age past the grace window. Pass `graceMs = 0` only when no other
+    * writer can be active.
     */
-  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2): Int = {
+  def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2,
+             graceMs: Long = 15L * 60 * 1000): Int = {
     val f = fs(spark, table)
     val vs = versions(spark, table)
     if (vs.isEmpty) return 0
     val retained = vs.takeRight(math.max(1, retainVersions))
       .flatMap(v => snapshotAt(spark, table, v).files).toSet
+    val cutoffMs = System.currentTimeMillis() - math.max(0L, graceMs)
     val dp = dataPath(table)
     if (!f.exists(dp)) return 0
     var deleted = 0
@@ -397,13 +548,19 @@ object LakeTable {
     val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && !retained.contains(relativize(dp, st.getPath)))
+      if (st.isFile && st.getModificationTime < cutoffMs &&
+          !retained.contains(relativize(dp, st.getPath)))
         toDelete += st.getPath
     }
     toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
-    // drop leftover staging dirs from crashed writes
+    // sweep staging dirs from crashed writes — only once they are old
+    // enough that no live writer can still be using them
     val staging = new Path(table, "_staging")
-    if (f.exists(staging)) f.delete(staging, true)
+    if (f.exists(staging)) {
+      f.listStatus(staging).foreach { st =>
+        if (st.getModificationTime < cutoffMs) f.delete(st.getPath, true)
+      }
+    }
     deleted
   }
 }

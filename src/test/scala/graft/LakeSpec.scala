@@ -135,12 +135,180 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.read(spark, t).count() == 200)
   }
 
+  private def tryCommitHandle = {
+    val m = LakeTable.getClass.getDeclaredMethod("tryCommit",
+      classOf[org.apache.spark.sql.SparkSession], classOf[String],
+      classOf[LakeTable.Snapshot])
+    m.setAccessible(true)
+    m
+  }
+
+  test("genuinely concurrent committers: exactly one wins each version, none clobbered") {
+    val t = tmpTable("lake_race")
+    LakeTable.overwrite(spark, t, Seq((0L, "base")).toDF("id", "s"))
+    val base = LakeTable.latestSnapshot(spark, t).get
+    val m = tryCommitHandle
+    // several rounds of 8 writers all publishing the SAME version at the
+    // same instant (latch-aligned). With a replace-semantics rename, two
+    // writers can both "win" and one snapshot is silently lost; the
+    // put-if-absent publish must admit exactly one.
+    (1 to 5).foreach { round =>
+      val v = base.version + round
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val futures = (1 to 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val snap = base.copy(version = v, operation = s"W$i")
+            start.await()
+            if (m.invoke(LakeTable, spark, t, snap).asInstanceOf[Boolean])
+              wins.add(s"W$i")
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get())
+      pool.shutdown()
+      assert(wins.size == 1, s"version $v: ${wins.size} writers claimed the win")
+      // the published snapshot is complete, parseable, and IS the winner's
+      assert(LakeTable.snapshotAt(spark, t, v).operation == wins.peek())
+    }
+    assert(LakeTable.latestSnapshot(spark, t).get.version == base.version + 5)
+  }
+
+  test("concurrent appends all land via optimistic retry; versions contiguous") {
+    val t = tmpTable("lake_capp")
+    LakeTable.overwrite(spark, t, Seq((0L, "x")).toDF("id", "s"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val futures = (1 to 3).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          start.await()
+          LakeTable.append(spark, t, Seq((i.toLong, s"w$i")).toDF("id", "s"))
+        }
+      })
+    }
+    start.countDown()
+    val versions = futures.map(_.get())
+    pool.shutdown()
+    assert(versions.toSet == Set(2L, 3L, 4L), s"got $versions")
+    assert(LakeTable.versions(spark, t) == Seq(1L, 2L, 3L, 4L))
+    // no append lost: all three writers' rows are present
+    assert(LakeTable.read(spark, t).count() == 4)
+  }
+
+  test("latest resolves through the hint; stale/corrupt/missing hints degrade safely") {
+    val t = tmpTable("lake_hint")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val base = LakeTable.latestSnapshot(spark, t).get
+    val m = tryCommitHandle
+    // ~50 metadata-only commits (same file list, bumped version)
+    (2L to 50L).foreach { v =>
+      assert(m.invoke(LakeTable, spark, t, base.copy(version = v)).asInstanceOf[Boolean])
+    }
+    val hint = java.nio.file.Paths.get(s"$t/_graft_log/_latest_hint")
+    assert(new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim == "50")
+    assert(LakeTable.latestSnapshot(spark, t).get.version == 50L)
+    // stale hint (a lagging writer overwrote it): probe-forward recovers
+    java.nio.file.Files.write(hint, "3".getBytes("UTF-8"))
+    assert(LakeTable.latestSnapshot(spark, t).get.version == 50L)
+    // hint pointing past the end (no such version): fall back to listing
+    java.nio.file.Files.write(hint, "99".getBytes("UTF-8"))
+    assert(LakeTable.latestSnapshot(spark, t).get.version == 50L)
+    // corrupt hint: fall back to listing
+    java.nio.file.Files.write(hint, "not-a-number".getBytes("UTF-8"))
+    assert(LakeTable.latestSnapshot(spark, t).get.version == 50L)
+    // missing hint: fall back to listing
+    java.nio.file.Files.delete(hint)
+    assert(LakeTable.latestSnapshot(spark, t).get.version == 50L)
+    // time travel across the window still works
+    assert(LakeTable.read(spark, t, asOf = Some(7L)).count() == 1)
+    assert(LakeTable.history(spark, t).count() == 50)
+  }
+
+  test("a foreign file in the log dir does not brick the table") {
+    val t = tmpTable("lake_foreign")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    LakeTable.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    // stray droppings a human or another tool might leave behind
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_graft_log/notes.json"), "{}".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_graft_log/README.txt"), "hi".getBytes("UTF-8"))
+    assert(LakeTable.versions(spark, t) == Seq(1L, 2L))
+    assert(LakeTable.latestSnapshot(spark, t).get.version == 2L)
+    assert(LakeTable.read(spark, t).count() == 2)
+    assert(LakeTable.history(spark, t).count() == 2)
+  }
+
+  test("vacuum grace period protects young unreferenced files and live staging") {
+    val t = tmpTable("lake_vg")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    LakeTable.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    LakeTable.overwrite(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    // an in-flight concurrent writer's staged-but-uncommitted work
+    val staged = java.nio.file.Paths.get(s"$t/_staging/in-flight/part-0.parquet")
+    java.nio.file.Files.createDirectories(staged.getParent)
+    java.nio.file.Files.write(staged, Array[Byte](1, 2, 3))
+    // default grace: everything here is seconds old — nothing may go
+    assert(LakeTable.vacuum(spark, t, retainVersions = 1) == 0)
+    assert(java.nio.file.Files.exists(staged))
+    assert(LakeTable.read(spark, t, asOf = Some(1L)).count() == 1)
+    // grace 0 (single-writer maintenance): old versions + staging reclaimed
+    assert(LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L) > 0)
+    assert(!java.nio.file.Files.exists(staged))
+    assert(LakeTable.read(spark, t).as[(Long, String)].collect().toSet == Set((3L, "c")))
+  }
+
+  test("merge rewrites matched files whose partition values URI-escape") {
+    val t = tmpTable("lake_space")
+    // partition value with a space: the directory name is "part=p 1" but
+    // input_file_name() reports it percent-encoded ("part=p%201")
+    val base = Seq((1L, "p 1", 10.0), (2L, "p 1", 20.0), (3L, "b", 30.0))
+      .toDF("id", "part", "v")
+    LakeTable.overwrite(spark, t, base, partitionBy = Seq("part"))
+    LakeTable.merge(spark, t, Seq((2L, "p 1", 99.0)).toDF("id", "part", "v"), Seq("id"))
+    val out = LakeTable.read(spark, t)
+    // the matched file WAS rewritten: no duplicate id=2, new value visible
+    assert(out.count() == 3)
+    assert(out.filter($"id" === 2L).as[(Long, String, Double)].collect().toSeq
+      == Seq((2L, "p 1", 99.0)))
+  }
+
+  test("scoped merge detection reads only the update partitions' files") {
+    val t = tmpTable("lake_scope")
+    val base = Seq((1L, "pA", 10.0), (2L, "pA", 20.0), (3L, "pB", 30.0), (4L, "pB", 40.0))
+      .toDF("id", "part", "v")
+    LakeTable.overwrite(spark, t, base, partitionBy = Seq("part"))
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    val bRel = snap.files.filter(_.startsWith("part=pB"))
+    assert(bRel.nonEmpty)
+    // corrupt pB's data on disk: ANY read of it now throws, so a merge
+    // that succeeds proves its detection scan never opened pB's files
+    val bPaths = bRel.map(rel => java.nio.file.Paths.get(s"$t/data/$rel"))
+    val saved = bPaths.map(java.nio.file.Files.readAllBytes)
+    bPaths.foreach(p => java.nio.file.Files.write(p, "garbage".getBytes("UTF-8")))
+    val updates = Seq((2L, "pA", 99.0)).toDF("id", "part", "v")
+    intercept[Exception] { // unscoped detection scans the whole table -> hits pB
+      LakeTable.merge(spark, t, updates, Seq("id"))
+    }
+    LakeTable.merge(spark, t, updates, Seq("id"), scopeToUpdatePartitions = true)
+    bPaths.zip(saved).foreach { case (p, bytes) => java.nio.file.Files.write(p, bytes) }
+    val out = LakeTable.read(spark, t).select("id", "v").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
+    // pB carried over by reference, untouched
+    val after = LakeTable.latestSnapshot(spark, t).get
+    assert(bRel.toSet.subsetOf(after.files.toSet))
+  }
+
   test("vacuum drops files beyond retention; latest still reads") {
     val t = tmpTable("lake_vc")
     LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
     LakeTable.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))
     LakeTable.overwrite(spark, t, Seq((3L, "c")).toDF("id", "s"))
-    val deleted = LakeTable.vacuum(spark, t, retainVersions = 1)
+    val deleted = LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
     assert(deleted > 0)
     assert(LakeTable.read(spark, t).as[(Long, String)].collect().toSet == Set((3L, "c")))
     // history metadata survives vacuum even though v1's data does not
