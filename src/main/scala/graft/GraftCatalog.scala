@@ -36,9 +36,11 @@ object GraftCatalog {
     * temp views (`<name>_tbl`, to keep the lazy model views available
     * alongside) — the analog of the reference's Glue-cataloged Iceberg
     * tables being queryable by name in Trino. Partition pruning works
-    * through the view: the view body is a lake snapshot scan.
+    * through the view: the view body is a lake snapshot scan. Also
+    * persists the registry (see [[saveCatalog]]) so a FRESH session can
+    * restore the same surface from the warehouse directory alone.
     */
-  def registerLake(spark: SparkSession, warehouseDir: String): Unit =
+  def registerLake(spark: SparkSession, warehouseDir: String): Unit = {
     Seq("silver" -> Pipeline.silverModels.keySet, "gold" -> Pipeline.goldModels.keySet)
       .foreach { case (layer, names) =>
         names.foreach { name =>
@@ -47,6 +49,82 @@ object GraftCatalog {
             graft.lake.LakeTable.read(spark, path).createOrReplaceTempView(s"${name}_tbl")
         }
       }
+    saveCatalog(spark, warehouseDir)
+  }
+
+  // ------------------------------------------------ persistent registry
+  //
+  // The reference's tables live in a Glue catalog: any NEW Trino session
+  // resolves `university_silver.fact_enrollments` by name with zero
+  // registration code (ref: trino_iceberg_transform_component.py:37,
+  // gold_analytics_component.py:36). Temp views die with the session, so
+  // the warehouse itself carries `_catalog.json` — written at
+  // materialization time, read at session init — making the directory
+  // the single source of truth a second user needs.
+
+  private def catalogFile(warehouseDir: String) =
+    new org.apache.hadoop.fs.Path(warehouseDir, "_catalog.json")
+
+  /** Persist the registry of lake tables that exist in `warehouseDir`.
+    * Overwrite is fine here: the content is derived purely from what is
+    * on disk, so the last writer's version is always correct.
+    */
+  def saveCatalog(spark: SparkSession, warehouseDir: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val entries = for {
+      (layer, names) <- Seq("silver" -> Pipeline.silverModels.keySet,
+                            "gold"   -> Pipeline.goldModels.keySet)
+      name <- names.toSeq.sorted
+      path = Pipeline.tablePath(warehouseDir, layer, name)
+      snap <- graft.lake.LakeTable.latestSnapshot(spark, path)
+    } yield JObject(
+      "name" -> JString(name),
+      "layer" -> JString(layer),
+      "path" -> JString(path),
+      "partitionColumns" -> JArray(snap.partitionColumns.map(JString(_)).toList))
+    val p = catalogFile(warehouseDir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = f.create(p, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(
+      JObject("tables" -> JArray(entries.toList)))).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Restore the lake-table SQL surface in THIS session from a
+    * warehouse's persisted registry: each cataloged table registers as
+    * `<name>_tbl` over its latest snapshot. Returns the registered
+    * names (empty when the warehouse has no catalog). Restoration needs
+    * only the directory — not the model registry — so any consumer
+    * session can do it.
+    */
+  def restoreLake(spark: SparkSession, warehouseDir: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = catalogFile(warehouseDir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) return Seq.empty
+    val in = f.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val tables = (JsonMethods.parse(txt) \ "tables").asInstanceOf[JArray].arr
+    tables.flatMap { e =>
+      (e \ "name", e \ "path") match {
+        case (JString(name), JString(path))
+            if graft.lake.LakeTable.versions(spark, path).nonEmpty =>
+          graft.lake.LakeTable.read(spark, path).createOrReplaceTempView(s"${name}_tbl")
+          Some(s"${name}_tbl")
+        case _ => None
+      }
+    }
+  }
+
+  /** Session-init hook: when `spark.graft.warehouse` is set, restore
+    * that warehouse's lake tables by name ([[GraftSession.get]] calls
+    * this, so a consumer session needs only the conf).
+    */
+  def init(spark: SparkSession): Seq[String] =
+    spark.conf.getOption("spark.graft.warehouse")
+      .map(restoreLake(spark, _)).getOrElse(Seq.empty)
 
   /** Full SQL surface in one call. */
   def registerAll(spark: SparkSession, dir: String): Unit = {

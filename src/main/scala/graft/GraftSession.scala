@@ -25,6 +25,9 @@ object GraftSession {
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // restore the lake-table SQL surface when a warehouse is configured
+    // (spark.graft.warehouse) — the Glue-catalog analog for consumers
+    GraftCatalog.init(s)
     s
   }
 

@@ -59,8 +59,8 @@ object Pipeline {
 
   private def materialize(spark: SparkSession, srcDir: String, warehouseDir: String,
                           layer: String,
-                          models: Map[String, (SparkSession, String) => DataFrame]): Map[String, Long] =
-    models.map { case (name, fn) =>
+                          models: Map[String, (SparkSession, String) => DataFrame]): Map[String, Long] = {
+    val counts = models.map { case (name, fn) =>
       val out = tablePath(warehouseDir, layer, name)
       val df = withDerived(name, fn(spark, srcDir))
       LakeTable.overwrite(spark, out, df, partitioning.getOrElse(name, Nil))
@@ -72,12 +72,34 @@ object Pipeline {
       }
       name -> materialized.count()
     }
+    // materialization registers in the warehouse's persistent catalog
+    // (the Glue analog) — a fresh session restores the tables by name
+    // from the directory alone (GraftCatalog.restoreLake/init)
+    GraftCatalog.saveCatalog(spark, warehouseDir)
+    counts
+  }
 
   /** silver_daily_transforms analog: conform all dims/facts, then run
     * the quality gate. Returns per-model row counts; throws if any
     * zero-violation check fails (the reference's ERROR severity).
+    *
+    * `freshnessSlaMs` is the max tolerated staleness of any event
+    * source behind the freshest one; a breach fails the run BEFORE
+    * materializing (don't build silver from stale bronze — the
+    * reference gates freshness at landing, s3_data_landing_component
+    * .py:176-196).
     */
-  def runSilver(spark: SparkSession, srcDir: String, warehouseDir: String): Map[String, Long] = {
+  def runSilver(spark: SparkSession, srcDir: String, warehouseDir: String,
+                freshnessSlaMs: Option[Long] = None): Map[String, Long] = {
+    freshnessSlaMs.foreach { sla =>
+      val stale = Quality.dqFreshnessGate(spark, srcDir, sla)
+        .filter(org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.col("passed")))
+        .collect()
+      if (stale.nonEmpty)
+        throw new IllegalStateException("freshness gate failed: " + stale
+          .map(r => s"${r.getAs[String]("event_type")} lags ${r.getAs[Long]("lag_ms")}ms > ${sla}ms")
+          .mkString(", "))
+    }
     val counts = materialize(spark, srcDir, warehouseDir, "silver", silverModels)
     val failures = Quality.dqChecks(spark, srcDir)
       .filter(org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.col("passed")))
@@ -116,8 +138,10 @@ object Pipeline {
     materialize(spark, srcDir, warehouseDir, "gold", goldModels)
 
   /** Full daily run: silver (with quality gate) then gold. */
-  def runAll(spark: SparkSession, srcDir: String, warehouseDir: String): Map[String, Long] =
-    runSilver(spark, srcDir, warehouseDir) ++ runGold(spark, srcDir, warehouseDir)
+  def runAll(spark: SparkSession, srcDir: String, warehouseDir: String,
+             freshnessSlaMs: Option[Long] = None): Map[String, Long] =
+    runSilver(spark, srcDir, warehouseDir, freshnessSlaMs) ++
+      runGold(spark, srcDir, warehouseDir)
 
   /** Bucketed fact materialization: fact_lineitem and fact_orders are
     * written bucketed + sorted on the order key, so every downstream

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Data-quality checks — Spark-native equivalents of the reference's
@@ -98,8 +97,31 @@ object Quality {
     val ev = Tables.events(spark, dir)
     val perType = ev.groupBy(col("event_type"))
       .agg(unix_millis(max(col("ts"))).as("last_ts_ms"), count(lit(1)).as("n_rows"))
+    // the dataset max must join back onto the per-type rows WITHOUT a
+    // second scan of the fact (a self-join recomputes the aggregate
+    // subtree — column pruning defeats exchange reuse) and without an
+    // unpartitioned Window: pack the event-type-bounded rows into one
+    // row, take the max there, and explode back — one scan, one tiny
+    // global aggregate over ≤|event types| rows
     perType
-      .withColumn("lag_ms", max(col("last_ts_ms")).over(Window.partitionBy()) - col("last_ts_ms"))
-      .select(col("event_type"), col("last_ts_ms"), col("n_rows"), col("lag_ms"))
+      .agg(collect_list(struct(col("event_type"), col("last_ts_ms"), col("n_rows"))).as("__rows"),
+        max(col("last_ts_ms")).as("__max_ts"))
+      .select(explode(col("__rows")).as("r"), col("__max_ts"))
+      .select(col("r.event_type").as("event_type"),
+        col("r.last_ts_ms").as("last_ts_ms"),
+        col("r.n_rows").as("n_rows"),
+        (col("__max_ts") - col("r.last_ts_ms")).as("lag_ms"))
   }
+
+  /** Freshness as a pass/fail SLA gate — the reference's freshness
+    * checks are asset checks returning `passed` with a severity (ref:
+    * s3_data_landing_component.py:176-196), not a dashboard. A source
+    * breaches when its newest event lags the freshest source by more
+    * than `maxLagMs`; [[graft.Pipeline.runSilver]] fails its gate on
+    * any breach before materializing from stale bronze.
+    */
+  def dqFreshnessGate(spark: SparkSession, dir: String, maxLagMs: Long): DataFrame =
+    dqFreshness(spark, dir)
+      .withColumn("max_lag_ms", lit(maxLagMs))
+      .withColumn("passed", col("lag_ms") <= maxLagMs)
 }

@@ -213,15 +213,22 @@ object TextAnalysis {
     * runs on the aggregated, vocabulary-bounded result.
     */
   def topTerms(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("term"))
-    Tables.documents(spark, dir)
+    val top = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(lower(col("text")))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))
       .limit(k)
-      .withColumn("rank", row_number().over(w).cast("long"))
+    // rank over the already-limited k rows without an unpartitioned
+    // Window (and without a self-join, which would recompute the word
+    // count): pack the ≤k rows into one sorted array — struct order
+    // (-n, term) = (n desc, term asc), terms unique so the order is
+    // total — and the explode position IS the row_number
+    top
+      .agg(sort_array(collect_list(struct((-col("n")).as("nn"), col("term")))).as("__rows"))
+      .select(posexplode(col("__rows")).as(Seq("pos", "r")))
+      .select(col("r.term").as("term"), (-col("r.nn")).as("n"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Deterministic stratified sampling: each source stratum keeps a

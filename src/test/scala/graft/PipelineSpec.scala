@@ -174,6 +174,27 @@ class PipelineSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("freshness SLA gate fails stale sources before materialization") {
+    val lags = operators.Quality.dqFreshness(spark, sf)
+      .select("lag_ms").collect().map(_.getLong(0))
+    assert(lags.max > 0, "test data should have unevenly fresh sources")
+    // threshold below the worst lag: that source breaches, others pass
+    val gate = operators.Quality.dqFreshnessGate(spark, sf, maxLagMs = lags.max - 1)
+    assert(gate.filter(not(col("passed"))).count() >= 1)
+    assert(gate.filter(col("passed")).count() >= 1)
+    // a tolerant threshold passes everything
+    assert(operators.Quality.dqFreshnessGate(spark, sf, lags.max)
+      .filter(not(col("passed"))).count() == 0)
+    // wired into the silver run: breach aborts BEFORE any table is written
+    val tmp = java.nio.file.Files.createTempDirectory("warehouse_sla").toString
+    val e = intercept[IllegalStateException] {
+      Pipeline.runSilver(spark, sf, tmp, freshnessSlaMs = Some(lags.max - 1))
+    }
+    assert(e.getMessage.contains("freshness gate failed"))
+    assert(lake.LakeTable.versions(spark,
+      Pipeline.tablePath(tmp, "silver", "fact_events")).isEmpty)
+  }
+
   test("lineage covers every silver model column exactly once") {
     val lin = operators.Lineage.lineage(spark, sf)
     val models = lin.select("model").distinct().collect().map(_.getString(0)).toSet

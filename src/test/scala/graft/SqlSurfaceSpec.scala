@@ -37,6 +37,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount <= 1)
   }
 
+  test("a fresh session resolves lake tables by name from the persisted catalog") {
+    val tmp = java.nio.file.Files.createTempDirectory("sql_catalog").toString
+    Pipeline.runSilver(spark, sf, tmp) // materialization writes _catalog.json
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/_catalog.json")))
+    // a brand-new session has empty temp-view state: without the
+    // persisted catalog it cannot see any lake table...
+    val s2 = spark.newSession()
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s2.sql("SELECT count(*) FROM fact_events_tbl").collect()
+    }
+    // ...but restores the full surface from the warehouse dir alone
+    s2.conf.set("spark.graft.warehouse", tmp)
+    val restored = GraftCatalog.init(s2)
+    assert(restored.toSet == Pipeline.silverModels.keySet.map(_ + "_tbl"))
+    assert(s2.sql("SELECT count(*) FROM fact_events_tbl").head.getLong(0) ==
+      operators.Conform.factEvents(spark, sf).count())
+    // partition pruning is intact through the restored view
+    val day = s2.sql("SELECT min(event_date) FROM fact_events_tbl").head.getDate(0)
+    val pruned = s2.sql(s"SELECT * FROM fact_events_tbl WHERE event_date = DATE'$day'")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount <= 1)
+  }
+
   test("sketch functions are available in SQL without registration") {
     // GraftSession.builder injects GraftExtensions — no Sketches.register
     GraftCatalog.registerTables(spark, sf)
