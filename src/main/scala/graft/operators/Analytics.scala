@@ -58,6 +58,33 @@ object Analytics {
           nullif(sum(col("n_orders")), lit(0L)), 4).as("avg_order_lines"))
   }
 
+  /** Flat single-groupBy formulation of [[goldSalesMetrics]] — four
+    * countDistinct aggregates in one Aggregate, so Spark plans an
+    * Expand that replicates every joined fact row once per distinct
+    * column before the shuffle. Kept (not exported) as the measured
+    * alternative: AnalyticsPlanSpec proves bit-identical results and
+    * PLANS.md records the sf0.1 timings behind the choice of default.
+    */
+  private[graft] def goldSalesMetricsFlat(spark: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_returnflag"), col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("total_customers"),
+        round(sum(col("l_quantity").cast(dec)), 2).cast("double").as("total_qty"),
+        rnd(sum(col("c_acctbal").cast(dec)).cast("double") /
+          count(col("c_acctbal")), 4).as("avg_acctbal"),
+        rnd(countDistinct(when(col("o_orderstatus") === "F", col("o_custkey"))).cast("double") /
+          nullif(countDistinct(col("o_custkey")), lit(0L)), 4).as("finished_rate"),
+        countDistinct(when(col("c_acctbal") < 0, col("o_custkey"))).as("negative_bal_customers"),
+        rnd(count(lit(1)).cast("double") /
+          nullif(countDistinct(col("l_orderkey")), lit(0L)), 4).as("avg_order_lines"))
+  }
+
   /** gold_finance ⇄ ref financial_aid_analytics (gold defs.yaml:52):
     * filtered agg + derived-key (YEAR) join to a second fact + budget
     * utilization ratio.
@@ -91,6 +118,38 @@ object Analytics {
         count(lit(1)).as("total_customers"),
         sum(col("disc_dec")).as("disc_dec"),
         sum(col("n_lines")).as("n_lines"))
+      .join(broadcast(yearlyTotals), Seq("yr"), "left")
+      .select(
+        col("yr").cast("string").as("fiscal_year"),
+        col("c_mktsegment"),
+        col("total_customers"),
+        round(col("disc_dec"), 2).cast("double").as("total_discount"),
+        rnd(col("disc_dec").cast("double") * 0.92, 2).as("total_disbursed"),
+        rnd(col("disc_dec").cast("double") / col("n_lines"), 4).as("avg_discount_per_line"),
+        rnd(col("disc_dec").cast("double") /
+          nullif(col("yearly_total"), lit(0.0)), 6).as("budget_utilization"))
+  }
+
+  /** Flat formulation of [[goldFinance]] (one countDistinct → Expand×2);
+    * see [[goldSalesMetricsFlat]].
+    */
+  private[graft] def goldFinanceFlat(spark: SparkSession, dir: String): DataFrame = {
+    val li   = Tables.lineitem(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val yearlyTotals = ord
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(dsum(col("o_totalprice")).as("yearly_total"))
+    val product = col("l_extendedprice") * col("l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("l_discount") > 0)
+      .groupBy(year(col("o_orderdate")).as("yr"), col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("total_customers"),
+        sum(product.cast(dec)).as("disc_dec"),
+        count(product).as("n_lines"))
       .join(broadcast(yearlyTotals), Seq("yr"), "left")
       .select(
         col("yr").cast("string").as("fiscal_year"),
