@@ -68,22 +68,9 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
              cells: Int = 16, probes: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v"))).cache()
-    // The quantizer is fit on a seeded sample capped at ~10k vectors,
-    // never the full corpus: coarse cells need rough centroids, and a
-    // full-corpus fit is linear in corpus size per invocation — the
-    // one 100 TB scale-killer in the original formulation. The sample
-    // is deterministic (fixed seed), so cell assignments reproduce.
-    val sampleCap = 10000L
-    val total = e.count()
-    val train =
-      if (total <= sampleCap) e
-      else e.sample(withReplacement = false, sampleCap.toDouble / total, 42L)
-    // few iterations: a coarse quantizer needs rough cells, not convergence
-    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(train)
+    val model = fitQuantizer(e, cells)
     val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
 
@@ -104,6 +91,81 @@ object Similarity {
       .select(col("q_id"), col("qv"), col("qnorm"), col("cell"))
 
     val scored = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"),
+        col("rank"), col("cell").cast("long").as("cell"))
+  }
+
+  /** Coarse KMeans quantizer, fit on a bounded sample — never the full
+    * corpus: cells need rough centroids, and a full-corpus fit is
+    * linear in corpus size per invocation, the one 100 TB scale-killer
+    * of the naive formulation. The cap needs NO sizing pass (the old
+    * `count()` cost one extra full scan purely to derive a sample
+    * fraction): order by a hash of the id and take the first N — a
+    * single TakeOrdered pass whose hash order is uncorrelated with
+    * storage order, so the capped sample is unbiased AND deterministic
+    * (ties broken by id; no RNG, reproducible at any parallelism).
+    */
+  private def fitQuantizer(e: DataFrame, cells: Int, sampleCap: Int = 10000) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val train = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleCap)
+    // few iterations: a coarse quantizer needs rough cells, not convergence
+    new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").fit(train)
+  }
+
+  /** Persisted IVF index: the cell-assigned corpus written as a lake
+    * table PARTITIONED BY cell (plus the centroids as a side table) —
+    * the materialization of the "a probe touches only its cells'
+    * partitions" claim. [[annIvfIndexed]] probes it with a partition
+    * filter, so the scan reads only the probed cells' files (asserted
+    * in SimilaritySpec); everything else never leaves disk.
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
+                    cells: Int = 16): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v")))
+    val model = fitQuantizer(e, cells)
+    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+      .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/corpus", assigned,
+      partitionBy = Seq("cell"))
+    val centersDf = model.clusterCenters.map(_.toArray).zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/centroids", centersDf)
+  }
+
+  /** ANN over a persisted IVF index. The probed cells are resolved
+    * driver-side (bounded by numQueries × probes) and pushed as a
+    * partition filter on the lake scan — only those cells' files are
+    * read. The filter is semantically redundant (the candidate join
+    * already keys on cell), so results are identical to an unpruned
+    * probe; it exists purely to prune I/O.
+    */
+  def annIvfIndexed(spark: SparkSession, dir: String, indexPath: String,
+                    numQueries: Int = 10, k: Int = 5, probes: Int = 4): DataFrame = {
+    Sketches.register(spark)
+    val corpus = graft.lake.LakeTable.read(spark, s"$indexPath/corpus")
+    val centersDf = graft.lake.LakeTable.read(spark, s"$indexPath/centroids")
+    val q = vectors(spark, dir).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val qCells = q.crossJoin(broadcast(centersDf))
+      .withColumn("dist", expr(
+        "dot_d(qv, qv) - 2 * dot_d(qv, centroid) + dot_d(centroid, centroid)"))
+      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("cr") <= probes)
+      .select(col("q_id"), col("qv"), col("qnorm"), col("cell"))
+    val probedCells = qCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scored = corpus.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
     val w = org.apache.spark.sql.expressions.Window

@@ -191,6 +191,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("persisted IVF index: probes read only the probed cells' partitions") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.buildIvfIndex(spark, sf, tmp, cells = 8)
+    val corpus = lake.LakeTable.read(spark, s"$tmp/corpus")
+    val allCells = corpus.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    assert(allCells.length > 2)
+    // a cell filter on the lake table prunes at the file-index level
+    // (filter-only plan: aggregates would wrap the scan in AQE)
+    val probed = corpus.filter(col("cell").isin(allCells.take(2).map(Integer.valueOf): _*))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount <= 2,
+      s"read ${scan.selectedPartitions.partitionCount} of ${allCells.length} cells")
+    // the indexed probe itself: k ranked neighbors per query, cells from
+    // the probed set only, useful recall vs brute force
+    val res = Similarity.annIvfIndexed(spark, sf, tmp, numQueries = 10, k = 5).cache()
+    assert(res.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    val exact = Similarity.annTopk(spark, sf)
+      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    info(s"indexed IVF recall@5 vs brute force: $recall")
+    assert(recall > 0.0)
+  }
+
   test("ann_lsh finds a nonempty, threshold-respecting subset of exact pairs") {
     val lsh = Similarity.annLsh(spark, sf).cache()
     assert(lsh.count() > 0)
