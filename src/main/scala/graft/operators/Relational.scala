@@ -118,8 +118,44 @@ object Relational {
       .na.fill(0L)
   }
 
-  /** GROUP BY ROLLUP with GROUPING() disambiguation. */
+  /** GROUP BY ROLLUP with GROUPING() disambiguation.
+    *
+    * Formulated as rollup-over-pre-aggregate: a native rollup Expands
+    * every fact row once per level (×3) BEFORE the shuffle. The
+    * measures are associative (exact decimal sums, counts), so the
+    * fact is first aggregated at the full (flag, status) grain — one
+    * ordinary map-side-combined shuffle — and the rollup, with its
+    * Expand and native grouping() flags, runs over the
+    * cardinality-bounded result. Bit-identical to the native form
+    * (decimal sums re-aggregate exactly; RelationalPlanSpec proves
+    * equality and that the shipped plan's Expand sits above the fact
+    * aggregate, not on the scan).
+    */
   def rollupSales(spark: SparkSession, dir: String): DataFrame = {
+    val base = rollupSalesBase(spark, dir)
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        round(sum(col("qd")), 2).cast("double").as("sum_qty"),
+        round(sum(col("pd")), 2).cast("double").as("sum_price"),
+        sum(col("cnt")).as("n"))
+  }
+
+  private def rollupSalesBase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("qd"),
+        sum(col("l_extendedprice").cast(dec)).as("pd"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Native single-level rollup (Expand ×3 of the fact) — kept only as
+    * the equality baseline for RelationalPlanSpec.
+    */
+  private[graft] def rollupSalesNative(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(

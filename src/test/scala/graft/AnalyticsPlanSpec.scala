@@ -34,3 +34,40 @@ class AnalyticsPlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("Expand"))
   }
 }
+
+/** Same discipline for rollup_sales: the rollup-over-pre-aggregate form
+  * must equal the native rollup bit-for-bit, and its Expand must sit
+  * above the fact aggregate (replicating ≤|flag×status| rows), not on
+  * the scan (replicating every fact row ×3).
+  */
+class RelationalPlanSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("rollup-over-pre-aggregate is bit-identical to native rollup") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+    }
+    assert(rowsOf(operators.Relational.rollupSales(spark, sf)) ==
+      rowsOf(operators.Relational.rollupSalesNative(spark, sf)))
+  }
+
+  test("rollup Expand runs over the pre-aggregate, not the scan") {
+    // logical plan: the physical tree hides inside AdaptiveSparkPlanExec
+    val plan = operators.Relational.rollupSales(spark, sf)
+      .queryExecution.optimizedPlan
+    val expands = plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.nonEmpty, "rollup should still plan an Expand")
+    // the Expand's subtree must already contain the (flag, status) fact
+    // aggregate — i.e. it replicates pre-aggregated rows, not the scan
+    expands.foreach { e =>
+      val under = e.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.size == 2 => a
+      }
+      assert(under.nonEmpty, "Expand is replicating raw fact rows")
+    }
+  }
+}
