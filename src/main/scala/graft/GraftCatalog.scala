@@ -49,7 +49,11 @@ object GraftCatalog {
             graft.lake.LakeTable.read(spark, path).createOrReplaceTempView(s"${name}_tbl")
         }
       }
-    saveCatalog(spark, warehouseDir)
+    // best-effort: a read-only consumer registering over someone else's
+    // warehouse must not fail on the catalog write (the producer's
+    // materialization path persists it anyway)
+    try saveCatalog(spark, warehouseDir)
+    catch { case _: java.io.IOException | _: SecurityException => () }
   }
 
   // ------------------------------------------------ persistent registry
@@ -85,10 +89,27 @@ object GraftCatalog {
       "partitionColumns" -> JArray(snap.partitionColumns.map(JString(_)).toList))
     val p = catalogFile(warehouseDir)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = f.create(p, true)
+    // tmp + atomic-replace publish — an in-place truncate-then-write
+    // would let a concurrently-initializing consumer session read a
+    // half-written file and fail its restore. Last-writer-wins overwrite
+    // is correct here (content derives purely from what is on disk).
+    val tmp = new org.apache.hadoop.fs.Path(
+      warehouseDir, s"._catalog-${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, false)
     try out.write(JsonMethods.compact(JsonMethods.render(
       JObject("tables" -> JArray(entries.toList)))).getBytes("UTF-8"))
     finally out.close()
+    if (f.getUri.getScheme == "file") {
+      // POSIX rename(2): atomic replace
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Restore the lake-table SQL surface in THIS session from a
@@ -106,7 +127,11 @@ object GraftCatalog {
     if (!f.exists(p)) return Seq.empty
     val in = f.open(p)
     val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val tables = (JsonMethods.parse(txt) \ "tables").asInstanceOf[JArray].arr
+    // tolerate malformed content (pre-atomic-save writers, foreign
+    // droppings): a consumer session's init must never crash on it
+    val tables = scala.util.Try {
+      (JsonMethods.parse(txt) \ "tables").asInstanceOf[JArray].arr
+    }.getOrElse(List.empty)
     tables.flatMap { e =>
       (e \ "name", e \ "path") match {
         case (JString(name), JString(path))

@@ -26,8 +26,16 @@ object GraftSession {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     // restore the lake-table SQL surface when a warehouse is configured
-    // (spark.graft.warehouse) — the Glue-catalog analog for consumers
-    GraftCatalog.init(s)
+    // (spark.graft.warehouse) — the Glue-catalog analog for consumers.
+    // Once per (session, warehouse): repeated get() calls must not
+    // re-read _catalog.json and re-resolve every table's snapshot —
+    // the restored views are live (format "graft"), so a second restore
+    // buys nothing.
+    val wh = s.conf.getOption("spark.graft.warehouse")
+    if (wh.isDefined && s.conf.getOption("spark.graft.warehouse.restored") != wh) {
+      GraftCatalog.init(s)
+      s.conf.set("spark.graft.warehouse.restored", wh.get)
+    }
     s
   }
 

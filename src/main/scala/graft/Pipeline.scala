@@ -87,17 +87,22 @@ object Pipeline {
     * source behind the freshest one; a breach fails the run BEFORE
     * materializing (don't build silver from stale bronze — the
     * reference gates freshness at landing, s3_data_landing_component
-    * .py:176-196).
+    * .py:176-196). `freshnessMaxAgeMs` additionally gates against wall
+    * clock, catching the total-outage case where every source is
+    * uniformly stale and relative lag reads 0.
     */
   def runSilver(spark: SparkSession, srcDir: String, warehouseDir: String,
-                freshnessSlaMs: Option[Long] = None): Map[String, Long] = {
-    freshnessSlaMs.foreach { sla =>
-      val stale = Quality.dqFreshnessGate(spark, srcDir, sla)
+                freshnessSlaMs: Option[Long] = None,
+                freshnessMaxAgeMs: Option[Long] = None): Map[String, Long] = {
+    if (freshnessSlaMs.isDefined || freshnessMaxAgeMs.isDefined) {
+      val sla = freshnessSlaMs.getOrElse(Long.MaxValue)
+      val stale = Quality.dqFreshnessGate(spark, srcDir, sla, freshnessMaxAgeMs)
         .filter(org.apache.spark.sql.functions.not(org.apache.spark.sql.functions.col("passed")))
         .collect()
       if (stale.nonEmpty)
         throw new IllegalStateException("freshness gate failed: " + stale
-          .map(r => s"${r.getAs[String]("event_type")} lags ${r.getAs[Long]("lag_ms")}ms > ${sla}ms")
+          .map(r => s"${r.getAs[String]("event_type")} lags ${r.getAs[Long]("lag_ms")}ms" +
+            (if (freshnessMaxAgeMs.isDefined) s" (age ${r.getAs[Long]("age_ms")}ms)" else ""))
           .mkString(", "))
     }
     val counts = materialize(spark, srcDir, warehouseDir, "silver", silverModels)

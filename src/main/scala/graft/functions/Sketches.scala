@@ -268,6 +268,11 @@ object Sketches {
   /** Register the sketch functions for use via expr()/SQL. Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // idempotent: sessions built via GraftExtensions already carry these,
+    // and re-registration spams "replaced a previously registered
+    // function" warnings from every call site that defensively registers
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("char_entropy")))
+      return
     reg.createOrReplaceTempFunction("simhash_bits", es => SimHashBits(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")

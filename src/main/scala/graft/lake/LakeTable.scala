@@ -437,11 +437,19 @@ object LakeTable {
     // snapshot paths are raw. Decode and strip the data root exactly —
     // an endsWith match on the encoded form misses partition values
     // that URI-escape (e.g. spaces), silently leaving the matched file
-    // un-rewritten and the table with duplicate keys.
-    val baseRaw = dataPath(table).toUri.getPath.stripSuffix("/")
-    val affectedSet = affectedAbs.flatMap { abs =>
+    // un-rewritten and the table with duplicate keys. Qualify the root
+    // first (a relative table path would otherwise never prefix-match
+    // the reader's absolute URIs), and treat any matched file that does
+    // not map under it as a hard error — silently dropping it would
+    // commit a snapshot with duplicate keys.
+    val f = fs(spark, table)
+    val baseRaw = f.makeQualified(dataPath(table)).toUri.getPath.stripSuffix("/")
+    val affectedSet = affectedAbs.map { abs =>
       val p = decodeFileUri(abs)
-      if (p.startsWith(baseRaw + "/")) Some(p.drop(baseRaw.length + 1)) else None
+      require(p.startsWith(baseRaw + "/"),
+        s"MERGE matched file $p outside the table data root $baseRaw/ — " +
+          "refusing to commit (the file could not be marked for rewrite)")
+      p.drop(baseRaw.length + 1)
     }.toSet
     val affectedRel = snap.files.filter(affectedSet.contains)
 

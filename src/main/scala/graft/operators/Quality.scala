@@ -119,9 +119,25 @@ object Quality {
     * breaches when its newest event lags the freshest source by more
     * than `maxLagMs`; [[graft.Pipeline.runSilver]] fails its gate on
     * any breach before materializing from stale bronze.
+    *
+    * The relative-lag check alone is blind to a TOTAL outage: when
+    * ingest halts for every source at once, all lags are 0 and the gate
+    * passes over arbitrarily old bronze. `maxAgeMs` adds the reference's
+    * wall-clock SLA (landing freshness gates against current time): a
+    * source also breaches when `now - last_ts_ms > maxAgeMs`. `nowMs`
+    * is injectable so specs pin the clock.
     */
-  def dqFreshnessGate(spark: SparkSession, dir: String, maxLagMs: Long): DataFrame =
-    dqFreshness(spark, dir)
+  def dqFreshnessGate(spark: SparkSession, dir: String, maxLagMs: Long,
+                      maxAgeMs: Option[Long] = None,
+                      nowMs: () => Long = () => System.currentTimeMillis()): DataFrame = {
+    val rel = dqFreshness(spark, dir)
       .withColumn("max_lag_ms", lit(maxLagMs))
-      .withColumn("passed", col("lag_ms") <= maxLagMs)
+    maxAgeMs match {
+      case None => rel.withColumn("passed", col("lag_ms") <= maxLagMs)
+      case Some(age) => rel
+        .withColumn("age_ms", lit(nowMs()) - col("last_ts_ms"))
+        .withColumn("max_age_ms", lit(age))
+        .withColumn("passed", col("lag_ms") <= maxLagMs && col("age_ms") <= age)
+    }
+  }
 }

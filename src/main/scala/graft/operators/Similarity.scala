@@ -104,16 +104,26 @@ object Similarity {
   /** Coarse KMeans quantizer, fit on a bounded sample — never the full
     * corpus: cells need rough centroids, and a full-corpus fit is
     * linear in corpus size per invocation, the one 100 TB scale-killer
-    * of the naive formulation. The cap needs NO sizing pass (the old
-    * `count()` cost one extra full scan purely to derive a sample
-    * fraction): order by a hash of the id and take the first N — a
-    * single TakeOrdered pass whose hash order is uncorrelated with
-    * storage order, so the capped sample is unbiased AND deterministic
-    * (ties broken by id; no RNG, reproducible at any parallelism).
+    * of the naive formulation. The sample needs NO sizing pass and NO
+    * global sort: a row is kept iff its id-hash lands in the lowest
+    * `sampleFrac` of hash space — a per-row filter that is deterministic
+    * (no RNG), unbiased (hash order is uncorrelated with storage order),
+    * and embarrassingly parallel. The previous `orderBy(hash).limit`
+    * formulation planned as TakeOrdered, funneling every partition's
+    * top-`sampleCap` rows through one merge task — at extreme partition
+    * counts that single point sees `cap × nPartitions` rows. The filter
+    * has no such point; `limit(sampleCap)` remains only as a cost
+    * ceiling for mid-sized corpora where `frac × N` overshoots the cap
+    * (the quantizer needs rough centroids, so WHICH capped rows win is
+    * immaterial — and below the cap, the small-corpus case, the limit
+    * is a no-op and the sample is exactly the hash-selected set at any
+    * parallelism).
     */
-  private def fitQuantizer(e: DataFrame, cells: Int, sampleCap: Int = 10000) = {
+  private def fitQuantizer(e: DataFrame, cells: Int, sampleCap: Int = 10000,
+                           sampleFrac: Double = 0.25) = {
     import org.apache.spark.ml.clustering.KMeans
-    val train = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleCap)
+    val t = Long.MinValue + (math.BigInt(2).pow(64).toDouble * sampleFrac).toLong
+    val train = e.filter(xxhash64(col("vec_id")) < lit(t)).limit(sampleCap)
     // few iterations: a coarse quantizer needs rough cells, not convergence
     new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(train)
