@@ -35,10 +35,17 @@ object GraftCatalog {
   /** Register the MATERIALIZED lake tables of a pipeline warehouse as
     * temp views (`<name>_tbl`, to keep the lazy model views available
     * alongside) — the analog of the reference's Glue-cataloged Iceberg
-    * tables being queryable by name in Trino. Partition pruning works
-    * through the view: the view body is a lake snapshot scan. Also
-    * persists the registry (see [[saveCatalog]]) so a FRESH session can
-    * restore the same surface from the warehouse directory alone.
+    * tables being queryable by name in Trino. The views are LIVE: each
+    * is a `format("graft")` relation whose file list re-resolves from
+    * the transaction log at every query planning (see
+    * [[graft.lake.GraftFileIndex]]), so after any writer's
+    * MERGE/append the very next `spark.sql` over the view sees the new
+    * rows — no re-registration, matching the reference's
+    * query-time Glue resolution. (Only SCHEMA changes still need a
+    * re-register: the view's resolved attributes are fixed.) Partition
+    * pruning works through the view. Also persists the registry (see
+    * [[saveCatalog]]) so a FRESH session can restore the same surface
+    * from the warehouse directory alone.
     */
   def registerLake(spark: SparkSession, warehouseDir: String): Unit = {
     Seq("silver" -> Pipeline.silverModels.keySet, "gold" -> Pipeline.goldModels.keySet)
@@ -46,7 +53,7 @@ object GraftCatalog {
         names.foreach { name =>
           val path = Pipeline.tablePath(warehouseDir, layer, name)
           if (graft.lake.LakeTable.versions(spark, path).nonEmpty)
-            graft.lake.LakeTable.read(spark, path).createOrReplaceTempView(s"${name}_tbl")
+            graft.lake.LakeTable.readLive(spark, path).createOrReplaceTempView(s"${name}_tbl")
         }
       }
     // best-effort: a read-only consumer registering over someone else's
@@ -114,10 +121,10 @@ object GraftCatalog {
 
   /** Restore the lake-table SQL surface in THIS session from a
     * warehouse's persisted registry: each cataloged table registers as
-    * `<name>_tbl` over its latest snapshot. Returns the registered
-    * names (empty when the warehouse has no catalog). Restoration needs
-    * only the directory — not the model registry — so any consumer
-    * session can do it.
+    * a LIVE `<name>_tbl` view (query-time snapshot resolution, like
+    * [[registerLake]]). Returns the registered names (empty when the
+    * warehouse has no catalog). Restoration needs only the directory —
+    * not the model registry — so any consumer session can do it.
     */
   def restoreLake(spark: SparkSession, warehouseDir: String): Seq[String] = {
     import org.json4s._
@@ -136,7 +143,7 @@ object GraftCatalog {
       (e \ "name", e \ "path") match {
         case (JString(name), JString(path))
             if graft.lake.LakeTable.versions(spark, path).nonEmpty =>
-          graft.lake.LakeTable.read(spark, path).createOrReplaceTempView(s"${name}_tbl")
+          graft.lake.LakeTable.readLive(spark, path).createOrReplaceTempView(s"${name}_tbl")
           Some(s"${name}_tbl")
         case _ => None
       }

@@ -1,0 +1,152 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EvalMode, Expression, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A [[FileIndex]] over a graft lake table that re-resolves the
+  * snapshot at QUERY time, not at registration time.
+  *
+  * This is the piece that makes the SQL surface live: a temp view (or
+  * `spark.read.format("graft")` DataFrame) holds this index inside its
+  * `HadoopFsRelation`, and Spark calls [[listFiles]] during the
+  * physical planning of EVERY query execution — so a reader session
+  * always sees the newest committed snapshot, exactly like the
+  * reference's Trino readers resolving the current Iceberg snapshot
+  * through Glue per query (ref:
+  * trino_iceberg_transform_component.py:37,116-123). The previous
+  * design baked a fixed file list into the view at registration,
+  * leaving every other session indefinitely stale after a writer's
+  * MERGE/append. With `asOf` set the index pins that version forever —
+  * time travel is supposed to be frozen.
+  *
+  * Pinning: the snapshot is resolved once per [[listFiles]] call and
+  * cached keyed by version, so repeated metadata calls within one
+  * planning pass are O(1) revalidations (a hint-file read — the same
+  * cost discipline as `LakeTable.latestVersion`). The SCHEMA the
+  * enclosing relation exposes is still fixed at relation creation —
+  * schema evolution needs re-registration; the file list never does.
+  *
+  * Partition pruning: snapshot files live in hive-style `col=value/`
+  * dirs; the index parses partition values from the paths and
+  * evaluates Spark's pushed partition filters against them (the same
+  * name-bound interpreted predicate `PartitioningAwareFileIndex`
+  * uses), so a filter on a partition column reads only that
+  * partition's files — plan-visible as a pruned `FileSourceScan`.
+  */
+final class GraftFileIndex(spark: SparkSession, tablePath: String,
+                           asOf: Option[Long]) extends FileIndex {
+
+  private val hadoopFs = LakeTable.fs(spark, tablePath)
+  private val dataRoot = hadoopFs.makeQualified(LakeTable.dataPath(tablePath))
+
+  /** Snapshot the next scan will read: `asOf` pins; otherwise latest. */
+  def snapshotNow(): LakeTable.Snapshot = asOf match {
+    case Some(v) => LakeTable.snapshotAt(spark, tablePath, v)
+    case None => LakeTable.latestSnapshot(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tablePath"))
+  }
+
+  // fixed at index creation: the relation's schema cannot change under
+  // a live plan (Spark resolved attributes against it)
+  private val initialSnapshot: LakeTable.Snapshot = snapshotNow()
+
+  override val partitionSchema: StructType = GraftDataSource.asNullable(
+    StructType(initialSnapshot.partitionColumns.map(initialSnapshot.schema(_))))
+
+  override def rootPaths: Seq[Path] = Seq(dataRoot)
+
+  // ------------------------------------------------ snapshot-keyed cache
+
+  /** (version, per-partition-tuple file groups, total bytes). */
+  private var cached: Option[(Long, Seq[(InternalRow, Array[FileStatus])], Long)] = None
+
+  private def resolve(): (Seq[(InternalRow, Array[FileStatus])], Long) = synchronized {
+    val snap = snapshotNow()
+    cached match {
+      case Some((v, parts, bytes)) if v == snap.version => (parts, bytes)
+      case _ =>
+        // one recursive listing of data/ (not one RPC per file), then
+        // keep exactly the snapshot's files — time travel and racing
+        // writers may leave extra files on disk that must not be read
+        val byRel = scala.collection.mutable.HashMap.empty[String, FileStatus]
+        if (hadoopFs.exists(dataRoot)) {
+          val it = hadoopFs.listFiles(dataRoot, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile) byRel(LakeTable.relativize(dataRoot, st.getPath)) = st
+          }
+        }
+        val statuses = snap.files.map { rel =>
+          rel -> byRel.getOrElse(rel,
+            // a file committed in the snapshot but absent from the
+            // listing is corruption (or an over-eager vacuum) — fail
+            // loudly rather than silently returning partial data
+            throw new IllegalStateException(
+              s"snapshot v${snap.version} of $tablePath references missing data file $rel"))
+        }
+        val parts = statuses
+          .groupBy { case (rel, _) => partitionValuesOf(rel) }
+          .toSeq
+          .map { case (row, group) => (row, group.map(_._2).toArray) }
+        val bytes = statuses.map(_._2.getLen).sum
+        cached = Some((snap.version, parts, bytes))
+        (parts, bytes)
+    }
+  }
+
+  /** Parse hive-style `col=value/` dirs of a table-relative file path
+    * into the partition-schema row (same unescape + cast semantics the
+    * built-in partition discovery applies; LEGACY cast mode so a
+    * malformed value surfaces as null, not an ANSI throw).
+    */
+  private def partitionValuesOf(rel: String): InternalRow = {
+    if (partitionSchema.isEmpty) return InternalRow.empty
+    val dirs = rel.split('/').dropRight(1)
+    val byName = dirs.iterator.map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> ExternalCatalogUtils.unescapePathName(v)
+    }.toMap
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case None | Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
+        case Some(raw) =>
+          Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType, tz,
+            EvalMode.LEGACY).eval(InternalRow.empty)
+      }
+    })
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (parts, _) = resolve()
+    val pruned =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) parts
+      else {
+        val resolver = spark.sessionState.conf.resolver
+        val bound = Predicate.createInterpreted(partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fields.indexWhere(f => resolver(f.name, a.name))
+            BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+        })
+        bound.initialize(0)
+        parts.filter { case (row, _) => bound.eval(row) }
+      }
+    pruned.map { case (row, statuses) => PartitionDirectory(row, statuses) }
+  }
+
+  override def inputFiles: Array[String] =
+    resolve()._1.flatMap(_._2.map(_.getPath.toString)).toArray
+
+  override def sizeInBytes: Long = resolve()._2
+
+  override def refresh(): Unit = synchronized { cached = None }
+
+  override def toString: String =
+    s"GraftFileIndex($tablePath${asOf.map(v => s", asOf=$v").getOrElse("")})"
+}

@@ -65,9 +65,9 @@ object LakeTable {
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
-  private def logPath(table: String) = new Path(table, "_graft_log")
-  private def dataPath(table: String) = new Path(table, "data")
-  private def fs(spark: SparkSession, table: String): FileSystem =
+  private[lake] def logPath(table: String) = new Path(table, "_graft_log")
+  private[lake] def dataPath(table: String) = new Path(table, "data")
+  private[lake] def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def versionFile(table: String, v: Long): Path =
@@ -168,7 +168,7 @@ object LakeTable {
     * since the hint was written)), falling back to the O(commits)
     * directory listing when there is no usable hint.
     */
-  private def latestVersion(spark: SparkSession, table: String): Option[Long] = {
+  private[lake] def latestVersion(spark: SparkSession, table: String): Option[Long] = {
     val f = fs(spark, table)
     readHint(f, table).filter(h => f.exists(versionFile(table, h))) match {
       case Some(h) =>
@@ -279,7 +279,7 @@ object LakeTable {
     try new Path(new java.net.URI(fileUri)).toUri.getPath
     catch { case _: java.net.URISyntaxException => new Path(fileUri).toUri.getPath }
 
-  private def relativize(base: Path, p: Path): String = {
+  private[lake] def relativize(base: Path, p: Path): String = {
     val b = base.toUri.getPath.stripSuffix("/")
     val s = p.toUri.getPath
     require(s.startsWith(b + "/"), s"$p not under $base")
@@ -363,6 +363,23 @@ object LakeTable {
         .parquet(paths: _*)
         .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
     }
+  }
+
+  /** Read the table through the registered `graft` data source
+    * ([[GraftDataSource]]): the returned DataFrame re-resolves the
+    * latest snapshot's file list at EVERY query planning, so a
+    * long-lived handle (an SQL view, a cached-in-a-notebook DataFrame)
+    * always reads the newest committed data. [[read]] pins the snapshot
+    * at call time — right for a single job execution; this is right for
+    * a registered surface. Column order matches the snapshot schema
+    * (the file-source relation would otherwise move partition columns
+    * last).
+    */
+  def readLive(spark: SparkSession, table: String): DataFrame = {
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    spark.read.format("graft").load(table)
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Commit history, latest first: (version, timestamp_ms, operation, num_files). */
