@@ -202,7 +202,11 @@ object LakeTable {
     val out = f.create(tmp, false)
     try out.write(renderSnapshot(snap).getBytes("UTF-8")) finally out.close()
     val won = publishIfAbsent(f, tmp, target)
-    if (won) writeLatestHint(f, table, snap.version)
+    if (won) {
+      writeLatestHint(f, table, snap.version)
+      if (snap.version % checkpointInterval == 0)
+        writeHistoryCheckpoint(f, table, snap.version)
+    }
     won
   }
 
@@ -365,6 +369,82 @@ object LakeTable {
     }
   }
 
+  // ------------------------------------------------- history checkpoint
+  //
+  // history() needs (version, ts, operation, num_files) per commit; with
+  // only the per-version JSONs that is O(commits) file reads per call —
+  // fine at daily cadence, painful for a maintenance dashboard over a
+  // streaming table with tens of thousands of commits. Every
+  // checkpointInterval-th commit therefore rolls the summaries up into
+  // one `_history_checkpoint` file (incrementally: previous checkpoint +
+  // the ≤interval new snapshots), and history() reads checkpoint + tail.
+  // Like the latest-hint, the checkpoint is ADVISORY: missing, stale,
+  // torn or foreign content degrades to parsing the per-version JSONs;
+  // correctness never depends on it.
+
+  private[lake] val checkpointInterval = 10L
+
+  private def checkpointFile(table: String) = new Path(logPath(table), "_history_checkpoint")
+
+  private final case class HistEntry(version: Long, timestampMs: Long,
+                                     operation: String, numFiles: Long)
+
+  private def snapshotSummary(s: Snapshot): HistEntry =
+    HistEntry(s.version, s.timestampMs, s.operation, s.files.size.toLong)
+
+  private def readCheckpoint(f: FileSystem, table: String): Option[(Long, Seq[HistEntry])] =
+    try {
+      val p = checkpointFile(table)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        scala.util.Try {
+          val j = JsonMethods.parse(txt)
+          val upTo = jLong(j \ "version")
+          val entries = (j \ "entries").asInstanceOf[JArray].arr.map { e =>
+            HistEntry(jLong(e \ "v"), jLong(e \ "ts"), jStr(e \ "op"), jLong(e \ "nf"))
+          }
+          (upTo, entries)
+        }.toOption
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private def writeHistoryCheckpoint(f: FileSystem, table: String, upTo: Long): Unit =
+    try {
+      val prev = readCheckpoint(f, table)
+      val carried = prev.map(_._2.filter(_.version <= upTo)).getOrElse(Seq.empty)
+      val from = prev.map(_._1 + 1).getOrElse(1L)
+      val fresh = (from to upTo).flatMap { v =>
+        val p = versionFile(table, v)
+        // a gap (foreign deletion) is skipped, not fatal — advisory file
+        if (f.exists(p)) scala.util.Try(snapshotSummary(readSnapshotFile(f, p))).toOption
+        else None
+      }
+      val entries = carried ++ fresh
+      val body = JsonMethods.compact(JsonMethods.render(JObject(
+        "version" -> JLong(upTo),
+        "entries" -> JArray(entries.map(e => JObject(
+          "v" -> JLong(e.version), "ts" -> JLong(e.timestampMs),
+          "op" -> JString(e.operation), "nf" -> JLong(e.numFiles))).toList))))
+      // tmp + atomic replace so a concurrent history() never reads a torn
+      // file (the Try parse would shrug it off, but then that call pays
+      // the full O(commits) fallback for nothing)
+      val tmp = new Path(logPath(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (f.getUri.getScheme == "file")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(checkpointFile(table).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
+        fc.rename(tmp, checkpointFile(table), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+    } catch { case _: java.io.IOException => () } // advisory — never fail a commit
+
   /** Read the table through the registered `graft` data source
     * ([[GraftDataSource]]): the returned DataFrame re-resolves the
     * latest snapshot's file list at EVERY query planning, so a
@@ -382,11 +462,21 @@ object LakeTable {
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  /** Commit history, latest first: (version, timestamp_ms, operation, num_files). */
+  /** Commit history, latest first: (version, timestamp_ms, operation,
+    * num_files). Reads the rolled-up `_history_checkpoint` for the
+    * covered prefix and parses per-version JSONs only for the tail
+    * since it (≤ checkpointInterval files), so the call is O(tail), not
+    * O(commits); with no usable checkpoint it degrades to parsing
+    * everything.
+    */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
-    versions(spark, table).map(v => snapshotAt(spark, table, v))
-      .map(s => (s.version, s.timestampMs, s.operation, s.files.size.toLong))
+    val f = fs(spark, table)
+    val byVersion = readCheckpoint(f, table)
+      .map(_._2.map(e => e.version -> e).toMap).getOrElse(Map.empty)
+    versions(spark, table)
+      .map(v => byVersion.getOrElse(v, snapshotSummary(snapshotAt(spark, table, v))))
+      .map(e => (e.version, e.timestampMs, e.operation, e.numFiles))
       .sortBy(-_._1)
       .toDF("version", "timestamp_ms", "operation", "num_files")
   }

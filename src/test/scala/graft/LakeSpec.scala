@@ -317,4 +317,45 @@ class LakeSpec extends SparkSpec {
       LakeTable.read(spark, t, asOf = Some(1L)).collect()
     }
   }
+
+  test("history reads the rolled-up checkpoint, not O(commits) snapshot parses") {
+    val t = tmpTable("lake_cp")
+    def df(i: Int) = Seq((i.toLong, s"r$i")).toDF("id", "s")
+    (1 to 23).foreach(i => LakeTable.overwrite(spark, t, df(i)))
+
+    // the 20th commit rolled a checkpoint covering versions 1..20
+    val cp = java.nio.file.Paths.get(s"$t/_graft_log/_history_checkpoint")
+    assert(java.nio.file.Files.exists(cp))
+    val expect = (1L to 23L).reverse
+    val h1 = LakeTable.history(spark, t).collect()
+    assert(h1.map(_.getLong(0)).toSeq == expect)
+    assert(h1.forall(_.getString(2) == "OVERWRITE"))
+
+    // no checkpoint -> same answer via the full-parse fallback
+    val saved = java.nio.file.Files.readAllBytes(cp)
+    java.nio.file.Files.delete(cp)
+    assert(LakeTable.history(spark, t).collect().map(_.getLong(0)).toSeq == expect)
+    java.nio.file.Files.write(cp, saved)
+
+    // torn/garbage checkpoint -> also falls back, never crashes
+    java.nio.file.Files.write(cp, "{\"half\":".getBytes("UTF-8"))
+    assert(LakeTable.history(spark, t).collect().map(_.getLong(0)).toSeq == expect)
+    java.nio.file.Files.write(cp, saved)
+
+    // the proof history() does NOT parse checkpoint-covered JSONs: make
+    // versions 1..19 unreadable on disk; the summary must still answer
+    // for them (v20..23 parse from the intact tail)
+    val logDir = java.nio.file.Paths.get(s"$t/_graft_log")
+    (1 to 19).foreach { v =>
+      val p = logDir.resolve(f"$v%020d.json")
+      java.nio.file.Files.write(p, "garbage".getBytes("UTF-8"))
+    }
+    intercept[Exception] { LakeTable.snapshotAt(spark, t, 3L) } // really unreadable
+    val h2 = LakeTable.history(spark, t).collect()
+    assert(h2.map(_.getLong(0)).toSeq == expect)
+    assert(h2.forall(_.getLong(3) == 1L)) // num_files carried through the rollup
+    // time travel within the intact tail is unaffected
+    assert(LakeTable.read(spark, t, asOf = Some(21L)).as[(Long, String)]
+      .collect().toSet == Set((21L, "r21")))
+  }
 }
