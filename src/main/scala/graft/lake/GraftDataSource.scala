@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 object GraftDataSource {
@@ -57,7 +57,7 @@ object GraftDataSource {
   * forwarded to V1 sources by Spark — pass `option("partitionBy",
   * "a,b")` instead; appends always carry the table's partitioning.
   */
-class GraftDataSource extends RelationProvider
+class GraftDataSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -85,6 +85,18 @@ class GraftDataSource extends RelationProvider
     HadoopFsRelation(index, partitionSchema, dataSchema, bucketSpec = None,
       new ParquetFileFormat, parameters)(spark)
   }
+
+  /** `CREATE TABLE ... USING graft` support: the session catalog stores
+    * the schema observed at CREATE time and re-passes it on every later
+    * resolution. The transaction log — not the catalog — owns this
+    * table's schema (it may have evolved since CREATE), so the passed
+    * schema is deliberately ignored in favor of the current snapshot's;
+    * a bare RelationProvider would instead hard-fail the resolution on
+    * the first post-CREATE schema evolution.
+    */
+  override def createRelation(sqlContext: SQLContext, parameters: Map[String, String],
+                              schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters)
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],

@@ -487,7 +487,10 @@ object LakeTable {
     * same `keys` value; unmatched update rows insert. File-granularity
     * copy-on-write — only files containing a matched key are rewritten;
     * all other files carry over by reference. `updates` must be
-    * key-unique and share the table schema.
+    * key-unique. Schema evolves like [[append]]: new update columns
+    * merge into the snapshot schema (reading as null from files not
+    * rewritten), existing-name type conflicts are refused, and an
+    * update set missing an existing column writes null there.
     *
     * A concurrent commit between the rewrite and the publish would
     * invalidate the copied files, so a lost race aborts with
@@ -560,9 +563,15 @@ object LakeTable {
     }.toSet
     val affectedRel = snap.files.filter(affectedSet.contains)
 
-    val ordered = snap.schema.fieldNames.map(col).toIndexedSeq
+    // schema evolution, same rules as append: new update columns merge
+    // into the snapshot schema (existing-name type conflicts refused);
+    // files that are not rewritten simply lack the column and read as
+    // null — including the matched-but-untouched rows carried into the
+    // rewritten files via the union below
+    val schema = mergeSchemas(snap.schema, updates.schema)
+    val ordered = schema.fieldNames.map(col).toIndexedSeq
     val rewritten =
-      if (affectedRel.isEmpty) updates.select(ordered: _*)
+      if (affectedRel.isEmpty) updates
       else {
         val affectedPaths = affectedRel.map(rel => new Path(base, rel).toString)
         val affectedRows = spark.read
@@ -570,14 +579,14 @@ object LakeTable {
           .schema(snap.schema)
           .parquet(affectedPaths: _*)
         affectedRows.join(broadcast(updKeys), keys, "left_anti")
+          .unionByName(updates, allowMissingColumns = true)
           .select(ordered: _*)
-          .unionByName(updates.select(ordered: _*))
       }
 
     val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns)
     val files = snap.files.filterNot(affectedRel.toSet) ++ newFiles
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
-      snap.schema, snap.partitionColumns, files)
+      schema, snap.partitionColumns, files)
     if (!tryCommit(spark, table, next))
       throw new ConcurrentCommitException(s"MERGE on $table lost the commit race")
     next.version

@@ -89,6 +89,26 @@ class LakeSourceSpec extends SparkSpec {
     assert(latest.count() == 12)
   }
 
+  test("CREATE TABLE USING graft resolves through the log and stays live") {
+    val t = tmpTable("live_ddl")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graft").mode("overwrite").save(t)
+    spark.sql(s"CREATE TABLE graft_ddl_tbl USING graft OPTIONS (path '$t')")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_ddl_tbl").head.getLong(0) == 2)
+      // a commit AFTER the CREATE is visible to the catalog table's next
+      // query — even through Spark's cached relation, because the file
+      // list lives in GraftFileIndex, not the catalog
+      LakeTable.append(spark, t, Seq((3L, "c", 1.5)).toDF("id", "s", "score"))
+      assert(spark.sql("SELECT count(*) FROM graft_ddl_tbl").head.getLong(0) == 3)
+      // schema (unlike the file list) is pinned by the cached relation;
+      // REFRESH TABLE re-resolves and must NOT brick on the evolved
+      // schema (the log owns it — the catalog's stored copy is ignored)
+      spark.sql("REFRESH TABLE graft_ddl_tbl")
+      assert(spark.sql("SELECT * FROM graft_ddl_tbl").columns.contains("score"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_tbl")
+  }
+
   test("SaveMode surface: overwrite with partitioning, evolving append, ErrorIfExists") {
     val t = tmpTable("live_write")
     Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "s", "part")

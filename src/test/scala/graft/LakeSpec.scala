@@ -318,6 +318,28 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("merge evolves schema like append: a new update column nulls untouched rows") {
+    val t = tmpTable("lake_mev")
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c")).toDF("id", "part", "s"),
+      partitionBy = Seq("part"))
+    // updates carry a brand-new column: upsert id=2, insert id=4
+    LakeTable.merge(spark, t,
+      Seq((2L, "p1", "B", 9.5), (4L, "p2", "d", 7.0)).toDF("id", "part", "s", "score"),
+      keys = Seq("id"))
+    val out = LakeTable.read(spark, t)
+    assert(out.columns.toSeq == Seq("id", "part", "s", "score"))
+    val m = out.select("id", "score").as[(Long, Option[Double])].collect().toMap
+    // id=1 sat in a rewritten file, id=3 in a carried-over one — both null
+    assert(m == Map(1L -> None, 2L -> Some(9.5), 3L -> None, 4L -> Some(7.0)))
+    // pre-merge version still reads with its own narrower schema
+    assert(LakeTable.read(spark, t, asOf = Some(1L)).columns.toSeq == Seq("id", "part", "s"))
+    // conflicting type on an existing column is refused, like append
+    intercept[IllegalArgumentException] {
+      LakeTable.merge(spark, t, Seq(("5", "p1", "x")).toDF("id", "part", "s"), keys = Seq("id"))
+    }
+  }
+
   test("history reads the rolled-up checkpoint, not O(commits) snapshot parses") {
     val t = tmpTable("lake_cp")
     def df(i: Int) = Seq((i.toLong, s"r$i")).toDF("id", "s")

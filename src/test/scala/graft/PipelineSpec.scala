@@ -195,6 +195,34 @@ class PipelineSpec extends SparkSpec {
       Pipeline.tablePath(tmp, "silver", "fact_events")).isEmpty)
   }
 
+  test("wall-clock SLA catches a total outage the relative-lag gate is blind to") {
+    val fresh = operators.Quality.dqFreshness(spark, sf).collect()
+    val maxTs = fresh.map(_.getAs[Long]("last_ts_ms")).max
+    val maxLag = fresh.map(_.getAs[Long]("lag_ms")).max
+    // simulate "ingest halted an hour ago": every source is uniformly
+    // an hour older than the pinned clock. Relative lag alone passes...
+    val hour = 3600L * 1000
+    val now = () => maxTs + hour
+    val blind = operators.Quality.dqFreshnessGate(spark, sf, maxLagMs = maxLag)
+    assert(blind.filter(not(col("passed"))).count() == 0)
+    // ...the wall-clock SLA breaches every source
+    val gate = operators.Quality.dqFreshnessGate(spark, sf, maxLagMs = maxLag,
+      maxAgeMs = Some(hour - 1), nowMs = now)
+    assert(gate.filter(col("passed")).count() == 0)
+    assert(gate.columns.contains("age_ms") && gate.columns.contains("max_age_ms"))
+    // a tolerant age bound passes everything again
+    assert(operators.Quality.dqFreshnessGate(spark, sf, maxLag,
+      Some(hour + maxLag), now).filter(not(col("passed"))).count() == 0)
+    // wired into runSilver: the age-only breach aborts before any write
+    val tmp = java.nio.file.Files.createTempDirectory("warehouse_age").toString
+    val e = intercept[IllegalStateException] {
+      Pipeline.runSilver(spark, sf, tmp, freshnessMaxAgeMs = Some(0L))
+    }
+    assert(e.getMessage.contains("freshness gate failed"))
+    assert(lake.LakeTable.versions(spark,
+      Pipeline.tablePath(tmp, "silver", "fact_events")).isEmpty)
+  }
+
   test("lineage covers every silver model column exactly once") {
     val lin = operators.Lineage.lineage(spark, sf)
     val models = lin.select("model").distinct().collect().map(_.getString(0)).toSet
