@@ -168,7 +168,11 @@ object GraftCatalog {
 /** Session extensions: inject the custom expressions as SQL functions
   * at session build time (`GraftSession.builder` applies this), so SQL
   * users get simhash_bits / minhash_sig / dot_d / jaccard_sorted /
-  * lsh_sigs without any registration call.
+  * lsh_sigs without any registration call. Also guards the SQL write
+  * surface: a static `PARTITION (...)` spec on an INSERT into a graft
+  * table would bypass [[graft.lake.GraftRelation]]'s transactional
+  * insert and write raw files past the transaction log — rejected
+  * loudly; partition routing is automatic from row values.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -176,6 +180,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import graft.functions.Sketches._
 
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    // SQL DML over lake tables: rewrite the analyzer's raw-file insert
+    // into the transactional GraftInsertCommand (post-hoc, so column
+    // matching/casts have already been applied)
+    ext.injectPostHocResolutionRule(_ => new graft.lake.GraftInsertRule)
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

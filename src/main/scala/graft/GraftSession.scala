@@ -33,8 +33,12 @@ object GraftSession {
     // buys nothing.
     val wh = s.conf.getOption("spark.graft.warehouse")
     if (wh.isDefined && s.conf.getOption("spark.graft.warehouse.restored") != wh) {
-      GraftCatalog.init(s)
-      s.conf.set("spark.graft.warehouse.restored", wh.get)
+      // only latch the flag when something was actually restored: a
+      // consumer session created BEFORE the producer materialized (no
+      // _catalog.json yet) must retry on its next get(), not stay
+      // empty forever
+      if (GraftCatalog.init(s).nonEmpty)
+        s.conf.set("spark.graft.warehouse.restored", wh.get)
     }
     s
   }

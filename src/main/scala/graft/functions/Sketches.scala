@@ -270,8 +270,13 @@ object Sketches {
     val reg = spark.sessionState.functionRegistry
     // idempotent: sessions built via GraftExtensions already carry these,
     // and re-registration spams "replaced a previously registered
-    // function" warnings from every call site that defensively registers
-    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("char_entropy")))
+    // function" warnings from every call site that defensively registers.
+    // ALL six names gate the skip — a hypothetical partial registration
+    // must fall through and (re-)register everything
+    val names = Seq("simhash_bits", "minhash_sig", "dot_d", "jaccard_sorted",
+      "lsh_sigs", "char_entropy")
+    if (names.forall(n =>
+        reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
       return
     reg.createOrReplaceTempFunction("simhash_bits", es => SimHashBits(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",

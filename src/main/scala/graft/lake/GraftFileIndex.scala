@@ -30,7 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * planning pass are O(1) revalidations (a hint-file read — the same
   * cost discipline as `LakeTable.latestVersion`). The SCHEMA the
   * enclosing relation exposes is still fixed at relation creation —
-  * schema evolution needs re-registration; the file list never does.
+  * when a writer evolves the schema or changes the partition layout
+  * under a live view, the next query FAILS LOUDLY with a re-register
+  * hint (see checkNotStale) instead of silently projecting stale
+  * columns; the file list alone re-resolves freely.
   *
   * Partition pruning: snapshot files live in hive-style `col=value/`
   * dirs; the index parses partition values from the paths and
@@ -39,8 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * uses), so a filter on a partition column reads only that
   * partition's files — plan-visible as a pruned `FileSourceScan`.
   */
-final class GraftFileIndex(spark: SparkSession, tablePath: String,
-                           asOf: Option[Long]) extends FileIndex {
+final class GraftFileIndex(spark: SparkSession, val tablePath: String,
+                           val asOf: Option[Long]) extends FileIndex {
 
   private val hadoopFs = LakeTable.fs(spark, tablePath)
   private val dataRoot = hadoopFs.makeQualified(LakeTable.dataPath(tablePath))
@@ -64,36 +67,77 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
   // ------------------------------------------------ snapshot-keyed cache
 
   /** (version, per-partition-tuple file groups, total bytes). */
-  private var cached: Option[(Long, Seq[(InternalRow, Array[FileStatus])], Long)] = None
+  private var cached: Option[(Long, Seq[(InternalRow, Array[(FileStatus, LakeTable.FileEntry)])], Long)] = None
 
-  private def resolve(): (Seq[(InternalRow, Array[FileStatus])], Long) = synchronized {
+  /** The relation's schema and partition layout are pinned at
+    * registration (Spark resolved the plan's attributes against them);
+    * if a writer has since evolved the schema or re-partitioned the
+    * table, serving the old shape would be SILENTLY wrong — stale
+    * columns projected, partition values parsed as null, filters
+    * pruning everything. Fail loudly instead; the fix is one
+    * re-registration (`REFRESH TABLE` / re-create the view).
+    */
+  private def checkNotStale(snap: LakeTable.Snapshot): Unit = {
+    if (snap.partitionColumns != initialSnapshot.partitionColumns)
+      throw new IllegalStateException(
+        s"partition layout of $tablePath changed at v${snap.version} " +
+          s"(${initialSnapshot.partitionColumns.mkString(",")} -> " +
+          s"${snap.partitionColumns.mkString(",")}) since this relation was " +
+          "registered at v" + initialSnapshot.version +
+          " — re-register the view (REFRESH TABLE / re-create it) to pick up the new layout")
+    if (GraftDataSource.asNullable(snap.schema) !=
+        GraftDataSource.asNullable(initialSnapshot.schema))
+      throw new IllegalStateException(
+        s"schema of $tablePath evolved at v${snap.version} since this relation was " +
+          s"registered at v${initialSnapshot.version} — re-register the view " +
+          "(REFRESH TABLE / re-create it) to read the evolved schema")
+  }
+
+  private def resolve(): (Seq[(InternalRow, Array[(FileStatus, LakeTable.FileEntry)])], Long) = synchronized {
     val snap = snapshotNow()
     cached match {
       case Some((v, parts, bytes)) if v == snap.version => (parts, bytes)
       case _ =>
-        // one recursive listing of data/ (not one RPC per file), then
-        // keep exactly the snapshot's files — time travel and racing
-        // writers may leave extra files on disk that must not be read
-        val byRel = scala.collection.mutable.HashMap.empty[String, FileStatus]
-        if (hadoopFs.exists(dataRoot)) {
-          val it = hadoopFs.listFiles(dataRoot, true)
-          while (it.hasNext) {
-            val st = it.next()
-            if (st.isFile) byRel(LakeTable.relativize(dataRoot, st.getPath)) = st
+        checkNotStale(snap)
+        val statuses: Seq[(String, FileStatus, LakeTable.FileEntry)] =
+          if (snap.files.forall(_.size >= 0)) {
+            // the log carries size + mtime per file, so the scan's
+            // FileStatus objects are built WITHOUT touching the
+            // filesystem — no LIST, no stat. At object-store scale this
+            // is the difference between one small JSON read and a
+            // million-object recursive listing per snapshot change.
+            snap.files.map { e =>
+              val st = new FileStatus(e.size, false, 1, 128L << 20,
+                math.max(e.mtimeMs, 0L), new Path(dataRoot, e.path))
+              (e.path, st, e)
+            }
+          } else {
+            // legacy snapshot (pre-stats log): one recursive listing of
+            // data/ (not one RPC per file), then keep exactly the
+            // snapshot's files — time travel and racing writers may
+            // leave extra files on disk that must not be read
+            val byRel = scala.collection.mutable.HashMap.empty[String, FileStatus]
+            if (hadoopFs.exists(dataRoot)) {
+              val it = hadoopFs.listFiles(dataRoot, true)
+              while (it.hasNext) {
+                val st = it.next()
+                if (st.isFile) byRel(LakeTable.relativize(dataRoot, st.getPath)) = st
+              }
+            }
+            snap.files.map { e =>
+              val st = byRel.getOrElse(e.path,
+                // a file committed in the snapshot but absent from the
+                // listing is corruption (or an over-eager vacuum) — fail
+                // loudly rather than silently returning partial data
+                throw new IllegalStateException(
+                  s"snapshot v${snap.version} of $tablePath references missing data file ${e.path}"))
+              (e.path, st, e)
+            }
           }
-        }
-        val statuses = snap.files.map { rel =>
-          rel -> byRel.getOrElse(rel,
-            // a file committed in the snapshot but absent from the
-            // listing is corruption (or an over-eager vacuum) — fail
-            // loudly rather than silently returning partial data
-            throw new IllegalStateException(
-              s"snapshot v${snap.version} of $tablePath references missing data file $rel"))
-        }
         val parts = statuses
-          .groupBy { case (rel, _) => partitionValuesOf(rel) }
+          .groupBy { case (rel, _, _) => partitionValuesOf(rel) }
           .toSeq
-          .map { case (row, group) => (row, group.map(_._2).toArray) }
+          .map { case (row, group) => (row, group.map(g => (g._2, g._3)).toArray) }
         val bytes = statuses.map(_._2.getLen).sum
         cached = Some((snap.version, parts, bytes))
         (parts, bytes)
@@ -125,10 +169,10 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val (parts, _) = resolve()
+    val resolver = spark.sessionState.conf.resolver
     val pruned =
       if (partitionFilters.isEmpty || partitionSchema.isEmpty) parts
       else {
-        val resolver = spark.sessionState.conf.resolver
         val bound = Predicate.createInterpreted(partitionFilters.reduce(And).transform {
           case a: AttributeReference =>
             val i = partitionSchema.fields.indexWhere(f => resolver(f.name, a.name))
@@ -137,11 +181,23 @@ final class GraftFileIndex(spark: SparkSession, tablePath: String,
         bound.initialize(0)
         parts.filter { case (row, _) => bound.eval(row) }
       }
-    pruned.map { case (row, statuses) => PartitionDirectory(row, statuses) }
+    // file-level data skipping on the logged min/max bounds: a file
+    // whose bounds exclude the pushed filters never reaches the scan
+    val dataSchema = StructType(
+      initialSnapshot.schema.filterNot(f => initialSnapshot.partitionColumns.contains(f.name)))
+    val skipped = pruned.map { case (row, files) =>
+      val kept =
+        if (dataFilters.isEmpty) files
+        else files.filterNot { case (_, entry) =>
+          DataSkipping.skip(dataFilters, dataSchema, resolver, entry)
+        }
+      (row, kept)
+    }.filter(_._2.nonEmpty)
+    skipped.map { case (row, files) => PartitionDirectory(row, files.map(_._1)) }
   }
 
   override def inputFiles: Array[String] =
-    resolve()._1.flatMap(_._2.map(_.getPath.toString)).toArray
+    resolve()._1.flatMap(_._2.map(_._1.getPath.toString)).toArray
 
   override def sizeInBytes: Long = resolve()._2
 

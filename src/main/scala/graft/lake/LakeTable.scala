@@ -59,9 +59,31 @@ import org.json4s.jackson.JsonMethods
   */
 object LakeTable {
 
+  /** Min/max/null-count of one column within one data file, rendered in
+    * the canonical string domain of [[ParquetStats]]/[[DataSkipping]].
+    * Absent pieces mean "unknown" — never skipped on.
+    */
+  final case class ColStats(min: Option[String], max: Option[String],
+                            nullCount: Option[Long])
+
+  /** One data file as the transaction log records it: table-relative
+    * path plus the metadata a reader needs to PLAN a scan without
+    * touching the file or its directory — size and mtime (to build a
+    * `FileStatus` without a LIST), row count and per-column bounds (to
+    * skip the file against pushed filters). This is the manifest-entry
+    * role Iceberg plays for the reference (ref:
+    * trino_iceberg_transform_component.py:116-123). `size < 0` marks a
+    * legacy entry (pre-stats log) — readers fall back to listing, and
+    * the entry upgrades on the next rewrite of the file's snapshot.
+    */
+  final case class FileEntry(path: String, size: Long, mtimeMs: Long,
+                             rowCount: Long, stats: Map[String, ColStats])
+
   final case class Snapshot(version: Long, timestampMs: Long, operation: String,
                             schema: StructType, partitionColumns: Seq[String],
-                            files: Seq[String])
+                            files: Seq[FileEntry]) {
+    def filePaths: Seq[String] = files.map(_.path)
+  }
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
@@ -75,6 +97,18 @@ object LakeTable {
 
   // ---------------------------------------------------------------- log I/O
 
+  private def renderFile(e: FileEntry): JValue = JObject(
+    "p" -> JString(e.path),
+    "sz" -> JLong(e.size),
+    "mt" -> JLong(e.mtimeMs),
+    "rc" -> JLong(e.rowCount),
+    "st" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
+      c -> JObject(List(
+        s.min.map(m => "mn" -> JString(m)),
+        s.max.map(m => "mx" -> JString(m)),
+        s.nullCount.map(n => "nc" -> JLong(n))).flatten)
+    }))
+
   private def renderSnapshot(s: Snapshot): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       "version" -> JLong(s.version),
@@ -82,7 +116,7 @@ object LakeTable {
       "operation" -> JString(s.operation),
       "schemaJson" -> JString(s.schema.json),
       "partitionColumns" -> JArray(s.partitionColumns.map(JString(_)).toList),
-      "files" -> JArray(s.files.map(JString(_)).toList))))
+      "files" -> JArray(s.files.map(renderFile).toList))))
 
   private def jLong(v: JValue): Long = v match {
     case JLong(x) => x
@@ -94,6 +128,33 @@ object LakeTable {
     case other      => throw new IllegalStateException(s"expected string, got $other")
   }
 
+  private def jLongOpt(v: JValue): Option[Long] = v match {
+    case JLong(x) => Some(x)
+    case JInt(x)  => Some(x.toLong)
+    case _        => None
+  }
+  private def jStrOpt(v: JValue): Option[String] = v match {
+    case JString(x) => Some(x)
+    case _          => None
+  }
+
+  /** Back-compat: a pre-stats log records a file as its bare relative
+    * path string; it parses to an entry with unknown size/rows/stats,
+    * which readers treat as "go stat the filesystem".
+    */
+  private def parseFile(j: JValue): FileEntry = j match {
+    case JString(p) => FileEntry(p, -1L, -1L, -1L, Map.empty)
+    case o: JObject =>
+      val stats = (o \ "st") match {
+        case JObject(cols) => cols.map { case (c, v) =>
+          c -> ColStats(jStrOpt(v \ "mn"), jStrOpt(v \ "mx"), jLongOpt(v \ "nc"))
+        }.toMap
+        case _ => Map.empty[String, ColStats]
+      }
+      FileEntry(jStr(o \ "p"), jLong(o \ "sz"), jLong(o \ "mt"), jLong(o \ "rc"), stats)
+    case other => throw new IllegalStateException(s"expected file entry, got $other")
+  }
+
   private def parseSnapshot(s: String): Snapshot = {
     val j = JsonMethods.parse(s)
     Snapshot(
@@ -102,7 +163,7 @@ object LakeTable {
       operation = jStr(j \ "operation"),
       schema = DataType.fromJson(jStr(j \ "schemaJson")).asInstanceOf[StructType],
       partitionColumns = (j \ "partitionColumns").asInstanceOf[JArray].arr.map(jStr),
-      files = (j \ "files").asInstanceOf[JArray].arr.map(jStr))
+      files = (j \ "files").asInstanceOf[JArray].arr.map(parseFile))
   }
 
   private def readSnapshotFile(f: FileSystem, p: Path): Snapshot = {
@@ -250,17 +311,20 @@ object LakeTable {
   /** Write `df` to a transient staging dir, then move the part files
     * into the shared `data/` tree (preserving hive partition subdirs).
     * Part file names embed the write job's UUID, so moves never
-    * collide. Returns the new files' table-relative paths.
+    * collide. Returns the new files as log entries, with size/mtime and
+    * footer stats collected while the just-written files are
+    * page-cache-warm — the one moment metadata is cheap; every later
+    * reader plans from the log alone.
     */
   private def stageFiles(spark: SparkSession, table: String, df: DataFrame,
-                         partitionBy: Seq[String]): Seq[String] = {
+                         partitionBy: Seq[String]): Seq[FileEntry] = {
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
     val writer = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(staging.toString)
 
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
     val it = f.listFiles(staging, true)
     while (it.hasNext) {
       val st = it.next()
@@ -271,11 +335,19 @@ object LakeTable {
         f.mkdirs(dest.getParent)
         if (!f.rename(st.getPath, dest))
           throw new IllegalStateException(s"could not move ${st.getPath} to $dest")
-        moved += rel
+        moved += ((rel, dest))
       }
     }
     f.delete(staging, true)
-    moved.toSeq
+    // partition column values live in the dir path, not the file — only
+    // data columns have footer stats
+    val dataSchema = StructType(df.schema.filterNot(fl => partitionBy.contains(fl.name)))
+    val conf = spark.sessionState.newHadoopConf()
+    moved.toSeq.map { case (rel, dest) =>
+      val st = f.getFileStatus(dest)
+      val (rows, stats) = ParquetStats.collect(conf, dest, dataSchema)
+      FileEntry(rel, st.getLen, st.getModificationTime, rows, stats)
+    }
   }
 
   /** Decoded filesystem path of an `input_file_name()` value. */
@@ -320,7 +392,7 @@ object LakeTable {
   }
 
   private def retryCommit(spark: SparkSession, table: String, op: String)(
-      derive: Option[Snapshot] => (StructType, Seq[String], Seq[String])): Long = {
+      derive: Option[Snapshot] => (StructType, Seq[String], Seq[FileEntry])): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val prev = latestSnapshot(spark, table)
@@ -335,12 +407,16 @@ object LakeTable {
 
   /** Fields of `existing` plus any new fields of `incoming`; a name
     * present in both must have the same type (no silent widening).
+    * Nullability is ignored in the conflict check — read schemas are
+    * deep-nullable anyway, and a SQL INSERT hands back the relation's
+    * nullable variant of the table's own schema.
     */
   private def mergeSchemas(existing: StructType, incoming: StructType): StructType = {
     val byName = existing.fields.map(f => f.name -> f).toMap
     incoming.fields.foreach { f =>
       byName.get(f.name).foreach { e =>
-        require(e.dataType == f.dataType,
+        require(GraftDataSource.nullableType(e.dataType) ==
+            GraftDataSource.nullableType(f.dataType),
           s"schema conflict on '${f.name}': ${e.dataType} vs ${f.dataType}")
       }
     }
@@ -360,7 +436,7 @@ object LakeTable {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
     } else {
       val base = dataPath(table)
-      val paths = snap.files.map(rel => new Path(base, rel).toString)
+      val paths = snap.filePaths.map(rel => new Path(base, rel).toString)
       spark.read
         .option("basePath", base.toString)
         .schema(snap.schema)
@@ -410,6 +486,25 @@ object LakeTable {
       }
     } catch { case _: java.io.IOException => None }
 
+  /** Committed versions without the O(commits) log listing: the history
+    * checkpoint names the covered prefix, a forward existence-probe
+    * finds the ≤interval tail — O(tail) metadata calls. Degrades to the
+    * full listing when there is no usable checkpoint (the same advisory
+    * discipline as the checkpoint itself). Used by history() and
+    * vacuum(), the two O(commits) walkers.
+    */
+  private[lake] def versionsFast(spark: SparkSession, table: String): Seq[Long] = {
+    val f = fs(spark, table)
+    readCheckpoint(f, table) match {
+      case Some((upTo, entries)) if f.exists(versionFile(table, upTo)) =>
+        var v = upTo
+        val tail = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (f.exists(versionFile(table, v + 1))) { v += 1; tail += v }
+        (entries.map(_.version).filter(_ <= upTo) ++ tail).distinct.sorted
+      case _ => versions(spark, table)
+    }
+  }
+
   private def writeHistoryCheckpoint(f: FileSystem, table: String, upTo: Long): Unit =
     try {
       val prev = readCheckpoint(f, table)
@@ -452,14 +547,15 @@ object LakeTable {
     * always reads the newest committed data. [[read]] pins the snapshot
     * at call time — right for a single job execution; this is right for
     * a registered surface. Column order matches the snapshot schema
-    * (the file-source relation would otherwise move partition columns
-    * last).
+    * (partition columns overlap in place in the relation — see
+    * [[GraftDataSource]]), and the DataFrame is the BARE relation, no
+    * projection on top, so a temp view over it is a valid
+    * `INSERT INTO` target.
     */
   def readLive(spark: SparkSession, table: String): DataFrame = {
-    val snap = latestSnapshot(spark, table)
-      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    if (latestSnapshot(spark, table).isEmpty)
+      throw new IllegalArgumentException(s"no committed version at $table")
     spark.read.format("graft").load(table)
-      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Commit history, latest first: (version, timestamp_ms, operation,
@@ -474,7 +570,7 @@ object LakeTable {
     val f = fs(spark, table)
     val byVersion = readCheckpoint(f, table)
       .map(_._2.map(e => e.version -> e).toMap).getOrElse(Map.empty)
-    versions(spark, table)
+    versionsFast(spark, table)
       .map(v => byVersion.getOrElse(v, snapshotSummary(snapshotAt(spark, table, v))))
       .map(e => (e.version, e.timestampMs, e.operation, e.numFiles))
       .sortBy(-_._1)
@@ -492,10 +588,15 @@ object LakeTable {
     * rewritten), existing-name type conflicts are refused, and an
     * update set missing an existing column writes null there.
     *
-    * A concurrent commit between the rewrite and the publish would
-    * invalidate the copied files, so a lost race aborts with
-    * ConcurrentCommitException rather than rebasing (the production
-    * formats do the same for conflicting row-level operations).
+    * A lost commit race is resolved the way Delta resolves it: the
+    * winner's changes are re-examined, and when they are provably
+    * DISJOINT from everything this merge read or rewrote — a scoped
+    * merge whose scanned partitions share no directory with any file
+    * the winner added or removed, same schema, same partition layout —
+    * the merge rebases onto the winner's snapshot and retries (bounded).
+    * Anything else aborts with ConcurrentCommitException: an unscoped
+    * merge read the whole table, so ANY concurrent change could hide a
+    * matched key the rewrite never saw.
     *
     * `scopeToUpdatePartitions` restricts the matched-file detection
     * scan to the partitions present in `updates` — the daily operating
@@ -561,7 +662,7 @@ object LakeTable {
           "refusing to commit (the file could not be marked for rewrite)")
       p.drop(baseRaw.length + 1)
     }.toSet
-    val affectedRel = snap.files.filter(affectedSet.contains)
+    val affectedRel = snap.filePaths.filter(affectedSet.contains)
 
     // schema evolution, same rules as append: new update columns merge
     // into the snapshot schema (existing-name type conflicts refused);
@@ -584,12 +685,46 @@ object LakeTable {
       }
 
     val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns)
-    val files = snap.files.filterNot(affectedRel.toSet) ++ newFiles
-    val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
-      schema, snap.partitionColumns, files)
-    if (!tryCommit(spark, table, next))
-      throw new ConcurrentCommitException(s"MERGE on $table lost the commit race")
-    next.version
+    val affectedPathSet = affectedRel.toSet
+
+    // Partition dirs this merge READ (the scoped detection scan) and
+    // WROTE: the staged files land in exactly the updates' partitions,
+    // and the affected files lie inside them — together they are the
+    // merge's whole footprint, compared dir-string to dir-string (no
+    // escaping round trip; both sides are actual data/ subpaths).
+    def dirOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val footprintDirs = (newFiles.map(e => dirOf(e.path)) ++ affectedRel.map(dirOf)).toSet
+
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = if (attempt == 0) snap else latestSnapshot(spark, table).getOrElse(snap)
+      if (cur.version != snap.version) {
+        // conflict analysis vs the snapshot the rewrite was based on
+        val baseSet = snap.filePaths.toSet
+        val curSet = cur.filePaths.toSet
+        val winnerChanged =
+          cur.files.filterNot(e => baseSet(e.path)) ++ // added
+          snap.files.filterNot(e => curSet(e.path))    // removed
+        val disjoint = scopeToUpdatePartitions &&
+          cur.schema == snap.schema &&
+          cur.partitionColumns == snap.partitionColumns &&
+          !winnerChanged.exists(e => footprintDirs(dirOf(e.path)))
+        if (!disjoint)
+          throw new ConcurrentCommitException(
+            s"MERGE on $table lost the commit race to v${cur.version} and the winning " +
+              "commit overlaps this merge's scanned partitions (or changed the " +
+              "schema/layout) — cannot rebase safely, re-run the merge")
+      }
+      val next = Snapshot(cur.version + 1, System.currentTimeMillis(), "MERGE",
+        mergeSchemas(cur.schema, updates.schema), cur.partitionColumns,
+        cur.files.filterNot(e => affectedPathSet(e.path)) ++ newFiles)
+      if (tryCommit(spark, table, next)) return next.version
+      attempt += 1
+    }
+    throw new ConcurrentCommitException(s"MERGE on $table lost $maxRetries commit races")
   }
 
   // --------------------------------------------------------------- compact
@@ -618,13 +753,16 @@ object LakeTable {
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val f = fs(spark, table)
     val base = dataPath(table)
-    val (small, big) = snap.files.partition(rel =>
-      f.getFileStatus(new Path(base, rel)).getLen < smallFileBytes)
+    // sizes come from the log; a legacy entry (pre-stats log) costs one
+    // stat — never a listing
+    val (small, big) = snap.files.partition(e =>
+      (if (e.size >= 0) e.size
+       else f.getFileStatus(new Path(base, e.path)).getLen) < smallFileBytes)
     if (small.size <= 1) return snap.version
     val packed = spark.read
       .option("basePath", base.toString)
       .schema(snap.schema)
-      .parquet(small.map(rel => new Path(base, rel).toString): _*)
+      .parquet(small.map(e => new Path(base, e.path).toString): _*)
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
     // partition cols lead the sort so the write path's required
     // ordering is already satisfied and it does not re-sort (which
@@ -660,10 +798,10 @@ object LakeTable {
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2,
              graceMs: Long = 15L * 60 * 1000): Int = {
     val f = fs(spark, table)
-    val vs = versions(spark, table)
+    val vs = versionsFast(spark, table)
     if (vs.isEmpty) return 0
     val retained = vs.takeRight(math.max(1, retainVersions))
-      .flatMap(v => snapshotAt(spark, table, v).files).toSet
+      .flatMap(v => snapshotAt(spark, table, v).filePaths).toSet
     val cutoffMs = System.currentTimeMillis() - math.max(0L, graceMs)
     val dp = dataPath(table)
     if (!f.exists(dp)) return 0

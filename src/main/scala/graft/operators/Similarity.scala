@@ -122,8 +122,21 @@ object Similarity {
   private def fitQuantizer(e: DataFrame, cells: Int, sampleCap: Int = 10000,
                            sampleFrac: Double = 0.25) = {
     import org.apache.spark.ml.clustering.KMeans
-    val t = Long.MinValue + (math.BigInt(2).pow(64).toDouble * sampleFrac).toLong
-    val train = e.filter(xxhash64(col("vec_id")) < lit(t)).limit(sampleCap)
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0, s"sampleFrac $sampleFrac out of (0,1]")
+    // threshold in BigInt space then saturate: the old
+    // (2^64 * frac).toLong overflowed for frac > 0.5, silently clamping
+    // every such frac to ~50%
+    val thr = BigInt(Long.MinValue) +
+      (BigDecimal(BigInt(1) << 64) * sampleFrac).toBigInt
+    val hashSampled =
+      if (thr >= BigInt(Long.MaxValue)) e
+      else e.filter(xxhash64(col("vec_id")) < lit(thr.toLong))
+    // deterministic floor so a tiny corpus still trains on >= k points
+    // (a pure frac sample of 30 rows can undershoot k=16): low-id rows
+    // via a pushed-down filter — no sort, no sizing pass
+    val train = hashSampled
+      .unionByName(e.filter(col("vec_id") < lit(cells.toLong * 8)))
+      .limit(sampleCap)
     // few iterations: a coarse quantizer needs rough cells, not convergence
     new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(train)

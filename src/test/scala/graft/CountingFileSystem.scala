@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path, RawLocalFileSystem}
+
+/** Local filesystem registered under the `cfs://` scheme that records
+  * every directory listing — the observability hook that lets specs
+  * PROVE a metadata path never lists (e.g. live-view planning from
+  * logged file stats). Listing is the one operation that explodes on
+  * object stores at scale, so "zero listings" is the assertion that
+  * matters; opens/stats are deliberately not counted.
+  */
+class CountingFileSystem extends RawLocalFileSystem {
+  override def getUri: java.net.URI = CountingFileSystem.uri
+
+  // RawLocalFileSystem's statuses load permissions LAZILY via
+  // `new File(uri)`, which rejects any scheme but file:// — strip to a
+  // plain FileStatus (default perms) so cfs:// paths survive
+  private def strip(st: FileStatus): FileStatus =
+    new FileStatus(st.getLen, st.isDirectory, st.getReplication, st.getBlockSize,
+      st.getModificationTime, st.getAccessTime, null, null, null, st.getPath)
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    CountingFileSystem.record(f)
+    super.listStatus(f).map(strip)
+  }
+
+  override def getFileStatus(f: Path): FileStatus = strip(super.getFileStatus(f))
+}
+
+object CountingFileSystem {
+  val uri: java.net.URI = java.net.URI.create("cfs:///")
+  private val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def record(p: Path): Unit = listed.add(p.toUri.getPath)
+
+  def reset(): Unit = listed.clear()
+
+  /** Paths listed since the last reset that contain `fragment`. */
+  def listedUnder(fragment: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    listed.iterator().asScala.filter(_.contains(fragment)).toSeq
+  }
+
+  /** Install the cfs:// scheme on the session's Hadoop conf (idempotent). */
+  def install(conf: Configuration): Unit = {
+    conf.set("fs.cfs.impl", classOf[CountingFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.cfs.impl", classOf[CountingAbstractFs].getName)
+  }
+}
+
+/** FileContext adapter for cfs:// (the lake's put-if-absent commit goes
+  * through FileContext.rename(NONE) on non-`file` schemes).
+  */
+class CountingAbstractFs(uri: java.net.URI, conf: Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new CountingFileSystem, conf, "cfs", false)

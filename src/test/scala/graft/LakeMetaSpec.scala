@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.lake.LakeTable
+
+/** The round-6 metadata path: per-file stats in the transaction log
+  * (plan without listing), file-level data skipping on the logged
+  * bounds, checkpoint-backed history/vacuum, loud staleness, and
+  * concurrent-MERGE rebase.
+  */
+class LakeMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** Same, but reached through the counting cfs:// scheme. */
+  private def cfsTable(prefix: String): String = {
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    "cfs:" + java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+  }
+
+  private def fileScan(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    df.collect() // materialize so metrics fill
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+  }
+
+  test("live-view query plans from logged stats: zero directory listings") {
+    val t = cfsTable("meta_nolist")
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "p1", 10.0), (2L, "p2", 20.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    LakeTable.append(spark, t, Seq((3L, "p1", 30.0)).toDF("id", "part", "v"))
+    val live = LakeTable.readLive(spark, t)
+    CountingFileSystem.reset()
+    assert(live.count() == 3)
+    // a second writer commits; the next read re-resolves the new
+    // version — still from the log alone
+    LakeTable.append(spark, t, Seq((4L, "p2", 40.0)).toDF("id", "part", "v"))
+    CountingFileSystem.reset()
+    assert(live.count() == 4)
+    val listed = CountingFileSystem.listedUnder("/t/data")
+    assert(listed.isEmpty,
+      s"live read listed the data tree (should plan from the log): $listed")
+  }
+
+  test("legacy string-only logs (pre-stats) still read, via the listing fallback") {
+    val t = tmpTable("meta_legacy")
+    LakeTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    // rewrite the snapshot JSON to the old format: files as bare strings
+    val logDir = java.nio.file.Paths.get(s"$t/_graft_log")
+    val vf = logDir.resolve(f"${1L}%020d.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(vf), "UTF-8")
+    val legacy = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val JObject(fields) = JsonMethods.parse(txt): @unchecked
+      val rewritten = fields.map {
+        case ("files", JArray(entries)) =>
+          "files" -> JArray(entries.map(e => (e \ "p").asInstanceOf[JString]))
+        case other => other
+      }
+      JsonMethods.compact(JsonMethods.render(JObject(rewritten)))
+    }
+    assert(legacy != txt && !legacy.contains("\"sz\""), s"rewrite failed: $legacy")
+    java.nio.file.Files.delete(vf)
+    java.nio.file.Files.write(vf, legacy.getBytes("UTF-8"))
+    assert(LakeTable.read(spark, t).count() == 2)
+    assert(spark.read.format("graft").load(t).count() == 2)
+  }
+
+  test("data skipping: a point filter reads only the files whose bounds admit it") {
+    val t = tmpTable("meta_skip")
+    // 4 files with disjoint id ranges (range partitioning -> tight bounds)
+    LakeTable.overwrite(spark, t,
+      spark.range(100).select(col("id"), (col("id") % 7).as("grp"),
+        concat(lit("doc-"), format_string("%03d", col("id"))).as("name"))
+        .repartitionByRange(4, col("id")))
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.size == 4, s"expected 4 files, got ${snap.files.size}")
+    // the log carries real bounds
+    assert(snap.files.forall(e => e.rowCount > 0 && e.stats.contains("id")))
+
+    val live = spark.read.format("graft").load(t)
+    // equality on a long column: exactly one file admits id=57
+    val scan1 = fileScan(live.filter(col("id") === 57L))
+    assert(scan1.metrics("numFiles").value == 1,
+      s"expected 1 file scanned, got ${scan1.metrics("numFiles").value}")
+    // range: id >= 80 -> last file only
+    val scan2 = fileScan(live.filter(col("id") >= 80L))
+    assert(scan2.metrics("numFiles").value == 1)
+    // string equality: names are aligned with the id ranges
+    val scan3 = fileScan(live.filter(col("name") === "doc-003"))
+    assert(scan3.metrics("numFiles").value == 1)
+    // a filter admitting everything scans everything — and results match
+    assert(live.filter(col("id") >= 0L).count() == 100)
+    assert(live.filter(col("id") === 57L).select("name").head.getString(0) == "doc-057")
+    // grp cycles 0..6 through every file: no skip, no row lost
+    assert(live.filter(col("grp") === 3L).count() ==
+      (0L until 100L).count(_ % 7 == 3))
+  }
+
+  test("data skipping: null counts prove IS NOT NULL / IS NULL pruning") {
+    val t = tmpTable("meta_nulls")
+    // file 1: x entirely null; file 2: x fully populated
+    LakeTable.overwrite(spark, t,
+      spark.range(10).select(col("id"), lit(null).cast("long").as("x")).repartition(1))
+    LakeTable.append(spark, t,
+      spark.range(10, 20).select(col("id"), col("id").as("x")).repartition(1))
+    val live = spark.read.format("graft").load(t)
+    val scanNotNull = fileScan(live.filter(col("x").isNotNull))
+    assert(scanNotNull.metrics("numFiles").value == 1,
+      "all-null file must be skipped for IS NOT NULL")
+    val scanNull = fileScan(live.filter(col("x").isNull))
+    assert(scanNull.metrics("numFiles").value == 1,
+      "fully-populated file must be skipped for IS NULL")
+    assert(live.filter(col("x").isNotNull).count() == 10)
+    assert(live.filter(col("x").isNull).count() == 10)
+  }
+
+  test("history and vacuum read checkpoint + tail, not the log listing") {
+    val t = cfsTable("meta_hist")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    (2 to 25).foreach { i =>
+      LakeTable.append(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    }
+    CountingFileSystem.reset()
+    assert(LakeTable.history(spark, t).count() == 25)
+    val listedHist = CountingFileSystem.listedUnder("/t/_graft_log")
+    assert(listedHist.isEmpty,
+      s"history() listed the log dir despite a checkpoint: $listedHist")
+    CountingFileSystem.reset()
+    LakeTable.vacuum(spark, t, retainVersions = 2, graceMs = 0L)
+    val listedVac = CountingFileSystem.listedUnder("/t/_graft_log")
+    assert(listedVac.isEmpty,
+      s"vacuum() listed the log dir despite a checkpoint: $listedVac")
+    // vacuum still reclaimed old version data and latest still reads
+    assert(LakeTable.read(spark, t).count() == 25)
+  }
+
+  test("concurrent MERGEs into disjoint partitions both commit (rebase, no caller retry)") {
+    val t = tmpTable("meta_cmerge")
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "pA", 10.0), (2L, "pA", 20.0), (3L, "pB", 30.0), (4L, "pB", 40.0))
+        .toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    val base = LakeTable.latestSnapshot(spark, t).get.version
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def mergeTask(updates: org.apache.spark.sql.DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          start.await()
+          LakeTable.merge(spark, t, updates, keys = Seq("id"),
+            scopeToUpdatePartitions = true)
+        }
+      })
+    val fa = mergeTask(Seq((2L, "pA", 99.0)).toDF("id", "part", "v"))
+    val fb = mergeTask(Seq((3L, "pB", 77.0), (5L, "pB", 50.0)).toDF("id", "part", "v"))
+    start.countDown()
+    val va = fa.get()
+    val vb = fb.get()
+    pool.shutdown()
+    assert(Set(va, vb) == Set(base + 1, base + 2), s"got $va, $vb")
+    val out = LakeTable.read(spark, t).select("id", "v").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 77.0, 4L -> 40.0, 5L -> 50.0))
+  }
+
+  test("concurrent MERGEs into the SAME partition: loser aborts loudly") {
+    val t = tmpTable("meta_cmerge2")
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "pA", 10.0), (2L, "pA", 20.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    // both threads target pA: if the race interleaves, the loser must
+    // abort loudly rather than silently dropping the winner's rewrite
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fs = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          start.await()
+          try Right(LakeTable.merge(spark, t,
+            Seq((2L, "pA", 100.0 + i)).toDF("id", "part", "v"),
+            keys = Seq("id"), scopeToUpdatePartitions = true))
+          catch { case e: LakeTable.ConcurrentCommitException => Left(e) }
+        }
+      })
+    }
+    start.countDown()
+    val results = fs.map(_.get())
+    pool.shutdown()
+    val (losers, winners) = results.partition(_.isLeft)
+    // either serialized cleanly (both won, one after the other — the
+    // slower thread read the winner's commit before merging) or the
+    // true race happened and the loser aborted with the loud error
+    assert(winners.nonEmpty)
+    if (losers.nonEmpty)
+      assert(losers.head.swap.toOption.get.getMessage.contains("overlaps"))
+    val vFinal = LakeTable.read(spark, t)
+      .filter(col("id") === 2L).select("v").head.getDouble(0)
+    assert(vFinal == 101.0 || vFinal == 102.0)
+  }
+
+  test("partition-layout change under a live view fails loudly") {
+    val t = tmpTable("meta_layout")
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    val live = LakeTable.readLive(spark, t)
+    assert(live.count() == 2)
+    // a writer re-partitions the table under the registered relation
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("id", "part", "v"))
+    val e = intercept[Exception] { live.count() }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+    assert(messages(e).exists(m => m.contains("partition layout")),
+      s"expected loud layout error, got: $e")
+    // re-registering reads the new layout fine
+    assert(LakeTable.readLive(spark, t).count() == 2)
+  }
+
+  test("schema evolution under a live temp view fails loudly; re-register sees it") {
+    val t = tmpTable("meta_evolve")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    LakeTable.readLive(spark, t).createOrReplaceTempView("meta_evolve_tbl")
+    assert(spark.sql("SELECT count(*) FROM meta_evolve_tbl").head.getLong(0) == 1)
+    LakeTable.append(spark, t, Seq((2L, "b", 0.5)).toDF("id", "s", "score"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM meta_evolve_tbl").head.getLong(0)
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+    assert(messages(e).exists(_.contains("re-register")), s"got: $e")
+    LakeTable.readLive(spark, t).createOrReplaceTempView("meta_evolve_tbl")
+    assert(spark.sql("SELECT count(*) FROM meta_evolve_tbl").head.getLong(0) == 2)
+    assert(spark.table("meta_evolve_tbl").columns.contains("score"))
+  }
+}

@@ -99,13 +99,25 @@ class LakeSourceSpec extends SparkSpec {
       // a commit AFTER the CREATE is visible to the catalog table's next
       // query — even through Spark's cached relation, because the file
       // list lives in GraftFileIndex, not the catalog
-      LakeTable.append(spark, t, Seq((3L, "c", 1.5)).toDF("id", "s", "score"))
+      LakeTable.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
       assert(spark.sql("SELECT count(*) FROM graft_ddl_tbl").head.getLong(0) == 3)
-      // schema (unlike the file list) is pinned by the cached relation;
-      // REFRESH TABLE re-resolves and must NOT brick on the evolved
-      // schema (the log owns it — the catalog's stored copy is ignored)
+      // schema (unlike the file list) is pinned by the cached relation:
+      // after a writer EVOLVES the schema, serving the old shape would
+      // silently drop the new column — the next query must fail loudly
+      // with a re-register hint instead
+      LakeTable.append(spark, t, Seq((4L, "d", 1.5)).toDF("id", "s", "score"))
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM graft_ddl_tbl").head.getLong(0)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("re-register")),
+        s"expected a loud re-register error, got: $e")
+      // REFRESH TABLE re-resolves from the log and reads the evolved
+      // schema (the catalog's stored CREATE-time copy is ignored)
       spark.sql("REFRESH TABLE graft_ddl_tbl")
       assert(spark.sql("SELECT * FROM graft_ddl_tbl").columns.contains("score"))
+      assert(spark.sql("SELECT count(*) FROM graft_ddl_tbl").head.getLong(0) == 4)
     } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_tbl")
   }
 

@@ -58,15 +58,15 @@ class LakeSpec extends SparkSpec {
     // (all of p2, and any p1 file not holding id=2) carries over by
     // reference; only files containing a matched key are rewritten
     val after = LakeTable.latestSnapshot(spark, t).get
-    val carried = before.files.toSet.intersect(after.files.toSet)
-    val removed = before.files.toSet.diff(after.files.toSet)
-    assert(before.files.filter(_.startsWith("part=p2")).toSet.subsetOf(carried))
+    val carried = before.filePaths.toSet.intersect(after.filePaths.toSet)
+    val removed = before.filePaths.toSet.diff(after.filePaths.toSet)
+    assert(before.filePaths.filter(_.startsWith("part=p2")).toSet.subsetOf(carried))
     assert(removed.nonEmpty, "expected the matched file to be rewritten")
     assert(removed.forall(_.startsWith("part=p1")))
     // unmatched-key merge is a pure insert: no files rewritten
     LakeTable.merge(spark, t, Seq((5L, "p3", 50.0)).toDF("id", "part", "v"), Seq("id"))
     val afterInsert = LakeTable.latestSnapshot(spark, t).get
-    assert(after.files.toSet.subsetOf(afterInsert.files.toSet))
+    assert(after.filePaths.toSet.subsetOf(afterInsert.filePaths.toSet))
     assert(LakeTable.read(spark, t).count() == 5)
   }
 
@@ -126,7 +126,7 @@ class LakeSpec extends SparkSpec {
     val snap = LakeTable.latestSnapshot(spark, t).get
     // every data file holds an id-sorted run -> tight parquet min/max
     // stats per row group (the data-skipping property)
-    snap.files.foreach { rel =>
+    snap.filePaths.foreach { rel =>
       val ids = spark.read.schema(snap.schema)
         .parquet(s"$t/data/$rel").select("id")
         .collect().map(_.getLong(0))
@@ -283,7 +283,7 @@ class LakeSpec extends SparkSpec {
       .toDF("id", "part", "v")
     LakeTable.overwrite(spark, t, base, partitionBy = Seq("part"))
     val snap = LakeTable.latestSnapshot(spark, t).get
-    val bRel = snap.files.filter(_.startsWith("part=pB"))
+    val bRel = snap.filePaths.filter(_.startsWith("part=pB"))
     assert(bRel.nonEmpty)
     // corrupt pB's data on disk: ANY read of it now throws, so a merge
     // that succeeds proves its detection scan never opened pB's files
@@ -300,7 +300,7 @@ class LakeSpec extends SparkSpec {
     assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0, 4L -> 40.0))
     // pB carried over by reference, untouched
     val after = LakeTable.latestSnapshot(spark, t).get
-    assert(bRel.toSet.subsetOf(after.files.toSet))
+    assert(bRel.toSet.subsetOf(after.filePaths.toSet))
   }
 
   test("vacuum drops files beyond retention; latest still reads") {

@@ -133,7 +133,7 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(sumAfter - sumBefore - 3000.0) < 1e-6)
     // copy-on-write stayed file-granular: most files carried over
     val snap = lake.LakeTable.latestSnapshot(spark, t).get
-    val carried = before.files.toSet.intersect(snap.files.toSet)
+    val carried = before.filePaths.toSet.intersect(snap.filePaths.toSet)
     assert(carried.size >= before.files.size - nUpd.toInt)
   }
 
@@ -152,8 +152,8 @@ class PipelineSpec extends SparkSpec {
     assert(lake.LakeTable.read(spark, t).count() == total)
     assert(after.operation == "MERGE" && after.version == before.version + 1)
     // ...and the rewrite stayed inside that day's partition
-    val removed = before.files.toSet.diff(after.files.toSet)
-    val added = after.files.toSet.diff(before.files.toSet)
+    val removed = before.filePaths.toSet.diff(after.filePaths.toSet)
+    val added = after.filePaths.toSet.diff(before.filePaths.toSet)
     assert(removed.nonEmpty && added.nonEmpty)
     assert(removed.forall(_.startsWith(s"event_date=$day/")), removed.mkString(","))
     assert(added.forall(_.startsWith(s"event_date=$day/")), added.mkString(","))

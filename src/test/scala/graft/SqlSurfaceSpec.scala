@@ -63,6 +63,53 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount <= 1)
   }
 
+  test("INSERT INTO a registered lake view commits a lake version, visible live") {
+    val tmp = java.nio.file.Files.createTempDirectory("sql_insert").toString
+    Pipeline.runSilver(spark, sf, tmp)
+    GraftCatalog.registerLake(spark, tmp)
+    val t = Pipeline.tablePath(tmp, "silver", "fact_events")
+    val before = spark.sql("SELECT count(*) FROM fact_events_tbl").head.getLong(0)
+    val vBefore = lake.LakeTable.latestSnapshot(spark, t).get.version
+    // the reference's write surface is SQL materializing tables
+    // (trino_sql blocks); INSERT INTO the live view is the analog
+    spark.sql("INSERT INTO fact_events_tbl SELECT * FROM fact_events_tbl LIMIT 1")
+    val snap = lake.LakeTable.latestSnapshot(spark, t).get
+    assert(snap.version == vBefore + 1 && snap.operation == "APPEND")
+    // visible on the SAME view, no re-registration (live), and the
+    // partition layout survived the SQL write
+    assert(spark.sql("SELECT count(*) FROM fact_events_tbl").head.getLong(0) == before + 1)
+    assert(snap.partitionColumns == Seq("event_date"))
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE a catalog graft table route through the log") {
+    val t = java.nio.file.Files.createTempDirectory("sql_insert_ddl").toString + "/t"
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    import spark.implicits._
+    Seq((1L, "p1", 10.0), (2L, "p2", 20.0)).toDF("id", "part", "v")
+      .write.format("graft").mode("overwrite").option("partitionBy", "part").save(t)
+    spark.sql(s"CREATE TABLE graft_ins_tbl USING graft OPTIONS (path '$t')")
+    try {
+      spark.sql("INSERT INTO graft_ins_tbl VALUES (3, 'p1', 30.0)")
+      assert(spark.sql("SELECT count(*) FROM graft_ins_tbl").head.getLong(0) == 3)
+      assert(lake.LakeTable.latestSnapshot(spark, t).get.operation == "APPEND")
+      // INSERT OVERWRITE replaces the rows but PRESERVES partitioning
+      spark.sql("INSERT OVERWRITE graft_ins_tbl VALUES (9, 'p3', 90.0)")
+      assert(spark.sql("SELECT count(*) FROM graft_ins_tbl").head.getLong(0) == 1)
+      val snap = lake.LakeTable.latestSnapshot(spark, t).get
+      assert(snap.operation == "OVERWRITE" && snap.partitionColumns == Seq("part"))
+      // every row landed as committed data, never raw files: the log's
+      // file list covers exactly what a fresh reader sees
+      assert(lake.LakeTable.read(spark, t).count() == 1)
+      // static PARTITION specs would bypass the log — rejected loudly
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft_ins_tbl PARTITION (part='p1') VALUES (5, 50.0)")
+      }
+      def messages(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+      assert(messages(e).exists(_.contains("PARTITION")), s"got: $e")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ins_tbl")
+  }
+
   test("sketch functions are available in SQL without registration") {
     // GraftSession.builder injects GraftExtensions — no Sketches.register
     GraftCatalog.registerTables(spark, sf)
