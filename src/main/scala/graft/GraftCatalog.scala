@@ -184,6 +184,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // into the transactional GraftInsertCommand (post-hoc, so column
     // matching/casts have already been applied)
     ext.injectPostHocResolutionRule(_ => new graft.lake.GraftInsertRule)
+    // unfiltered count(*) over a lake table answered from the log's
+    // row counts — no scan (see MetadataOnlyCount)
+    ext.injectOptimizerRule(_ => new graft.lake.MetadataOnlyCount)
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

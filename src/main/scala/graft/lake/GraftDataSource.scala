@@ -3,7 +3,9 @@ package graft.lake
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, SchemaRelationProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 object GraftDataSource {
@@ -58,7 +60,8 @@ object GraftDataSource {
   * "a,b")` instead; appends always carry the table's partitioning.
   */
 class GraftDataSource extends RelationProvider with SchemaRelationProvider
-    with CreatableRelationProvider with DataSourceRegister
+    with CreatableRelationProvider with StreamSinkProvider with StreamSourceProvider
+    with DataSourceRegister
     with org.apache.spark.internal.Logging {
 
   override def shortName(): String = "graft"
@@ -146,6 +149,47 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     }
     createRelation(sqlContext, parameters - "versionAsOf")
   }
+
+  // -------------------------------------------------------------- streaming
+
+  /** `writeStream.format("graft")`: exactly-once micro-batch commits
+    * through the transaction log (see [[GraftSink]]). Append and
+    * Complete modes; Update needs keys — use `foreachBatch` +
+    * [[LakeTable.merge]].
+    */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    if (outputMode == OutputMode.Update())
+      throw new UnsupportedOperationException(
+        "graft sink: Update mode needs merge keys — use foreachBatch with " +
+          "LakeTable.merge; Append and Complete are supported directly")
+    // V1 sinks do get .partitionBy() forwarded (unlike batch V1 writes);
+    // accept the option spelling too for symmetry with the batch writer
+    val parts =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else parameters.get("partitionBy")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    new GraftSink(sqlContext.sparkSession, pathOf(parameters), parts, outputMode)
+  }
+
+  /** `readStream.format("graft")`: tail the transaction log, versions
+    * as offsets (see [[GraftSource]]).
+    */
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val table = pathOf(parameters)
+    val snap = LakeTable.latestSnapshot(sqlContext.sparkSession, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot stream from $table: no committed version"))
+    (shortName(), GraftDataSource.asNullable(snap.schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftSource(sqlContext.sparkSession, pathOf(parameters), parameters)
 }
 
 /** The relation `format("graft")` reads resolve to: a

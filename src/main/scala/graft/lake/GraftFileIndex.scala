@@ -55,6 +55,17 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
       throw new IllegalArgumentException(s"no committed version at $tablePath"))
   }
 
+  /** [[snapshotNow]] plus the same staleness validation a scan runs:
+    * metadata-only answers (e.g. [[MetadataOnlyCount]]) must fail
+    * loudly on an evolved table exactly like the scan they replace
+    * would, not silently succeed where `SELECT *` errors.
+    */
+  def snapshotChecked(): LakeTable.Snapshot = {
+    val snap = snapshotNow()
+    checkNotStale(snap)
+    snap
+  }
+
   // fixed at index creation: the relation's schema cannot change under
   // a live plan (Spark resolved attributes against it)
   private val initialSnapshot: LakeTable.Snapshot = snapshotNow()

@@ -81,7 +81,8 @@ object LakeTable {
 
   final case class Snapshot(version: Long, timestampMs: Long, operation: String,
                             schema: StructType, partitionColumns: Seq[String],
-                            files: Seq[FileEntry]) {
+                            files: Seq[FileEntry],
+                            txns: Map[String, Long] = Map.empty) {
     def filePaths: Seq[String] = files.map(_.path)
   }
 
@@ -109,14 +110,23 @@ object LakeTable {
         s.nullCount.map(n => "nc" -> JLong(n))).flatten)
     }))
 
-  private def renderSnapshot(s: Snapshot): String =
-    JsonMethods.compact(JsonMethods.render(JObject(
+  private def renderSnapshot(s: Snapshot): String = {
+    val base = List(
       "version" -> JLong(s.version),
       "timestampMs" -> JLong(s.timestampMs),
       "operation" -> JString(s.operation),
       "schemaJson" -> JString(s.schema.json),
       "partitionColumns" -> JArray(s.partitionColumns.map(JString(_)).toList),
-      "files" -> JArray(s.files.map(renderFile).toList))))
+      "files" -> JArray(s.files.map(renderFile).toList))
+    // streaming-writer watermarks (queryId -> highest committed epoch),
+    // the exactly-once ledger; omitted when no stream has ever written
+    val withTxns =
+      if (s.txns.isEmpty) base
+      else base :+ ("txns" -> JObject(s.txns.toList.sortBy(_._1).map {
+        case (q, b) => q -> JLong(b)
+      }))
+    JsonMethods.compact(JsonMethods.render(JObject(withTxns)))
+  }
 
   private def jLong(v: JValue): Long = v match {
     case JLong(x) => x
@@ -163,7 +173,11 @@ object LakeTable {
       operation = jStr(j \ "operation"),
       schema = DataType.fromJson(jStr(j \ "schemaJson")).asInstanceOf[StructType],
       partitionColumns = (j \ "partitionColumns").asInstanceOf[JArray].arr.map(jStr),
-      files = (j \ "files").asInstanceOf[JArray].arr.map(parseFile))
+      files = (j \ "files").asInstanceOf[JArray].arr.map(parseFile),
+      txns = (j \ "txns") match {
+        case JObject(fields) => fields.map { case (q, b) => q -> jLong(b) }.toMap
+        case _               => Map.empty
+      })
   }
 
   private def readSnapshotFile(f: FileSystem, p: Path): Snapshot = {
@@ -391,14 +405,101 @@ object LakeTable {
     }
   }
 
+  /** Exactly-once streaming append: commit `df` as `(queryId, batchId)`
+    * iff the log has not already recorded that batch (or a later one)
+    * for this query. Structured Streaming replays the last micro-batch
+    * after a restart from checkpoint; the `txns` watermark in the
+    * snapshot turns that replay into a no-op instead of duplicate rows
+    * — the transaction-log half of end-to-end exactly-once (the other
+    * half is the source's replayable offsets). Returns the committed
+    * version, or None when the batch was already in the log.
+    *
+    * The watermark check runs again inside the commit loop: two
+    * instances of the same query racing (a zombie executor's driver
+    * still flushing while its successor runs) resolve to one winner,
+    * and the loser's staged files are dropped before they ever enter a
+    * snapshot.
+    */
+  def appendStream(spark: SparkSession, table: String, df: DataFrame,
+                   queryId: String, batchId: Long,
+                   partitionByIfNew: Seq[String] = Nil): Option[Long] = {
+    def alreadyCommitted(s: Option[Snapshot]): Boolean =
+      s.exists(_.txns.get(queryId).exists(_ >= batchId))
+    val prev0 = latestSnapshot(spark, table)
+    if (alreadyCommitted(prev0)) return None // replay detected before any staging cost
+    val parts = prev0.map(_.partitionColumns).getOrElse(partitionByIfNew)
+    val newFiles = stageFiles(spark, table, df, parts)
+    val f = fs(spark, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val prev = latestSnapshot(spark, table)
+      if (alreadyCommitted(prev)) {
+        newFiles.foreach(e =>
+          try f.delete(new Path(dataPath(table), e.path), false)
+          catch { case _: java.io.IOException => () }) // orphans; vacuum also reclaims
+        return None
+      }
+      val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
+        System.currentTimeMillis(), "STREAMING APPEND",
+        prev.map(p => mergeSchemas(p.schema, df.schema)).getOrElse(df.schema),
+        prev.map(_.partitionColumns).getOrElse(parts),
+        prev.map(_.files).getOrElse(Nil) ++ newFiles,
+        txns = prev.map(_.txns).getOrElse(Map.empty) + (queryId -> batchId))
+      if (tryCommit(spark, table, snap)) return Some(snap.version)
+      attempt += 1
+    }
+    throw new ConcurrentCommitException(
+      s"STREAMING APPEND on $table lost $maxRetries commit races")
+  }
+
+  /** Exactly-once Complete-mode streaming write: each batch replaces
+    * the table contents (the snapshot carries only the new files), with
+    * the same `(queryId, batchId)` replay protection as
+    * [[appendStream]].
+    */
+  def overwriteStream(spark: SparkSession, table: String, df: DataFrame,
+                      queryId: String, batchId: Long,
+                      partitionBy: Seq[String] = Nil): Option[Long] = {
+    def alreadyCommitted(s: Option[Snapshot]): Boolean =
+      s.exists(_.txns.get(queryId).exists(_ >= batchId))
+    val prev0 = latestSnapshot(spark, table)
+    if (alreadyCommitted(prev0)) return None
+    val parts =
+      if (partitionBy.nonEmpty) partitionBy
+      else prev0.map(_.partitionColumns).getOrElse(Nil)
+    val newFiles = stageFiles(spark, table, df, parts)
+    val f = fs(spark, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val prev = latestSnapshot(spark, table)
+      if (alreadyCommitted(prev)) {
+        newFiles.foreach(e =>
+          try f.delete(new Path(dataPath(table), e.path), false)
+          catch { case _: java.io.IOException => () })
+        return None
+      }
+      val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
+        System.currentTimeMillis(), "STREAMING OVERWRITE",
+        df.schema, parts, newFiles,
+        txns = prev.map(_.txns).getOrElse(Map.empty) + (queryId -> batchId))
+      if (tryCommit(spark, table, snap)) return Some(snap.version)
+      attempt += 1
+    }
+    throw new ConcurrentCommitException(
+      s"STREAMING OVERWRITE on $table lost $maxRetries commit races")
+  }
+
   private def retryCommit(spark: SparkSession, table: String, op: String)(
       derive: Option[Snapshot] => (StructType, Seq[String], Seq[FileEntry])): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val prev = latestSnapshot(spark, table)
       val (schema, parts, files) = derive(prev)
+      // streaming watermarks survive every batch commit — dropping one
+      // would make a restarted stream re-append its last batch
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
-        System.currentTimeMillis(), op, schema, parts, files)
+        System.currentTimeMillis(), op, schema, parts, files,
+        txns = prev.map(_.txns).getOrElse(Map.empty))
       if (tryCommit(spark, table, snap)) return snap.version
       attempt += 1
     }
@@ -720,7 +821,8 @@ object LakeTable {
       }
       val next = Snapshot(cur.version + 1, System.currentTimeMillis(), "MERGE",
         mergeSchemas(cur.schema, updates.schema), cur.partitionColumns,
-        cur.files.filterNot(e => affectedPathSet(e.path)) ++ newFiles)
+        cur.files.filterNot(e => affectedPathSet(e.path)) ++ newFiles,
+        txns = cur.txns)
       if (tryCommit(spark, table, next)) return next.version
       attempt += 1
     }
@@ -773,7 +875,7 @@ object LakeTable {
         (snap.partitionColumns ++ sortBy).map(col): _*)
     val newFiles = stageFiles(spark, table, rows, snap.partitionColumns)
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
-      snap.schema, snap.partitionColumns, big ++ newFiles)
+      snap.schema, snap.partitionColumns, big ++ newFiles, txns = snap.txns)
     if (!tryCommit(spark, table, next))
       throw new ConcurrentCommitException(s"COMPACT on $table lost the commit race")
     next.version

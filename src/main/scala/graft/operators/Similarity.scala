@@ -128,15 +128,14 @@ object Similarity {
     // every such frac to ~50%
     val thr = BigInt(Long.MinValue) +
       (BigDecimal(BigInt(1) << 64) * sampleFrac).toBigInt
-    val hashSampled =
-      if (thr >= BigInt(Long.MaxValue)) e
-      else e.filter(xxhash64(col("vec_id")) < lit(thr.toLong))
-    // deterministic floor so a tiny corpus still trains on >= k points
-    // (a pure frac sample of 30 rows can undershoot k=16): low-id rows
-    // via a pushed-down filter — no sort, no sizing pass
-    val train = hashSampled
-      .unionByName(e.filter(col("vec_id") < lit(cells.toLong * 8)))
-      .limit(sampleCap)
+    // deterministic floor OR-ed into the same filter so a tiny corpus
+    // still trains on >= k points (a pure frac sample of 30 rows can
+    // undershoot k=16) — one corpus scan, not a union of two
+    val keep =
+      if (thr >= BigInt(Long.MaxValue)) lit(true)
+      else xxhash64(col("vec_id")) < lit(thr.toLong) ||
+        col("vec_id") < lit(cells.toLong * 8)
+    val train = e.filter(keep).limit(sampleCap)
     // few iterations: a coarse quantizer needs rough cells, not convergence
     new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("features").fit(train)

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.lake.LakeTable
+
+/** The lake format's Structured Streaming surface:
+  * `writeStream.format("graft")` (exactly-once micro-batch commits via
+  * the log's txns watermark) and `readStream.format("graft")` (tailing
+  * the log, versions as offsets).
+  */
+class GraftStreamSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("writeStream format graft: appends land transactionally, checkpoint restart does not duplicate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("graft_sink"); val table = s"$dir/t"; val ckpt = s"$dir/ckpt"
+
+    val ms = MemoryStream[Int]
+    val q1 = ms.toDF().select(col("value").as("n"), (col("value") % 3).as("k"))
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(table)
+    ms.addData(1 to 100: _*)
+    q1.processAllAvailable()
+    assert(LakeTable.read(spark, table).count() == 100)
+    ms.addData(101 to 150: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(LakeTable.read(spark, table).count() == 150)
+
+    // restart from the same checkpoint: Spark replays nothing new, and
+    // the txns watermark guards the boundary batch — total stays exact
+    val q2 = ms.toDF().select(col("value").as("n"), (col("value") % 3).as("k"))
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .start(table)
+    ms.addData(151 to 200: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val out = LakeTable.read(spark, table)
+    assert(out.count() == 200)
+    assert(out.agg(countDistinct("n")).head.getLong(0) == 200)
+    // every commit in the log is a streaming append with the watermark
+    val snap = LakeTable.latestSnapshot(spark, table).get
+    assert(snap.operation == "STREAMING APPEND")
+    assert(snap.txns.nonEmpty)
+  }
+
+  test("appendStream is idempotent per (queryId, batchId) and drops the replay's staged files") {
+    import spark.implicits._
+    val table = s"${tmp("graft_txn")}/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    assert(LakeTable.appendStream(spark, table, df, "q1", 0L).contains(1L))
+    // replay of the same batch: no commit, no rows, no leftover files
+    assert(LakeTable.appendStream(spark, table, df, "q1", 0L).isEmpty)
+    assert(LakeTable.read(spark, table).count() == 2)
+    val fs = new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = {
+      val it = fs.listFiles(new Path(table, "data"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1; () }
+      n
+    }
+    assert(dataFiles == LakeTable.latestSnapshot(spark, table).get.files.size)
+    // a LATER batch of the same query and any batch of another query land
+    assert(LakeTable.appendStream(spark, table, df, "q1", 1L).contains(2L))
+    assert(LakeTable.appendStream(spark, table, df, "q2", 0L).contains(3L))
+    assert(LakeTable.read(spark, table).count() == 6)
+    val txns = LakeTable.latestSnapshot(spark, table).get.txns
+    assert(txns == Map("q1" -> 1L, "q2" -> 0L))
+    // batch commits carry the watermarks forward
+    LakeTable.append(spark, table, df)
+    LakeTable.compact(spark, table, smallFileBytes = 1L << 20)
+    assert(LakeTable.latestSnapshot(spark, table).get.txns == txns)
+  }
+
+  test("writeStream Complete mode: each batch replaces the table with the current aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("graft_sink_complete"); val table = s"$dir/t"
+
+    val ms = MemoryStream[Int]
+    val q = ms.toDF().groupBy((col("value") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("graft").outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start(table)
+    ms.addData(1 to 10: _*)
+    q.processAllAvailable()
+    ms.addData(11 to 40: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = LakeTable.read(spark, table)
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    assert(rows == Map(0L -> 20L, 1L -> 20L)) // latest batch only, not accumulated
+  }
+
+  test("readStream format graft: initial snapshot then incremental tail; compact is invisible") {
+    import spark.implicits._
+    val dir = tmp("graft_source"); val table = s"$dir/t"
+    LakeTable.overwrite(spark, table,
+      Seq((1L, "x"), (2L, "y")).toDF("id", "s"), partitionBy = Seq("s"))
+
+    val q = spark.readStream.format("graft").load(table)
+      .writeStream.format("memory").queryName("graft_tail")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("graft_tail").count() == 2) // first batch = full snapshot
+
+    LakeTable.append(spark, table, Seq((3L, "x"), (4L, "z")).toDF("id", "s"))
+    q.processAllAvailable()
+    assert(spark.table("graft_tail").count() == 4) // the two appended rows, once
+
+    // compact rewrites bytes, not rows: the stream must not re-emit
+    LakeTable.append(spark, table, Seq((5L, "x")).toDF("id", "s"))
+    LakeTable.compact(spark, table, smallFileBytes = 1L << 20)
+    q.processAllAvailable()
+    assert(spark.table("graft_tail").count() == 5)
+    assert(spark.table("graft_tail").select("id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    q.stop()
+  }
+
+  test("readStream fails loudly on a change commit unless skipChangeCommits") {
+    import spark.implicits._
+    val dir = tmp("graft_source_chg"); val table = s"$dir/t"
+    LakeTable.overwrite(spark, table, Seq((1L, "a")).toDF("id", "s"))
+
+    val q = spark.readStream.format("graft").load(table)
+      .writeStream.format("memory").queryName("graft_chg")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    LakeTable.overwrite(spark, table, Seq((9L, "z")).toDF("id", "s"))
+    val err = intercept[StreamingQueryException] { q.processAllAvailable(); q.stop() }
+    assert(err.getMessage.contains("skipChangeCommits") ||
+      Option(err.getCause).exists(_.getMessage.contains("skipChangeCommits")))
+
+    // opting in: the change commit is skipped wholesale, the tail continues
+    val q2 = spark.readStream.format("graft")
+      .option("skipChangeCommits", "true").load(table)
+      .writeStream.format("memory").queryName("graft_chg2")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .start()
+    q2.processAllAvailable()
+    val afterSnapshot = spark.table("graft_chg2").count() // fresh stream: current snapshot
+    LakeTable.overwrite(spark, table, Seq((10L, "w"), (11L, "v")).toDF("id", "s"))
+    LakeTable.append(spark, table, Seq((12L, "u")).toDF("id", "s"))
+    q2.processAllAvailable()
+    q2.stop()
+    // the overwrite's rows never arrive (skipped); the append's do
+    assert(afterSnapshot == 1)
+    assert(spark.table("graft_chg2").select("id").as[Long].collect().toSet == Set(9L, 12L))
+  }
+
+  test("graft-to-graft pipe: a downstream table tails an upstream one exactly-once") {
+    import spark.implicits._
+    val dir = tmp("graft_pipe"); val up = s"$dir/up"; val down = s"$dir/down"
+    LakeTable.overwrite(spark, up, (1L to 10L).toDF("id"))
+    val q = spark.readStream.format("graft").load(up)
+      .withColumn("doubled", col("id") * 2)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start(down)
+    q.processAllAvailable()
+    LakeTable.append(spark, up, (11L to 15L).toDF("id"))
+    q.processAllAvailable()
+    q.stop()
+    val out = LakeTable.read(spark, down)
+    assert(out.count() == 15)
+    assert(out.filter(col("doubled") =!= col("id") * 2).count() == 0)
+  }
+}

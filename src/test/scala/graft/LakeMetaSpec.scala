@@ -35,13 +35,17 @@ class LakeMetaSpec extends SparkSpec {
       partitionBy = Seq("part"))
     LakeTable.append(spark, t, Seq((3L, "p1", 30.0)).toDF("id", "part", "v"))
     val live = LakeTable.readLive(spark, t)
+    // sum, not count: an unfiltered count() is answered from the log
+    // without any scan (MetadataOnlyCount), which would make this
+    // assertion vacuous — the point here is that the SCAN itself
+    // plans without listing
     CountingFileSystem.reset()
-    assert(live.count() == 3)
+    assert(live.agg(sum("id")).head.getLong(0) == 6L)
     // a second writer commits; the next read re-resolves the new
     // version — still from the log alone
     LakeTable.append(spark, t, Seq((4L, "p2", 40.0)).toDF("id", "part", "v"))
     CountingFileSystem.reset()
-    assert(live.count() == 4)
+    assert(live.agg(sum("id")).head.getLong(0) == 10L)
     val listed = CountingFileSystem.listedUnder("/t/data")
     assert(listed.isEmpty,
       s"live read listed the data tree (should plan from the log): $listed")
@@ -238,5 +242,38 @@ class LakeMetaSpec extends SparkSpec {
     LakeTable.readLive(spark, t).createOrReplaceTempView("meta_evolve_tbl")
     assert(spark.sql("SELECT count(*) FROM meta_evolve_tbl").head.getLong(0) == 2)
     assert(spark.table("meta_evolve_tbl").columns.contains("score"))
+  }
+
+  test("unfiltered count(*) answers from the log: no scan in the plan") {
+    val t = tmpTable("meta_count")
+    LakeTable.overwrite(spark, t, spark.range(100).toDF("id"))
+    LakeTable.append(spark, t, spark.range(100, 150).toDF("id"))
+    val live = spark.read.format("graft").load(t)
+
+    def scanFree(df: org.apache.spark.sql.DataFrame): Boolean =
+      !df.queryExecution.executedPlan.toString.contains("FileScan")
+
+    // reader API
+    assert(live.count() == 150)
+    assert(scanFree(live.groupBy().count()))
+    // SQL through a live view, alias + multiple counts
+    live.createOrReplaceTempView("meta_count_v")
+    val sql = spark.sql("SELECT count(*) AS n, count(1) AS m FROM meta_count_v")
+    assert(sql.head == org.apache.spark.sql.Row(150L, 150L))
+    assert(scanFree(sql))
+    // LIVE: a concurrent append is counted on the next query
+    LakeTable.append(spark, t, spark.range(150, 160).toDF("id"))
+    assert(spark.sql("SELECT count(*) FROM meta_count_v").head.getLong(0) == 160)
+    // time travel counts the pinned version
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(t)
+    assert(v1.count() == 100 && scanFree(v1.groupBy().count()))
+
+    // any of: a filter, a group-by, a distinct, another aggregate ->
+    // back to the scan, still correct
+    val filtered = live.filter(col("id") < 10)
+    assert(filtered.count() == 10)
+    assert(!scanFree(filtered.groupBy().count()))
+    assert(live.select(countDistinct("id")).head.getLong(0) == 160)
+    assert(live.agg(count(lit(1)), sum("id")).head.getLong(0) == 160)
   }
 }
