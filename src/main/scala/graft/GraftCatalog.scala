@@ -184,6 +184,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // into the transactional GraftInsertCommand (post-hoc, so column
     // matching/casts have already been applied)
     ext.injectPostHocResolutionRule(_ => new graft.lake.GraftInsertRule)
+    // SQL MERGE INTO over lake tables: the analyzer resolves the node,
+    // only the V1 planner is missing — convert to the log's merge
+    ext.injectPostHocResolutionRule(_ => new graft.lake.GraftMergeRule)
     // unfiltered count(*) over a lake table answered from the log's
     // row counts — no scan (see MetadataOnlyCount)
     ext.injectOptimizerRule(_ => new graft.lake.MetadataOnlyCount)

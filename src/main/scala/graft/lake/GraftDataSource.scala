@@ -70,14 +70,38 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "format(\"graft\") requires a table path: .load(path) or option(\"path\", ...)"))
 
+  /** `timestampAsOf` accepts epoch millis, `yyyy-MM-dd`, or
+    * `yyyy-MM-dd HH:mm:ss[.S]` (UTC — deterministic across sessions),
+    * resolved to the newest version committed at or before it.
+    */
+  private def parseTimestampMs(v: String): Long =
+    v.toLongOption.getOrElse {
+      val t = v.trim
+      try {
+        val local =
+          if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+          else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"timestampAsOf must be epoch millis, 'yyyy-MM-dd', or " +
+              s"'yyyy-MM-dd HH:mm:ss' (UTC), got '$v'")
+      }
+    }
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val table = pathOf(parameters)
+    if (parameters.contains("versionAsOf") && parameters.contains("timestampAsOf"))
+      throw new IllegalArgumentException(
+        "versionAsOf and timestampAsOf are mutually exclusive")
     val asOf = parameters.get("versionAsOf").map { v =>
       v.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"versionAsOf must be a version number, got '$v'"))
-    }
+    }.orElse(parameters.get("timestampAsOf").map(t =>
+      LakeTable.versionAtTimestamp(spark, table, parseTimestampMs(t))))
     val index = new GraftFileIndex(spark, table, asOf)
     val snap = index.snapshotNow()
     val partitionSchema = index.partitionSchema
@@ -147,7 +171,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       case SaveMode.Ignore =>
         if (!exists) LakeTable.overwrite(spark, table, data, partitionBy)
     }
-    createRelation(sqlContext, parameters - "versionAsOf")
+    createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf")
   }
 
   // -------------------------------------------------------------- streaming

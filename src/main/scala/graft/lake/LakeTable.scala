@@ -678,6 +678,28 @@ object LakeTable {
       .toDF("version", "timestamp_ms", "operation", "num_files")
   }
 
+  /** The newest version committed at or before `tsMs` — timestamp time
+    * travel (`option("timestampAsOf", ...)`), resolved from the history
+    * checkpoint + tail like [[history]] (O(tail), no full log parse).
+    * Commit timestamps are the writers' wall clocks: monotonic per
+    * table in practice (commits serialize through put-if-absent), but
+    * clock skew between writers can reorder them — ties and inversions
+    * resolve to the highest qualifying version, matching Delta.
+    */
+  def versionAtTimestamp(spark: SparkSession, table: String, tsMs: Long): Long = {
+    val f = fs(spark, table)
+    val byVersion = readCheckpoint(f, table)
+      .map(_._2.map(e => e.version -> e).toMap).getOrElse(Map.empty)
+    val qualifying = versionsFast(spark, table)
+      .map(v => byVersion.getOrElse(v, snapshotSummary(snapshotAt(spark, table, v))))
+      .filter(_.timestampMs <= tsMs)
+    if (qualifying.isEmpty)
+      throw new IllegalArgumentException(
+        s"no version of $table committed at or before timestamp $tsMs " +
+          "(the table's first commit is later)")
+    qualifying.map(_.version).max
+  }
+
   // ----------------------------------------------------------------- merge
 
   /** Upsert (MERGE): rows of `updates` replace current rows with the

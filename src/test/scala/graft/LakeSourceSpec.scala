@@ -89,6 +89,31 @@ class LakeSourceSpec extends SparkSpec {
     assert(latest.count() == 12)
   }
 
+  test("timestampAsOf resolves to the newest version at or before the timestamp") {
+    val t = tmpTable("live_ts_asof")
+    spark.range(3).toDF("id").write.format("graft").mode("overwrite").save(t)
+    Thread.sleep(20) // distinct commit timestamps
+    spark.range(5).toDF("id").write.format("graft").mode("append").save(t)
+    val ts = LakeTable.history(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def countAt(tsMs: Long): Long =
+      spark.read.format("graft").option("timestampAsOf", tsMs.toString).load(t).count()
+    assert(countAt(ts(1L)) == 3)            // exactly at v1
+    assert(countAt((ts(1L) + ts(2L)) / 2) == 3) // between commits -> still v1
+    assert(countAt(ts(2L)) == 8)            // at v2
+    assert(countAt(System.currentTimeMillis() + 60000) == 8) // future -> latest
+    val before = intercept[IllegalArgumentException] { countAt(ts(1L) - 1) }
+    assert(before.getMessage.contains("at or before"))
+    val both = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", 1)
+        .option("timestampAsOf", ts(1L).toString).load(t).count()
+    }
+    assert(both.getMessage.contains("mutually exclusive"))
+    // calendar forms parse (UTC): a future date resolves to latest
+    assert(spark.read.format("graft").option("timestampAsOf", "2099-01-01").load(t)
+      .count() == 8)
+  }
+
   test("CREATE TABLE USING graft resolves through the log and stays live") {
     val t = tmpTable("live_ddl")
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")

@@ -110,6 +110,58 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ins_tbl")
   }
 
+  test("MERGE INTO a registered lake view routes through the log's upsert") {
+    import spark.implicits._
+    import graft.lake.LakeTable
+    val t = java.nio.file.Files.createTempDirectory("sql_merge").toString + "/t"
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "v"))
+    LakeTable.readLive(spark, t).createOrReplaceTempView("merge_tgt")
+    Seq((2L, "B", 99.0), (3L, "c", 30.0)).toDF("id", "s", "v")
+      .createOrReplaceTempView("merge_src")
+
+    // upsert: UPDATE SET * + INSERT *
+    spark.sql("""MERGE INTO merge_tgt USING merge_src ON merge_tgt.id = merge_src.id
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val rows = spark.table("merge_tgt").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(rows == Map(1L -> (("a", 10.0)), 2L -> (("B", 99.0)), 3L -> (("c", 30.0))))
+    assert(LakeTable.latestSnapshot(spark, t).get.operation == "MERGE")
+
+    // insert-only: matched rows untouched
+    Seq((3L, "X", -1.0), (4L, "d", 40.0)).toDF("id", "s", "v")
+      .createOrReplaceTempView("merge_src2")
+    spark.sql("""MERGE INTO merge_tgt USING merge_src2 ON merge_tgt.id = merge_src2.id
+                 WHEN NOT MATCHED THEN INSERT *""")
+    val r2 = spark.table("merge_tgt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r2 == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+
+    // update-only: unmatched source rows ignored
+    Seq((4L, "D", 44.0), (9L, "z", 90.0)).toDF("id", "s", "v")
+      .createOrReplaceTempView("merge_src3")
+    spark.sql("""MERGE INTO merge_tgt USING merge_src3 ON merge_tgt.id = merge_src3.id
+                 WHEN MATCHED THEN UPDATE SET *""")
+    val r3 = spark.table("merge_tgt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r3 == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+
+    // unsupported shapes fail loudly, with the reason
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+    val del = intercept[Exception] {
+      spark.sql("""MERGE INTO merge_tgt USING merge_src ON merge_tgt.id = merge_src.id
+                   WHEN MATCHED THEN DELETE""")
+    }
+    assert(messages(del).exists(_.contains("DELETE")), s"got: $del")
+    val cond = intercept[Exception] {
+      spark.sql("""MERGE INTO merge_tgt USING merge_src ON merge_tgt.id = merge_src.id
+                   WHEN MATCHED AND merge_src.v > 50 THEN UPDATE SET *""")
+    }
+    assert(messages(cond).exists(_.contains("condition on WHEN MATCHED")), s"got: $cond")
+  }
+
   test("sketch functions are available in SQL without registration") {
     // GraftSession.builder injects GraftExtensions — no Sketches.register
     GraftCatalog.registerTables(spark, sf)
