@@ -1,8 +1,9 @@
 package graft.lake
 
 import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -62,6 +63,24 @@ final case class GraftMergeCommand(tablePath: String, updates: LogicalPlan,
   }
 }
 
+/** SQL `DELETE FROM <graft table> WHERE ...`, planned onto
+  * [[LakeTable.delete]] (file-granularity copy-on-write). The resolved
+  * predicate's attribute references are re-bound BY NAME against the
+  * fresh read the delete performs — the exprIds of the command's view
+  * resolution do not exist in that plan.
+  */
+final case class GraftDeleteCommand(tablePath: String, condition: Expression)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val byName = condition.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+    LakeTable.delete(spark, tablePath,
+      org.apache.spark.sql.graft.SqlShims.columnOf(byName))
+    Seq.empty
+  }
+}
+
 final class GraftMergeRule extends Rule[LogicalPlan] {
 
   /** The graft file index behind a (possibly aliased/viewed) relation. */
@@ -85,6 +104,14 @@ final class GraftMergeRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(target, condition)
+        if d.resolved && graftIndex(target).isDefined =>
+      val idx = graftIndex(target).get
+      if (idx.asOf.isDefined)
+        throw new IllegalArgumentException(
+          s"cannot DELETE from a time-travel graft relation of ${idx.tablePath}")
+      GraftDeleteCommand(idx.tablePath, condition)
+
     case m: MergeIntoTable if m.resolved && graftIndex(m.targetTable).isDefined =>
       val idx = graftIndex(m.targetTable).get
       if (idx.asOf.isDefined)

@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.json4s._
@@ -849,6 +849,65 @@ object LakeTable {
       attempt += 1
     }
     throw new ConcurrentCommitException(s"MERGE on $table lost $maxRetries commit races")
+  }
+
+  // ---------------------------------------------------------------- delete
+
+  /** Copy-on-write DELETE: remove the rows matching `condition`,
+    * rewriting ONLY the files that contain at least one matching row —
+    * every other file carries over by reference, so a selective delete
+    * on a 100 TB table costs its matched files, not the table. Rows
+    * where the condition is NULL are kept (SQL DELETE semantics).
+    * Previous versions still time-travel. Returns the committed
+    * version — the current one unchanged when nothing matched.
+    *
+    * Detection runs on the pinned snapshot and collects matched FILE
+    * NAMES (bounded by file count, not rows); the rewrite reads just
+    * those files and keeps their non-matching rows. A lost commit race
+    * aborts with [[ConcurrentCommitException]] rather than rebasing:
+    * any concurrent change could contain rows this delete's scan never
+    * saw, and a silent rebase would resurrect or miss them.
+    */
+  def delete(spark: SparkSession, table: String, condition: Column): Long = {
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+
+    val matchedAbs = read(spark, table, asOf = Some(snap.version))
+      .filter(condition)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    if (matchedAbs.isEmpty) return snap.version
+
+    // same URI-decode + qualify discipline as merge: a matched file
+    // that cannot be mapped under the data root is a hard error
+    val f = fs(spark, table)
+    val baseRaw = f.makeQualified(dataPath(table)).toUri.getPath.stripSuffix("/")
+    val matchedSet = matchedAbs.map { abs =>
+      val p = decodeFileUri(abs)
+      require(p.startsWith(baseRaw + "/"),
+        s"DELETE matched file $p outside the table data root $baseRaw/ — " +
+          "refusing to commit (the file could not be marked for rewrite)")
+      p.drop(baseRaw.length + 1)
+    }.toSet
+    val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
+    val affectedPaths = snap.filePaths.filter(matchedSet.contains)
+      .map(rel => new Path(dataPath(table), rel).toString)
+
+    val kept = spark.read
+      .option("basePath", dataPath(table).toString)
+      .schema(snap.schema)
+      .parquet(affectedPaths: _*)
+      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .filter(!coalesce(condition, lit(false)))
+    val newFiles = stageFiles(spark, table, kept, snap.partitionColumns)
+
+    val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
+      snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
+    if (!tryCommit(spark, table, next))
+      throw new ConcurrentCommitException(
+        s"DELETE on $table lost the commit race — re-run (a concurrent commit may " +
+          "contain rows this delete never scanned)")
+    next.version
   }
 
   // --------------------------------------------------------------- compact

@@ -51,4 +51,11 @@ object SqlShims {
     * runs.
     */
   def rowsOf(df: DataFrame): RDD[InternalRow] = df.queryExecution.toRdd
+
+  /** A user-facing Column over a catalyst expression (the classic
+    * ColumnNode bridge) — how a SQL command's resolved predicate is
+    * re-applied to a fresh DataFrame.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -162,6 +162,41 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(messages(cond).exists(_.contains("condition on WHEN MATCHED")), s"got: $cond")
   }
 
+  test("DELETE FROM rewrites only the files containing matches; SQL and API agree") {
+    import spark.implicits._
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files.createTempDirectory("sql_delete").toString + "/t"
+    // two files with disjoint id ranges -> a selective delete touches one
+    LakeTable.overwrite(spark, t,
+      spark.range(100).select(col("id"), (col("id") % 7).as("grp"))
+        .repartitionByRange(2, col("id")))
+    val before = LakeTable.latestSnapshot(spark, t).get
+    assert(before.files.size == 2)
+
+    // API delete: one matching range -> exactly one file rewritten
+    val v = LakeTable.delete(spark, t, col("id") >= 90)
+    val after = LakeTable.latestSnapshot(spark, t).get
+    assert(after.version == v && after.operation == "DELETE")
+    assert(LakeTable.read(spark, t).count() == 90)
+    // the low-range file carried over by reference (same logged path)
+    assert(after.files.map(_.path).toSet.intersect(before.files.map(_.path).toSet).size == 1)
+    // time travel still sees the deleted rows
+    assert(LakeTable.read(spark, t, asOf = Some(before.version)).count() == 100)
+    // nothing-matched delete: no new version
+    assert(LakeTable.delete(spark, t, col("id") > 1000) == v)
+
+    // SQL surface over a registered live view
+    LakeTable.readLive(spark, t).createOrReplaceTempView("del_tgt")
+    spark.sql("DELETE FROM del_tgt WHERE grp = 3 AND id < 50")
+    assert(spark.table("del_tgt").count() ==
+      (0L until 90L).count(i => !(i % 7 == 3 && i < 50)))
+    // NULL-condition rows are kept: delete on a null comparison removes nothing
+    spark.sql("DELETE FROM del_tgt WHERE null = id")
+    assert(spark.table("del_tgt").count() ==
+      (0L until 90L).count(i => !(i % 7 == 3 && i < 50)))
+  }
+
   test("sketch functions are available in SQL without registration") {
     // GraftSession.builder injects GraftExtensions — no Sketches.register
     GraftCatalog.registerTables(spark, sf)
