@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -81,6 +81,26 @@ final case class GraftDeleteCommand(tablePath: String, condition: Expression)
   }
 }
 
+/** SQL `UPDATE <graft table> SET ... [WHERE ...]`, planned onto
+  * [[LakeTable.update]] (file-granularity copy-on-write). Like
+  * [[GraftDeleteCommand]], resolved references re-bind by name.
+  */
+final case class GraftUpdateCommand(tablePath: String,
+                                    set: Seq[(String, Expression)],
+                                    condition: Expression)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    def byName(e: Expression): Expression = e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }
+    import org.apache.spark.sql.graft.SqlShims.columnOf
+    LakeTable.update(spark, tablePath,
+      set.map { case (n, v) => n -> columnOf(byName(v)) },
+      columnOf(byName(condition)))
+    Seq.empty
+  }
+}
+
 final class GraftMergeRule extends Rule[LogicalPlan] {
 
   /** The graft file index behind a (possibly aliased/viewed) relation. */
@@ -111,6 +131,20 @@ final class GraftMergeRule extends Rule[LogicalPlan] {
         throw new IllegalArgumentException(
           s"cannot DELETE from a time-travel graft relation of ${idx.tablePath}")
       GraftDeleteCommand(idx.tablePath, condition)
+
+    case u @ UpdateTable(target, assignments, condition)
+        if u.resolved && graftIndex(target).isDefined =>
+      val idx = graftIndex(target).get
+      if (idx.asOf.isDefined)
+        throw new IllegalArgumentException(
+          s"cannot UPDATE a time-travel graft relation of ${idx.tablePath}")
+      val set = assignments.map {
+        case Assignment(k: Attribute, v) => k.name -> v
+        case Assignment(k, _) => throw new UnsupportedOperationException(
+          s"UPDATE on a graft table: assignment target $k is not a column")
+      }
+      GraftUpdateCommand(idx.tablePath, set,
+        condition.getOrElse(org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
 
     case m: MergeIntoTable if m.resolved && graftIndex(m.targetTable).isDefined =>
       val idx = graftIndex(m.targetTable).get

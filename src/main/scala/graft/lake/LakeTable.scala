@@ -910,6 +910,66 @@ object LakeTable {
     next.version
   }
 
+  /** Copy-on-write UPDATE: apply `set` to the rows matching `condition`
+    * (NULL conditions leave rows untouched, SQL semantics), rewriting
+    * only the files containing at least one match — the same
+    * file-granularity discipline as [[delete]]. Assigned values are
+    * cast to the column's snapshot type (no silent type drift in the
+    * log); assigning a PARTITION column re-routes the updated rows to
+    * their new hive directories (the whole matched file is rewritten,
+    * so its unmatched rows stay in place). Returns the committed
+    * version — unchanged when nothing matched.
+    */
+  def update(spark: SparkSession, table: String, set: Seq[(String, Column)],
+             condition: Column): Long = {
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    val unknown = set.map(_._1).filterNot(n => snap.schema.fieldNames.contains(n))
+    require(unknown.isEmpty, s"UPDATE on $table assigns unknown column(s): " +
+      unknown.mkString(", "))
+
+    val matchedAbs = read(spark, table, asOf = Some(snap.version))
+      .filter(condition)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    if (matchedAbs.isEmpty) return snap.version
+
+    val f = fs(spark, table)
+    val baseRaw = f.makeQualified(dataPath(table)).toUri.getPath.stripSuffix("/")
+    val matchedSet = matchedAbs.map { abs =>
+      val p = decodeFileUri(abs)
+      require(p.startsWith(baseRaw + "/"),
+        s"UPDATE matched file $p outside the table data root $baseRaw/ — " +
+          "refusing to commit (the file could not be marked for rewrite)")
+      p.drop(baseRaw.length + 1)
+    }.toSet
+    val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
+    val affectedPaths = snap.filePaths.filter(matchedSet.contains)
+      .map(rel => new Path(dataPath(table), rel).toString)
+
+    val setByName = set.toMap
+    val hit = coalesce(condition, lit(false))
+    val rewritten = spark.read
+      .option("basePath", dataPath(table).toString)
+      .schema(snap.schema)
+      .parquet(affectedPaths: _*)
+      .select(snap.schema.fields.map { fld =>
+        setByName.get(fld.name) match {
+          case Some(v) => when(hit, v.cast(fld.dataType)).otherwise(col(fld.name)).as(fld.name)
+          case None => col(fld.name)
+        }
+      }.toIndexedSeq: _*)
+    val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns)
+
+    val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "UPDATE",
+      snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
+    if (!tryCommit(spark, table, next))
+      throw new ConcurrentCommitException(
+        s"UPDATE on $table lost the commit race — re-run (a concurrent commit may " +
+          "contain rows this update never scanned)")
+    next.version
+  }
+
   // --------------------------------------------------------------- compact
 
   /** Bin-pack small data files (streaming MERGE and frequent appends

@@ -197,6 +197,48 @@ class SqlSurfaceSpec extends SparkSpec {
       (0L until 90L).count(i => !(i % 7 == 3 && i < 50)))
   }
 
+  test("UPDATE rewrites only matched files; SET can move rows across partitions") {
+    import spark.implicits._
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files.createTempDirectory("sql_update").toString + "/t"
+    LakeTable.overwrite(spark, t,
+      spark.range(100).select(col("id"), (col("id") % 2 === 0).as("even"),
+        (col("id") * 10).as("v")).repartitionByRange(2, col("id")))
+    val before = LakeTable.latestSnapshot(spark, t).get
+    assert(before.files.size == 2)
+
+    // API update: one range matched -> one file rewritten, one carried
+    LakeTable.update(spark, t, Seq("v" -> (col("v") + 1)), col("id") >= 90)
+    val after = LakeTable.latestSnapshot(spark, t).get
+    assert(after.operation == "UPDATE")
+    assert(after.files.map(_.path).toSet.intersect(before.files.map(_.path).toSet).size == 1)
+    val got = LakeTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((0L until 100L).forall(i => got(i) == (if (i >= 90) i * 10 + 1 else i * 10)))
+
+    // SQL surface, expression referencing another column + WHERE
+    LakeTable.readLive(spark, t).createOrReplaceTempView("upd_tgt")
+    spark.sql("UPDATE upd_tgt SET v = id WHERE id < 5")
+    val g2 = spark.table("upd_tgt").collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((0L until 5L).forall(i => g2(i) == i) && g2(10L) == 100L)
+    // time travel still sees the original values
+    assert(LakeTable.read(spark, t, asOf = Some(before.version)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap.apply(0L) == 0L)
+
+    // updating a partition column re-routes rows to their new directory
+    val tp = java.nio.file.Files.createTempDirectory("sql_update_part").toString + "/t"
+    LakeTable.overwrite(spark, tp,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "part"), partitionBy = Seq("part"))
+    LakeTable.update(spark, tp, Seq("part" -> org.apache.spark.sql.functions.lit("c")),
+      col("id") === 2)
+    val rows = LakeTable.read(spark, tp).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "a", 2L -> "c", 3L -> "b"))
+    // and a partition filter finds the moved row (dir layout is real)
+    assert(LakeTable.read(spark, tp).filter(col("part") === "c").count() == 1)
+  }
+
   test("sketch functions are available in SQL without registration") {
     // GraftSession.builder injects GraftExtensions — no Sketches.register
     GraftCatalog.registerTables(spark, sf)
