@@ -161,6 +161,25 @@ class GraftStreamSpec extends SparkSpec {
     assert(spark.table("graft_chg2").select("id").as[Long].collect().toSet == Set(9L, 12L))
   }
 
+  test("readStream startingVersion tails changes only, skipping the initial snapshot") {
+    import spark.implicits._
+    val dir = tmp("graft_source_sv"); val table = s"$dir/t"
+    LakeTable.overwrite(spark, table, (1L to 100L).toDF("id")) // v1: history
+    LakeTable.append(spark, table, (101L to 110L).toDF("id"))  // v2: history
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", 2).load(table)
+      .writeStream.format("memory").queryName("graft_sv")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("graft_sv").count() == 0) // nothing after v2 yet
+    LakeTable.append(spark, table, (111L to 115L).toDF("id"))  // v3: tailed
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("graft_sv").select("id").as[Long].collect().toSet ==
+      (111L to 115L).toSet)
+  }
+
   test("graft-to-graft pipe: a downstream table tails an upstream one exactly-once") {
     import spark.implicits._
     val dir = tmp("graft_pipe"); val up = s"$dir/up"; val down = s"$dir/down"
