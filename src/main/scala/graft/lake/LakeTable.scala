@@ -872,7 +872,12 @@ object LakeTable {
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
 
-    val matchedAbs = read(spark, table, asOf = Some(snap.version))
+    // detection through the registered source, pinned to this snapshot:
+    // the pushed predicate prunes at FILE level against the logged
+    // bounds (DataSkipping), so a selective predicate's detection scan
+    // reads only the files it could possibly match — not the table
+    val matchedAbs = spark.read.format("graft")
+      .option("versionAsOf", snap.version).load(table)
       .filter(condition)
       .select(input_file_name()).distinct()
       .collect().map(_.getString(0))
@@ -928,7 +933,12 @@ object LakeTable {
     require(unknown.isEmpty, s"UPDATE on $table assigns unknown column(s): " +
       unknown.mkString(", "))
 
-    val matchedAbs = read(spark, table, asOf = Some(snap.version))
+    // detection through the registered source, pinned to this snapshot:
+    // the pushed predicate prunes at FILE level against the logged
+    // bounds (DataSkipping), so a selective predicate's detection scan
+    // reads only the files it could possibly match — not the table
+    val matchedAbs = spark.read.format("graft")
+      .option("versionAsOf", snap.version).load(table)
       .filter(condition)
       .select(input_file_name()).distinct()
       .collect().map(_.getString(0))
