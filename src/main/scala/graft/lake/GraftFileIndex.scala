@@ -105,10 +105,15 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
   }
 
   private def resolve(): (Seq[(InternalRow, Array[(FileStatus, LakeTable.FileEntry)])], Long) = synchronized {
-    val snap = snapshotNow()
+    // revalidate by VERSION first (O(1) hint read) — the snapshot
+    // reconstruction (checkpoint + deltas) only runs when the version
+    // actually moved
+    val curVersion = asOf.orElse(LakeTable.latestVersion(spark, tablePath))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $tablePath"))
     cached match {
-      case Some((v, parts, bytes)) if v == snap.version => (parts, bytes)
+      case Some((v, parts, bytes)) if v == curVersion => (parts, bytes)
       case _ =>
+        val snap = LakeTable.snapshotAt(spark, tablePath, curVersion)
         checkNotStale(snap)
         val statuses: Seq[(String, FileStatus, LakeTable.FileEntry)] =
           if (snap.files.forall(_.size >= 0)) {

@@ -86,7 +86,20 @@ private[lake] class GraftSink(spark: SparkSession, path: String,
   *
   * The first batch delivers the full snapshot current at that moment
   * (the stream then tails from there); `option("startingVersion", v)`
-  * starts tailing after `v` instead, delivering only changes.
+  * starts tailing at `v` INSTEAD of the initial snapshot, delivering
+  * the changes of version v and later — INCLUSIVE of v, matching
+  * Delta's option of the same name. The value is validated against the
+  * table's existing version range at source construction (1 ≤ v ≤
+  * latest + 1; `latest + 1` means "only commits after now").
+  *
+  * Batches are derived from the log's per-commit DELTAS: a version's
+  * added files are read straight from its commit entry — O(commits in
+  * range) metadata, independent of table size. Only a legacy
+  * (pre-sharding) full-state entry pays a snapshot diff. The pinned
+  * schema is revalidated per tailed commit: upstream schema evolution
+  * or a partition-layout change mid-stream fails loudly with a restart
+  * hint (Delta stops the stream the same way) instead of silently
+  * projecting the new column away.
   */
 private[lake] class GraftSource(spark: SparkSession, table: String,
                                 options: Map[String, String])
@@ -94,15 +107,25 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
 
   private val skipChangeCommits =
     options.get("skipChangeCommits").exists(_.equalsIgnoreCase("true"))
-  private val startingVersion: Option[Long] =
-    options.get("startingVersion").map { v =>
-      v.toLongOption.getOrElse(throw new IllegalArgumentException(
-        s"startingVersion must be a version number, got '$v'"))
-    }
 
   private val initialSnapshot = LakeTable.latestSnapshot(spark, table)
     .getOrElse(throw new IllegalArgumentException(
       s"cannot stream from $table: no committed version"))
+
+  /** Exclusive lower bound derived from the INCLUSIVE user option. */
+  private val startingVersion: Option[Long] =
+    options.get("startingVersion").map { raw =>
+      val v = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"startingVersion must be a version number, got '$raw'"))
+      val latest = initialSnapshot.version
+      if (v < 1 || v > latest + 1)
+        throw new IllegalArgumentException(
+          s"startingVersion $v is outside the version range of $table: versions " +
+            s"start at 1 and the latest commit is $latest (use ${latest + 1} to " +
+            "deliver only commits after now). startingVersion is inclusive — the " +
+            "stream's first delivered commit is the given version.")
+      v - 1
+    }
 
   override val schema: StructType = GraftDataSource.asNullable(initialSnapshot.schema)
 
@@ -115,35 +138,64 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
   override def getOffset: Option[OffsetV1] =
     LakeTable.latestVersion(spark, table).map(LongOffset(_))
 
+  /** Upstream schema/layout evolution mid-stream is delivered rows
+    * silently missing the new column (the batch projects through the
+    * pinned schema) — fail loudly instead; the fix is a stream restart,
+    * which re-pins.
+    */
+  private def checkSchemaPinned(v: Long, evolvedSchema: StructType,
+                                parts: Seq[String]): Unit = {
+    if (GraftDataSource.asNullable(evolvedSchema) != schema)
+      throw new IllegalStateException(
+        s"streaming from $table: the schema evolved at version $v (pinned at " +
+          s"v${initialSnapshot.version} when this stream started) — restart the " +
+          "stream to pick up the new schema")
+    if (parts != initialSnapshot.partitionColumns)
+      throw new IllegalStateException(
+        s"streaming from $table: the partition layout changed at version $v — " +
+          "restart the stream to pick up the new layout")
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
     val files: Seq[String] = start.map(versionOf).orElse(startingVersion) match {
       case None =>
         // initial batch: the whole table as of endV
-        LakeTable.snapshotAt(spark, table, endV).filePaths
+        val snap = LakeTable.snapshotAt(spark, table, endV)
+        checkSchemaPinned(endV, snap.schema, snap.partitionColumns)
+        snap.filePaths
       case Some(startV) =>
-        var prevPaths = LakeTable.snapshotAt(spark, table, startV).filePaths.toSet
+        // one log-entry read per commit in the range: a delta names its
+        // added/removed files directly, so the batch's metadata cost is
+        // O(versions in range), never O(versions × files). Only a
+        // legacy full-state entry pays a diff against its predecessor.
         val added = ArrayBuffer.empty[String]
         var v = startV + 1
         while (v <= endV) {
-          val snap = LakeTable.snapshotAt(spark, table, v)
-          val paths = snap.filePaths.toSet
-          val removed = prevPaths.exists(p => !paths(p))
-          if (snap.operation == "COMPACT") {
+          val e = LakeTable.logEntryAt(spark, table, v)
+          checkSchemaPinned(v, e.schema, e.partitionColumns)
+          val (addsNow, removedNow): (Seq[String], Boolean) = e.full match {
+            case None => (e.adds.map(_.path), e.reset || e.removes.nonEmpty)
+            case Some(fullFiles) =>
+              val prev = LakeTable.snapshotAt(spark, table, v - 1).filePaths.toSet
+              val paths = fullFiles.map(_.path)
+              val pathSet = paths.toSet
+              (paths.filterNot(prev), prev.exists(p => !pathSet(p)))
+          }
+          if (e.operation == "COMPACT") {
             () // byte-level rewrite; rows already delivered
-          } else if (removed) {
+          } else if (removedNow) {
             if (!skipChangeCommits)
               throw new UnsupportedOperationException(
-                s"streaming from $table: version $v (${snap.operation}) removed data " +
+                s"streaming from $table: version $v (${e.operation}) removed data " +
                   "files — the table is not append-only at this commit. Set " +
                   "option(\"skipChangeCommits\", \"true\") to skip such commits, or " +
                   "restart the stream from a later startingVersion.")
-            logWarning(s"graft source: skipping change commit v$v (${snap.operation}) " +
+            logWarning(s"graft source: skipping change commit v$v (${e.operation}) " +
               s"on $table")
           } else {
-            paths.foreach(p => if (!prevPaths(p)) added += p)
+            added ++= addsNow
           }
-          prevPaths = paths
           v += 1
         }
         added.toSeq

@@ -39,20 +39,28 @@ import org.json4s.jackson.JsonMethods
   *  - Vacuum: unreferenced files (crashed writes, overwritten
   *    versions beyond the retention window) are deleted.
   *
-  * Scale notes: every snapshot is full-state (complete file list +
-  * schema), so reads never replay a multi-file log; "what is the
-  * newest version" resolves through the O(1) `_latest_hint` file
-  * (written post-commit, verified + probed forward on read) instead of
-  * an O(commits) directory listing. The remaining O(files) cost of one
-  * snapshot JSON is the piece a production format shards into
-  * manifests; the commit protocol, copy-on-write MERGE and pruning
-  * behavior are the same ones those formats use. Data is never
-  * rewritten except the matched files of a MERGE; overwrite is a
-  * metadata swap.
+  * Scale notes: the log is SHARDED — each commit writes only a DELTA
+  * ({adds, removes} plus the small schema/partition/txns metadata), so
+  * commit cost is O(files touched), not O(table): appending one file
+  * to a million-file table writes one small JSON, not a million-entry
+  * manifest. Every `checkpointInterval`-th commit additionally writes
+  * a full-state `<v>.checkpoint.json` (advisory), and readers
+  * reconstruct a snapshot as nearest-base + ≤interval deltas, where a
+  * base is a checkpoint, a legacy full-state entry, or a `reset` delta
+  * (OVERWRITE carries its complete new file list and is therefore its
+  * own base). This is the manifest / manifest-list discipline of
+  * Iceberg (the reference's format, ref:
+  * trino_iceberg_transform_component.py:116-123) and Delta's
+  * delta-log + checkpoint. "What is the newest version" resolves
+  * through the O(1) `_latest_hint` file (written post-commit, verified
+  * + probed forward on read) instead of an O(commits) directory
+  * listing. Data is never rewritten except the matched files of a
+  * MERGE; overwrite is a metadata swap.
   *
   * Layout:
   * {{{
-  * <table>/_graft_log/00000000000000000001.json
+  * <table>/_graft_log/00000000000000000001.json              (delta, or legacy full-state)
+  * <table>/_graft_log/00000000000000000010.checkpoint.json   (full-state, every 10th)
   * <table>/data/<part=val>/part-<uuid>.parquet
   * <table>/_staging/<uuid>/   (transient)
   * }}}
@@ -86,6 +94,19 @@ object LakeTable {
     def filePaths: Seq[String] = files.map(_.path)
   }
 
+  /** One parsed log file. A legacy (pre-sharding) file carries the
+    * complete file list in `full`; a delta commit carries only the
+    * files it added/removed. `reset = true` marks a commit that
+    * replaced the table contents (OVERWRITE): its `adds` ARE the full
+    * new file list, making the entry a reconstruction base.
+    */
+  private[lake] final case class LogEntry(
+      version: Long, timestampMs: Long, operation: String,
+      schema: StructType, partitionColumns: Seq[String],
+      txns: Map[String, Long],
+      full: Option[Seq[FileEntry]],
+      adds: Seq[FileEntry], removes: Seq[String], reset: Boolean)
+
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
   private[lake] def logPath(table: String) = new Path(table, "_graft_log")
@@ -110,22 +131,48 @@ object LakeTable {
         s.nullCount.map(n => "nc" -> JLong(n))).flatten)
     }))
 
-  private def renderSnapshot(s: Snapshot): String = {
+  private def commonFields(version: Long, timestampMs: Long, operation: String,
+                           schema: StructType, partitionColumns: Seq[String],
+                           txns: Map[String, Long]): List[(String, JValue)] = {
     val base = List(
-      "version" -> JLong(s.version),
-      "timestampMs" -> JLong(s.timestampMs),
-      "operation" -> JString(s.operation),
-      "schemaJson" -> JString(s.schema.json),
-      "partitionColumns" -> JArray(s.partitionColumns.map(JString(_)).toList),
-      "files" -> JArray(s.files.map(renderFile).toList))
+      "version" -> JLong(version),
+      "timestampMs" -> JLong(timestampMs),
+      "operation" -> JString(operation),
+      "schemaJson" -> JString(schema.json),
+      "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList))
     // streaming-writer watermarks (queryId -> highest committed epoch),
     // the exactly-once ledger; omitted when no stream has ever written
-    val withTxns =
-      if (s.txns.isEmpty) base
-      else base :+ ("txns" -> JObject(s.txns.toList.sortBy(_._1).map {
-        case (q, b) => q -> JLong(b)
-      }))
-    JsonMethods.compact(JsonMethods.render(JObject(withTxns)))
+    if (txns.isEmpty) base
+    else base :+ ("txns" -> JObject(txns.toList.sortBy(_._1).map {
+      case (q, b) => q -> JLong(b)
+    }))
+  }
+
+  /** Full-state render — checkpoints (and nothing else) use this; the
+    * format doubles as the legacy pre-sharding version-file format, so
+    * one parser reads both.
+    */
+  private def renderSnapshot(s: Snapshot): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      commonFields(s.version, s.timestampMs, s.operation, s.schema,
+        s.partitionColumns, s.txns) :+
+        ("files" -> JArray(s.files.map(renderFile).toList)))))
+
+  /** Delta render — what every commit writes: O(files touched), never
+    * O(table). Schema/partition-columns/txns ride along in full (they
+    * are O(columns + streams), small) so any single delta yields the
+    * snapshot's non-file state without a walk.
+    */
+  private def renderDelta(s: Snapshot, adds: Seq[FileEntry],
+                          removes: Seq[String], reset: Boolean): String = {
+    val fields = commonFields(s.version, s.timestampMs, s.operation, s.schema,
+      s.partitionColumns, s.txns) ++
+      List("adds" -> JArray(adds.map(renderFile).toList)) ++
+      (if (reset) List("reset" -> JBool(true))
+       else if (removes.nonEmpty)
+         List("removes" -> JArray(removes.map(JString(_)).toList))
+       else Nil)
+    JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
 
   private def jLong(v: JValue): Long = v match {
@@ -165,25 +212,53 @@ object LakeTable {
     case other => throw new IllegalStateException(s"expected file entry, got $other")
   }
 
-  private def parseSnapshot(s: String): Snapshot = {
+  /** Parse either format: `files` present ⇒ full-state (legacy version
+    * file or checkpoint); otherwise a delta with `adds`/`removes`.
+    */
+  private def parseLogEntry(s: String): LogEntry = {
     val j = JsonMethods.parse(s)
-    Snapshot(
+    val full = (j \ "files") match {
+      case JArray(entries) => Some(entries.map(parseFile))
+      case _               => None
+    }
+    LogEntry(
       version = jLong(j \ "version"),
       timestampMs = jLong(j \ "timestampMs"),
       operation = jStr(j \ "operation"),
       schema = DataType.fromJson(jStr(j \ "schemaJson")).asInstanceOf[StructType],
       partitionColumns = (j \ "partitionColumns").asInstanceOf[JArray].arr.map(jStr),
-      files = (j \ "files").asInstanceOf[JArray].arr.map(parseFile),
       txns = (j \ "txns") match {
         case JObject(fields) => fields.map { case (q, b) => q -> jLong(b) }.toMap
         case _               => Map.empty
+      },
+      full = full,
+      adds = (j \ "adds") match {
+        case JArray(entries) => entries.map(parseFile)
+        case _               => Seq.empty
+      },
+      removes = (j \ "removes") match {
+        case JArray(entries) => entries.map(jStr)
+        case _               => Seq.empty
+      },
+      reset = (j \ "reset") match {
+        case JBool(b) => b
+        case _        => false
       })
   }
 
-  private def readSnapshotFile(f: FileSystem, p: Path): Snapshot = {
+  private def readFileText(f: FileSystem, p: Path): String = {
     val in = f.open(p)
-    try parseSnapshot(new String(in.readAllBytes(), "UTF-8"))
+    try new String(in.readAllBytes(), "UTF-8")
     finally in.close()
+  }
+
+  /** The log entry of one committed version (delta or legacy full). */
+  private[lake] def logEntryAt(spark: SparkSession, table: String, version: Long): LogEntry = {
+    val f = fs(spark, table)
+    val p = versionFile(table, version)
+    if (!f.exists(p))
+      throw new IllegalArgumentException(s"no version $version at $table")
+    parseLogEntry(readFileText(f, p))
   }
 
   // a committed snapshot is exactly 20 digits + ".json"; anything else in
@@ -257,30 +332,128 @@ object LakeTable {
   def latestSnapshot(spark: SparkSession, table: String): Option[Snapshot] =
     latestVersion(spark, table).map(v => snapshotAt(spark, table, v))
 
-  def snapshotAt(spark: SparkSession, table: String, version: Long): Snapshot = {
-    val f = fs(spark, table)
-    val p = versionFile(table, version)
-    if (!f.exists(p))
-      throw new IllegalArgumentException(s"no version $version at $table")
-    readSnapshotFile(f, p)
+  // ------------------------------------------------ snapshot checkpoints
+  //
+  // Every checkpointInterval-th commit also writes `<v>.checkpoint.json`
+  // — the full file list as of v, in the legacy full-state format — so
+  // reconstruction walks back at most ~interval deltas before hitting a
+  // base. The checkpoint is ADVISORY (post-commit, best-effort): a
+  // missing or torn one just lengthens the walk, which still terminates
+  // at a legacy full-state entry, a `reset` delta (OVERWRITE), or the
+  // table's first commit (whose delta applies to the empty base).
+
+  private def snapshotCheckpointFile(table: String, v: Long): Path =
+    new Path(logPath(table), f"$v%020d.checkpoint.json")
+
+  /** Parse `<v>.checkpoint.json` if present and well-formed. */
+  private def readSnapshotCheckpoint(f: FileSystem, table: String,
+                                     v: Long): Option[Snapshot] =
+    try {
+      val p = snapshotCheckpointFile(table, v)
+      if (!f.exists(p)) None
+      else scala.util.Try {
+        val e = parseLogEntry(readFileText(f, p))
+        Snapshot(e.version, e.timestampMs, e.operation, e.schema,
+          e.partitionColumns, e.full.getOrElse(Seq.empty), e.txns)
+      }.toOption
+    } catch { case _: java.io.IOException => None }
+
+  private def writeSnapshotCheckpoint(f: FileSystem, table: String,
+                                      snap: Snapshot): Unit =
+    try {
+      val target = snapshotCheckpointFile(table, snap.version)
+      if (f.exists(target)) return // deterministic content; first write stands
+      val tmp = new Path(logPath(table), s".cp-snap-tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(renderSnapshot(snap).getBytes("UTF-8")) finally out.close()
+      publishIfAbsent(f, tmp, target)
+      ()
+    } catch { case _: java.io.IOException => () } // advisory — never fail a commit
+
+  /** Reconstruct the snapshot of `version`: nearest base at or below it
+    * (snapshot checkpoint, legacy full-state entry, or `reset` delta),
+    * then the deltas up to `version` applied in order. O(interval)
+    * small metadata reads, independent of table size.
+    */
+  def snapshotAt(spark: SparkSession, table: String, version: Long): Snapshot =
+    reconstruct(fs(spark, table), table, version)
+
+  private def reconstruct(f: FileSystem, table: String, version: Long): Snapshot = {
+    readSnapshotCheckpoint(f, table, version).getOrElse {
+      val p = versionFile(table, version)
+      if (!f.exists(p))
+        throw new IllegalArgumentException(s"no version $version at $table")
+      val head = parseLogEntry(readFileText(f, p))
+      head.full match {
+        case Some(files) =>
+          Snapshot(version, head.timestampMs, head.operation, head.schema,
+            head.partitionColumns, files, head.txns)
+        case None =>
+          // walk back to a base, collecting the delta chain (ascending)
+          var chain: List[LogEntry] = List(head)
+          var base: Seq[FileEntry] = if (head.reset) Seq.empty else null
+          var cur = version
+          while (base == null) {
+            if (cur - 1 == 0) base = Seq.empty // first commit: empty base
+            else readSnapshotCheckpoint(f, table, cur - 1) match {
+              case Some(cp) => base = cp.files
+              case None =>
+                val q = versionFile(table, cur - 1)
+                if (!f.exists(q))
+                  throw new IllegalStateException(
+                    s"cannot reconstruct version $version of $table: log entry " +
+                      s"${cur - 1} is missing (foreign log deletion?)")
+                val e = parseLogEntry(readFileText(f, q))
+                e.full match {
+                  case Some(files) => base = files
+                  case None =>
+                    chain ::= e
+                    if (e.reset) base = Seq.empty
+                    else cur -= 1
+                }
+            }
+          }
+          var files = base
+          chain.foreach { d =>
+            files =
+              if (d.reset) d.adds
+              else {
+                val rm = d.removes.toSet
+                (if (rm.isEmpty) files else files.filterNot(x => rm(x.path))) ++ d.adds
+              }
+          }
+          Snapshot(version, head.timestampMs, head.operation, head.schema,
+            head.partitionColumns, files, head.txns)
+      }
+    }
   }
 
-  /** Commit `snap` as `snap.version` iff that version does not exist yet.
-    * Returns false on a lost race (version taken by another writer).
+  /** Commit `snap` as `snap.version` iff that version does not exist
+    * yet, writing the DELTA (`adds`/`removes`/`reset`) — O(files
+    * touched) JSON, never the full file list. `snap` is the full
+    * post-commit state the caller derived; at every
+    * `checkpointInterval`-th version the winner also rolls it into a
+    * snapshot checkpoint (advisory). Returns false on a lost race
+    * (version taken by another writer).
     */
-  private[lake] def tryCommit(spark: SparkSession, table: String, snap: Snapshot): Boolean = {
+  private[lake] def tryCommit(spark: SparkSession, table: String, snap: Snapshot,
+                              adds: Seq[FileEntry], removes: Seq[String],
+                              reset: Boolean = false): Boolean = {
     val f = fs(spark, table)
     f.mkdirs(logPath(table))
     val target = versionFile(table, snap.version)
     if (f.exists(target)) return false // fast path only; atomicity is in the publish
     val tmp = new Path(logPath(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(renderSnapshot(snap).getBytes("UTF-8")) finally out.close()
+    try out.write(renderDelta(snap, adds, removes, reset).getBytes("UTF-8"))
+    finally out.close()
     val won = publishIfAbsent(f, tmp, target)
     if (won) {
       writeLatestHint(f, table, snap.version)
-      if (snap.version % checkpointInterval == 0)
+      if (snap.version % checkpointInterval == 0) {
+        writeSnapshotCheckpoint(f, table, snap)
         writeHistoryCheckpoint(f, table, snap.version)
+      }
     }
     won
   }
@@ -384,11 +557,21 @@ object LakeTable {
     * readable (time travel) until vacuumed. Schema may differ freely
     * from the previous version.
     */
+  /** What one commit attempt writes: the full derived state (for the
+    * in-memory snapshot + checkpoints) and the delta (what the log
+    * file records).
+    */
+  private final case class CommitSpec(schema: StructType, partitionColumns: Seq[String],
+                                      files: Seq[FileEntry], adds: Seq[FileEntry],
+                                      removes: Seq[String], reset: Boolean)
+
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
                 partitionBy: Seq[String] = Nil): Long = {
     val newFiles = stageFiles(spark, table, df, partitionBy)
     retryCommit(spark, table, "OVERWRITE") { prev =>
-      (df.schema, partitionBy, newFiles)
+      // reset delta: carries the complete new file list, so it is its
+      // own reconstruction base — an overwrite's delta IS full-state
+      CommitSpec(df.schema, partitionBy, newFiles, newFiles, Nil, reset = true)
     }
   }
 
@@ -400,8 +583,8 @@ object LakeTable {
     val newFiles = stageFiles(spark, table, df, parts)
     retryCommit(spark, table, "APPEND") { prev =>
       val schema = prev.map(p => mergeSchemas(p.schema, df.schema)).getOrElse(df.schema)
-      (schema, prev.map(_.partitionColumns).getOrElse(parts),
-        prev.map(_.files).getOrElse(Nil) ++ newFiles)
+      CommitSpec(schema, prev.map(_.partitionColumns).getOrElse(parts),
+        prev.map(_.files).getOrElse(Nil) ++ newFiles, newFiles, Nil, reset = false)
     }
   }
 
@@ -445,7 +628,7 @@ object LakeTable {
         prev.map(_.partitionColumns).getOrElse(parts),
         prev.map(_.files).getOrElse(Nil) ++ newFiles,
         txns = prev.map(_.txns).getOrElse(Map.empty) + (queryId -> batchId))
-      if (tryCommit(spark, table, snap)) return Some(snap.version)
+      if (tryCommit(spark, table, snap, newFiles, Nil)) return Some(snap.version)
       attempt += 1
     }
     throw new ConcurrentCommitException(
@@ -482,7 +665,8 @@ object LakeTable {
         System.currentTimeMillis(), "STREAMING OVERWRITE",
         df.schema, parts, newFiles,
         txns = prev.map(_.txns).getOrElse(Map.empty) + (queryId -> batchId))
-      if (tryCommit(spark, table, snap)) return Some(snap.version)
+      if (tryCommit(spark, table, snap, newFiles, Nil, reset = true))
+        return Some(snap.version)
       attempt += 1
     }
     throw new ConcurrentCommitException(
@@ -490,17 +674,18 @@ object LakeTable {
   }
 
   private def retryCommit(spark: SparkSession, table: String, op: String)(
-      derive: Option[Snapshot] => (StructType, Seq[String], Seq[FileEntry])): Long = {
+      derive: Option[Snapshot] => CommitSpec): Long = {
     var attempt = 0
     while (attempt < maxRetries) {
       val prev = latestSnapshot(spark, table)
-      val (schema, parts, files) = derive(prev)
+      val spec = derive(prev)
       // streaming watermarks survive every batch commit — dropping one
       // would make a restarted stream re-append its last batch
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
-        System.currentTimeMillis(), op, schema, parts, files,
+        System.currentTimeMillis(), op, spec.schema, spec.partitionColumns, spec.files,
         txns = prev.map(_.txns).getOrElse(Map.empty))
-      if (tryCommit(spark, table, snap)) return snap.version
+      if (tryCommit(spark, table, snap, spec.adds, spec.removes, spec.reset))
+        return snap.version
       attempt += 1
     }
     throw new ConcurrentCommitException(s"$op on $table lost $maxRetries commit races")
@@ -526,24 +711,20 @@ object LakeTable {
 
   // ----------------------------------------------------------------- reads
 
-  /** Read the latest (or `asOf`) snapshot. Filters on partition columns
-    * prune at the file-index level (PartitionFilters in the scan).
+  /** Read the latest (or `asOf`) snapshot, PINNED at call time — the
+    * right semantics for a single job execution ([[readLive]]
+    * re-resolves per query instead). Routed through the registered
+    * `graft` source with an explicit `versionAsOf`, so a pinned read
+    * gets the full metadata path: planning from logged stats (no
+    * listings), partition pruning, AND file-level [[DataSkipping]]
+    * against the logged bounds — a selective filter on a pinned read
+    * prunes whole files exactly like a live read. Column order is the
+    * snapshot schema's (partition columns overlap in place).
     */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
-    val snap = asOf.map(snapshotAt(spark, table, _))
-      .orElse(latestSnapshot(spark, table))
-      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
-    if (snap.files.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
-    } else {
-      val base = dataPath(table)
-      val paths = snap.filePaths.map(rel => new Path(base, rel).toString)
-      spark.read
-        .option("basePath", base.toString)
-        .schema(snap.schema)
-        .parquet(paths: _*)
-        .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-    }
+    val v = asOf.getOrElse(latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table")))
+    spark.read.format("graft").option("versionAsOf", v).load(table)
   }
 
   // ------------------------------------------------- history checkpoint
@@ -596,12 +777,25 @@ object LakeTable {
     */
   private[lake] def versionsFast(spark: SparkSession, table: String): Seq[Long] = {
     val f = fs(spark, table)
-    readCheckpoint(f, table) match {
+    val computed = readCheckpoint(f, table) match {
       case Some((upTo, entries)) if f.exists(versionFile(table, upTo)) =>
         var v = upTo
         val tail = scala.collection.mutable.ArrayBuffer.empty[Long]
         while (f.exists(versionFile(table, v + 1))) { v += 1; tail += v }
-        (entries.map(_.version).filter(_ <= upTo) ++ tail).distinct.sorted
+        Some((entries.map(_.version).filter(_ <= upTo) ++ tail).distinct.sorted)
+      case _ => None
+    }
+    // Gap guard: the forward probe stops at the first missing version
+    // file, so a hole in the post-checkpoint tail (foreign log
+    // deletion) would silently truncate the list — and vacuum would
+    // then treat pre-gap versions as latest and delete files the TRUE
+    // latest snapshots still reference. The latest-hint is written
+    // post-commit and sees past such a hole; on disagreement, pay the
+    // full listing.
+    computed match {
+      case Some(vs) if vs.nonEmpty &&
+          !readHint(f, table).exists(h => h > vs.max && f.exists(versionFile(table, h))) =>
+        vs
       case _ => versions(spark, table)
     }
   }
@@ -611,11 +805,24 @@ object LakeTable {
       val prev = readCheckpoint(f, table)
       val carried = prev.map(_._2.filter(_.version <= upTo)).getOrElse(Seq.empty)
       val from = prev.map(_._1 + 1).getOrElse(1L)
+      // numFiles per fresh version is DELTA ARITHMETIC (prev count -
+      // removes + adds), seeded from the carried prefix — no snapshot
+      // reconstruction per version; a gap or unknown falls back to one
+      // reconstruction (and a gap is skipped, not fatal — advisory file)
+      var count: Option[Long] = carried.lastOption.map(_.numFiles)
       val fresh = (from to upTo).flatMap { v =>
         val p = versionFile(table, v)
-        // a gap (foreign deletion) is skipped, not fatal — advisory file
-        if (f.exists(p)) scala.util.Try(snapshotSummary(readSnapshotFile(f, p))).toOption
-        else None
+        if (!f.exists(p)) { count = None; None }
+        else scala.util.Try {
+          val e = parseLogEntry(readFileText(f, p))
+          val seed = if (v == 1L) Some(0L) else count
+          val nf = e.full.map(_.size.toLong)
+            .orElse(if (e.reset) Some(e.adds.size.toLong)
+                    else seed.map(_ - e.removes.size + e.adds.size))
+            .getOrElse(reconstruct(f, table, v).files.size.toLong)
+          count = Some(nf)
+          HistEntry(v, e.timestampMs, e.operation, nf)
+        }.toOption
       }
       val entries = carried ++ fresh
       val body = JsonMethods.compact(JsonMethods.render(JObject(
@@ -845,7 +1052,7 @@ object LakeTable {
         mergeSchemas(cur.schema, updates.schema), cur.partitionColumns,
         cur.files.filterNot(e => affectedPathSet(e.path)) ++ newFiles,
         txns = cur.txns)
-      if (tryCommit(spark, table, next)) return next.version
+      if (tryCommit(spark, table, next, newFiles, affectedRel)) return next.version
       attempt += 1
     }
     throw new ConcurrentCommitException(s"MERGE on $table lost $maxRetries commit races")
@@ -908,7 +1115,7 @@ object LakeTable {
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next))
+    if (!tryCommit(spark, table, next, newFiles, snap.filePaths.filter(matchedSet.contains)))
       throw new ConcurrentCommitException(
         s"DELETE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this delete never scanned)")
@@ -973,7 +1180,7 @@ object LakeTable {
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "UPDATE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next))
+    if (!tryCommit(spark, table, next, newFiles, snap.filePaths.filter(matchedSet.contains)))
       throw new ConcurrentCommitException(
         s"UPDATE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this update never scanned)")
@@ -1027,7 +1234,7 @@ object LakeTable {
     val newFiles = stageFiles(spark, table, rows, snap.partitionColumns)
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
       snap.schema, snap.partitionColumns, big ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next))
+    if (!tryCommit(spark, table, next, newFiles, small.map(_.path)))
       throw new ConcurrentCommitException(s"COMPACT on $table lost the commit race")
     next.version
   }

@@ -161,23 +161,75 @@ class GraftStreamSpec extends SparkSpec {
     assert(spark.table("graft_chg2").select("id").as[Long].collect().toSet == Set(9L, 12L))
   }
 
-  test("readStream startingVersion tails changes only, skipping the initial snapshot") {
+  test("readStream startingVersion tails from that version (inclusive), no initial snapshot") {
     import spark.implicits._
     val dir = tmp("graft_source_sv"); val table = s"$dir/t"
     LakeTable.overwrite(spark, table, (1L to 100L).toDF("id")) // v1: history
-    LakeTable.append(spark, table, (101L to 110L).toDF("id"))  // v2: history
+    LakeTable.append(spark, table, (101L to 110L).toDF("id"))  // v2: delivered (inclusive)
     val q = spark.readStream.format("graft")
       .option("startingVersion", 2).load(table)
       .writeStream.format("memory").queryName("graft_sv")
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
     q.processAllAvailable()
-    assert(spark.table("graft_sv").count() == 0) // nothing after v2 yet
+    // inclusive of v2 (Delta semantics), not the v1 snapshot
+    assert(spark.table("graft_sv").select("id").as[Long].collect().toSet ==
+      (101L to 110L).toSet)
     LakeTable.append(spark, table, (111L to 115L).toDF("id"))  // v3: tailed
     q.processAllAvailable()
     q.stop()
     assert(spark.table("graft_sv").select("id").as[Long].collect().toSet ==
-      (111L to 115L).toSet)
+      (101L to 115L).toSet)
+  }
+
+  test("startingVersion outside the version range fails at construction with a clear error") {
+    import spark.implicits._
+    val dir = tmp("graft_source_svbad"); val table = s"$dir/t"
+    LakeTable.overwrite(spark, table, (1L to 5L).toDF("id")) // v1
+    LakeTable.append(spark, table, (6L to 9L).toDF("id"))    // v2
+    def startWith(v: String): Throwable = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft").option("startingVersion", v).load(table)
+        .writeStream.format("memory").queryName(s"graft_svbad_$v")
+        .option("checkpointLocation", s"$dir/ckpt_$v").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+    // before the first commit (0 — Delta's "beginning" spelling) and past latest+1
+    assert(messages(startWith("0")).exists(_.contains("outside the version range")))
+    assert(messages(startWith("9")).exists(_.contains("outside the version range")))
+    // latest + 1 is valid: only future commits
+    val q = spark.readStream.format("graft").option("startingVersion", 3).load(table)
+      .writeStream.format("memory").queryName("graft_svnext")
+      .option("checkpointLocation", s"$dir/ckpt_next").start()
+    q.processAllAvailable()
+    assert(spark.table("graft_svnext").count() == 0)
+    LakeTable.append(spark, table, Seq(100L).toDF("id"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("graft_svnext").select("id").as[Long].collect().toSet == Set(100L))
+  }
+
+  test("mid-stream schema evolution fails the stream loudly; restart picks it up") {
+    import spark.implicits._
+    val dir = tmp("graft_source_evolve"); val table = s"$dir/t"
+    LakeTable.overwrite(spark, table, Seq((1L, "a")).toDF("id", "s"))
+    val q = spark.readStream.format("graft").load(table)
+      .writeStream.format("memory").queryName("graft_sevolve")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("graft_sevolve").count() == 1)
+    // upstream evolves the schema: the stream must stop, not deliver
+    // rows silently missing the new column
+    LakeTable.append(spark, table, Seq((2L, "b", 0.5)).toDF("id", "s", "score"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+    assert(messages(e).exists(_.contains("schema evolved")), s"got: $e")
+    q.stop()
   }
 
   test("graft-to-graft pipe: a downstream table tails an upstream one exactly-once") {

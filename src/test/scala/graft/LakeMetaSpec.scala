@@ -54,7 +54,8 @@ class LakeMetaSpec extends SparkSpec {
   test("legacy string-only logs (pre-stats) still read, via the listing fallback") {
     val t = tmpTable("meta_legacy")
     LakeTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
-    // rewrite the snapshot JSON to the old format: files as bare strings
+    // rewrite the commit JSON to the OLD pre-sharding format: a
+    // full-state `files` list of bare path strings (no stats, no delta)
     val logDir = java.nio.file.Paths.get(s"$t/_graft_log")
     val vf = logDir.resolve(f"${1L}%020d.json")
     val txt = new String(java.nio.file.Files.readAllBytes(vf), "UTF-8")
@@ -62,14 +63,16 @@ class LakeMetaSpec extends SparkSpec {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val JObject(fields) = JsonMethods.parse(txt): @unchecked
-      val rewritten = fields.map {
-        case ("files", JArray(entries)) =>
-          "files" -> JArray(entries.map(e => (e \ "p").asInstanceOf[JString]))
-        case other => other
+      val rewritten = fields.flatMap {
+        case ("adds", JArray(entries)) =>
+          Some("files" -> JArray(entries.map(e => (e \ "p").asInstanceOf[JString])))
+        case ("reset", _) | ("removes", _) => None
+        case other => Some(other)
       }
       JsonMethods.compact(JsonMethods.render(JObject(rewritten)))
     }
-    assert(legacy != txt && !legacy.contains("\"sz\""), s"rewrite failed: $legacy")
+    assert(legacy != txt && !legacy.contains("\"sz\"") && legacy.contains("\"files\""),
+      s"rewrite failed: $legacy")
     java.nio.file.Files.delete(vf)
     java.nio.file.Files.write(vf, legacy.getBytes("UTF-8"))
     assert(LakeTable.read(spark, t).count() == 2)
@@ -242,6 +245,77 @@ class LakeMetaSpec extends SparkSpec {
     LakeTable.readLive(spark, t).createOrReplaceTempView("meta_evolve_tbl")
     assert(spark.sql("SELECT count(*) FROM meta_evolve_tbl").head.getLong(0) == 2)
     assert(spark.table("meta_evolve_tbl").columns.contains("score"))
+  }
+
+  test("sharded log: commit files are O(files touched), not O(table)") {
+    val t = tmpTable("meta_shard")
+    LakeTable.overwrite(spark, t, Seq((1L, "r1")).toDF("id", "s"))
+    (2 to 60).foreach { i =>
+      LakeTable.append(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    }
+    val logDir = java.nio.file.Paths.get(s"$t/_graft_log")
+    def size(name: String) = java.nio.file.Files.size(logDir.resolve(name))
+    val deltaSizes = (2L to 60L).map(v => size(f"$v%020d.json"))
+    // every single-file append writes a commit of the same (small) size,
+    // regardless of the table growing from 1 to 60 files — the log is
+    // O(files touched). The old full-state design grew linearly: v60
+    // would be ~60x v2.
+    assert(deltaSizes.max <= deltaSizes.min + 64,
+      s"append commit sizes should be flat, got min=${deltaSizes.min} max=${deltaSizes.max}")
+    // the full-state render DOES grow — visible in the snapshot
+    // checkpoint, which at v60 holds all 60 entries and dwarfs a delta
+    val cp60 = size(f"${60L}%020d.checkpoint.json")
+    assert(cp60 > deltaSizes.max * 10,
+      s"checkpoint ($cp60 B) should dwarf a delta (${deltaSizes.max} B)")
+    // checkpoints landed at every 10th commit
+    Seq(10L, 20L, 30L, 40L, 50L).foreach { v =>
+      assert(java.nio.file.Files.exists(logDir.resolve(f"$v%020d.checkpoint.json")))
+    }
+    assert(LakeTable.latestSnapshot(spark, t).get.files.size == 60)
+    assert(LakeTable.read(spark, t).count() == 60)
+  }
+
+  test("snapshot reconstruction: checkpoint+deltas equals pure delta replay, across all ops") {
+    val t = tmpTable("meta_recon")
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "p1", 10.0), (2L, "p2", 20.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))                                          // v1 (reset)
+    (3 to 12).foreach { i =>                                              // v2..v11 (deltas, cross cp@10)
+      LakeTable.append(spark, t, Seq((i.toLong, s"p${i % 2 + 1}", i * 10.0)).toDF("id", "part", "v"))
+    }
+    LakeTable.merge(spark, t, Seq((2L, "p2", 99.0)).toDF("id", "part", "v"), Seq("id")) // v12
+    LakeTable.delete(spark, t, col("id") === 3L)                          // v13
+    LakeTable.compact(spark, t)                                           // v14
+    LakeTable.append(spark, t, Seq((100L, "p1", 1.0)).toDF("id", "part", "v")) // v15
+    val latest = LakeTable.latestSnapshot(spark, t).get
+    assert(latest.version == 15L)
+    val withCp = (1L to 15L).map(v => LakeTable.snapshotAt(spark, t, v))
+    // remove every snapshot checkpoint: reconstruction must now replay
+    // deltas all the way from the reset base — and land on the SAME state
+    val logDir = java.nio.file.Paths.get(s"$t/_graft_log")
+    val removedCp = java.nio.file.Files.list(logDir).iterator()
+    var removedAny = false
+    removedCp.forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".checkpoint.json")) {
+        java.nio.file.Files.delete(p); removedAny = true
+      }
+    }
+    assert(removedAny, "expected at least one snapshot checkpoint to exist")
+    val withoutCp = (1L to 15L).map(v => LakeTable.snapshotAt(spark, t, v))
+    withCp.zip(withoutCp).foreach { case (a, b) =>
+      assert(a == b, s"v${a.version}: checkpointed and replayed snapshots differ")
+    }
+    // data-level sanity at key versions
+    assert(LakeTable.read(spark, t, asOf = Some(11L)).count() == 12)
+    assert(LakeTable.read(spark, t, asOf = Some(13L))
+      .filter(col("id") === 3L).count() == 0)
+    assert(LakeTable.read(spark, t).count() == 12)
+    assert(LakeTable.read(spark, t).filter(col("id") === 2L)
+      .select("v").head.getDouble(0) == 99.0)
+    // a hole in the delta chain fails loudly, not with partial data
+    java.nio.file.Files.delete(logDir.resolve(f"${14L}%020d.json"))
+    val e = intercept[IllegalStateException] { LakeTable.snapshotAt(spark, t, 15L) }
+    assert(e.getMessage.contains("missing"))
   }
 
   test("unfiltered count(*) answers from the log: no scan in the plan") {

@@ -76,12 +76,11 @@ class LakeSpec extends SparkSpec {
     // another writer publishes version 2 between our read and commit:
     // simulate by pre-writing the version file a loser would race
     val racing = LakeTable.latestSnapshot(spark, t).get.copy(version = 2L, operation = "RACER")
-    val m = LakeTable.getClass.getDeclaredMethod("tryCommit",
-      classOf[org.apache.spark.sql.SparkSession], classOf[String],
-      classOf[LakeTable.Snapshot])
-    m.setAccessible(true)
-    assert(m.invoke(LakeTable, spark, t, racing).asInstanceOf[Boolean])
-    assert(!m.invoke(LakeTable, spark, t, racing).asInstanceOf[Boolean],
+    val m = tryCommitHandle
+    assert(m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
+      java.lang.Boolean.FALSE).asInstanceOf[Boolean])
+    assert(!m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
+      java.lang.Boolean.FALSE).asInstanceOf[Boolean],
       "second commit of the same version must lose")
     // a normal writer lands after the racer without clobbering it
     val v = LakeTable.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
@@ -138,7 +137,8 @@ class LakeSpec extends SparkSpec {
   private def tryCommitHandle = {
     val m = LakeTable.getClass.getDeclaredMethod("tryCommit",
       classOf[org.apache.spark.sql.SparkSession], classOf[String],
-      classOf[LakeTable.Snapshot])
+      classOf[LakeTable.Snapshot], classOf[Seq[_]], classOf[Seq[_]],
+      java.lang.Boolean.TYPE)
     m.setAccessible(true)
     m
   }
@@ -162,7 +162,8 @@ class LakeSpec extends SparkSpec {
           def run(): Unit = {
             val snap = base.copy(version = v, operation = s"W$i")
             start.await()
-            if (m.invoke(LakeTable, spark, t, snap).asInstanceOf[Boolean])
+            if (m.invoke(LakeTable, spark, t, snap, Seq.empty, Seq.empty,
+                java.lang.Boolean.FALSE).asInstanceOf[Boolean])
               wins.add(s"W$i")
           }
         })
@@ -206,7 +207,8 @@ class LakeSpec extends SparkSpec {
     val m = tryCommitHandle
     // ~50 metadata-only commits (same file list, bumped version)
     (2L to 50L).foreach { v =>
-      assert(m.invoke(LakeTable, spark, t, base.copy(version = v)).asInstanceOf[Boolean])
+      assert(m.invoke(LakeTable, spark, t, base.copy(version = v), Seq.empty, Seq.empty,
+        java.lang.Boolean.FALSE).asInstanceOf[Boolean])
     }
     val hint = java.nio.file.Paths.get(s"$t/_graft_log/_latest_hint")
     assert(new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim == "50")
