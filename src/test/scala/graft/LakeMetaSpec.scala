@@ -247,6 +247,30 @@ class LakeMetaSpec extends SparkSpec {
     assert(spark.table("meta_evolve_tbl").columns.contains("score"))
   }
 
+  test("pinned LakeTable.read gets file skipping and plans without listing") {
+    val t = cfsTable("meta_pinned")
+    LakeTable.overwrite(spark, t,
+      spark.range(100).select(col("id"), (col("id") * 2).as("v"))
+        .repartitionByRange(4, col("id")))
+    // pinned read: selective filter prunes to ONE file via the logged
+    // bounds — the same DataSkipping the live format("graft") path gets
+    val pinned = LakeTable.read(spark, t)
+    val scan = fileScan(pinned.filter(col("id") === 57L))
+    assert(scan.metrics("numFiles").value == 1,
+      s"pinned read should file-skip, scanned ${scan.metrics("numFiles").value}")
+    assert(pinned.filter(col("id") === 57L).select("v").head.getLong(0) == 114L)
+    // and the planning touched no data-dir listing
+    CountingFileSystem.reset()
+    assert(LakeTable.read(spark, t).agg(sum("id")).head.getLong(0) == 4950L)
+    val listed = CountingFileSystem.listedUnder("/t/data")
+    assert(listed.isEmpty, s"pinned read listed the data tree: $listed")
+    // asOf pins: a later append is invisible to the pinned frame
+    val v1 = LakeTable.read(spark, t)
+    LakeTable.append(spark, t, Seq((1000L, 2000L)).toDF("id", "v"))
+    assert(v1.count() == 100 && LakeTable.read(spark, t).count() == 101)
+    assert(LakeTable.read(spark, t, asOf = Some(1L)).count() == 100)
+  }
+
   test("sharded log: commit files are O(files touched), not O(table)") {
     val t = tmpTable("meta_shard")
     LakeTable.overwrite(spark, t, Seq((1L, "r1")).toDF("id", "s"))
