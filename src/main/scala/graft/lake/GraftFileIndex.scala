@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EvalMode, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BasePredicate, BoundReference, Cast, EvalMode, Expression, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -161,26 +161,11 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
   }
 
   /** Parse hive-style `col=value/` dirs of a table-relative file path
-    * into the partition-schema row (same unescape + cast semantics the
-    * built-in partition discovery applies; LEGACY cast mode so a
-    * malformed value surfaces as null, not an ANSI throw).
+    * into the partition-schema row (see [[PartitionPaths.valuesOf]]).
     */
-  private def partitionValuesOf(rel: String): InternalRow = {
-    if (partitionSchema.isEmpty) return InternalRow.empty
-    val dirs = rel.split('/').dropRight(1)
-    val byName = dirs.iterator.map(_.split("=", 2)).collect {
-      case Array(k, v) => k -> ExternalCatalogUtils.unescapePathName(v)
-    }.toMap
-    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
-    InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
-      byName.get(f.name) match {
-        case None | Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
-        case Some(raw) =>
-          Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType, tz,
-            EvalMode.LEGACY).eval(InternalRow.empty)
-      }
-    })
-  }
+  private def partitionValuesOf(rel: String): InternalRow =
+    PartitionPaths.valuesOf(rel, partitionSchema,
+      Option(spark.sessionState.conf.sessionLocalTimeZone))
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -221,4 +206,63 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
 
   override def toString: String =
     s"GraftFileIndex($tablePath${asOf.map(v => s", asOf=$v").getOrElse("")})"
+}
+
+/** Hive-style partition-path parsing and driver-side partition
+  * predicates, shared by [[GraftFileIndex]] (scan-time pruning),
+  * [[MetadataOnlyCount]] (partition-filtered counts from the log), and
+  * `LakeTable.compact` (partition-scoped maintenance).
+  */
+private[lake] object PartitionPaths {
+
+  /** Parse the `col=value/` dirs of a table-relative file path into
+    * the partition-schema row (same unescape + cast semantics the
+    * built-in partition discovery applies; LEGACY cast mode so a
+    * malformed value surfaces as null, not an ANSI throw).
+    */
+  def valuesOf(rel: String, partitionSchema: StructType,
+               tz: Option[String]): InternalRow = {
+    if (partitionSchema.isEmpty) return InternalRow.empty
+    val dirs = rel.split('/').dropRight(1)
+    val byName = dirs.iterator.map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> ExternalCatalogUtils.unescapePathName(v)
+    }.toMap
+    InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case None | Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
+        case Some(raw) =>
+          Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType, tz,
+            EvalMode.LEGACY).eval(InternalRow.empty)
+      }
+    })
+  }
+
+  /** An interpreted predicate over the partition schema, built from
+    * expressions whose attributes resolve (by the given resolver) to
+    * partition columns. Callers must have verified resolvability.
+    */
+  def bind(conds: Seq[Expression], partitionSchema: StructType,
+           resolver: (String, String) => Boolean): BasePredicate = {
+    val bound = Predicate.createInterpreted(conds.reduce(And).transform {
+      case a: AttributeReference =>
+        val i = partitionSchema.fields.indexWhere(f => resolver(f.name, a.name))
+        require(i >= 0, s"attribute ${a.name} is not a partition column")
+        BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)
+    })
+    bound.initialize(0)
+    bound
+  }
+
+  /** Do all the expressions' references resolve to partition columns,
+    * with no non-deterministic parts or subqueries? The soundness gate
+    * for evaluating them driver-side against parsed path values.
+    */
+  def evaluableOnPartitions(conds: Seq[Expression], partitionSchema: StructType,
+                            resolver: (String, String) => Boolean): Boolean =
+    partitionSchema.nonEmpty && conds.nonEmpty && conds.forall { c =>
+      c.deterministic &&
+        !c.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]) &&
+        c.references.forall(a =>
+          partitionSchema.fields.exists(f => resolver(f.name, a.name)))
+    }
 }

@@ -41,24 +41,66 @@ import org.apache.spark.sql.functions.col
   */
 final case class GraftMergeCommand(tablePath: String, updates: LogicalPlan,
                                    keys: Seq[String],
-                                   updateOnly: Boolean, insertOnly: Boolean)
+                                   updateOnly: Boolean)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(updates)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val data = org.apache.spark.sql.graft.SqlShims.ofRows(spark, updates)
-    if (insertOnly) {
-      // rows whose key is not present yet; the upsert would also
-      // REPLACE matched rows, which an insert-only merge must not
-      val current = LakeTable.read(spark, tablePath).select(keys.map(col): _*)
-      LakeTable.append(spark, tablePath, data.join(current, keys, "left_anti"))
-    } else if (updateOnly) {
+    // auto-scope: when every partition column is a merge key, a matched
+    // row can only live in its update row's partition — the scoped
+    // detection contract holds by construction, so the merge detection
+    // partition-prunes AND qualifies for the disjoint-race rebase (two
+    // SQL merges into different dates of a partitioned fact both land)
+    val parts = LakeTable.latestSnapshot(spark, tablePath)
+      .map(_.partitionColumns).getOrElse(Nil)
+    val scoped = parts.nonEmpty && parts.forall(keys.contains)
+    if (updateOnly) {
       val current = LakeTable.read(spark, tablePath).select(keys.map(col): _*)
       LakeTable.merge(spark, tablePath,
-        data.join(current, keys, "left_semi"), keys)
+        data.join(current, keys, "left_semi"), keys, scopeToUpdatePartitions = scoped)
     } else {
-      LakeTable.merge(spark, tablePath, data, keys)
+      LakeTable.merge(spark, tablePath, data, keys, scopeToUpdatePartitions = scoped)
     }
+    Seq.empty
+  }
+}
+
+/** The general-shape SQL MERGE, routed through [[LakeTable.mergeRows]]:
+  * ordered WHEN MATCHED clauses with conditions (UPDATE preserving
+  * unassigned target columns, DELETE), and a condition-gated WHEN NOT
+  * MATCHED INSERT. Expressions arrive pre-rebound to the `t`/`s`
+  * aliases the row-level merge joins under; insert-only merges take
+  * [[LakeTable.mergeRows]]'s version-checked commit, which ABORTS on a
+  * concurrent commit instead of blindly rebasing an append (a racing
+  * writer could have inserted the same key between the anti-join read
+  * and the commit).
+  */
+final case class GraftMergeRowsCommand(
+    tablePath: String, source: LogicalPlan, keys: Seq[String],
+    matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+    insert: Option[(Option[Expression], Seq[(String, Expression)])])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.graft.SqlShims.columnOf
+    val data = org.apache.spark.sql.graft.SqlShims.ofRows(spark, source)
+    val matchedClauses: Seq[LakeTable.MatchedClause] = matched.map {
+      case (cond, Some(set)) =>
+        LakeTable.MatchedUpdate(cond.map(columnOf),
+          set.map { case (n, v) => n -> columnOf(v) }.toMap)
+      case (cond, None) =>
+        LakeTable.MatchedDelete(cond.map(columnOf))
+    }
+    val insertClause = insert.map { case (cond, image) =>
+      (cond.map(columnOf), image.map { case (n, v) => n -> columnOf(v) }.toMap)
+    }
+    val parts = LakeTable.latestSnapshot(spark, tablePath)
+      .map(_.partitionColumns).getOrElse(Nil)
+    val scoped = parts.nonEmpty && parts.forall(keys.contains)
+    LakeTable.mergeRows(spark, tablePath, data, keys, matchedClauses, insertClause,
+      scopeToUpdatePartitions = scoped)
     Seq.empty
   }
 }
@@ -158,74 +200,104 @@ final class GraftMergeRule extends Rule[LogicalPlan] {
         // merge (new columns merge into the snapshot schema) — accept
       }
       val targetAttrs = m.targetTable.outputSet
+      val sourceAttrs = m.sourceTable.outputSet
+      val targetNames = m.targetTable.output.map(_.name)
 
-      val updateAssignments = m.matchedActions match {
-        case Seq() => None
-        case Seq(UpdateAction(None, assignments, _)) => Some(assignments)
-        case Seq(UpdateAction(Some(_), _, _)) =>
-          unsupported("a condition on WHEN MATCHED is not supported")
-        case Seq(_: DeleteAction) | Seq(DeleteAction(_)) =>
-          unsupported("WHEN MATCHED THEN DELETE is not supported")
-        case _ => unsupported("at most one unconditional WHEN MATCHED action is supported")
-      }
-      val insertAssignments = m.notMatchedActions match {
-        case Seq() => None
-        case Seq(InsertAction(None, assignments)) => Some(assignments)
-        case Seq(InsertAction(Some(_), _)) =>
-          unsupported("a condition on WHEN NOT MATCHED is not supported")
-        case _ => unsupported("at most one unconditional WHEN NOT MATCHED action is supported")
-      }
-      if (updateAssignments.isEmpty && insertAssignments.isEmpty)
-        unsupported("no UPDATE or INSERT action given")
-
-      def toMap(as: Seq[Assignment]): Map[String, Expression] = as.map {
-        case Assignment(k: Attribute, v) => k.name -> v
-        case Assignment(k, _) => unsupported(s"assignment target $k is not a column")
-      }.toMap
-      val updateMap = updateAssignments.map(toMap)
-      val insertMap = insertAssignments.map(toMap)
-      (updateMap, insertMap) match {
-        case (Some(u), Some(i)) =>
-          val same = u.keySet == i.keySet &&
-            u.forall { case (k, v) => i(k).semanticEquals(v) }
-          if (!same) unsupported(
-            "UPDATE and INSERT must assign the same source expressions (one row " +
-              "image per source row)")
-        case _ => ()
-      }
-      val image: Map[String, Expression] = updateMap.orElse(insertMap).get
-
-      // ON condition -> merge keys; each key's source side must be the
-      // row image's value for that column
-      val keys = conjuncts(m.mergeCondition).map {
+      // ON condition → (target key name, source-side expression) pairs
+      val keyPairs: Seq[(String, Expression)] = conjuncts(m.mergeCondition).map {
         case EqualTo(t: AttributeReference, s) if targetAttrs.contains(t) &&
-            s.references.subsetOf(m.sourceTable.outputSet) =>
-          image.get(t.name) match {
-            case Some(v) if v.semanticEquals(s) => t.name
-            case Some(_) => unsupported(s"ON key ${t.name} must be assigned its own " +
-              "join value (the upsert joins on the assigned column)")
-            case None => unsupported(s"ON key ${t.name} is not assigned by the action")
-          }
+            s.references.subsetOf(sourceAttrs) => (t.name, s)
         case EqualTo(s, t: AttributeReference) if targetAttrs.contains(t) &&
-            s.references.subsetOf(m.sourceTable.outputSet) =>
-          image.get(t.name) match {
-            case Some(v) if v.semanticEquals(s) => t.name
-            case Some(_) => unsupported(s"ON key ${t.name} must be assigned its own " +
-              "join value (the upsert joins on the assigned column)")
-            case None => unsupported(s"ON key ${t.name} is not assigned by the action")
-          }
+            s.references.subsetOf(sourceAttrs) => (t.name, s)
         case other => unsupported(s"ON condition term '${other.sql}' is not a " +
           "target-column = source-expression equality")
       }
+      val keys = keyPairs.map(_._1).distinct
 
-      // one row image per source row, with target column names; columns
-      // the action does not assign write null (merge semantics)
-      val targetOrder = m.targetTable.output.map(_.name).filter(image.contains)
-      val projection = targetOrder.map(n => Alias(image(n), n)())
-      val updates = Project(projection, m.sourceTable)
+      def toPairs(as: Seq[Assignment]): Seq[(String, Expression)] = as.map {
+        case Assignment(k: Attribute, v) => k.name -> v
+        case Assignment(k, _) => unsupported(s"assignment target $k is not a column")
+      }
 
-      GraftMergeCommand(idx.tablePath, updates, keys,
-        updateOnly = insertAssignments.isEmpty, insertOnly = updateAssignments.isEmpty)
+      val matchedParsed: Seq[(Option[Expression], Option[Seq[(String, Expression)]])] =
+        m.matchedActions.map {
+          case UpdateAction(cond, assignments, _) => (cond, Some(toPairs(assignments)))
+          case DeleteAction(cond)                 => (cond, None)
+          case other => unsupported(s"matched action $other")
+        }
+      val insertParsed: Option[(Option[Expression], Seq[(String, Expression)])] =
+        m.notMatchedActions match {
+          case Seq() => None
+          case Seq(InsertAction(cond, assignments)) => Some((cond, toPairs(assignments)))
+          case _ => unsupported("at most one WHEN NOT MATCHED action is supported")
+        }
+      if (matchedParsed.isEmpty && insertParsed.isEmpty)
+        unsupported("no UPDATE, DELETE or INSERT action given")
+
+      // ---------- fast path: the plain upsert LakeTable.merge expresses
+      // directly — one unconditional UPDATE covering EVERY target column
+      // (+ optionally an unconditional INSERT with the same image), each
+      // ON key assigned its own join value. Anything else (conditions,
+      // DELETE, partial images that must PRESERVE unassigned columns,
+      // differing update/insert images, insert-only with its anti-join
+      // race) takes the row-level path.
+      val fastImage: Option[Map[String, Expression]] = (matchedParsed, insertParsed) match {
+        case (Seq((None, Some(u))), Some((None, i))) =>
+          val um = u.toMap; val im = i.toMap
+          val same = um.keySet == im.keySet &&
+            um.forall { case (k, v) => im(k).semanticEquals(v) }
+          if (same && targetNames.forall(um.contains)) Some(um) else None
+        case (Seq((None, Some(u))), None) =>
+          val um = u.toMap
+          if (targetNames.forall(um.contains)) Some(um) else None
+        case _ => None
+      }
+      val fastKeysOk = fastImage.exists { image =>
+        keyPairs.forall { case (n, s) => image.get(n).exists(_.semanticEquals(s)) }
+      }
+
+      if (fastKeysOk) {
+        val image = fastImage.get
+        val targetOrder = targetNames.filter(image.contains)
+        val projection = targetOrder.map(n => Alias(image(n), n)())
+        val updates = Project(projection, m.sourceTable)
+        GraftMergeCommand(idx.tablePath, updates, keys,
+          updateOnly = insertParsed.isEmpty)
+      } else {
+        // ---------- row-level path. The source relation must expose each
+        // ON key under the target's key NAME (mergeRows joins t.k = s.k):
+        // alias the key expression in when the source lacks the column;
+        // refuse when the source has a DIFFERENT column of that name.
+        val sourceByName = m.sourceTable.output.map(a => a.name -> a).toMap
+        val needAlias = keyPairs.filter { case (n, e) =>
+          sourceByName.get(n) match {
+            case Some(a) if a.semanticEquals(e) => false
+            case Some(_) => unsupported(s"the source already has a column named '$n' " +
+              s"that differs from the ON key expression '${e.sql}' — alias one of them")
+            case None => true
+          }
+        }
+        val sourcePlan =
+          if (needAlias.isEmpty) m.sourceTable
+          else Project(m.sourceTable.output ++
+            needAlias.map { case (n, e) => Alias(e, n)() }, m.sourceTable)
+
+        // rebind target/source attributes to the t/s aliases the
+        // row-level merge joins under (resolution is by name at run time)
+        def rebind(e: Expression): Expression = e.transform {
+          case a: AttributeReference if targetAttrs.contains(a) =>
+            UnresolvedAttribute(Seq("t", a.name))
+          case a: AttributeReference if sourceAttrs.contains(a) =>
+            UnresolvedAttribute(Seq("s", a.name))
+        }
+        val matchedSpecs = matchedParsed.map { case (cond, set) =>
+          (cond.map(rebind), set.map(_.map { case (n, v) => n -> rebind(v) }))
+        }
+        val insertSpec = insertParsed.map { case (cond, image) =>
+          (cond.map(rebind), image.map { case (n, v) => n -> rebind(v) })
+        }
+        GraftMergeRowsCommand(idx.tablePath, sourcePlan, keys, matchedSpecs, insertSpec)
+      }
     case _ => plan
   }
 }

@@ -948,51 +948,26 @@ object LakeTable {
 
     // Detection source: partition-prune to the updates' partitions when
     // scoped (Catalyst prunes at the file-index level, so only those
-    // partitions' files are read), else the whole snapshot.
+    // partitions' files are read), else the whole snapshot. Pinned to
+    // this snapshot so the pushed predicate also file-skips on the
+    // logged bounds.
     val detectionSource =
-      if (scopeToUpdatePartitions && snap.partitionColumns.nonEmpty) {
-        val pcols = snap.partitionColumns
-        // distinct partition tuples of the updates — bounded by the
-        // number of partitions touched, not by update rows
-        val tuples = updates.select(pcols.map(col): _*).distinct().collect()
-        val pred =
-          if (tuples.isEmpty) lit(false)
-          else tuples.map { r =>
-            pcols.zipWithIndex.map { case (c, i) =>
-              if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
-            }.reduce(_ && _)
-          }.reduce(_ || _)
-        read(spark, table).filter(pred)
-      } else read(spark, table)
+      if (scopeToUpdatePartitions && snap.partitionColumns.nonEmpty)
+        read(spark, table, asOf = Some(snap.version))
+          .filter(partitionTuplePredicate(updates, snap.partitionColumns))
+      else read(spark, table, asOf = Some(snap.version))
 
     // which files contain a matched key? (file names only — bounded by
-    // file count, not row count)
+    // file count, not row count). input_file_name() URIs are decoded +
+    // qualified against the data root inside mapMatchedRel; an
+    // unmappable matched file is a hard error.
     val base = dataPath(table).toString
     val affectedAbs = detectionSource
       .withColumn("__file", input_file_name())
       .join(broadcast(updKeys), keys)
       .select("__file").distinct()
       .collect().map(_.getString(0))
-
-    // input_file_name() yields the file's URI string, percent-encoded;
-    // snapshot paths are raw. Decode and strip the data root exactly —
-    // an endsWith match on the encoded form misses partition values
-    // that URI-escape (e.g. spaces), silently leaving the matched file
-    // un-rewritten and the table with duplicate keys. Qualify the root
-    // first (a relative table path would otherwise never prefix-match
-    // the reader's absolute URIs), and treat any matched file that does
-    // not map under it as a hard error — silently dropping it would
-    // commit a snapshot with duplicate keys.
-    val f = fs(spark, table)
-    val baseRaw = f.makeQualified(dataPath(table)).toUri.getPath.stripSuffix("/")
-    val affectedSet = affectedAbs.map { abs =>
-      val p = decodeFileUri(abs)
-      require(p.startsWith(baseRaw + "/"),
-        s"MERGE matched file $p outside the table data root $baseRaw/ — " +
-          "refusing to commit (the file could not be marked for rewrite)")
-      p.drop(baseRaw.length + 1)
-    }.toSet
-    val affectedRel = snap.filePaths.filter(affectedSet.contains)
+    val affectedRel = mapMatchedRel(spark, table, affectedAbs, "MERGE", snap)
 
     // schema evolution, same rules as append: new update columns merge
     // into the snapshot schema (existing-name type conflicts refused);
@@ -1015,47 +990,269 @@ object LakeTable {
       }
 
     val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns)
-    val affectedPathSet = affectedRel.toSet
+    commitRewrite(spark, table, snap, "MERGE",
+      cur => mergeSchemas(cur.schema, updates.schema),
+      newFiles, affectedRel, scopeToUpdatePartitions)
+  }
 
-    // Partition dirs this merge READ (the scoped detection scan) and
-    // WROTE: the staged files land in exactly the updates' partitions,
-    // and the affected files lie inside them — together they are the
-    // merge's whole footprint, compared dir-string to dir-string (no
-    // escaping round trip; both sides are actual data/ subpaths).
+  // ------------------------------------------------------------- mergeRows
+
+  /** One `WHEN MATCHED` clause of a row-level merge. Conditions and
+    * assignment values are Columns over the aliased sides `t` (target)
+    * and `s` (source) — e.g. `col("s.v") > col("t.v")`. A `None`
+    * condition always applies; a NULL condition result means "does not
+    * apply" (SQL semantics). Clauses are evaluated IN ORDER per matched
+    * row; the first whose condition holds wins.
+    */
+  sealed trait MatchedClause { def condition: Option[Column] }
+  final case class MatchedUpdate(condition: Option[Column],
+                                 set: Map[String, Column]) extends MatchedClause
+  final case class MatchedDelete(condition: Option[Column]) extends MatchedClause
+
+  /** Row-level MERGE: the general form of [[merge]], expressing the
+    * full SQL `MERGE INTO` matched-action surface — per-clause
+    * conditions, `WHEN MATCHED THEN DELETE`, partial `UPDATE SET`
+    * (unassigned columns are PRESERVED from the target row, per SQL —
+    * not nulled), and a condition-gated `WHEN NOT MATCHED INSERT`
+    * whose unassigned columns are null. Matched rows not claimed by
+    * any clause carry over unchanged.
+    *
+    * Same file-granularity copy-on-write as [[merge]]: only files
+    * containing a key match are rewritten; `scopeToUpdatePartitions`
+    * has the same contract and enables the same disjoint-race rebase.
+    * The target schema is FIXED here (assignments must name existing
+    * columns — schema evolution stays on the unconditional [[merge]]
+    * path); assigned values cast to the column's snapshot type.
+    *
+    * With no matched clause (insert-only), nothing is rewritten: the
+    * anti-joined insert rows are appended — but through a
+    * version-checked commit that ABORTS on any concurrent commit
+    * rather than rebasing blindly, because a racing writer could have
+    * inserted the same key between the anti-join read and the commit.
+    *
+    * `source` must be key-unique; violations fail loudly (the SQL
+    * cardinality error) instead of silently duplicating target rows.
+    */
+  def mergeRows(spark: SparkSession, table: String, source: DataFrame,
+                keys: Seq[String], matched: Seq[MatchedClause],
+                notMatchedInsert: Option[(Option[Column], Map[String, Column])],
+                scopeToUpdatePartitions: Boolean = false): Long = {
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty,
+      "mergeRows needs at least one matched clause or an insert")
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    val assignedCols = matched.collect { case MatchedUpdate(_, set) => set.keys }
+      .flatten ++ notMatchedInsert.toSeq.flatMap(_._2.keys)
+    val unknown = assignedCols.filterNot(snap.schema.fieldNames.contains).toSeq.distinct
+    require(unknown.isEmpty,
+      s"mergeRows on $table assigns unknown column(s): ${unknown.mkString(", ")} — " +
+        "schema evolution is only supported by the unconditional merge/upsert path")
+    require(keys.forall(snap.schema.fieldNames.contains),
+      s"merge keys must be target columns: ${keys.mkString(", ")}")
+
+    // SQL MERGE cardinality: a target row matching two source rows is
+    // an error, never a silent duplicate — with equality keys that can
+    // only come from duplicate source keys
+    val dupKeys = source.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"MERGE source has duplicate values of key (${keys.mkString(", ")}) — " +
+        "each target row may match at most one source row")
+
+    val keyCols = keys.map(col)
+    val updKeys = source.select(keyCols: _*).distinct()
+
+    if (matched.isEmpty) {
+      // insert-only: no rewrite; anti-join against the PINNED snapshot,
+      // then a commit that refuses to land over anyone else's
+      val (insertCond, image) = notMatchedInsert.get
+      val ordered = snap.schema.fields.toSeq
+      val insertRows = source.alias("s")
+        .join(read(spark, table, asOf = Some(snap.version)).select(keyCols: _*),
+          keys, "left_anti")
+        .filter(insertCond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+        .select(ordered.map { fld =>
+          image.get(fld.name).map(_.cast(fld.dataType))
+            .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
+        }: _*)
+      val newFiles = stageFiles(spark, table, insertRows, snap.partitionColumns)
+      val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
+        snap.schema, snap.partitionColumns, snap.files ++ newFiles, txns = snap.txns)
+      if (!tryCommit(spark, table, next, newFiles, Nil)) {
+        val f = fs(spark, table)
+        newFiles.foreach(e =>
+          try f.delete(new Path(dataPath(table), e.path), false)
+          catch { case _: java.io.IOException => () })
+        throw new ConcurrentCommitException(
+          s"insert-only MERGE on $table lost the commit race — re-run (a concurrent " +
+            "commit may have inserted keys this merge's anti-join never saw)")
+      }
+      return next.version
+    }
+
+    // ---- matched clauses present: copy-on-write over the matched files
+    val detectionSource =
+      if (scopeToUpdatePartitions && snap.partitionColumns.nonEmpty)
+        read(spark, table, asOf = Some(snap.version))
+          .filter(partitionTuplePredicate(source, snap.partitionColumns))
+      else read(spark, table, asOf = Some(snap.version))
+    val affectedAbs = detectionSource
+      .withColumn("__file", input_file_name())
+      .join(broadcast(updKeys), keys)
+      .select("__file").distinct()
+      .collect().map(_.getString(0))
+    val affectedRel = mapMatchedRel(spark, table, affectedAbs, "MERGE", snap)
+
+    val base = dataPath(table).toString
+    val ordered = snap.schema.fields.toSeq
+    val sMarked = source.withColumn("__s_matched", lit(true))
+
+    val rewritten =
+      if (affectedRel.isEmpty) None
+      else {
+        val affectedPaths = affectedRel.map(rel => new Path(base, rel).toString)
+        val t = spark.read
+          .option("basePath", base)
+          .schema(snap.schema)
+          .parquet(affectedPaths: _*)
+          .alias("t")
+        val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+        val joined = t.join(sMarked.alias("s"), keyCond, "left_outer")
+        val matchedMark = col("__s_matched").isNotNull
+        // first-true-clause-wins: applied_i = matched ∧ ¬c₁ ∧ … ∧ c_i
+        var notPrev: Column = lit(true)
+        val applied = matched.map { cl =>
+          val c = cl.condition.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+          val a = matchedMark && notPrev && c
+          notPrev = notPrev && !c
+          (a, cl)
+        }
+        val deleted = applied.collect { case (a, _: MatchedDelete) => a }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val projected = ordered.map { fld =>
+          val updates = applied.collect {
+            case (a, MatchedUpdate(_, set)) if set.contains(fld.name) =>
+              (a, set(fld.name).cast(fld.dataType))
+          }
+          updates.foldRight(col(s"t.${fld.name}")) { case ((a, v), acc) =>
+            when(a, v).otherwise(acc)
+          }.as(fld.name)
+        }
+        Some(joined.filter(!coalesce(deleted, lit(false))).select(projected: _*))
+      }
+
+    val insertRows = notMatchedInsert.map { case (insertCond, image) =>
+      // every matched key's rows live in the affected files, so "key
+      // not in affected rows" ⇔ "key not in the table"
+      val existingKeys =
+        if (affectedRel.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(keys.map(k => snap.schema(k))))
+        else spark.read
+          .option("basePath", base)
+          .schema(snap.schema)
+          .parquet(affectedRel.map(rel => new Path(base, rel).toString): _*)
+          .select(keyCols: _*)
+      source.alias("s").join(existingKeys, keys, "left_anti")
+        .filter(insertCond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+        .select(ordered.map { fld =>
+          image.get(fld.name).map(_.cast(fld.dataType))
+            .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
+        }: _*)
+    }
+
+    val toWrite = (rewritten, insertRows) match {
+      case (Some(r), Some(i)) => r.unionByName(i)
+      case (Some(r), None)    => r
+      case (None, Some(i))    => i
+      case (None, None)       =>
+        // matched clauses but no matched file and no insert: no-op
+        return snap.version
+    }
+    val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns)
+    commitRewrite(spark, table, snap, "MERGE", _ => snap.schema,
+      newFiles, affectedRel, scopeToUpdatePartitions)
+  }
+
+  /** Partition-tuple predicate of `updates`' distinct partition values
+    * — bounded by partitions touched, not rows (the scoped-detection
+    * pruner shared by [[merge]] and [[mergeRows]]).
+    */
+  private def partitionTuplePredicate(updates: DataFrame,
+                                      pcols: Seq[String]): Column = {
+    val tuples = updates.select(pcols.map(col): _*).distinct().collect()
+    if (tuples.isEmpty) lit(false)
+    else tuples.map { r =>
+      pcols.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+  }
+
+  /** Decode + qualify `input_file_name()` URIs into snapshot-relative
+    * paths; a matched file that cannot be mapped under the data root
+    * is a hard error (silently dropping it would commit duplicates).
+    */
+  private def mapMatchedRel(spark: SparkSession, table: String,
+                            matchedAbs: Array[String], op: String,
+                            snap: Snapshot): Seq[String] = {
+    val f = fs(spark, table)
+    val baseRaw = f.makeQualified(dataPath(table)).toUri.getPath.stripSuffix("/")
+    val matchedSet = matchedAbs.map { abs =>
+      val p = decodeFileUri(abs)
+      require(p.startsWith(baseRaw + "/"),
+        s"$op matched file $p outside the table data root $baseRaw/ — " +
+          "refusing to commit (the file could not be marked for rewrite)")
+      p.drop(baseRaw.length + 1)
+    }.toSet
+    snap.filePaths.filter(matchedSet.contains)
+  }
+
+  /** The copy-on-write commit loop shared by [[merge]] and
+    * [[mergeRows]]: replace `affectedRel` with `newFiles` on top of
+    * the base snapshot; on a lost race, rebase iff the merge was
+    * scoped and the winner's changes are provably disjoint from this
+    * merge's footprint (read partitions + written files), else abort
+    * loudly.
+    */
+  private def commitRewrite(spark: SparkSession, table: String, baseSnap: Snapshot,
+                            op: String, schemaOf: Snapshot => StructType,
+                            newFiles: Seq[FileEntry], affectedRel: Seq[String],
+                            scoped: Boolean): Long = {
+    val affectedPathSet = affectedRel.toSet
     def dirOf(rel: String): String = {
       val i = rel.lastIndexOf('/')
       if (i < 0) "" else rel.substring(0, i)
     }
     val footprintDirs = (newFiles.map(e => dirOf(e.path)) ++ affectedRel.map(dirOf)).toSet
-
     var attempt = 0
     while (attempt < maxRetries) {
-      val cur = if (attempt == 0) snap else latestSnapshot(spark, table).getOrElse(snap)
-      if (cur.version != snap.version) {
-        // conflict analysis vs the snapshot the rewrite was based on
-        val baseSet = snap.filePaths.toSet
+      val cur = if (attempt == 0) baseSnap
+        else latestSnapshot(spark, table).getOrElse(baseSnap)
+      if (cur.version != baseSnap.version) {
+        val baseSet = baseSnap.filePaths.toSet
         val curSet = cur.filePaths.toSet
         val winnerChanged =
-          cur.files.filterNot(e => baseSet(e.path)) ++ // added
-          snap.files.filterNot(e => curSet(e.path))    // removed
-        val disjoint = scopeToUpdatePartitions &&
-          cur.schema == snap.schema &&
-          cur.partitionColumns == snap.partitionColumns &&
+          cur.files.filterNot(e => baseSet(e.path)) ++
+          baseSnap.files.filterNot(e => curSet(e.path))
+        val disjoint = scoped &&
+          cur.schema == baseSnap.schema &&
+          cur.partitionColumns == baseSnap.partitionColumns &&
           !winnerChanged.exists(e => footprintDirs(dirOf(e.path)))
         if (!disjoint)
           throw new ConcurrentCommitException(
-            s"MERGE on $table lost the commit race to v${cur.version} and the winning " +
+            s"$op on $table lost the commit race to v${cur.version} and the winning " +
               "commit overlaps this merge's scanned partitions (or changed the " +
               "schema/layout) — cannot rebase safely, re-run the merge")
       }
-      val next = Snapshot(cur.version + 1, System.currentTimeMillis(), "MERGE",
-        mergeSchemas(cur.schema, updates.schema), cur.partitionColumns,
+      val next = Snapshot(cur.version + 1, System.currentTimeMillis(), op,
+        schemaOf(cur), cur.partitionColumns,
         cur.files.filterNot(e => affectedPathSet(e.path)) ++ newFiles,
         txns = cur.txns)
       if (tryCommit(spark, table, next, newFiles, affectedRel)) return next.version
       attempt += 1
     }
-    throw new ConcurrentCommitException(s"MERGE on $table lost $maxRetries commit races")
+    throw new ConcurrentCommitException(s"$op on $table lost $maxRetries commit races")
   }
 
   // ---------------------------------------------------------------- delete
@@ -1092,18 +1289,10 @@ object LakeTable {
 
     // same URI-decode + qualify discipline as merge: a matched file
     // that cannot be mapped under the data root is a hard error
-    val f = fs(spark, table)
-    val baseRaw = f.makeQualified(dataPath(table)).toUri.getPath.stripSuffix("/")
-    val matchedSet = matchedAbs.map { abs =>
-      val p = decodeFileUri(abs)
-      require(p.startsWith(baseRaw + "/"),
-        s"DELETE matched file $p outside the table data root $baseRaw/ — " +
-          "refusing to commit (the file could not be marked for rewrite)")
-      p.drop(baseRaw.length + 1)
-    }.toSet
+    val affectedRel = mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
+    val matchedSet = affectedRel.toSet
     val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
-    val affectedPaths = snap.filePaths.filter(matchedSet.contains)
-      .map(rel => new Path(dataPath(table), rel).toString)
+    val affectedPaths = affectedRel.map(rel => new Path(dataPath(table), rel).toString)
 
     val kept = spark.read
       .option("basePath", dataPath(table).toString)
@@ -1115,7 +1304,7 @@ object LakeTable {
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, snap.filePaths.filter(matchedSet.contains)))
+    if (!tryCommit(spark, table, next, newFiles, affectedRel))
       throw new ConcurrentCommitException(
         s"DELETE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this delete never scanned)")
@@ -1151,18 +1340,10 @@ object LakeTable {
       .collect().map(_.getString(0))
     if (matchedAbs.isEmpty) return snap.version
 
-    val f = fs(spark, table)
-    val baseRaw = f.makeQualified(dataPath(table)).toUri.getPath.stripSuffix("/")
-    val matchedSet = matchedAbs.map { abs =>
-      val p = decodeFileUri(abs)
-      require(p.startsWith(baseRaw + "/"),
-        s"UPDATE matched file $p outside the table data root $baseRaw/ — " +
-          "refusing to commit (the file could not be marked for rewrite)")
-      p.drop(baseRaw.length + 1)
-    }.toSet
+    val affectedRel = mapMatchedRel(spark, table, matchedAbs, "UPDATE", snap)
+    val matchedSet = affectedRel.toSet
     val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
-    val affectedPaths = snap.filePaths.filter(matchedSet.contains)
-      .map(rel => new Path(dataPath(table), rel).toString)
+    val affectedPaths = affectedRel.map(rel => new Path(dataPath(table), rel).toString)
 
     val setByName = set.toMap
     val hit = coalesce(condition, lit(false))
@@ -1180,7 +1361,7 @@ object LakeTable {
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "UPDATE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, snap.filePaths.filter(matchedSet.contains)))
+    if (!tryCommit(spark, table, next, newFiles, affectedRel))
       throw new ConcurrentCommitException(
         s"UPDATE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this update never scanned)")
@@ -1205,25 +1386,74 @@ object LakeTable {
     * those columns skip row groups at scan time — the lightweight
     * cousin of Z-ordering, and at 100 TB the difference between
     * reading a row group and reading a partition.
+    *
+    * `partitionFilter` scopes the rewrite to the matching partitions
+    * (evaluated driver-side against each file's hive path — no scan):
+    * a 100 TB streaming fact compacts one day at a time instead of
+    * bin-packing the whole table in one job. Files outside the scope
+    * carry over by reference. The predicate must reference only
+    * partition columns.
     */
   def compact(spark: SparkSession, table: String,
               smallFileBytes: Long = 32L << 20,
-              sortBy: Seq[String] = Nil): Long = {
+              sortBy: Seq[String] = Nil,
+              partitionFilter: Option[Column] = None): Long = {
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val f = fs(spark, table)
     val base = dataPath(table)
+    val inScope: FileEntry => Boolean = partitionFilter match {
+      case None => _ => true
+      case Some(c) =>
+        // resolve the user Column against the PARTITION schema alone (an
+        // empty frame): references to non-partition columns fail here,
+        // and analysis applies the usual implicit casts — the resolved
+        // predicate then evaluates driver-side per file path
+        val pSchema = GraftDataSource.asNullable(
+          StructType(snap.partitionColumns.map(snap.schema(_))))
+        val expr =
+          try spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pSchema)
+            .filter(c).queryExecution.analyzed.collectFirst {
+              case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+            }.getOrElse(throw new IllegalArgumentException(
+              s"could not resolve compact partitionFilter $c"))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new IllegalArgumentException(
+                s"compact partitionFilter must reference only partition columns " +
+                  s"(${snap.partitionColumns.mkString(", ")}): ${e.getMessage}")
+          }
+        val resolver = spark.sessionState.conf.resolver
+        require(PartitionPaths.evaluableOnPartitions(Seq(expr), pSchema, resolver),
+          s"compact partitionFilter must reference only partition columns " +
+            s"(${snap.partitionColumns.mkString(", ")}) deterministically")
+        val pred = PartitionPaths.bind(Seq(expr), pSchema, resolver)
+        val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+        e => pred.eval(PartitionPaths.valuesOf(e.path, pSchema, tz))
+    }
     // sizes come from the log; a legacy entry (pre-stats log) costs one
     // stat — never a listing
-    val (small, big) = snap.files.partition(e =>
-      (if (e.size >= 0) e.size
-       else f.getFileStatus(new Path(base, e.path)).getLen) < smallFileBytes)
+    val sized = snap.files.map(e => e ->
+      (if (e.size >= 0) e.size else f.getFileStatus(new Path(base, e.path)).getLen))
+    val (smallSized, bigSized) = sized.partition { case (e, sz) =>
+      inScope(e) && sz < smallFileBytes
+    }
+    val small = smallSized.map(_._1)
+    val big = bigSized.map(_._1)
     if (small.size <= 1) return snap.version
+    // coalesce to a byte-budgeted task count: Spark's split planning
+    // targets one split PER CORE (files.minPartitionNum defaults to the
+    // parallelism), which on tiny inputs re-emits one output file per
+    // input — the opposite of packing. ~128 MB of small-file bytes per
+    // task ⇒ each rewritten file lands near the parquet sweet spot.
+    val targetTasks = math.max(1,
+      math.ceil(smallSized.map(_._2).sum.toDouble / (128L << 20)).toInt)
     val packed = spark.read
       .option("basePath", base.toString)
       .schema(snap.schema)
       .parquet(small.map(e => new Path(base, e.path).toString): _*)
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .coalesce(targetTasks)
     // partition cols lead the sort so the write path's required
     // ordering is already satisfied and it does not re-sort (which
     // would destroy the clustering)

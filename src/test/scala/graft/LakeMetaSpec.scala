@@ -366,12 +366,41 @@ class LakeMetaSpec extends SparkSpec {
     val v1 = spark.read.format("graft").option("versionAsOf", 1).load(t)
     assert(v1.count() == 100 && scanFree(v1.groupBy().count()))
 
-    // any of: a filter, a group-by, a distinct, another aggregate ->
-    // back to the scan, still correct
+    // any of: a filter on a DATA column, a group-by, a distinct,
+    // another aggregate -> back to the scan, still correct
     val filtered = live.filter(col("id") < 10)
     assert(filtered.count() == 10)
     assert(!scanFree(filtered.groupBy().count()))
     assert(live.select(countDistinct("id")).head.getLong(0) == 160)
     assert(live.agg(count(lit(1)), sum("id")).head.getLong(0) == 160)
+  }
+
+  test("count(*) filtered on partition columns only is still a log sum: no scan") {
+    val t = tmpTable("meta_pcount")
+    LakeTable.overwrite(spark, t,
+      spark.range(100).select(col("id"),
+        when(col("id") < 30, "d1").when(col("id") < 80, "d2").otherwise("d3").as("dt")),
+      partitionBy = Seq("dt"))
+    val live = spark.read.format("graft").load(t)
+    live.createOrReplaceTempView("meta_pcount_v")
+
+    def scanFree(df: org.apache.spark.sql.DataFrame): Boolean =
+      !df.queryExecution.executedPlan.toString.contains("FileScan")
+
+    val q1 = spark.sql("SELECT count(*) AS n FROM meta_pcount_v WHERE dt = 'd2'")
+    assert(q1.head.getLong(0) == 50)
+    assert(scanFree(q1), "partition-only filter should count from the log")
+    val q2 = spark.sql("SELECT count(*) FROM meta_pcount_v WHERE dt IN ('d1','d3')")
+    assert(q2.head.getLong(0) == 50 && scanFree(q2))
+    val q3 = live.filter(col("dt") =!= "d1").groupBy().count()
+    assert(q3.head.getLong(0) == 70 && scanFree(q3))
+    // a filter touching a DATA column must scan (and stay correct)
+    val q4 = spark.sql("SELECT count(*) FROM meta_pcount_v WHERE dt = 'd2' AND id < 40")
+    assert(q4.head.getLong(0) == 10 && !scanFree(q4))
+    // LIVE: appends into one partition are counted on the next query
+    LakeTable.append(spark, t,
+      spark.range(100, 110).select(col("id"), lit("d2").as("dt")))
+    val q5 = spark.sql("SELECT count(*) AS n FROM meta_pcount_v WHERE dt = 'd2'")
+    assert(q5.head.getLong(0) == 60 && scanFree(q5))
   }
 }

@@ -112,6 +112,34 @@ class LakeSpec extends SparkSpec {
     assert(v == after.version || LakeTable.latestSnapshot(spark, t).get.files.size <= after.files.size)
   }
 
+  test("compact with a partition filter rewrites only the scoped partition's files") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable("lake_scomp")
+    LakeTable.overwrite(spark, t, Seq((1L, "d1", 1.0)).toDF("id", "dt", "v"),
+      partitionBy = Seq("dt"))
+    (2L to 7L).foreach { i =>
+      LakeTable.append(spark, t,
+        Seq((i, if (i % 2 == 0) "d1" else "d2", i.toDouble)).toDF("id", "dt", "v"))
+    }
+    val before = LakeTable.latestSnapshot(spark, t).get
+    val d2Before = before.files.map(_.path).filter(_.startsWith("dt=d2")).toSet
+    assert(d2Before.size >= 3)
+    val rows = LakeTable.read(spark, t).as[(Long, String, Double)].collect().toSet
+    LakeTable.compact(spark, t, partitionFilter = Some(col("dt") === "d1"))
+    val after = LakeTable.latestSnapshot(spark, t).get
+    // d2's files carried over BY REFERENCE; d1's packed into fewer
+    assert(after.files.map(_.path).filter(_.startsWith("dt=d2")).toSet == d2Before,
+      "out-of-scope partition files must carry over untouched")
+    assert(after.files.count(_.path.startsWith("dt=d1")) <
+      before.files.count(_.path.startsWith("dt=d1")))
+    assert(LakeTable.read(spark, t).as[(Long, String, Double)].collect().toSet == rows)
+    // a filter on a non-partition column is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.compact(spark, t, partitionFilter = Some(col("v") > 0))
+    }
+    assert(e.getMessage.contains("partition columns"))
+  }
+
   test("compact with sortBy clusters rows inside each rewritten file") {
     val t = tmpTable("lake_sort")
     val r = new scala.util.Random(7)
@@ -317,6 +345,41 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.history(spark, t).count() == 3)
     intercept[Exception] {
       LakeTable.read(spark, t, asOf = Some(1L)).collect()
+    }
+  }
+
+  test("insert-only mergeRows never duplicates a key under a race: loser aborts or defers") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable("lake_insrace")
+    LakeTable.overwrite(spark, t, Seq((1L, 10.0)).toDF("id", "v"))
+    // two writers insert-only-merge the SAME new key concurrently. The
+    // old path appended through a blind rebase: both anti-joins saw the
+    // key absent, both appended -> duplicate keys. The version-checked
+    // commit admits one; the other either aborts loudly or (if the race
+    // serialized) anti-joins the winner's key away.
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fs = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          start.await()
+          try Right(LakeTable.mergeRows(spark, t,
+            Seq((5L, 100.0 + i)).toDF("id", "v"), Seq("id"),
+            matched = Nil,
+            notMatchedInsert = Some((None, Map("id" -> col("s.id"), "v" -> col("s.v"))))))
+          catch { case e: LakeTable.ConcurrentCommitException => Left(e) }
+        }
+      })
+    }
+    start.countDown()
+    val results = fs.map(_.get())
+    pool.shutdown()
+    assert(results.exists(_.isRight), "at least one insert must land")
+    // the invariant the race protection exists for: NO duplicate key
+    val n = LakeTable.read(spark, t).filter(col("id") === 5L).count()
+    assert(n == 1, s"expected exactly one row for the raced key, got $n")
+    results.filter(_.isLeft).foreach { l =>
+      assert(l.swap.toOption.get.getMessage.contains("insert-only MERGE"))
     }
   }
 
