@@ -25,21 +25,38 @@ class CountingFileSystem extends RawLocalFileSystem {
     super.listStatus(f).map(strip)
   }
 
+  override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    CountingFileSystem.recordOpen(f)
+    super.open(f, bufferSize)
+  }
+
   override def getFileStatus(f: Path): FileStatus = strip(super.getFileStatus(f))
 }
 
 object CountingFileSystem {
   val uri: java.net.URI = java.net.URI.create("cfs:///")
   private val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val opened = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def record(p: Path): Unit = listed.add(p.toUri.getPath)
+  private def recordOpen(p: Path): Unit = opened.add(p.toUri.getPath)
 
-  def reset(): Unit = listed.clear()
+  def reset(): Unit = { listed.clear(); opened.clear() }
 
   /** Paths listed since the last reset that contain `fragment`. */
   def listedUnder(fragment: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     listed.iterator().asScala.filter(_.contains(fragment)).toSeq
+  }
+
+  /** Paths opened (read) since the last reset that contain `fragment`
+    * — the per-batch / per-resolve metadata-read counter: on an object
+    * store every open is a GET, so "how many log files did this step
+    * read" is the cost that scales.
+    */
+  def openedUnder(fragment: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    opened.iterator().asScala.filter(_.contains(fragment)).toSeq
   }
 
   /** Install the cfs:// scheme on the session's Hadoop conf (idempotent). */

@@ -232,6 +232,37 @@ class GraftStreamSpec extends SparkSpec {
     q.stop()
   }
 
+  test("tailing a commit range reads O(range) log entries, not O(range x files)") {
+    import spark.implicits._
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val dir = tmp("graft_source_orange")
+    val table = "cfs:" + dir + "/t"
+    LakeTable.overwrite(spark, table, (1L to 4L).toDF("id"))
+    (2 to 30).foreach { i =>
+      LakeTable.append(spark, table, Seq(i.toLong * 100).toDF("id"))
+    } // 30 commits, ≥30 data files
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", 31).load(table)
+      .writeStream.format("memory").queryName("graft_orange")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    (1 to 3).foreach { i =>
+      LakeTable.append(spark, table, Seq(i.toLong * 1000).toDF("id"))
+    }
+    CountingFileSystem.reset()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("graft_orange").count() == 3)
+    // the 3-commit batch reads each commit's DELTA entry once — with
+    // full-snapshot diffing this would be ~3 reconstructions over a
+    // 30+-file table (each log entry naming every file)
+    val versionReads = CountingFileSystem.openedUnder("/_graft_log/")
+      .filter(_.matches(""".*/\d{20}\.json"""))
+    assert(versionReads.size <= 6,
+      s"batch over 3 commits read ${versionReads.size} log entries: $versionReads")
+  }
+
   test("graft-to-graft pipe: a downstream table tails an upstream one exactly-once") {
     import spark.implicits._
     val dir = tmp("graft_pipe"); val up = s"$dir/up"; val down = s"$dir/down"

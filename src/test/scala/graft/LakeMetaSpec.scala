@@ -299,6 +299,26 @@ class LakeMetaSpec extends SparkSpec {
     assert(LakeTable.read(spark, t).count() == 60)
   }
 
+  test("snapshot reconstruction reads O(interval) log files, independent of history length") {
+    val t = cfsTable("meta_ropen")
+    LakeTable.overwrite(spark, t, Seq((1L, "r1")).toDF("id", "s"))
+    (2 to 57).foreach { i =>
+      LakeTable.append(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+    } // 57 commits; snapshot checkpoints at 10..50
+    def logOpens(body: => Unit): Int = {
+      CountingFileSystem.reset()
+      body
+      CountingFileSystem.openedUnder("/t/_graft_log/").size
+    }
+    // at a checkpointed version: one checkpoint read
+    val atCp = logOpens { LakeTable.snapshotAt(spark, t, 50L) }
+    assert(atCp <= 2, s"snapshotAt(50) opened $atCp log files")
+    // mid-interval: walk back ≤ interval deltas to the checkpoint —
+    // NEVER the 57-entry history
+    val mid = logOpens { assert(LakeTable.snapshotAt(spark, t, 57L).files.size == 57) }
+    assert(mid <= 10, s"snapshotAt(57) opened $mid log files")
+  }
+
   test("snapshot reconstruction: checkpoint+deltas equals pure delta replay, across all ops") {
     val t = tmpTable("meta_recon")
     LakeTable.overwrite(spark, t,
