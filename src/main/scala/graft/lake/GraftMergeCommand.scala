@@ -68,38 +68,44 @@ final case class GraftMergeCommand(tablePath: String, updates: LogicalPlan,
 
 /** The general-shape SQL MERGE, routed through [[LakeTable.mergeRows]]:
   * ordered WHEN MATCHED clauses with conditions (UPDATE preserving
-  * unassigned target columns, DELETE), and a condition-gated WHEN NOT
-  * MATCHED INSERT. Expressions arrive pre-rebound to the `t`/`s`
-  * aliases the row-level merge joins under; insert-only merges take
+  * unassigned target columns, DELETE), ordered condition-gated WHEN
+  * NOT MATCHED INSERT clauses, and ordered WHEN NOT MATCHED BY SOURCE
+  * clauses (UPDATE/DELETE over target rows with no source match).
+  * Expressions arrive pre-rebound to the `t`/`s` aliases the row-level
+  * merge joins under; insert-only merges take
   * [[LakeTable.mergeRows]]'s version-checked commit, which ABORTS on a
   * concurrent commit instead of blindly rebasing an append (a racing
   * writer could have inserted the same key between the anti-join read
-  * and the commit).
+  * and the commit). A clause tuple's second element is `Some(set)` for
+  * UPDATE, `None` for DELETE.
   */
 final case class GraftMergeRowsCommand(
     tablePath: String, source: LogicalPlan, keys: Seq[String],
     matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
-    insert: Option[(Option[Expression], Seq[(String, Expression)])])
+    insert: Seq[(Option[Expression], Seq[(String, Expression)])],
+    notMatchedBySource: Seq[(Option[Expression], Option[Seq[(String, Expression)]])])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.graft.SqlShims.columnOf
     val data = org.apache.spark.sql.graft.SqlShims.ofRows(spark, source)
-    val matchedClauses: Seq[LakeTable.MatchedClause] = matched.map {
-      case (cond, Some(set)) =>
-        LakeTable.MatchedUpdate(cond.map(columnOf),
-          set.map { case (n, v) => n -> columnOf(v) }.toMap)
-      case (cond, None) =>
-        LakeTable.MatchedDelete(cond.map(columnOf))
-    }
-    val insertClause = insert.map { case (cond, image) =>
+    def toClauses(specs: Seq[(Option[Expression], Option[Seq[(String, Expression)]])]) =
+      specs.map {
+        case (cond, Some(set)) =>
+          LakeTable.MatchedUpdate(cond.map(columnOf),
+            set.map { case (n, v) => n -> columnOf(v) }.toMap)
+        case (cond, None) =>
+          LakeTable.MatchedDelete(cond.map(columnOf))
+      }
+    val insertClauses = insert.map { case (cond, image) =>
       (cond.map(columnOf), image.map { case (n, v) => n -> columnOf(v) }.toMap)
     }
     val parts = LakeTable.latestSnapshot(spark, tablePath)
       .map(_.partitionColumns).getOrElse(Nil)
     val scoped = parts.nonEmpty && parts.forall(keys.contains)
-    LakeTable.mergeRows(spark, tablePath, data, keys, matchedClauses, insertClause,
+    LakeTable.mergeRows(spark, tablePath, data, keys, toClauses(matched),
+      insertClauses, toClauses(notMatchedBySource),
       scopeToUpdatePartitions = scoped)
     Seq.empty
   }
@@ -193,8 +199,6 @@ final class GraftMergeRule extends Rule[LogicalPlan] {
       if (idx.asOf.isDefined)
         throw new IllegalArgumentException(
           s"cannot MERGE into a time-travel graft relation of ${idx.tablePath}")
-      if (m.notMatchedBySourceActions.nonEmpty)
-        unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
       if (m.withSchemaEvolution) {
         // WITH SCHEMA EVOLUTION is the default behavior of the log's
         // merge (new columns merge into the snapshot schema) — accept
@@ -225,13 +229,18 @@ final class GraftMergeRule extends Rule[LogicalPlan] {
           case DeleteAction(cond)                 => (cond, None)
           case other => unsupported(s"matched action $other")
         }
-      val insertParsed: Option[(Option[Expression], Seq[(String, Expression)])] =
-        m.notMatchedActions match {
-          case Seq() => None
-          case Seq(InsertAction(cond, assignments)) => Some((cond, toPairs(assignments)))
-          case _ => unsupported("at most one WHEN NOT MATCHED action is supported")
+      val insertParsed: Seq[(Option[Expression], Seq[(String, Expression)])] =
+        m.notMatchedActions.map {
+          case InsertAction(cond, assignments) => (cond, toPairs(assignments))
+          case other => unsupported(s"not-matched action $other")
         }
-      if (matchedParsed.isEmpty && insertParsed.isEmpty)
+      val nmbsParsed: Seq[(Option[Expression], Option[Seq[(String, Expression)]])] =
+        m.notMatchedBySourceActions.map {
+          case UpdateAction(cond, assignments, _) => (cond, Some(toPairs(assignments)))
+          case DeleteAction(cond)                 => (cond, None)
+          case other => unsupported(s"not-matched-by-source action $other")
+        }
+      if (matchedParsed.isEmpty && insertParsed.isEmpty && nmbsParsed.isEmpty)
         unsupported("no UPDATE, DELETE or INSERT action given")
 
       // ---------- fast path: the plain upsert LakeTable.merge expresses
@@ -241,17 +250,19 @@ final class GraftMergeRule extends Rule[LogicalPlan] {
       // DELETE, partial images that must PRESERVE unassigned columns,
       // differing update/insert images, insert-only with its anti-join
       // race) takes the row-level path.
-      val fastImage: Option[Map[String, Expression]] = (matchedParsed, insertParsed) match {
-        case (Seq((None, Some(u))), Some((None, i))) =>
-          val um = u.toMap; val im = i.toMap
-          val same = um.keySet == im.keySet &&
-            um.forall { case (k, v) => im(k).semanticEquals(v) }
-          if (same && targetNames.forall(um.contains)) Some(um) else None
-        case (Seq((None, Some(u))), None) =>
-          val um = u.toMap
-          if (targetNames.forall(um.contains)) Some(um) else None
-        case _ => None
-      }
+      val fastImage: Option[Map[String, Expression]] =
+        if (nmbsParsed.nonEmpty) None
+        else (matchedParsed, insertParsed) match {
+          case (Seq((None, Some(u))), Seq((None, i))) =>
+            val um = u.toMap; val im = i.toMap
+            val same = um.keySet == im.keySet &&
+              um.forall { case (k, v) => im(k).semanticEquals(v) }
+            if (same && targetNames.forall(um.contains)) Some(um) else None
+          case (Seq((None, Some(u))), Seq()) =>
+            val um = u.toMap
+            if (targetNames.forall(um.contains)) Some(um) else None
+          case _ => None
+        }
       val fastKeysOk = fastImage.exists { image =>
         keyPairs.forall { case (n, s) => image.get(n).exists(_.semanticEquals(s)) }
       }
@@ -293,10 +304,14 @@ final class GraftMergeRule extends Rule[LogicalPlan] {
         val matchedSpecs = matchedParsed.map { case (cond, set) =>
           (cond.map(rebind), set.map(_.map { case (n, v) => n -> rebind(v) }))
         }
-        val insertSpec = insertParsed.map { case (cond, image) =>
+        val insertSpecs = insertParsed.map { case (cond, image) =>
           (cond.map(rebind), image.map { case (n, v) => n -> rebind(v) })
         }
-        GraftMergeRowsCommand(idx.tablePath, sourcePlan, keys, matchedSpecs, insertSpec)
+        val nmbsSpecs = nmbsParsed.map { case (cond, set) =>
+          (cond.map(rebind), set.map(_.map { case (n, v) => n -> rebind(v) }))
+        }
+        GraftMergeRowsCommand(idx.tablePath, sourcePlan, keys, matchedSpecs,
+          insertSpecs, nmbsSpecs)
       }
     case _ => plan
   }

@@ -1010,39 +1010,49 @@ object LakeTable {
   final case class MatchedDelete(condition: Option[Column]) extends MatchedClause
 
   /** Row-level MERGE: the general form of [[merge]], expressing the
-    * full SQL `MERGE INTO` matched-action surface — per-clause
-    * conditions, `WHEN MATCHED THEN DELETE`, partial `UPDATE SET`
-    * (unassigned columns are PRESERVED from the target row, per SQL —
-    * not nulled), and a condition-gated `WHEN NOT MATCHED INSERT`
-    * whose unassigned columns are null. Matched rows not claimed by
-    * any clause carry over unchanged.
+    * full SQL `MERGE INTO` action surface — ordered `WHEN MATCHED`
+    * clauses with per-clause conditions (UPDATE preserving unassigned
+    * target columns per SQL, or DELETE), ordered condition-gated
+    * `WHEN NOT MATCHED INSERT` clauses (first-true wins; unassigned
+    * columns are null), and ordered `WHEN NOT MATCHED BY SOURCE`
+    * clauses applying to target rows with no source key match (their
+    * conditions/assignments may reference the target side only). Rows
+    * claimed by no clause carry over unchanged.
     *
-    * Same file-granularity copy-on-write as [[merge]]: only files
-    * containing a key match are rewritten; `scopeToUpdatePartitions`
-    * has the same contract and enables the same disjoint-race rebase.
-    * The target schema is FIXED here (assignments must name existing
-    * columns — schema evolution stays on the unconditional [[merge]]
-    * path); assigned values cast to the column's snapshot type.
+    * File-granularity copy-on-write like [[merge]]: the rewrite set is
+    * the files containing a key match, plus — only when NOT MATCHED BY
+    * SOURCE clauses exist — the files containing rows passing any such
+    * clause's condition (that detection is a pushed-filter scan, so
+    * DataSkipping bounds it by the files the conditions could match).
+    * `scopeToUpdatePartitions` has [[merge]]'s contract and enables
+    * the same disjoint-race rebase; it is ignored (full detection,
+    * abort-on-race) when NOT MATCHED BY SOURCE clauses exist, since
+    * those semantically concern the WHOLE table. The target schema is
+    * FIXED here (assignments must name existing columns — schema
+    * evolution stays on the unconditional [[merge]] path); assigned
+    * values cast to the column's snapshot type.
     *
-    * With no matched clause (insert-only), nothing is rewritten: the
-    * anti-joined insert rows are appended — but through a
-    * version-checked commit that ABORTS on any concurrent commit
-    * rather than rebasing blindly, because a racing writer could have
-    * inserted the same key between the anti-join read and the commit.
+    * With ONLY insert clauses, nothing is rewritten: the anti-joined
+    * insert rows are appended — but through a version-checked commit
+    * that ABORTS on any concurrent commit rather than rebasing
+    * blindly, because a racing writer could have inserted the same key
+    * between the anti-join read and the commit.
     *
     * `source` must be key-unique; violations fail loudly (the SQL
     * cardinality error) instead of silently duplicating target rows.
     */
   def mergeRows(spark: SparkSession, table: String, source: DataFrame,
                 keys: Seq[String], matched: Seq[MatchedClause],
-                notMatchedInsert: Option[(Option[Column], Map[String, Column])],
+                notMatchedInsert: Seq[(Option[Column], Map[String, Column])] = Nil,
+                notMatchedBySource: Seq[MatchedClause] = Nil,
                 scopeToUpdatePartitions: Boolean = false): Long = {
-    require(matched.nonEmpty || notMatchedInsert.nonEmpty,
-      "mergeRows needs at least one matched clause or an insert")
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeRows needs at least one matched, insert, or not-matched-by-source clause")
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
-    val assignedCols = matched.collect { case MatchedUpdate(_, set) => set.keys }
-      .flatten ++ notMatchedInsert.toSeq.flatMap(_._2.keys)
+    val assignedCols = (matched ++ notMatchedBySource)
+      .collect { case MatchedUpdate(_, set) => set.keys }.flatten ++
+      notMatchedInsert.flatMap(_._2.keys)
     val unknown = assignedCols.filterNot(snap.schema.fieldNames.contains).toSeq.distinct
     require(unknown.isEmpty,
       s"mergeRows on $table assigns unknown column(s): ${unknown.mkString(", ")} — " +
@@ -1061,20 +1071,49 @@ object LakeTable {
 
     val keyCols = keys.map(col)
     val updKeys = source.select(keyCols: _*).distinct()
+    val ordered = snap.schema.fields.toSeq
 
-    if (matched.isEmpty) {
+    /** Ordered first-true-wins application marks: applied_i = gate ∧
+      * ¬c₁ ∧ … ∧ ¬c_{i-1} ∧ c_i (NULL conditions do not apply).
+      */
+    def appliedMarks(gate: Column, clauses: Seq[MatchedClause]): Seq[(Column, MatchedClause)] = {
+      var notPrev: Column = lit(true)
+      clauses.map { cl =>
+        val c = cl.condition.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+        val a = gate && notPrev && c
+        notPrev = notPrev && !c
+        (a, cl)
+      }
+    }
+
+    /** Insert projection for anti-joined source rows under ordered
+      * insert clauses; rows claimed by no clause are dropped.
+      */
+    def insertProjection(anti: DataFrame): DataFrame = {
+      var notPrev: Column = lit(true)
+      val marks = notMatchedInsert.map { case (cond, image) =>
+        val c = cond.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+        val a = notPrev && c
+        notPrev = notPrev && !c
+        (a, image)
+      }
+      anti.filter(marks.map(_._1).reduce(_ || _))
+        .select(ordered.map { fld =>
+          marks.collect { case (a, image) if image.contains(fld.name) =>
+            (a, image(fld.name).cast(fld.dataType))
+          }.foldRight(lit(null).cast(fld.dataType): Column) { case ((a, v), acc) =>
+            when(a, v).otherwise(acc)
+          }.as(fld.name)
+        }: _*)
+    }
+
+    if (matched.isEmpty && notMatchedBySource.isEmpty) {
       // insert-only: no rewrite; anti-join against the PINNED snapshot,
       // then a commit that refuses to land over anyone else's
-      val (insertCond, image) = notMatchedInsert.get
-      val ordered = snap.schema.fields.toSeq
-      val insertRows = source.alias("s")
-        .join(read(spark, table, asOf = Some(snap.version)).select(keyCols: _*),
-          keys, "left_anti")
-        .filter(insertCond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
-        .select(ordered.map { fld =>
-          image.get(fld.name).map(_.cast(fld.dataType))
-            .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
-        }: _*)
+      val insertRows = insertProjection(
+        source.alias("s")
+          .join(read(spark, table, asOf = Some(snap.version)).select(keyCols: _*),
+            keys, "left_anti"))
       val newFiles = stageFiles(spark, table, insertRows, snap.partitionColumns)
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
         snap.schema, snap.partitionColumns, snap.files ++ newFiles, txns = snap.txns)
@@ -1090,21 +1129,42 @@ object LakeTable {
       return next.version
     }
 
-    // ---- matched clauses present: copy-on-write over the matched files
+    // ---- rewrite clauses present: copy-on-write over the affected files
+    val scoped = scopeToUpdatePartitions && notMatchedBySource.isEmpty
+    val pinned = read(spark, table, asOf = Some(snap.version))
     val detectionSource =
-      if (scopeToUpdatePartitions && snap.partitionColumns.nonEmpty)
-        read(spark, table, asOf = Some(snap.version))
-          .filter(partitionTuplePredicate(source, snap.partitionColumns))
-      else read(spark, table, asOf = Some(snap.version))
-    val affectedAbs = detectionSource
-      .withColumn("__file", input_file_name())
-      .join(broadcast(updKeys), keys)
-      .select("__file").distinct()
-      .collect().map(_.getString(0))
-    val affectedRel = mapMatchedRel(spark, table, affectedAbs, "MERGE", snap)
+      if (scoped && snap.partitionColumns.nonEmpty)
+        pinned.filter(partitionTuplePredicate(source, snap.partitionColumns))
+      else pinned
+    // needed by matched clauses AND by the insert anti-join (whose
+    // soundness requires every file containing a source key to be in
+    // the affected set)
+    val matchedFileAbs =
+      if (matched.isEmpty && notMatchedInsert.isEmpty) Array.empty[String]
+      else detectionSource
+        .withColumn("__file", input_file_name())
+        .join(broadcast(updKeys), keys)
+        .select("__file").distinct()
+        .collect().map(_.getString(0))
+    // NOT MATCHED BY SOURCE detection: any file holding a row that
+    // passes some clause's condition may need rewriting (the row might
+    // be unmatched — only the join can tell). Pushed-filter scan, so
+    // the logged bounds skip files the conditions exclude; an
+    // unconditional clause means every file.
+    val nmbsFileAbs =
+      if (notMatchedBySource.isEmpty) Array.empty[String]
+      else {
+        val pred = notMatchedBySource
+          .map(_.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+          .reduce(_ || _)
+        pinned.alias("t").filter(pred)
+          .select(input_file_name()).distinct()
+          .collect().map(_.getString(0))
+      }
+    val affectedRel = mapMatchedRel(spark, table,
+      (matchedFileAbs ++ nmbsFileAbs).distinct, "MERGE", snap)
 
     val base = dataPath(table).toString
-    val ordered = snap.schema.fields.toSeq
     val sMarked = source.withColumn("__s_matched", lit(true))
 
     val rewritten =
@@ -1119,14 +1179,8 @@ object LakeTable {
         val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
         val joined = t.join(sMarked.alias("s"), keyCond, "left_outer")
         val matchedMark = col("__s_matched").isNotNull
-        // first-true-clause-wins: applied_i = matched ∧ ¬c₁ ∧ … ∧ c_i
-        var notPrev: Column = lit(true)
-        val applied = matched.map { cl =>
-          val c = cl.condition.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
-          val a = matchedMark && notPrev && c
-          notPrev = notPrev && !c
-          (a, cl)
-        }
+        val applied = appliedMarks(matchedMark, matched) ++
+          appliedMarks(!matchedMark, notMatchedBySource)
         val deleted = applied.collect { case (a, _: MatchedDelete) => a }
           .reduceOption(_ || _).getOrElse(lit(false))
         val projected = ordered.map { fld =>
@@ -1141,37 +1195,35 @@ object LakeTable {
         Some(joined.filter(!coalesce(deleted, lit(false))).select(projected: _*))
       }
 
-    val insertRows = notMatchedInsert.map { case (insertCond, image) =>
-      // every matched key's rows live in the affected files, so "key
-      // not in affected rows" ⇔ "key not in the table"
-      val existingKeys =
-        if (affectedRel.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            StructType(keys.map(k => snap.schema(k))))
-        else spark.read
-          .option("basePath", base)
-          .schema(snap.schema)
-          .parquet(affectedRel.map(rel => new Path(base, rel).toString): _*)
-          .select(keyCols: _*)
-      source.alias("s").join(existingKeys, keys, "left_anti")
-        .filter(insertCond.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
-        .select(ordered.map { fld =>
-          image.get(fld.name).map(_.cast(fld.dataType))
-            .getOrElse(lit(null).cast(fld.dataType)).as(fld.name)
-        }: _*)
-    }
+    val insertRows =
+      if (notMatchedInsert.isEmpty) None
+      else Some {
+        // every matched key's rows live in files the matched detection
+        // saw; those files are all in affectedRel, so "key not in
+        // affected rows" ⇔ "key not in the table"
+        val existingKeys =
+          if (affectedRel.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+              StructType(keys.map(k => snap.schema(k))))
+          else spark.read
+            .option("basePath", base)
+            .schema(snap.schema)
+            .parquet(affectedRel.map(rel => new Path(base, rel).toString): _*)
+            .select(keyCols: _*)
+        insertProjection(source.alias("s").join(existingKeys, keys, "left_anti"))
+      }
 
     val toWrite = (rewritten, insertRows) match {
       case (Some(r), Some(i)) => r.unionByName(i)
       case (Some(r), None)    => r
       case (None, Some(i))    => i
       case (None, None)       =>
-        // matched clauses but no matched file and no insert: no-op
+        // rewrite clauses but no affected file and no insert: no-op
         return snap.version
     }
     val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns)
     commitRewrite(spark, table, snap, "MERGE", _ => snap.schema,
-      newFiles, affectedRel, scopeToUpdatePartitions)
+      newFiles, affectedRel, scoped)
   }
 
   /** Partition-tuple predicate of `updates`' distinct partition values

@@ -366,7 +366,7 @@ class LakeSpec extends SparkSpec {
           try Right(LakeTable.mergeRows(spark, t,
             Seq((5L, 100.0 + i)).toDF("id", "v"), Seq("id"),
             matched = Nil,
-            notMatchedInsert = Some((None, Map("id" -> col("s.id"), "v" -> col("s.v"))))))
+            notMatchedInsert = Seq((None, Map("id" -> col("s.id"), "v" -> col("s.v"))))))
           catch { case e: LakeTable.ConcurrentCommitException => Left(e) }
         }
       })

@@ -147,15 +147,56 @@ class SqlSurfaceSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(r3 == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
 
-    // still-unsupported shapes fail loudly, with the reason
+    // an action shape MERGE cannot express still fails loudly: a
+    // non-column assignment target
     def messages(x: Throwable): Seq[String] =
       Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
-    val nmbs = intercept[Exception] {
-      spark.sql("""MERGE INTO merge_tgt USING merge_src ON merge_tgt.id = merge_src.id
-                   WHEN MATCHED THEN UPDATE SET *
-                   WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val badOn = intercept[Exception] {
+      spark.sql("""MERGE INTO merge_tgt USING merge_src
+                   ON merge_tgt.id > merge_src.id
+                   WHEN MATCHED THEN UPDATE SET *""")
     }
-    assert(messages(nmbs).exists(_.contains("NOT MATCHED BY SOURCE")), s"got: $nmbs")
+    assert(messages(badOn).exists(_.contains("equality")), s"got: $badOn")
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE and multiple conditioned INSERT clauses") {
+    import spark.implicits._
+    import graft.lake.LakeTable
+    val t = java.nio.file.Files.createTempDirectory("sql_merge_nmbs").toString + "/t"
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "keep", 10.0), (2L, "upd", 20.0), (3L, "stale", 30.0), (4L, "stale", 5.0))
+        .toDF("id", "s", "v"))
+    LakeTable.readLive(spark, t).createOrReplaceTempView("nmbs_tgt")
+    Seq((1L, 11.0), (2L, 22.0), (5L, 50.0), (6L, -60.0)).toDF("id", "nv")
+      .createOrReplaceTempView("nmbs_src")
+
+    // full surface in one statement: conditioned matched update,
+    // two conditioned insert clauses (first-true wins), and NOT MATCHED
+    // BY SOURCE delete gated on a target-side condition
+    spark.sql("""MERGE INTO nmbs_tgt USING nmbs_src ON nmbs_tgt.id = nmbs_src.id
+                 WHEN MATCHED AND nmbs_src.nv > nmbs_tgt.v THEN UPDATE SET v = nmbs_src.nv
+                 WHEN NOT MATCHED AND nmbs_src.nv >= 0 THEN INSERT (id, s, v) VALUES (nmbs_src.id, 'new', nmbs_src.nv)
+                 WHEN NOT MATCHED AND nmbs_src.nv < 0 THEN INSERT (id, s, v) VALUES (nmbs_src.id, 'neg', -nmbs_src.nv)
+                 WHEN NOT MATCHED BY SOURCE AND nmbs_tgt.v < 10 THEN DELETE""")
+    val out = spark.table("nmbs_tgt").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      1L -> (("keep", 11.0)),   // matched, 11 > 10 -> updated
+      2L -> (("upd", 22.0)),    // matched, 22 > 20 -> updated
+      3L -> (("stale", 30.0)),  // not matched by source, v >= 10 -> kept
+      // 4L deleted: not matched by source, v < 10
+      5L -> (("new", 50.0)),    // first insert clause
+      6L -> (("neg", 60.0))),   // second insert clause
+      s"got: $out")
+
+    // NOT MATCHED BY SOURCE UPDATE: flag every unmatched row
+    Seq(1L, 5L).toDF("id").createOrReplaceTempView("nmbs_src2")
+    spark.sql("""MERGE INTO nmbs_tgt USING nmbs_src2 ON nmbs_tgt.id = nmbs_src2.id
+                 WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = 'orphan'""")
+    val flagged = spark.table("nmbs_tgt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(flagged == Map(1L -> "keep", 2L -> "orphan", 3L -> "orphan",
+      5L -> "new", 6L -> "orphan"), s"got: $flagged")
   }
 
   test("MERGE matched conditions, DELETE, and partial SET preserving unassigned columns") {
