@@ -127,6 +127,87 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lake log: random op sequences agree with an in-memory model, at every version") {
+    import spark.implicits._
+    import graft.lake.LakeTable
+
+    // one op = (kind, payload); the model is id -> (part, value)
+    sealed trait Op
+    case class Append(rows: Map[Long, Double]) extends Op
+    case class Overwrite(rows: Map[Long, Double]) extends Op
+    case class Merge(rows: Map[Long, Double]) extends Op
+    case class Delete(below: Double) extends Op
+    case class Update(atLeast: Double) extends Op
+    case object Compact extends Op
+
+    def rowsGen(ids: Gen[Long]): Gen[Map[Long, Double]] =
+      Gen.nonEmptyMap(Gen.zip(ids, Gen.choose(0, 1000).map(_.toDouble)))
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> rowsGen(Gen.choose(0L, 40L)).map(Append(_)),
+      1 -> rowsGen(Gen.choose(0L, 40L)).map(Overwrite(_)),
+      4 -> rowsGen(Gen.choose(0L, 40L)).map(Merge(_)),
+      2 -> Gen.choose(0, 1000).map(x => Delete(x.toDouble)),
+      2 -> Gen.choose(0, 1000).map(x => Update(x.toDouble)),
+      1 -> Gen.const(Compact))
+    val seqGen: Gen[List[Op]] = for {
+      first <- rowsGen(Gen.choose(0L, 40L))
+      rest  <- Gen.listOfN(9, opGen)
+    } yield Overwrite(first) :: rest
+
+    def part(id: Long): String = s"p${id % 2}"
+    def toDf(m: Map[Long, Double]) =
+      m.toSeq.map { case (id, v) => (id, part(id), v) }.toDF("id", "part", "v")
+
+    forSamples(seqGen, n = 3) { ops =>
+      val t = java.nio.file.Files.createTempDirectory("prop_lake").toString + "/t"
+      var model = Map.empty[Long, Double]
+      val history = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Long, Double])]
+      ops.foreach { op =>
+        op match {
+          case Overwrite(rows) =>
+            LakeTable.overwrite(spark, t, toDf(rows), partitionBy = Seq("part"))
+            model = rows
+          case Append(rows) =>
+            val fresh = rows -- model.keys // append has no key semantics
+            if (fresh.nonEmpty) LakeTable.append(spark, t, toDf(fresh))
+            model = model ++ fresh
+          case Merge(rows) =>
+            LakeTable.merge(spark, t, toDf(rows), keys = Seq("id"))
+            model = model ++ rows
+          case Delete(below) =>
+            LakeTable.delete(spark, t, col("v") < below)
+            model = model.filterNot { case (_, v) => v < below }
+          case Update(atLeast) =>
+            LakeTable.update(spark, t, Seq("v" -> (col("v") + 10000)), col("v") >= atLeast)
+            model = model.map { case (id, v) => id -> (if (v >= atLeast) v + 10000 else v) }
+          case Compact =>
+            LakeTable.compact(spark, t, smallFileBytes = 1L << 20)
+        }
+        val got = LakeTable.read(spark, t).select("id", "part", "v")
+          .as[(Long, String, Double)].collect()
+        val want = model.map { case (id, v) => (id, part(id), v) }.toSet
+        assert(got.length == got.toSet.size, s"duplicate rows after $op")
+        assert(got.toSet == want, s"state diverged after $op")
+        history += ((LakeTable.latestSnapshot(spark, t).get.version, model))
+      }
+      // time travel to every recorded version reproduces the model then —
+      // both with the snapshot checkpoints present and after deleting them
+      // (pure delta replay)
+      def checkHistory(): Unit = history.foreach { case (v, m) =>
+        val got = LakeTable.read(spark, t, asOf = Some(v))
+          .select("id", "v").as[(Long, Double)].collect().toMap
+        assert(got == m, s"time travel to v$v diverged")
+      }
+      checkHistory()
+      val logDir = java.nio.file.Paths.get(s"$t/_graft_log")
+      java.nio.file.Files.list(logDir).iterator().forEachRemaining { p =>
+        if (p.getFileName.toString.endsWith(".checkpoint.json"))
+          java.nio.file.Files.delete(p)
+      }
+      checkHistory()
+    }
+  }
+
   test("minhash estimate approximates exact jaccard on random token sets") {
     import spark.implicits._
     functions.Sketches.register(spark)
