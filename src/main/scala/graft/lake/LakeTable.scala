@@ -511,30 +511,55 @@ object LakeTable {
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(staging.toString)
 
-    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
+    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
     val it = f.listFiles(staging, true)
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet")) {
-        val rel = relativize(staging, st.getPath)
-        val dest = new Path(dataPath(table), rel)
-        f.mkdirs(dest.getParent)
-        if (!f.rename(st.getPath, dest))
-          throw new IllegalStateException(s"could not move ${st.getPath} to $dest")
-        moved += ((rel, dest))
+        staged += ((relativize(staging, st.getPath), st.getPath))
       }
     }
-    f.delete(staging, true)
     // partition column values live in the dir path, not the file — only
     // data columns have footer stats
     val dataSchema = StructType(df.schema.filterNot(fl => partitionBy.contains(fl.name)))
     val conf = spark.sessionState.newHadoopConf()
-    moved.toSeq.map { case (rel, dest) =>
-      val st = f.getFileStatus(dest)
-      val (rows, stats) = ParquetStats.collect(conf, dest, dataSchema)
-      FileEntry(rel, st.getLen, st.getModificationTime, rows, stats)
-    }
+    // move + stat + footer-read PER FILE, fanned out on a bounded pool:
+    // serially this is the driver-side commit bottleneck once a write
+    // stages thousands of files (each footer read is a GET on an object
+    // store); the files are independent, so the wall cost drops to
+    // ceil(files / threads) round trips
+    val entries =
+      try stageParallel(staged.toSeq) { case (rel, src) =>
+        val dest = new Path(dataPath(table), rel)
+        f.mkdirs(dest.getParent)
+        if (!f.rename(src, dest))
+          throw new IllegalStateException(s"could not move $src to $dest")
+        val st = f.getFileStatus(dest)
+        val (rows, stats) = ParquetStats.collect(conf, dest, dataSchema)
+        FileEntry(rel, st.getLen, st.getModificationTime, rows, stats)
+      }
+      finally f.delete(staging, true)
+    entries
+  }
+
+  /** Run `body` over the items on a bounded thread pool, preserving
+    * order; the first failure propagates (remaining work is not
+    * awaited beyond cancellation).
+    */
+  private def stageParallel[A, B](items: Seq[A])(body: A => B): Seq[B] = {
+    if (items.size <= 1) return items.map(body)
+    val threads = math.min(16, items.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = body(a)
+      }))
+      futures.map { fu =>
+        try fu.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdownNow()
   }
 
   /** Decoded filesystem path of an `input_file_name()` value. */
