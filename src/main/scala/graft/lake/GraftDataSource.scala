@@ -207,7 +207,17 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val snap = LakeTable.latestSnapshot(sqlContext.sparkSession, table)
       .getOrElse(throw new IllegalArgumentException(
         s"cannot stream from $table: no committed version"))
-    (shortName(), GraftDataSource.asNullable(snap.schema))
+    val base = GraftDataSource.asNullable(snap.schema)
+    val withFeed =
+      if (!parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(LakeTable.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(LakeTable.CommitVersionCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(LakeTable.CommitTimestampCol,
+          org.apache.spark.sql.types.LongType)))
+    (shortName(), withFeed)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedO
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graft.SqlShims
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Structured Streaming sink for lake tables —
   * `df.writeStream.format("graft").option("checkpointLocation", …)
@@ -107,6 +107,8 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
 
   private val skipChangeCommits =
     options.get("skipChangeCommits").exists(_.equalsIgnoreCase("true"))
+  private val readChangeFeed =
+    options.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
 
   private val initialSnapshot = LakeTable.latestSnapshot(spark, table)
     .getOrElse(throw new IllegalArgumentException(
@@ -127,7 +129,23 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
       v - 1
     }
 
-  override val schema: StructType = GraftDataSource.asNullable(initialSnapshot.schema)
+  /** With `readChangeFeed`: table columns + the Delta-convention
+    * change columns; the batch is every row-level change of the tailed
+    * commits (MERGE/DELETE/UPDATE pre/post images included) instead of
+    * added-file rows — the downstream consumer sees deletes and
+    * updates it could otherwise only get by diffing snapshots.
+    */
+  override val schema: StructType = {
+    val base = GraftDataSource.asNullable(initialSnapshot.schema)
+    if (!readChangeFeed) base
+    else StructType(base.fields ++ Seq(
+      StructField(LakeTable.ChangeTypeCol, org.apache.spark.sql.types.StringType),
+      StructField(LakeTable.CommitVersionCol, org.apache.spark.sql.types.LongType),
+      StructField(LakeTable.CommitTimestampCol, org.apache.spark.sql.types.LongType)))
+  }
+
+  private def pinnedTableSchema: StructType =
+    GraftDataSource.asNullable(initialSnapshot.schema)
 
   private def versionOf(o: OffsetV1): Long = o match {
     case l: LongOffset       => l.offset
@@ -145,7 +163,7 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
     */
   private def checkSchemaPinned(v: Long, evolvedSchema: StructType,
                                 parts: Seq[String]): Unit = {
-    if (GraftDataSource.asNullable(evolvedSchema) != schema)
+    if (GraftDataSource.asNullable(evolvedSchema) != pinnedTableSchema)
       throw new IllegalStateException(
         s"streaming from $table: the schema evolved at version $v (pinned at " +
           s"v${initialSnapshot.version} when this stream started) — restart the " +
@@ -156,8 +174,52 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
           "restart the stream to pick up the new layout")
   }
 
+  /** The change-feed batch for the range: every commit's recorded (or
+    * synthesized) row-level changes, projected through the pinned feed
+    * schema. COMPACT contributes nothing; a legacy commit whose
+    * changes were never recorded fails loudly via
+    * [[LakeTable.changesOfEntry]].
+    */
+  private def changeFeedBatch(start: Option[Long], endV: Long): DataFrame = {
+    val frames: Seq[DataFrame] = start match {
+      case None =>
+        // initial batch: the whole snapshot as inserts at endV
+        val snap = LakeTable.snapshotAt(spark, table, endV)
+        checkSchemaPinned(endV, snap.schema, snap.partitionColumns)
+        if (snap.files.isEmpty) Seq.empty
+        else {
+          val base = LakeTable.dataPath(table)
+          Seq(spark.read
+            .option("basePath", base.toString)
+            .schema(pinnedTableSchema)
+            .parquet(snap.filePaths.map(rel => new Path(base, rel).toString): _*)
+            .withColumn(LakeTable.ChangeTypeCol, org.apache.spark.sql.functions.lit("insert"))
+            .withColumn(LakeTable.CommitVersionCol, org.apache.spark.sql.functions.lit(endV))
+            .withColumn(LakeTable.CommitTimestampCol,
+              org.apache.spark.sql.functions.lit(snap.timestampMs)))
+        }
+      case Some(startV) =>
+        (startV + 1 to endV).flatMap { v =>
+          val e = LakeTable.logEntryAt(spark, table, v)
+          checkSchemaPinned(v, e.schema, e.partitionColumns)
+          LakeTable.changesOfEntry(spark, table, e)
+        }
+    }
+    if (frames.isEmpty) {
+      SqlShims.internalCreateDataFrame(spark,
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+        schema, isStreaming = true)
+    } else {
+      val df = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      SqlShims.asStreaming(df)
+    }
+  }
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
+    if (readChangeFeed)
+      return changeFeedBatch(start.map(versionOf).orElse(startingVersion), endV)
     val files: Seq[String] = start.map(versionOf).orElse(startingVersion) match {
       case None =>
         // initial batch: the whole table as of endV

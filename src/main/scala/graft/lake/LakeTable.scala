@@ -98,14 +98,18 @@ object LakeTable {
     * complete file list in `full`; a delta commit carries only the
     * files it added/removed. `reset = true` marks a commit that
     * replaced the table contents (OVERWRITE): its `adds` ARE the full
-    * new file list, making the entry a reconstruction base.
+    * new file list, making the entry a reconstruction base. `cdc`
+    * names the commit's change-data files (table-root-relative, under
+    * `_change_data/`) — row-level pre/post images a DML commit records
+    * for the change feed.
     */
   private[lake] final case class LogEntry(
       version: Long, timestampMs: Long, operation: String,
       schema: StructType, partitionColumns: Seq[String],
       txns: Map[String, Long],
       full: Option[Seq[FileEntry]],
-      adds: Seq[FileEntry], removes: Seq[String], reset: Boolean)
+      adds: Seq[FileEntry], removes: Seq[String], reset: Boolean,
+      cdc: Seq[String])
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
@@ -164,14 +168,16 @@ object LakeTable {
     * snapshot's non-file state without a walk.
     */
   private def renderDelta(s: Snapshot, adds: Seq[FileEntry],
-                          removes: Seq[String], reset: Boolean): String = {
+                          removes: Seq[String], reset: Boolean,
+                          cdc: Seq[String]): String = {
     val fields = commonFields(s.version, s.timestampMs, s.operation, s.schema,
       s.partitionColumns, s.txns) ++
       List("adds" -> JArray(adds.map(renderFile).toList)) ++
       (if (reset) List("reset" -> JBool(true))
        else if (removes.nonEmpty)
          List("removes" -> JArray(removes.map(JString(_)).toList))
-       else Nil)
+       else Nil) ++
+      (if (cdc.nonEmpty) List("cdc" -> JArray(cdc.map(JString(_)).toList)) else Nil)
     JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
 
@@ -243,6 +249,10 @@ object LakeTable {
       reset = (j \ "reset") match {
         case JBool(b) => b
         case _        => false
+      },
+      cdc = (j \ "cdc") match {
+        case JArray(entries) => entries.map(jStr)
+        case _               => Seq.empty
       })
   }
 
@@ -438,14 +448,15 @@ object LakeTable {
     */
   private[lake] def tryCommit(spark: SparkSession, table: String, snap: Snapshot,
                               adds: Seq[FileEntry], removes: Seq[String],
-                              reset: Boolean = false): Boolean = {
+                              reset: Boolean = false,
+                              cdc: Seq[String] = Nil): Boolean = {
     val f = fs(spark, table)
     f.mkdirs(logPath(table))
     val target = versionFile(table, snap.version)
     if (f.exists(target)) return false // fast path only; atomicity is in the publish
     val tmp = new Path(logPath(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(renderDelta(snap, adds, removes, reset).getBytes("UTF-8"))
+    try out.write(renderDelta(snap, adds, removes, reset, cdc).getBytes("UTF-8"))
     finally out.close()
     val won = publishIfAbsent(f, tmp, target)
     if (won) {
@@ -560,6 +571,129 @@ object LakeTable {
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }
     } finally pool.shutdownNow()
+  }
+
+  // ------------------------------------------------------ change data feed
+
+  /** Column names of the change feed (Delta's public convention). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTimestampCol = "_commit_timestamp"
+
+  private[lake] def changeDataPath(table: String) = new Path(table, "_change_data")
+
+  /** Write `df` (already carrying `_change_type`) as this commit's
+    * change-data files, returning their table-root-relative paths for
+    * the log entry. Like [[stageFiles]] but into `_change_data/`, no
+    * hive partitioning, no stats (the feed is read whole per commit).
+    */
+  private def stageChangeFiles(spark: SparkSession, table: String,
+                               df: DataFrame): Seq[String] = {
+    val f = fs(spark, table)
+    val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
+    val it = f.listFiles(staging, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        staged += ((relativize(staging, st.getPath), st.getPath))
+    }
+    val entries =
+      try stageParallel(staged.toSeq) { case (rel, src) =>
+        val dest = new Path(changeDataPath(table), rel)
+        f.mkdirs(dest.getParent)
+        if (!f.rename(src, dest))
+          throw new IllegalStateException(s"could not move $src to $dest")
+        s"_change_data/$rel"
+      }
+      finally f.delete(staging, true)
+    entries
+  }
+
+  /** Row-level changes of exactly version `v`: the table columns of
+    * that commit's schema plus `_change_type` ('insert' | 'delete' |
+    * 'update_preimage' | 'update_postimage'), `_commit_version`, and
+    * `_commit_timestamp`. `None` for COMPACT (bytes moved, no rows
+    * changed). DML commits read their recorded change files;
+    * append-shaped commits synthesize inserts from their added files;
+    * OVERWRITE synthesizes the previous snapshot as deletes plus the
+    * new files as inserts. A legacy row-rewriting commit with no
+    * recorded change data fails loudly — its row-level delta is
+    * unknowable after the fact.
+    */
+  private[lake] def changesOf(spark: SparkSession, table: String,
+                              v: Long): Option[DataFrame] =
+    changesOfEntry(spark, table, logEntryAt(spark, table, v))
+
+  private[lake] def changesOfEntry(spark: SparkSession, table: String,
+                                   e: LogEntry): Option[DataFrame] = {
+    val v = e.version
+    def decorate(df: DataFrame, changeType: Option[String]): DataFrame = {
+      val typed = changeType.map(t => df.withColumn(ChangeTypeCol, lit(t))).getOrElse(df)
+      typed
+        .withColumn(CommitVersionCol, lit(v))
+        .withColumn(CommitTimestampCol, lit(e.timestampMs))
+    }
+    def readData(files: Seq[String], schema: StructType): DataFrame = {
+      val base = dataPath(table)
+      spark.read
+        .option("basePath", base.toString)
+        .schema(GraftDataSource.asNullable(schema))
+        .parquet(files.map(rel => new Path(base, rel).toString): _*)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    def emptyChanges: DataFrame = decorate(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        GraftDataSource.asNullable(e.schema)).withColumn(ChangeTypeCol, lit("insert"))
+        .filter(lit(false)), None)
+    if (e.operation == "COMPACT") None
+    else if (e.cdc.nonEmpty) {
+      // recorded change files carry the table columns + _change_type
+      Some(decorate(spark.read.parquet(
+        e.cdc.map(rel => new Path(table, rel).toString): _*), None))
+    } else e.full match {
+      case Some(_) =>
+        throw new UnsupportedOperationException(
+          s"change feed of $table: version $v is a legacy full-state commit " +
+            "(pre-change-feed) — its row-level changes were not recorded")
+      case None if e.reset =>
+        // overwrite: everything before is deleted, everything added inserts
+        val prev = snapshotAt(spark, table, v - 1)
+        val deletes =
+          if (prev.files.isEmpty) emptyChanges
+          else decorate(readData(prev.filePaths, prev.schema), Some("delete"))
+        val inserts =
+          if (e.adds.isEmpty) emptyChanges
+          else decorate(readData(e.adds.map(_.path), e.schema), Some("insert"))
+        Some(deletes.unionByName(inserts, allowMissingColumns = true))
+      case None if e.removes.nonEmpty =>
+        throw new UnsupportedOperationException(
+          s"change feed of $table: version $v (${e.operation}) rewrote rows but " +
+            "recorded no change data (written before the change feed existed?)")
+      case None =>
+        // append-shaped: added files ARE the inserted rows
+        if (e.adds.isEmpty) Some(emptyChanges)
+        else Some(decorate(readData(e.adds.map(_.path), e.schema), Some("insert")))
+    }
+  }
+
+  /** The change feed over the inclusive version range — Delta's
+    * `table_changes` analog: every row-level change each commit made,
+    * typed and stamped with its commit version/timestamp. Reading a
+    * graft table incrementally through this is what turns a 100 TB
+    * dedup/update pipeline from recompute-the-world into
+    * propagate-the-delta. Columns follow the latest schema in the
+    * range (earlier commits' missing columns read null).
+    */
+  def changes(spark: SparkSession, table: String, startVersion: Long,
+              endVersion: Long): DataFrame = {
+    require(startVersion >= 1 && startVersion <= endVersion,
+      s"invalid change range [$startVersion, $endVersion]")
+    val frames = (startVersion to endVersion).flatMap(changesOf(spark, table, _))
+    frames.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no change-bearing commits in [$startVersion, $endVersion] of $table"))
   }
 
   /** Decoded filesystem path of an `input_file_name()` value. */
@@ -1001,23 +1135,42 @@ object LakeTable {
     // rewritten files via the union below
     val schema = mergeSchemas(snap.schema, updates.schema)
     val ordered = schema.fieldNames.map(col).toIndexedSeq
-    val rewritten =
-      if (affectedRel.isEmpty) updates
-      else {
-        val affectedPaths = affectedRel.map(rel => new Path(base, rel).toString)
-        val affectedRows = spark.read
-          .option("basePath", base)
-          .schema(snap.schema)
-          .parquet(affectedPaths: _*)
-        affectedRows.join(broadcast(updKeys), keys, "left_anti")
+    def padTo(df: DataFrame): DataFrame = df.select(schema.fields.toSeq.map { fld =>
+      if (df.columns.contains(fld.name)) col(fld.name).cast(fld.dataType).as(fld.name)
+      else lit(null).cast(fld.dataType).as(fld.name)
+    }: _*)
+    val affectedRows =
+      if (affectedRel.isEmpty) None
+      else Some(spark.read
+        .option("basePath", base)
+        .schema(snap.schema)
+        .parquet(affectedRel.map(rel => new Path(base, rel).toString): _*))
+    val rewritten = affectedRows match {
+      case None => updates
+      case Some(rows) =>
+        rows.join(broadcast(updKeys), keys, "left_anti")
           .unionByName(updates, allowMissingColumns = true)
           .select(ordered: _*)
-      }
+    }
+    // change feed: replaced rows as pre/post images, fresh keys as
+    // inserts — an upsert's row-level delta, knowable only now
+    val cdcDf = affectedRows match {
+      case None => padTo(updates).withColumn(ChangeTypeCol, lit("insert"))
+      case Some(rows) =>
+        val tableKeys = rows.select(keys.map(col): _*).distinct()
+        padTo(rows.join(broadcast(updKeys), keys, "left_semi"))
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(padTo(updates.join(tableKeys, keys, "left_semi"))
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+          .unionByName(padTo(updates.join(tableKeys, keys, "left_anti"))
+            .withColumn(ChangeTypeCol, lit("insert")))
+    }
+    val cdcFiles = stageChangeFiles(spark, table, cdcDf)
 
     val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns)
     commitRewrite(spark, table, snap, "MERGE",
       cur => mergeSchemas(cur.schema, updates.schema),
-      newFiles, affectedRel, scopeToUpdatePartitions)
+      newFiles, affectedRel, scopeToUpdatePartitions, cdc = cdcFiles)
   }
 
   // ------------------------------------------------------------- mergeRows
@@ -1140,9 +1293,11 @@ object LakeTable {
           .join(read(spark, table, asOf = Some(snap.version)).select(keyCols: _*),
             keys, "left_anti"))
       val newFiles = stageFiles(spark, table, insertRows, snap.partitionColumns)
+      val cdcFiles = stageChangeFiles(spark, table,
+        insertRows.withColumn(ChangeTypeCol, lit("insert")))
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
         snap.schema, snap.partitionColumns, snap.files ++ newFiles, txns = snap.txns)
-      if (!tryCommit(spark, table, next, newFiles, Nil)) {
+      if (!tryCommit(spark, table, next, newFiles, Nil, cdc = cdcFiles)) {
         val f = fs(spark, table)
         newFiles.foreach(e =>
           try f.delete(new Path(dataPath(table), e.path), false)
@@ -1192,8 +1347,8 @@ object LakeTable {
     val base = dataPath(table).toString
     val sMarked = source.withColumn("__s_matched", lit(true))
 
-    val rewritten =
-      if (affectedRel.isEmpty) None
+    val (rewritten, cdcRewrite) =
+      if (affectedRel.isEmpty) (None, None)
       else {
         val affectedPaths = affectedRel.map(rel => new Path(base, rel).toString)
         val t = spark.read
@@ -1217,7 +1372,19 @@ object LakeTable {
             when(a, v).otherwise(acc)
           }.as(fld.name)
         }
-        Some(joined.filter(!coalesce(deleted, lit(false))).select(projected: _*))
+        // change feed: pre/post of clause-updated rows, deletes of
+        // clause-deleted rows — computed off the same join
+        val tCols = ordered.map(fld => col(s"t.${fld.name}").as(fld.name))
+        val updatedMark = applied.collect { case (a, _: MatchedUpdate) => a }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val cdcDf = joined.filter(updatedMark).select(tCols: _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(joined.filter(updatedMark).select(projected: _*)
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+          .unionByName(joined.filter(coalesce(deleted, lit(false))).select(tCols: _*)
+            .withColumn(ChangeTypeCol, lit("delete")))
+        (Some(joined.filter(!coalesce(deleted, lit(false))).select(projected: _*)),
+          Some(cdcDf))
       }
 
     val insertRows =
@@ -1247,8 +1414,12 @@ object LakeTable {
         return snap.version
     }
     val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns)
+    val cdcAll = (cdcRewrite.toSeq ++
+      insertRows.map(_.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
+      .reduce(_ unionByName _)
+    val cdcFiles = stageChangeFiles(spark, table, cdcAll)
     commitRewrite(spark, table, snap, "MERGE", _ => snap.schema,
-      newFiles, affectedRel, scoped)
+      newFiles, affectedRel, scoped, cdc = cdcFiles)
   }
 
   /** Partition-tuple predicate of `updates`' distinct partition values
@@ -1295,7 +1466,7 @@ object LakeTable {
   private def commitRewrite(spark: SparkSession, table: String, baseSnap: Snapshot,
                             op: String, schemaOf: Snapshot => StructType,
                             newFiles: Seq[FileEntry], affectedRel: Seq[String],
-                            scoped: Boolean): Long = {
+                            scoped: Boolean, cdc: Seq[String] = Nil): Long = {
     val affectedPathSet = affectedRel.toSet
     def dirOf(rel: String): String = {
       val i = rel.lastIndexOf('/')
@@ -1326,7 +1497,8 @@ object LakeTable {
         schemaOf(cur), cur.partitionColumns,
         cur.files.filterNot(e => affectedPathSet(e.path)) ++ newFiles,
         txns = cur.txns)
-      if (tryCommit(spark, table, next, newFiles, affectedRel)) return next.version
+      if (tryCommit(spark, table, next, newFiles, affectedRel, cdc = cdc))
+        return next.version
       attempt += 1
     }
     throw new ConcurrentCommitException(s"$op on $table lost $maxRetries commit races")
@@ -1371,17 +1543,22 @@ object LakeTable {
     val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
     val affectedPaths = affectedRel.map(rel => new Path(dataPath(table), rel).toString)
 
-    val kept = spark.read
+    val affectedDf = spark.read
       .option("basePath", dataPath(table).toString)
       .schema(snap.schema)
       .parquet(affectedPaths: _*)
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-      .filter(!coalesce(condition, lit(false)))
+    val kept = affectedDf.filter(!coalesce(condition, lit(false)))
     val newFiles = stageFiles(spark, table, kept, snap.partitionColumns)
+    // change feed: the removed rows, recorded at commit time — the
+    // only moment they are knowable
+    val cdcFiles = stageChangeFiles(spark, table,
+      affectedDf.filter(coalesce(condition, lit(false)))
+        .withColumn(ChangeTypeCol, lit("delete")))
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, affectedRel))
+    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = cdcFiles))
       throw new ConcurrentCommitException(
         s"DELETE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this delete never scanned)")
@@ -1424,10 +1601,17 @@ object LakeTable {
 
     val setByName = set.toMap
     val hit = coalesce(condition, lit(false))
-    val rewritten = spark.read
+    val affectedDf = spark.read
       .option("basePath", dataPath(table).toString)
       .schema(snap.schema)
       .parquet(affectedPaths: _*)
+    val applied = snap.schema.fields.toSeq.map { fld =>
+      setByName.get(fld.name) match {
+        case Some(v) => v.cast(fld.dataType).as(fld.name)
+        case None => col(fld.name)
+      }
+    }
+    val rewritten = affectedDf
       .select(snap.schema.fields.map { fld =>
         setByName.get(fld.name) match {
           case Some(v) => when(hit, v.cast(fld.dataType)).otherwise(col(fld.name)).as(fld.name)
@@ -1435,10 +1619,17 @@ object LakeTable {
         }
       }.toIndexedSeq: _*)
     val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns)
+    // change feed: pre/post images of exactly the hit rows
+    val hitRows = affectedDf.filter(hit)
+    val cdcFiles = stageChangeFiles(spark, table,
+      hitRows.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+        .unionByName(hitRows.select(applied: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage"))))
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "UPDATE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, affectedRel))
+    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = cdcFiles))
       throw new ConcurrentCommitException(
         s"UPDATE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this update never scanned)")
@@ -1582,6 +1773,25 @@ object LakeTable {
         toDelete += st.getPath
     }
     toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    // change-data files age out with their versions: keep those the
+    // retained versions recorded (the feed stays readable over the
+    // same window time travel works), sweep the rest once old enough
+    // — including orphans from aborted DML commits
+    val retainedCdc = vs.takeRight(math.max(1, retainVersions))
+      .flatMap(v => scala.util.Try(logEntryAt(spark, table, v)).toOption)
+      .flatMap(_.cdc).toSet
+    val cdp = changeDataPath(table)
+    if (f.exists(cdp)) {
+      val cit = f.listFiles(cdp, true)
+      val cdcToDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (cit.hasNext) {
+        val st = cit.next()
+        if (st.isFile && st.getModificationTime < cutoffMs &&
+            !retainedCdc.contains("_change_data/" + relativize(cdp, st.getPath)))
+          cdcToDelete += st.getPath
+      }
+      cdcToDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    }
     // sweep staging dirs from crashed writes — only once they are old
     // enough that no live writer can still be using them
     val staging = new Path(table, "_staging")

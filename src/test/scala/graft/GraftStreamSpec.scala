@@ -263,6 +263,36 @@ class GraftStreamSpec extends SparkSpec {
       s"batch over 3 commits read ${versionReads.size} log entries: $versionReads")
   }
 
+  test("readChangeFeed stream delivers DML pre/post images instead of failing on change commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmp("graft_source_cdf"); val table = s"$dir/t"
+    LakeTable.overwrite(spark, table, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(table)
+      .writeStream.format("memory").queryName("graft_cdf")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    // initial snapshot arrives as inserts
+    assert(spark.table("graft_cdf")
+      .filter(col(LakeTable.ChangeTypeCol) === "insert").count() == 2)
+    // a MERGE (change commit!) streams its row-level delta — the plain
+    // source would have demanded skipChangeCommits or died
+    LakeTable.merge(spark, table, Seq((2L, 99.0), (3L, 30.0)).toDF("id", "v"),
+      keys = Seq("id"))
+    LakeTable.delete(spark, table, col("id") === 1L)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_cdf")
+      .select("id", "v", LakeTable.ChangeTypeCol)
+      .as[(Long, Double, String)].collect()
+    assert(rows.count(_._3 == "insert") == 3) // snapshot 2 + merged-in 3
+    assert(rows.contains((2L, 20.0, "update_preimage")))
+    assert(rows.contains((2L, 99.0, "update_postimage")))
+    assert(rows.contains((1L, 10.0, "delete")))
+  }
+
   test("graft-to-graft pipe: a downstream table tails an upstream one exactly-once") {
     import spark.implicits._
     val dir = tmp("graft_pipe"); val up = s"$dir/up"; val down = s"$dir/down"

@@ -78,9 +78,9 @@ class LakeSpec extends SparkSpec {
     val racing = LakeTable.latestSnapshot(spark, t).get.copy(version = 2L, operation = "RACER")
     val m = tryCommitHandle
     assert(m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
-      java.lang.Boolean.FALSE).asInstanceOf[Boolean])
+      java.lang.Boolean.FALSE, Seq.empty).asInstanceOf[Boolean])
     assert(!m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
-      java.lang.Boolean.FALSE).asInstanceOf[Boolean],
+      java.lang.Boolean.FALSE, Seq.empty).asInstanceOf[Boolean],
       "second commit of the same version must lose")
     // a normal writer lands after the racer without clobbering it
     val v = LakeTable.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
@@ -166,7 +166,7 @@ class LakeSpec extends SparkSpec {
     val m = LakeTable.getClass.getDeclaredMethod("tryCommit",
       classOf[org.apache.spark.sql.SparkSession], classOf[String],
       classOf[LakeTable.Snapshot], classOf[Seq[_]], classOf[Seq[_]],
-      java.lang.Boolean.TYPE)
+      java.lang.Boolean.TYPE, classOf[Seq[_]])
     m.setAccessible(true)
     m
   }
@@ -191,7 +191,7 @@ class LakeSpec extends SparkSpec {
             val snap = base.copy(version = v, operation = s"W$i")
             start.await()
             if (m.invoke(LakeTable, spark, t, snap, Seq.empty, Seq.empty,
-                java.lang.Boolean.FALSE).asInstanceOf[Boolean])
+                java.lang.Boolean.FALSE, Seq.empty).asInstanceOf[Boolean])
               wins.add(s"W$i")
           }
         })
@@ -236,7 +236,7 @@ class LakeSpec extends SparkSpec {
     // ~50 metadata-only commits (same file list, bumped version)
     (2L to 50L).foreach { v =>
       assert(m.invoke(LakeTable, spark, t, base.copy(version = v), Seq.empty, Seq.empty,
-        java.lang.Boolean.FALSE).asInstanceOf[Boolean])
+        java.lang.Boolean.FALSE, Seq.empty).asInstanceOf[Boolean])
     }
     val hint = java.nio.file.Paths.get(s"$t/_graft_log/_latest_hint")
     assert(new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim == "50")
@@ -381,6 +381,59 @@ class LakeSpec extends SparkSpec {
     results.filter(_.isLeft).foreach { l =>
       assert(l.swap.toOption.get.getMessage.contains("insert-only MERGE"))
     }
+  }
+
+  test("change feed: every DML commit's row-level changes, typed and versioned") {
+    import org.apache.spark.sql.functions.col
+    val t = tmpTable("lake_cdf")
+    LakeTable.overwrite(spark, t, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")) // v1
+    LakeTable.append(spark, t, Seq((3L, 30.0)).toDF("id", "v"))                // v2
+    LakeTable.merge(spark, t, Seq((2L, 99.0), (4L, 40.0)).toDF("id", "v"),
+      keys = Seq("id"))                                                        // v3
+    LakeTable.delete(spark, t, col("id") === 1L)                               // v4
+    LakeTable.update(spark, t, Seq("v" -> (col("v") + 1)), col("id") === 3L)   // v5
+    LakeTable.compact(spark, t)                                                // v6 (maybe no-op)
+    val lastV = LakeTable.latestSnapshot(spark, t).get.version
+
+    def changesAt(v: Long): Set[(Long, Double, String)] =
+      LakeTable.changes(spark, t, v, v)
+        .select("id", "v", LakeTable.ChangeTypeCol)
+        .as[(Long, Double, String)].collect().toSet
+
+    assert(changesAt(2L) == Set((3L, 30.0, "insert")))
+    assert(changesAt(3L) == Set(
+      (2L, 20.0, "update_preimage"), (2L, 99.0, "update_postimage"),
+      (4L, 40.0, "insert")))
+    assert(changesAt(4L) == Set((1L, 10.0, "delete")))
+    assert(changesAt(5L) == Set(
+      (3L, 30.0, "update_preimage"), (3L, 31.0, "update_postimage")))
+    // the whole range in one frame, stamped with versions
+    val all = LakeTable.changes(spark, t, 2L, lastV)
+      .select(LakeTable.CommitVersionCol, "id", LakeTable.ChangeTypeCol)
+      .as[(Long, Long, String)].collect()
+    assert(all.count(_._3 == "insert") == 2)
+    assert(all.count(_._3 == "delete") == 1)
+    assert(all.map(_._1).toSet == Set(2L, 3L, 4L, 5L)) // compact contributes nothing
+    // overwrite synthesizes: old rows delete + new rows insert
+    LakeTable.overwrite(spark, t, Seq((9L, 90.0)).toDF("id", "v"))
+    val ow = LakeTable.latestSnapshot(spark, t).get.version
+    val owChanges = changesAt(ow)
+    assert(owChanges.contains((9L, 90.0, "insert")))
+    assert(owChanges.count(_._3 == "delete") == 3) // ids 2,3,4 at their final values
+    // applying the feed to the v1 state reproduces the final table
+    // (insert/postimage upserts, delete removes) — the propagate-the-
+    // delta contract a downstream incremental consumer relies on
+    var state = Map(1L -> 10.0, 2L -> 20.0)
+    LakeTable.changes(spark, t, 2L, ow)
+      .select(LakeTable.CommitVersionCol, "id", "v", LakeTable.ChangeTypeCol)
+      .as[(Long, Long, Double, String)].collect()
+      .sortBy(_._1).foreach {
+        case (_, id, v, "insert" | "update_postimage") => state += id -> v
+        case (_, id, _, "delete")                      => state -= id
+        case _                                         => ()
+      }
+    val finalRows = LakeTable.read(spark, t).as[(Long, Double)].collect().toMap
+    assert(state == finalRows, s"feed replay diverged: $state vs $finalRows")
   }
 
   test("merge evolves schema like append: a new update column nulls untouched rows") {
