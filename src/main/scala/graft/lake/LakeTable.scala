@@ -109,7 +109,7 @@ object LakeTable {
       txns: Map[String, Long],
       full: Option[Seq[FileEntry]],
       adds: Seq[FileEntry], removes: Seq[String], reset: Boolean,
-      cdc: Seq[String])
+      cdc: Option[Seq[String]])
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
@@ -169,7 +169,7 @@ object LakeTable {
     */
   private def renderDelta(s: Snapshot, adds: Seq[FileEntry],
                           removes: Seq[String], reset: Boolean,
-                          cdc: Seq[String]): String = {
+                          cdc: Option[Seq[String]]): String = {
     val fields = commonFields(s.version, s.timestampMs, s.operation, s.schema,
       s.partitionColumns, s.txns) ++
       List("adds" -> JArray(adds.map(renderFile).toList)) ++
@@ -177,7 +177,9 @@ object LakeTable {
        else if (removes.nonEmpty)
          List("removes" -> JArray(removes.map(JString(_)).toList))
        else Nil) ++
-      (if (cdc.nonEmpty) List("cdc" -> JArray(cdc.map(JString(_)).toList)) else Nil)
+      // "cdc" present (possibly empty) ⇔ this commit RECORDED its
+      // changes; absent ⇔ changes must be synthesized or are unknowable
+      cdc.map(c => "cdc" -> (JArray(c.map(JString(_)).toList): JValue)).toList
     JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
 
@@ -251,8 +253,8 @@ object LakeTable {
         case _        => false
       },
       cdc = (j \ "cdc") match {
-        case JArray(entries) => entries.map(jStr)
-        case _               => Seq.empty
+        case JArray(entries) => Some(entries.map(jStr))
+        case _               => None
       })
   }
 
@@ -449,7 +451,7 @@ object LakeTable {
   private[lake] def tryCommit(spark: SparkSession, table: String, snap: Snapshot,
                               adds: Seq[FileEntry], removes: Seq[String],
                               reset: Boolean = false,
-                              cdc: Seq[String] = Nil): Boolean = {
+                              cdc: Option[Seq[String]] = None): Boolean = {
     val f = fs(spark, table)
     f.mkdirs(logPath(table))
     val target = versionFile(table, snap.version)
@@ -648,10 +650,14 @@ object LakeTable {
         GraftDataSource.asNullable(e.schema)).withColumn(ChangeTypeCol, lit("insert"))
         .filter(lit(false)), None)
     if (e.operation == "COMPACT") None
-    else if (e.cdc.nonEmpty) {
+    else if (e.cdc.exists(_.nonEmpty)) {
       // recorded change files carry the table columns + _change_type
       Some(decorate(spark.read.parquet(
-        e.cdc.map(rel => new Path(table, rel).toString): _*), None))
+        e.cdc.get.map(rel => new Path(table, rel).toString): _*), None))
+    } else if (e.cdc.isDefined) {
+      // recorded, and genuinely empty (e.g. a conditional merge where
+      // no clause fired) — a real empty change set, not a legacy gap
+      Some(emptyChanges)
     } else e.full match {
       case Some(_) =>
         throw new UnsupportedOperationException(
@@ -1170,7 +1176,7 @@ object LakeTable {
     val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns)
     commitRewrite(spark, table, snap, "MERGE",
       cur => mergeSchemas(cur.schema, updates.schema),
-      newFiles, affectedRel, scopeToUpdatePartitions, cdc = cdcFiles)
+      newFiles, affectedRel, scopeToUpdatePartitions, cdc = Some(cdcFiles))
   }
 
   // ------------------------------------------------------------- mergeRows
@@ -1297,7 +1303,7 @@ object LakeTable {
         insertRows.withColumn(ChangeTypeCol, lit("insert")))
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
         snap.schema, snap.partitionColumns, snap.files ++ newFiles, txns = snap.txns)
-      if (!tryCommit(spark, table, next, newFiles, Nil, cdc = cdcFiles)) {
+      if (!tryCommit(spark, table, next, newFiles, Nil, cdc = Some(cdcFiles))) {
         val f = fs(spark, table)
         newFiles.foreach(e =>
           try f.delete(new Path(dataPath(table), e.path), false)
@@ -1419,7 +1425,7 @@ object LakeTable {
       .reduce(_ unionByName _)
     val cdcFiles = stageChangeFiles(spark, table, cdcAll)
     commitRewrite(spark, table, snap, "MERGE", _ => snap.schema,
-      newFiles, affectedRel, scoped, cdc = cdcFiles)
+      newFiles, affectedRel, scoped, cdc = Some(cdcFiles))
   }
 
   /** Partition-tuple predicate of `updates`' distinct partition values
@@ -1466,7 +1472,7 @@ object LakeTable {
   private def commitRewrite(spark: SparkSession, table: String, baseSnap: Snapshot,
                             op: String, schemaOf: Snapshot => StructType,
                             newFiles: Seq[FileEntry], affectedRel: Seq[String],
-                            scoped: Boolean, cdc: Seq[String] = Nil): Long = {
+                            scoped: Boolean, cdc: Option[Seq[String]] = None): Long = {
     val affectedPathSet = affectedRel.toSet
     def dirOf(rel: String): String = {
       val i = rel.lastIndexOf('/')
@@ -1558,7 +1564,7 @@ object LakeTable {
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = cdcFiles))
+    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = Some(cdcFiles)))
       throw new ConcurrentCommitException(
         s"DELETE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this delete never scanned)")
@@ -1629,7 +1635,7 @@ object LakeTable {
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "UPDATE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = cdcFiles))
+    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = Some(cdcFiles)))
       throw new ConcurrentCommitException(
         s"UPDATE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this update never scanned)")
@@ -1779,7 +1785,7 @@ object LakeTable {
     // — including orphans from aborted DML commits
     val retainedCdc = vs.takeRight(math.max(1, retainVersions))
       .flatMap(v => scala.util.Try(logEntryAt(spark, table, v)).toOption)
-      .flatMap(_.cdc).toSet
+      .flatMap(_.cdc.getOrElse(Nil)).toSet
     val cdp = changeDataPath(table)
     if (f.exists(cdp)) {
       val cit = f.listFiles(cdp, true)

@@ -78,9 +78,9 @@ class LakeSpec extends SparkSpec {
     val racing = LakeTable.latestSnapshot(spark, t).get.copy(version = 2L, operation = "RACER")
     val m = tryCommitHandle
     assert(m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
-      java.lang.Boolean.FALSE, Seq.empty).asInstanceOf[Boolean])
+      java.lang.Boolean.FALSE, None).asInstanceOf[Boolean])
     assert(!m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
-      java.lang.Boolean.FALSE, Seq.empty).asInstanceOf[Boolean],
+      java.lang.Boolean.FALSE, None).asInstanceOf[Boolean],
       "second commit of the same version must lose")
     // a normal writer lands after the racer without clobbering it
     val v = LakeTable.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
@@ -166,7 +166,7 @@ class LakeSpec extends SparkSpec {
     val m = LakeTable.getClass.getDeclaredMethod("tryCommit",
       classOf[org.apache.spark.sql.SparkSession], classOf[String],
       classOf[LakeTable.Snapshot], classOf[Seq[_]], classOf[Seq[_]],
-      java.lang.Boolean.TYPE, classOf[Seq[_]])
+      java.lang.Boolean.TYPE, classOf[Option[_]])
     m.setAccessible(true)
     m
   }
@@ -191,7 +191,7 @@ class LakeSpec extends SparkSpec {
             val snap = base.copy(version = v, operation = s"W$i")
             start.await()
             if (m.invoke(LakeTable, spark, t, snap, Seq.empty, Seq.empty,
-                java.lang.Boolean.FALSE, Seq.empty).asInstanceOf[Boolean])
+                java.lang.Boolean.FALSE, None).asInstanceOf[Boolean])
               wins.add(s"W$i")
           }
         })
@@ -236,7 +236,7 @@ class LakeSpec extends SparkSpec {
     // ~50 metadata-only commits (same file list, bumped version)
     (2L to 50L).foreach { v =>
       assert(m.invoke(LakeTable, spark, t, base.copy(version = v), Seq.empty, Seq.empty,
-        java.lang.Boolean.FALSE, Seq.empty).asInstanceOf[Boolean])
+        java.lang.Boolean.FALSE, None).asInstanceOf[Boolean])
     }
     val hint = java.nio.file.Paths.get(s"$t/_graft_log/_latest_hint")
     assert(new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim == "50")
@@ -434,6 +434,15 @@ class LakeSpec extends SparkSpec {
       }
     val finalRows = LakeTable.read(spark, t).as[(Long, Double)].collect().toMap
     assert(state == finalRows, s"feed replay diverged: $state vs $finalRows")
+
+    // a DML commit whose clauses fired for NO row records an EMPTY
+    // change set — readable as empty, not mistaken for a legacy gap
+    LakeTable.mergeRows(spark, t,
+      Seq((9L, 0.0)).toDF("id", "nv"), Seq("id"),
+      matched = Seq(LakeTable.MatchedUpdate(Some(col("s.nv") > 1000), Map("v" -> col("s.nv")))),
+      notMatchedInsert = Nil)
+    val noop = LakeTable.latestSnapshot(spark, t).get.version
+    assert(LakeTable.changes(spark, t, noop, noop).count() == 0)
   }
 
   test("merge evolves schema like append: a new update column nulls untouched rows") {
