@@ -1,0 +1,109 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Incremental maintenance of an additive aggregate from a lake table's
+  * change feed — the propagate-the-delta pattern that turns a 100 TB
+  * gold refresh from recompute-the-world into cost-of-the-change
+  * (reference behavior: the daily Trino `INSERT OVERWRITE` transforms
+  * of trino_iceberg_transform_component.py recompute; this is the
+  * incremental upgrade of that contract).
+  *
+  * The target table holds one row per group: the group columns, one
+  * SUM per measure, and a `_graft_rows` contributing-row count. A
+  * refresh reads ONLY the change feed since the last refresh — each
+  * changed row contributes `+measure` (insert / update_postimage) or
+  * `-measure` (delete / update_preimage) — and merges the per-group
+  * delta into the target: existing groups add, new groups insert,
+  * groups whose row count reaches zero are deleted. COMPACT commits
+  * are invisible to the feed, so maintenance never perturbs the
+  * aggregate.
+  *
+  * Exactly-once: every refresh commits its data TOGETHER with an
+  * application watermark (`txn`, the source version it processed
+  * through), so a crashed-and-replayed refresh is a no-op instead of a
+  * double-count — the same discipline as the streaming sink's batch
+  * watermark.
+  *
+  * Contract: measures must be ADDITIVE (SUM / COUNT; an average is a
+  * ratio of two sums downstream). MIN/MAX are not incrementally
+  * maintainable from a feed without per-group recompute and are
+  * deliberately not offered. Group keys should be non-null (merge keys
+  * join by equality; null keys never match and would re-insert).
+  */
+object Incremental {
+
+  /** Contributing-row count column of an incrementally maintained
+    * aggregate (the group's liveness tally).
+    */
+  val RowsCol = "_graft_rows"
+
+  private def watermarkId(source: String): String =
+    "graft-incr:" + new Path(source).toUri.getPath
+
+  /** The source version the target has processed through, if any. */
+  def refreshedThrough(spark: SparkSession, source: String,
+                       target: String): Option[Long] =
+    LakeTable.latestSnapshot(spark, target)
+      .flatMap(_.txns.get(watermarkId(source)))
+
+  /** Bring `target` up to date with `source`'s latest version.
+    * First call builds the aggregate with one full scan (pinned to the
+    * source snapshot); every later call reads only the change feed of
+    * the versions since. Returns the committed target version
+    * (unchanged when already up to date).
+    */
+  def refreshAgg(spark: SparkSession, source: String, target: String,
+                 groupBy: Seq[String],
+                 measures: Map[String, Column]): Long = {
+    require(groupBy.nonEmpty, "refreshAgg needs at least one group column")
+    require(measures.nonEmpty, "refreshAgg needs at least one measure")
+    require(!measures.contains(RowsCol) && !groupBy.contains(RowsCol),
+      s"$RowsCol is reserved for the maintenance row count")
+    val srcSnap = LakeTable.latestSnapshot(spark, source)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at source $source"))
+    val qid = watermarkId(source)
+    val tgtSnap = LakeTable.latestSnapshot(spark, target)
+    val done = tgtSnap.flatMap(_.txns.get(qid)).getOrElse(0L)
+    if (done >= srcSnap.version) return tgtSnap.get.version
+    val ms = measures.toSeq // stable column order
+
+    if (done == 0L) {
+      // initial build: one full scan of the pinned source snapshot
+      val agg = LakeTable.read(spark, source, asOf = Some(srcSnap.version))
+        .groupBy(groupBy.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as(RowsCol),
+          ms.map { case (n, e) => sum(e).as(n) }: _*)
+      LakeTable.overwrite(spark, target, agg, txn = Some(qid -> srcSnap.version))
+    } else {
+      // delta: only the feed of (done, srcSnap.version] is read
+      val feed = LakeTable.changes(spark, source, done + 1, srcSnap.version)
+      val sign = when(col(LakeTable.ChangeTypeCol)
+        .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+      val delta = feed
+        .groupBy(groupBy.map(col).toIndexedSeq: _*)
+        .agg(sum(sign).as(RowsCol),
+          ms.map { case (n, e) => sum(sign * e).as(n) }: _*)
+        // groups the feed touched but left net-unchanged still merge
+        // (their measures may have moved even at rows-delta 0)
+      val names = ms.map(_._1) :+ RowsCol
+      LakeTable.mergeRows(spark, target, delta, groupBy,
+        matched = Seq(
+          // group emptied out: remove its row
+          LakeTable.MatchedDelete(
+            Some(col(s"t.$RowsCol") + col(s"s.$RowsCol") === 0L)),
+          LakeTable.MatchedUpdate(None,
+            names.map(n => n -> (col(s"t.$n") + col(s"s.$n"))).toMap)),
+        notMatchedInsert = Seq(
+          // a brand-new group inserts its delta verbatim; a pure-delete
+          // delta for a group the target never had would be feed
+          // corruption — guard rather than insert a negative group
+          (Some(col(s"s.$RowsCol") > 0L),
+            (groupBy ++ names).map(n => n -> col(s"s.$n")).toMap)),
+        txn = Some(qid -> srcSnap.version))
+    }
+  }
+}

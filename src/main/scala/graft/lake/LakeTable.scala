@@ -698,8 +698,18 @@ object LakeTable {
       s"invalid change range [$startVersion, $endVersion]")
     val frames = (startVersion to endVersion).flatMap(changesOf(spark, table, _))
     frames.reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no change-bearing commits in [$startVersion, $endVersion] of $table"))
+      .getOrElse {
+        // every commit in range was maintenance (COMPACT): a truthful
+        // empty feed, typed to the range-end schema — callers like
+        // Incremental fold it as "nothing changed", not an error
+        val schema = GraftDataSource.asNullable(
+          snapshotAt(spark, table, endVersion).schema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          .withColumn(ChangeTypeCol, lit("insert"))
+          .withColumn(CommitVersionCol, lit(endVersion))
+          .withColumn(CommitTimestampCol, lit(0L))
+          .filter(lit(false))
+      }
   }
 
   /** Decoded filesystem path of an `input_file_name()` value. */
@@ -728,15 +738,24 @@ object LakeTable {
     */
   private final case class CommitSpec(schema: StructType, partitionColumns: Seq[String],
                                       files: Seq[FileEntry], adds: Seq[FileEntry],
-                                      removes: Seq[String], reset: Boolean)
+                                      removes: Seq[String], reset: Boolean,
+                                      txnUpdate: Map[String, Long] = Map.empty)
 
+  /** `txn = Some(appId -> version)` records an APPLICATION watermark in
+    * the same commit (the txnAppId/txnVersion idiom): data and progress
+    * marker land atomically, so an idempotent writer can check
+    * `latestSnapshot.txns(appId)` and skip work it already committed —
+    * the exactly-once primitive [[Incremental]] builds on.
+    */
   def overwrite(spark: SparkSession, table: String, df: DataFrame,
-                partitionBy: Seq[String] = Nil): Long = {
+                partitionBy: Seq[String] = Nil,
+                txn: Option[(String, Long)] = None): Long = {
     val newFiles = stageFiles(spark, table, df, partitionBy)
     retryCommit(spark, table, "OVERWRITE") { prev =>
       // reset delta: carries the complete new file list, so it is its
       // own reconstruction base — an overwrite's delta IS full-state
-      CommitSpec(df.schema, partitionBy, newFiles, newFiles, Nil, reset = true)
+      CommitSpec(df.schema, partitionBy, newFiles, newFiles, Nil, reset = true,
+        txnUpdate = txn.toMap)
     }
   }
 
@@ -848,7 +867,7 @@ object LakeTable {
       // would make a restarted stream re-append its last batch
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
         System.currentTimeMillis(), op, spec.schema, spec.partitionColumns, spec.files,
-        txns = prev.map(_.txns).getOrElse(Map.empty))
+        txns = prev.map(_.txns).getOrElse(Map.empty) ++ spec.txnUpdate)
       if (tryCommit(spark, table, snap, spec.adds, spec.removes, spec.reset))
         return snap.version
       attempt += 1
@@ -1229,11 +1248,16 @@ object LakeTable {
                 keys: Seq[String], matched: Seq[MatchedClause],
                 notMatchedInsert: Seq[(Option[Column], Map[String, Column])] = Nil,
                 notMatchedBySource: Seq[MatchedClause] = Nil,
-                scopeToUpdatePartitions: Boolean = false): Long = {
+                scopeToUpdatePartitions: Boolean = false,
+                txn: Option[(String, Long)] = None): Long = {
     require(matched.nonEmpty || notMatchedInsert.nonEmpty || notMatchedBySource.nonEmpty,
       "mergeRows needs at least one matched, insert, or not-matched-by-source clause")
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    // application watermark already at or past this version: the work
+    // was committed by a previous (possibly crashed-and-replayed) run
+    if (txn.exists { case (appId, v) => snap.txns.get(appId).exists(_ >= v) })
+      return snap.version
     val assignedCols = (matched ++ notMatchedBySource)
       .collect { case MatchedUpdate(_, set) => set.keys }.flatten ++
       notMatchedInsert.flatMap(_._2.keys)
@@ -1302,7 +1326,8 @@ object LakeTable {
       val cdcFiles = stageChangeFiles(spark, table,
         insertRows.withColumn(ChangeTypeCol, lit("insert")))
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
-        snap.schema, snap.partitionColumns, snap.files ++ newFiles, txns = snap.txns)
+        snap.schema, snap.partitionColumns, snap.files ++ newFiles,
+        txns = snap.txns ++ txn.toMap)
       if (!tryCommit(spark, table, next, newFiles, Nil, cdc = Some(cdcFiles))) {
         val f = fs(spark, table)
         newFiles.foreach(e =>
@@ -1425,7 +1450,7 @@ object LakeTable {
       .reduce(_ unionByName _)
     val cdcFiles = stageChangeFiles(spark, table, cdcAll)
     commitRewrite(spark, table, snap, "MERGE", _ => snap.schema,
-      newFiles, affectedRel, scoped, cdc = Some(cdcFiles))
+      newFiles, affectedRel, scoped, cdc = Some(cdcFiles), txnUpdate = txn.toMap)
   }
 
   /** Partition-tuple predicate of `updates`' distinct partition values
@@ -1472,7 +1497,8 @@ object LakeTable {
   private def commitRewrite(spark: SparkSession, table: String, baseSnap: Snapshot,
                             op: String, schemaOf: Snapshot => StructType,
                             newFiles: Seq[FileEntry], affectedRel: Seq[String],
-                            scoped: Boolean, cdc: Option[Seq[String]] = None): Long = {
+                            scoped: Boolean, cdc: Option[Seq[String]] = None,
+                            txnUpdate: Map[String, Long] = Map.empty): Long = {
     val affectedPathSet = affectedRel.toSet
     def dirOf(rel: String): String = {
       val i = rel.lastIndexOf('/')
@@ -1502,7 +1528,7 @@ object LakeTable {
       val next = Snapshot(cur.version + 1, System.currentTimeMillis(), op,
         schemaOf(cur), cur.partitionColumns,
         cur.files.filterNot(e => affectedPathSet(e.path)) ++ newFiles,
-        txns = cur.txns)
+        txns = cur.txns ++ txnUpdate)
       if (tryCommit(spark, table, next, newFiles, affectedRel, cdc = cdc))
         return next.version
       attempt += 1
@@ -1654,12 +1680,23 @@ object LakeTable {
     * files once they age out of retention). Returns the committed
     * version, or the current one if there was nothing to pack.
     *
-    * `sortBy` clusters the rewritten files on the given columns
-    * (sortWithinPartitions — no extra shuffle): parquet then stores
-    * tight min/max stats per row group, so point/range filters on
-    * those columns skip row groups at scan time — the lightweight
-    * cousin of Z-ordering, and at 100 TB the difference between
-    * reading a row group and reading a partition.
+    * `sortBy` RANGE-CLUSTERS the rewrite on the given columns: rows
+    * range-partition across the output files and sort within each, so
+    * the per-file min/max bounds recorded in the transaction log come
+    * out narrow and pairwise disjoint — a selective filter on the
+    * leading sort column then skips whole FILES from the log
+    * ([[DataSkipping]]), and parquet row-group stats prune within the
+    * file. At 100 TB that is the difference between reading a file
+    * list and reading a partition.
+    *
+    * `zorderBy` (mutually exclusive with `sortBy`, ≥2 columns) maps
+    * each row onto a Z-order curve over the given columns and
+    * range-clusters on that — every participating column keeps
+    * file-bound locality, so filters on ANY one of them skip files,
+    * where a linear sort only serves its leading column ([[ZOrder]]).
+    *
+    * `targetFileBytes` sizes the rewritten files (~one task per that
+    * many input bytes).
     *
     * `partitionFilter` scopes the rewrite to the matching partitions
     * (evaluated driver-side against each file's hive path — no scan):
@@ -1671,7 +1708,13 @@ object LakeTable {
   def compact(spark: SparkSession, table: String,
               smallFileBytes: Long = 32L << 20,
               sortBy: Seq[String] = Nil,
-              partitionFilter: Option[Column] = None): Long = {
+              partitionFilter: Option[Column] = None,
+              zorderBy: Seq[String] = Nil,
+              targetFileBytes: Long = 128L << 20): Long = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "pass sortBy OR zorderBy, not both")
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "zorderBy needs at least two columns — use sortBy to cluster on one")
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val f = fs(spark, table)
@@ -1715,32 +1758,88 @@ object LakeTable {
     val small = smallSized.map(_._1)
     val big = bigSized.map(_._1)
     if (small.size <= 1) return snap.version
-    // coalesce to a byte-budgeted task count: Spark's split planning
-    // targets one split PER CORE (files.minPartitionNum defaults to the
+    (sortBy ++ zorderBy).foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"cluster column $c is not in the schema of $table")
+      require(!snap.partitionColumns.contains(c),
+        s"cluster column $c is a partition column — constant per file already")
+    }
+    // a byte-budgeted task count: Spark's split planning targets one
+    // split PER CORE (files.minPartitionNum defaults to the
     // parallelism), which on tiny inputs re-emits one output file per
-    // input — the opposite of packing. ~128 MB of small-file bytes per
-    // task ⇒ each rewritten file lands near the parquet sweet spot.
+    // input — the opposite of packing. ~targetFileBytes of small-file
+    // bytes per task ⇒ each rewritten file lands near the parquet
+    // sweet spot.
     val targetTasks = math.max(1,
-      math.ceil(smallSized.map(_._2).sum.toDouble / (128L << 20)).toInt)
+      math.ceil(smallSized.map(_._2).sum.toDouble / targetFileBytes).toInt)
     val packed = spark.read
       .option("basePath", base.toString)
       .schema(snap.schema)
       .parquet(small.map(e => new Path(base, e.path).toString): _*)
       .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-      .coalesce(targetTasks)
-    // partition cols lead the sort so the write path's required
-    // ordering is already satisfied and it does not re-sort (which
-    // would destroy the clustering)
+    // partition cols lead the range-partitioning and the sort, so the
+    // write path's required ordering is already satisfied and it does
+    // not re-sort (which would destroy the clustering)
+    val pCols = snap.partitionColumns.map(col)
     val rows =
-      if (sortBy.isEmpty) packed
-      else packed.sortWithinPartitions(
-        (snap.partitionColumns ++ sortBy).map(col): _*)
+      if (zorderBy.nonEmpty) {
+        // logged row counts size the boundary sample; a legacy entry
+        // (rowCount unknown) costs one count of the scope
+        val counts = smallSized.map(_._1.rowCount)
+        val totalRows = if (counts.forall(_ >= 0)) counts.sum else packed.count()
+        val zc = "_graft_zvalue"
+        packed.withColumn(zc, ZOrder.zvalue(packed, zorderBy, totalRows))
+          .repartitionByRange(targetTasks, (pCols :+ col(zc)).toIndexedSeq: _*)
+          .sortWithinPartitions((pCols :+ col(zc)).toIndexedSeq: _*)
+          // dropping the helper is a projection: intra-partition order
+          // survives, and so does the (partition-cols) ordering prefix
+          // the writer requires
+          .drop(zc)
+      } else if (sortBy.nonEmpty) {
+        val sCols = pCols ++ sortBy.map(col)
+        packed.repartitionByRange(targetTasks, sCols.toIndexedSeq: _*)
+          .sortWithinPartitions(sCols.toIndexedSeq: _*)
+      } else packed.coalesce(targetTasks)
     val newFiles = stageFiles(spark, table, rows, snap.partitionColumns)
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
       snap.schema, snap.partitionColumns, big ++ newFiles, txns = snap.txns)
     if (!tryCommit(spark, table, next, newFiles, small.map(_.path)))
       throw new ConcurrentCommitException(s"COMPACT on $table lost the commit race")
     next.version
+  }
+
+  // --------------------------------------------------------------- restore
+
+  /** Roll the table back to the state of `version` as a NEW commit —
+    * the RESTORE analog. The commit is a reset delta carrying the old
+    * version's complete file list, so data files are re-referenced,
+    * never copied; nothing between is erased: the rolled-back versions
+    * remain time-travelable (until vacuumed), and the change feed
+    * synthesizes the rollback as delete-all + re-insert exactly like
+    * an OVERWRITE, so downstream incremental readers converge instead
+    * of diverging. Schema and partition layout restore with the data.
+    *
+    * Fails loudly (before committing anything) when any restored file
+    * has already been vacuumed away — a restore that silently produced
+    * a table with holes would be corruption, not rollback.
+    */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val target = snapshotAt(spark, table, version)
+    val f = fs(spark, table)
+    val base = dataPath(table)
+    // existence probes fan out like staging: bounded pool, one RPC each
+    val missing = stageParallel(target.filePaths)(rel =>
+      if (f.exists(new Path(base, rel))) None else Some(rel)).flatten
+    require(missing.isEmpty,
+      s"cannot restore $table to version $version: ${missing.size} of its data " +
+        s"file(s) were vacuumed (first: ${missing.headOption.getOrElse("")}) — " +
+        "that version is outside the retention window")
+    retryCommit(spark, table, "RESTORE") { prev =>
+      require(prev.exists(_.version >= version),
+        s"restore target $version is beyond the latest version of $table")
+      CommitSpec(target.schema, target.partitionColumns, target.files,
+        target.files, Nil, reset = true)
+    }
   }
 
   // ---------------------------------------------------------------- vacuum

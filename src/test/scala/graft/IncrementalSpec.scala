@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.{Incremental, LakeTable}
+
+/** Incremental aggregate maintenance from the change feed: every
+  * refresh reads only the delta, yet the target always equals a full
+  * recompute — and a replayed refresh is a no-op (atomic watermark).
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** target contents as (group -> (rows, qty, revenue)) */
+  private def targetState(t: String): Map[String, (Long, Long, Double)] =
+    LakeTable.read(spark, t)
+      .select("grp", Incremental.RowsCol, "qty", "revenue")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (g, n, q, r) => g -> (n, q, r) }.toMap
+
+  /** the oracle: full recompute off the source's latest state */
+  private def recomputed(src: String): Map[String, (Long, Long, Double)] =
+    LakeTable.read(spark, src)
+      .groupBy("grp").agg(count(lit(1)), sum("qty"), sum("revenue"))
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (g, n, q, r) => g -> (n, q, r) }.toMap
+
+  private def assertConverged(src: String, tgt: String): Unit = {
+    val got = targetState(tgt)
+    val want = recomputed(src)
+    assert(got.keySet == want.keySet,
+      s"group sets diverged: ${got.keySet} vs ${want.keySet}")
+    want.foreach { case (g, (n, q, r)) =>
+      val (gn, gq, gr) = got(g)
+      assert(gn == n && gq == q, s"group $g: got ($gn,$gq), want ($n,$q)")
+      assert(math.abs(gr - r) <= 1e-9 * math.max(1.0, math.abs(r)),
+        s"group $g revenue: got $gr, want $r")
+    }
+  }
+
+  test("incremental refresh equals full recompute across a DML history") {
+    val src = tmpTable("incr_src")
+    val tgt = tmpTable("incr_tgt")
+    def row(id: Long, g: String, q: Long, r: Double) = (id, g, q, r)
+    val measures = Map(
+      "qty" -> col("qty"),
+      "revenue" -> col("revenue"))
+
+    // v1: initial corpus
+    LakeTable.overwrite(spark, src,
+      (1L to 20L).map(i => row(i, s"g${i % 4}", i, i * 1.5))
+        .toDF("id", "grp", "qty", "revenue"))
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    assert(Incremental.refreshedThrough(spark, src, tgt).contains(1L))
+    assertConverged(src, tgt)
+
+    // appends + an upsert + a delete + an update, refreshing at
+    // different cadences (multi-version deltas must fold correctly)
+    LakeTable.append(spark, src,
+      (21L to 30L).map(i => row(i, s"g${i % 5}", i, i * 1.5))
+        .toDF("id", "grp", "qty", "revenue"))                            // v2: new group g4
+    LakeTable.merge(spark, src,
+      Seq(row(5L, "g1", 500L, 7.25), row(31L, "g0", 31L, 46.5))
+        .toDF("id", "grp", "qty", "revenue"), Seq("id"))                 // v3: update + insert
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)        // folds v2+v3
+    assertConverged(src, tgt)
+
+    LakeTable.delete(spark, src, col("id") <= 4L)                        // v4
+    LakeTable.update(spark, src, Seq("qty" -> lit(1000L)),
+      col("id") === 10L)                                                 // v5
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    assertConverged(src, tgt)
+    assert(Incremental.refreshedThrough(spark, src, tgt).contains(5L))
+
+    // a group emptied out disappears from the target
+    LakeTable.delete(spark, src, col("grp") === "g4")                    // v6
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    assertConverged(src, tgt)
+    assert(!targetState(tgt).contains("g4"))
+
+    // compaction is maintenance, not change: feed-invisible
+    LakeTable.compact(spark, src, smallFileBytes = 1L << 30)             // v7
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    assertConverged(src, tgt)
+  }
+
+  test("replayed refresh is a no-op: the watermark commits atomically with the data") {
+    val src = tmpTable("incr_replay_src")
+    val tgt = tmpTable("incr_replay_tgt")
+    val measures = Map("qty" -> col("qty"), "revenue" -> col("revenue"))
+    LakeTable.overwrite(spark, src,
+      Seq((1L, "a", 2L, 1.0), (2L, "b", 3L, 2.0)).toDF("id", "grp", "qty", "revenue"))
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    LakeTable.append(spark, src,
+      Seq((3L, "a", 5L, 4.0)).toDF("id", "grp", "qty", "revenue"))
+    val v = Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    // replay (same source version): no commit, no double-count
+    assert(Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures) == v)
+    assert(LakeTable.latestSnapshot(spark, tgt).get.version == v)
+    assertConverged(src, tgt)
+    assert(targetState(tgt)("a") == ((2L, 7L, 5.0)))
+  }
+}

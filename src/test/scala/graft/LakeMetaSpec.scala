@@ -110,6 +110,56 @@ class LakeMetaSpec extends SparkSpec {
       (0L until 100L).count(_ % 7 == 3))
   }
 
+  test("z-order compact: filters on EITHER dimension skip files via logged bounds") {
+    val t = tmpTable("meta_zorder")
+    // 10k points on a 100x100 grid, scattered across 8 files: every
+    // file's (x, y) bounds cover nearly the whole grid, so nothing
+    // skips before clustering
+    LakeTable.overwrite(spark, t,
+      spark.range(10000).select(col("id"),
+        (col("id") % 100).as("x"),
+        (col("id") / 100).cast("long").as("y"))
+        .repartition(8))
+    val before = LakeTable.latestSnapshot(spark, t).get
+    assert(before.files.size == 8)
+    // tiny target so the rewrite fans out into many files
+    LakeTable.compact(spark, t, zorderBy = Seq("x", "y"),
+      targetFileBytes = 8L << 10)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    val total = snap.files.size
+    assert(total >= 8, s"expected a multi-file rewrite, got $total")
+    assert(snap.files.forall(e => e.stats.contains("x") && e.stats.contains("y")))
+
+    val live = spark.read.format("graft").load(t)
+    val sx = fileScan(live.filter(col("x") === 7L)).metrics("numFiles").value
+    val sy = fileScan(live.filter(col("y") === 42L)).metrics("numFiles").value
+    // a Z-curve gives BOTH axes file-bound locality: a one-dimensional
+    // slab (1/100 of the grid) intersects a bounded fraction of the
+    // curve's file intervals — where a linear sort serves only its
+    // leading column (the y slab would scan every file)
+    assert(sx < total && sx <= (2 * total) / 3,
+      s"x slab scanned $sx of $total files")
+    assert(sy < total && sy <= (2 * total) / 3,
+      s"y slab scanned $sy of $total files")
+    assert(live.filter(col("x") === 7L).count() == 100)
+    assert(live.filter(col("y") === 42L).count() == 100)
+    assert(live.count() == 10000)
+  }
+
+  test("range-clustered compact: disjoint file bounds, point filter reads one file") {
+    val t = tmpTable("meta_sortskip")
+    LakeTable.overwrite(spark, t,
+      spark.range(4000).select((col("id") * 37 % 4000).as("k"), col("id").as("v"))
+        .repartition(6))
+    LakeTable.compact(spark, t, sortBy = Seq("k"), targetFileBytes = 8L << 10)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.size >= 4, s"expected a multi-file rewrite, got ${snap.files.size}")
+    val live = spark.read.format("graft").load(t)
+    val s = fileScan(live.filter(col("k") === 1234L)).metrics("numFiles").value
+    assert(s == 1, s"range clustering should leave exactly one admitting file, scanned $s")
+    assert(live.filter(col("k") === 1234L).count() == 1)
+  }
+
   test("data skipping: null counts prove IS NOT NULL / IS NULL pruning") {
     val t = tmpTable("meta_nulls")
     // file 1: x entirely null; file 2: x fully populated

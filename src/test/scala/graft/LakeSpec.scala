@@ -162,6 +162,52 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.read(spark, t).count() == 200)
   }
 
+  test("restore rolls back as a new commit: state, schema, history, change feed") {
+    val t = tmpTable("lake_restore")
+    LakeTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))      // v1
+    LakeTable.append(spark, t, Seq((3L, "c")).toDF("id", "s"))                    // v2
+    LakeTable.delete(spark, t, col("id") > 1L)                                    // v3: the bad commit
+    assert(LakeTable.read(spark, t).count() == 1)
+
+    val v = LakeTable.restore(spark, t, 2L)                                       // v4
+    assert(v == 4L)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.operation == "RESTORE")
+    assert(LakeTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // nothing erased: the rolled-back version still time-travels
+    assert(LakeTable.read(spark, t, asOf = Some(3L)).count() == 1)
+    // the rollback is an overwrite in the change feed: converging, not diverging
+    val feed = LakeTable.changes(spark, t, v, v)
+      .groupBy(LakeTable.ChangeTypeCol).count()
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 1L, "insert" -> 3L))
+
+    // restoring re-references files, so vacuum keeps them alive
+    assert(LakeTable.restore(spark, t, 1L) == 5L)
+    assert(LakeTable.read(spark, t).count() == 2)
+
+    // schema restores with the data
+    LakeTable.append(spark, t, Seq((9L, "z", 1.5)).toDF("id", "s", "score"))      // v6
+    assert(LakeTable.read(spark, t).columns.contains("score"))
+    LakeTable.restore(spark, t, 5L)                                               // v7
+    assert(LakeTable.read(spark, t).columns.toSeq == Seq("id", "s"))
+  }
+
+  test("restore to a vacuumed version fails loudly before committing") {
+    val t = tmpTable("lake_restore_vac")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))                 // v1
+    LakeTable.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))                 // v2: v1 unreferenced
+    val before = LakeTable.latestSnapshot(spark, t).get.version
+    assert(LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0) > 0)
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.restore(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // nothing was committed by the failed restore
+    assert(LakeTable.latestSnapshot(spark, t).get.version == before)
+  }
+
   private def tryCommitHandle = {
     val m = LakeTable.getClass.getDeclaredMethod("tryCommit",
       classOf[org.apache.spark.sql.SparkSession], classOf[String],
