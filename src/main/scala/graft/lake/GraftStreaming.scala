@@ -153,8 +153,41 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
     case other               => other.json.trim.toLong
   }
 
+  /** `maxVersionsPerTrigger` caps how many COMMITS one micro-batch
+    * tails (admission control — Delta's maxFilesPerTrigger concern): a
+    * stream catching up on a long-idle 100 TB table drains the backlog
+    * as several bounded batches instead of one unbounded one, keeping
+    * per-batch memory and checkpoint granularity flat. The initial
+    * snapshot batch is indivisible (it is one snapshot, not a version
+    * range) and is delivered whole regardless. After a restart the
+    * FIRST batch may exceed the cap when the engine does not replay
+    * the last batch (the source only learns its progress from
+    * getBatch); every subsequent batch is capped.
+    */
+  private val maxVersionsPerTrigger: Option[Long] =
+    options.get("maxVersionsPerTrigger").map { raw =>
+      raw.toLongOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"maxVersionsPerTrigger must be a positive number, got '$raw'"))
+    }
+
+  /** Highest version this source has handed to getBatch — the pacing
+    * base for the cap (volatile: the stream thread and the offset
+    * thread may differ).
+    */
+  @volatile private var lastBatchEnd: Option[Long] = None
+
   override def getOffset: Option[OffsetV1] =
-    LakeTable.latestVersion(spark, table).map(LongOffset(_))
+    LakeTable.latestVersion(spark, table).map { latest =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(max) =>
+          // before the first batch there is no version base: the
+          // initial snapshot (or startingVersion tail) resolves it
+          val base = lastBatchEnd.orElse(startingVersion)
+          base.map(b => math.min(latest, b + max)).getOrElse(latest)
+        case None => latest
+      }
+      LongOffset(capped)
+    }
 
   /** Upstream schema/layout evolution mid-stream is delivered rows
     * silently missing the new column (the batch projects through the
@@ -218,6 +251,7 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
+    lastBatchEnd = Some(endV)
     if (readChangeFeed)
       return changeFeedBatch(start.map(versionOf).orElse(startingVersion), endV)
     val files: Seq[String] = start.map(versionOf).orElse(startingVersion) match {

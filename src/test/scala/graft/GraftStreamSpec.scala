@@ -182,6 +182,29 @@ class GraftStreamSpec extends SparkSpec {
       (101L to 115L).toSet)
   }
 
+  test("maxVersionsPerTrigger paces a catch-up into bounded batches") {
+    import spark.implicits._
+    val dir = tmp("graft_paced"); val table = s"$dir/t"
+    LakeTable.overwrite(spark, table, Seq(0L).toDF("id"))            // v1: history
+    (1 to 9).foreach(i =>
+      LakeTable.append(spark, table, Seq(i.toLong).toDF("id")))      // v2..v10: backlog
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", 2)
+      .option("maxVersionsPerTrigger", 3).load(table)
+      .writeStream.format("memory").queryName("graft_paced")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // all nine backlog rows arrive, but over >= 3 batches of <= 3
+    // commits each — never one unbounded catch-up batch
+    assert(spark.table("graft_paced").select("id").as[Long].collect().toSet ==
+      (1L to 9L).toSet)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.forall(_ <= 3), s"batch sizes: ${sizes.mkString(",")}")
+    assert(sizes.length >= 3, s"batch sizes: ${sizes.mkString(",")}")
+  }
+
   test("startingVersion outside the version range fails at construction with a clear error") {
     import spark.implicits._
     val dir = tmp("graft_source_svbad"); val table = s"$dir/t"
