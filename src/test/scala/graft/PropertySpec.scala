@@ -139,6 +139,8 @@ class PropertySpec extends SparkSpec {
     case class Delete(below: Double) extends Op
     case class Update(atLeast: Double) extends Op
     case object Compact extends Op
+    case class CompactClustered(zorder: Boolean) extends Op
+    case class Restore(frac: Double) extends Op // index into history, as a fraction
 
     def rowsGen(ids: Gen[Long]): Gen[Map[Long, Double]] =
       Gen.nonEmptyMap(Gen.zip(ids, Gen.choose(0, 1000).map(_.toDouble)))
@@ -148,7 +150,9 @@ class PropertySpec extends SparkSpec {
       4 -> rowsGen(Gen.choose(0L, 40L)).map(Merge(_)),
       2 -> Gen.choose(0, 1000).map(x => Delete(x.toDouble)),
       2 -> Gen.choose(0, 1000).map(x => Update(x.toDouble)),
-      1 -> Gen.const(Compact))
+      1 -> Gen.const(Compact),
+      1 -> Gen.oneOf(true, false).map(CompactClustered(_)),
+      1 -> Gen.choose(0.0, 1.0).map(Restore(_)))
     val seqGen: Gen[List[Op]] = for {
       first <- rowsGen(Gen.choose(0L, 40L))
       rest  <- Gen.listOfN(9, opGen)
@@ -182,6 +186,17 @@ class PropertySpec extends SparkSpec {
             model = model.map { case (id, v) => id -> (if (v >= atLeast) v + 10000 else v) }
           case Compact =>
             LakeTable.compact(spark, t, smallFileBytes = 1L << 20)
+          case CompactClustered(z) =>
+            if (z) LakeTable.compact(spark, t, smallFileBytes = 1L << 20,
+              zorderBy = Seq("id", "v"), targetFileBytes = 4L << 10)
+            else LakeTable.compact(spark, t, smallFileBytes = 1L << 20,
+              sortBy = Seq("v"), targetFileBytes = 4L << 10)
+          case Restore(frac) if history.nonEmpty =>
+            val idx = math.min(history.size - 1, (frac * history.size).toInt)
+            val (v, m) = history(idx)
+            LakeTable.restore(spark, t, v)
+            model = m
+          case Restore(_) => () // nothing committed yet
         }
         val got = LakeTable.read(spark, t).select("id", "part", "v")
           .as[(Long, String, Double)].collect()
