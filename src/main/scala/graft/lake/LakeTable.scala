@@ -1808,6 +1808,48 @@ object LakeTable {
     next.version
   }
 
+  // ------------------------------------------------------------ schema DDL
+
+  /** Explicit schema evolution — the ALTER TABLE ADD COLUMNS analog,
+    * metadata-only: one commit carrying the widened schema, no data
+    * touched. Existing files simply lack the new columns and read them
+    * as null, exactly like append/merge evolution; the new columns
+    * must therefore be nullable.
+    *
+    * A name that some LIVE file physically carries (visible in its
+    * logged stats — e.g. the column was dropped from the schema by an
+    * overwrite and is being re-added) is refused: the old bytes would
+    * silently resurrect as the "new" column's values. This guard is
+    * best-effort (stats only cover stats-bearing primitive columns);
+    * metadata-only DROP is deliberately not offered for the same
+    * reason — dropping safely without column mapping requires a
+    * physical rewrite (overwrite with the column projected away).
+    */
+  def addColumns(spark: SparkSession, table: String, cols: StructType): Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val resolver = spark.sessionState.conf.resolver
+    retryCommit(spark, table, "ADD COLUMNS") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+      val clash = cols.fieldNames.filter(n =>
+        prev.schema.fieldNames.exists(resolver(_, n)))
+      require(clash.isEmpty,
+        s"column(s) already exist on $table: ${clash.mkString(", ")}")
+      val notNullable = cols.fields.filterNot(_.nullable).map(_.name)
+      require(notNullable.isEmpty,
+        s"new column(s) must be nullable — existing rows have no value for: " +
+          notNullable.mkString(", "))
+      val resurrected = cols.fieldNames.filter(n =>
+        prev.files.exists(_.stats.keys.exists(resolver(_, n))))
+      require(resurrected.isEmpty,
+        s"live data files of $table still carry bytes for: " +
+          s"${resurrected.mkString(", ")} — re-adding the name would resurrect " +
+          "stale values; rewrite first (overwrite/compact) or pick another name")
+      CommitSpec(StructType(prev.schema.fields ++ cols.fields),
+        prev.partitionColumns, prev.files, Nil, Nil, reset = false)
+    }
+  }
+
   // --------------------------------------------------------------- restore
 
   /** Roll the table back to the state of `version` as a NEW commit —
@@ -1856,10 +1898,11 @@ object LakeTable {
     * has not landed yet (the same reason Delta's VACUUM defaults to a
     * 7-day retention). Staging dirs are likewise only swept once they
     * age past the grace window. Pass `graceMs = 0` only when no other
-    * writer can be active.
+    * writer can be active. `dryRun = true` counts what WOULD be
+    * deleted without touching anything (VACUUM DRY RUN).
     */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2,
-             graceMs: Long = 15L * 60 * 1000): Int = {
+             graceMs: Long = 15L * 60 * 1000, dryRun: Boolean = false): Int = {
     val f = fs(spark, table)
     val vs = versionsFast(spark, table)
     if (vs.isEmpty) return 0
@@ -1877,7 +1920,8 @@ object LakeTable {
           !retained.contains(relativize(dp, st.getPath)))
         toDelete += st.getPath
     }
-    toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    if (dryRun) deleted += toDelete.size
+    else toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
     // change-data files age out with their versions: keep those the
     // retained versions recorded (the feed stays readable over the
     // same window time travel works), sweep the rest once old enough
@@ -1895,12 +1939,13 @@ object LakeTable {
             !retainedCdc.contains("_change_data/" + relativize(cdp, st.getPath)))
           cdcToDelete += st.getPath
       }
-      cdcToDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+      if (dryRun) deleted += cdcToDelete.size
+      else cdcToDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
     }
     // sweep staging dirs from crashed writes — only once they are old
     // enough that no live writer can still be using them
     val staging = new Path(table, "_staging")
-    if (f.exists(staging)) {
+    if (!dryRun && f.exists(staging)) {
       f.listStatus(staging).foreach { st =>
         if (st.getModificationTime < cutoffMs) f.delete(st.getPath, true)
       }

@@ -194,12 +194,46 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.read(spark, t).columns.toSeq == Seq("id", "s"))
   }
 
+  test("addColumns is a metadata-only commit: old rows read null, guards hold") {
+    import org.apache.spark.sql.types._
+    val t = tmpTable("lake_ddl")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val filesBefore = LakeTable.latestSnapshot(spark, t).get.filePaths.toSet
+    val v = LakeTable.addColumns(spark, t,
+      StructType(Seq(StructField("score", DoubleType))))
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.version == v && snap.operation == "ADD COLUMNS")
+    assert(snap.filePaths.toSet == filesBefore, "no data may be rewritten")
+    assert(LakeTable.read(spark, t).select("id", "score").as[(Long, Option[Double])]
+      .collect().toSeq == Seq((1L, None)))
+    // appends fill the new column; old rows stay null
+    LakeTable.append(spark, t, Seq((2L, "b", 0.5)).toDF("id", "s", "score"))
+    assert(LakeTable.read(spark, t).filter(col("score").isNotNull).count() == 1)
+    // time travel still shows the narrow schema
+    assert(LakeTable.read(spark, t, asOf = Some(1L)).columns.toSeq == Seq("id", "s"))
+
+    // guards: duplicate name (case-insensitive), non-nullable
+    assert(intercept[IllegalArgumentException] {
+      LakeTable.addColumns(spark, t, StructType(Seq(StructField("ID", LongType))))
+    }.getMessage.contains("already exist"))
+    assert(intercept[IllegalArgumentException] {
+      LakeTable.addColumns(spark, t,
+        StructType(Seq(StructField("req", LongType, nullable = false))))
+    }.getMessage.contains("nullable"))
+  }
+
   test("restore to a vacuumed version fails loudly before committing") {
     val t = tmpTable("lake_restore_vac")
     LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))                 // v1
     LakeTable.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))                 // v2: v1 unreferenced
     val before = LakeTable.latestSnapshot(spark, t).get.version
-    assert(LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0) > 0)
+    // dry run counts, deletes nothing: the real run still finds them all
+    val preview = LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0,
+      dryRun = true)
+    assert(preview > 0)
+    assert(LakeTable.read(spark, t, asOf = Some(1L)).count() == 1,
+      "dry run must not delete")
+    assert(LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0) == preview)
     val e = intercept[IllegalArgumentException] {
       LakeTable.restore(spark, t, 1L)
     }
