@@ -1715,6 +1715,9 @@ object LakeTable {
       "pass sortBy OR zorderBy, not both")
     require(zorderBy.isEmpty || zorderBy.size >= 2,
       "zorderBy needs at least two columns — use sortBy to cluster on one")
+    require(zorderBy.size <= 10,
+      s"zorderBy supports at most 10 columns (${ZOrder.BitsPerDim} bits each " +
+        "must fit one long) — and curve locality degrades past a few anyway")
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val f = fs(spark, table)

@@ -59,9 +59,12 @@ private[lake] object ZOrder {
   def boundaries(df: DataFrame, cols: Seq[String],
                  totalRows: Long): Map[String, Seq[Any]] = {
     val frac = math.min(1.0, SampleCap.toDouble / math.max(totalRows, 1L))
+    // cached: each column's sorted collect below re-reads the sample,
+    // not the compact scope
     val sampled = df.select(cols.map(col).toIndexedSeq: _*)
       .sample(withReplacement = false, frac, seed = 7L)
-    cols.map { c =>
+      .cache()
+    try cols.map { c =>
       // driver-side materialization is bounded by SampleCap rows
       val vals = sampled.select(c).na.drop().sort(col(c)).collect().map(_.get(0))
       val picked =
@@ -71,6 +74,7 @@ private[lake] object ZOrder {
           .distinct
       c -> picked
     }.toMap
+    finally { sampled.unpersist(); () }
   }
 
   /** Rank bucket of `c` against sorted `boundaries`:
