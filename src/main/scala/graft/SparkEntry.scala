@@ -73,7 +73,9 @@ object SparkEntry {
     // multimodal plumbing
     "mm_features"          -> ((s, d) => Multimodal.mmFeatures(s, d)),
     // lineage metadata (ref column-lineage)
-    "lineage"              -> ((s, d) => Lineage.lineage(s, d))
+    "lineage"              -> ((s, d) => Lineage.lineage(s, d)),
+    // lake + change feed + incremental maintenance, end to end
+    "incr_agg"             -> ((s, d) => IncrementalOps.incrAgg(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -477,6 +479,7 @@ object SparkEntry {
          64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS fake_width,
          1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS fake_frames
          FROM documents""",
-    "lineage" -> operators.Lineage.oracleSql
+    "lineage" -> operators.Lineage.oracleSql,
+    "incr_agg" -> operators.IncrementalOps.oracleSql
   )
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.lake.{Incremental, LakeTable}
+
+/** End-to-end incremental aggregation (ref behavior: the daily
+  * recompute-the-world Trino transforms of
+  * trino_iceberg_transform_component.py — this is the
+  * propagate-the-delta upgrade): a lake copy of `orders` goes through
+  * overwrite → append → copy-on-write DELETE, and after each commit
+  * the target aggregate is refreshed from the CHANGE FEED only, never
+  * by rescanning the source. The final aggregate must equal a plain
+  * GROUP BY over the surviving rows — which is exactly what the
+  * DuckDB oracle checks, making the whole lake+CDF+merge machinery
+  * correctness-gated, not just spec-covered.
+  *
+  * Measures are summed as DECIMAL(38,6): decimal addition is exact
+  * and associative, so folding the feed's partial sums matches the
+  * oracle's one-shot sum bit for bit.
+  */
+object IncrementalOps {
+
+  def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val src = s"$work/orders_lake"
+    val tgt = s"$work/orders_by_priority"
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val measures = Map(
+      "total_price" -> col("o_totalprice").cast(DecimalType(38, 6)))
+
+    // v1: half the corpus lands; the first refresh is the full build
+    LakeTable.overwrite(spark, src, orders.filter(col("o_orderkey") % 2 === 0))
+    Incremental.refreshAgg(spark, src, tgt, Seq("o_orderpriority"), measures)
+    // v2: the other half appends; refresh folds just the feed
+    LakeTable.append(spark, src, orders.filter(col("o_orderkey") % 2 =!= 0))
+    Incremental.refreshAgg(spark, src, tgt, Seq("o_orderpriority"), measures)
+    // v3: a copy-on-write delete; refresh subtracts the pre-images
+    LakeTable.delete(spark, src, col("o_orderkey") % 10 === 7)
+    Incremental.refreshAgg(spark, src, tgt, Seq("o_orderpriority"), measures)
+
+    LakeTable.read(spark, tgt).select(
+      col("o_orderpriority"),
+      col(Incremental.RowsCol).as("n_rows"),
+      round(col("total_price"), 2).cast("double").as("total_price"))
+  }
+
+  val oracleSql: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_price
+       FROM orders WHERE o_orderkey % 10 <> 7 GROUP BY 1"""
+}
