@@ -146,6 +146,28 @@ class LakeMetaSpec extends SparkSpec {
     assert(live.count() == 10000)
   }
 
+  test("z-order compact clusters string columns too (sampled rank boundaries)") {
+    val t = tmpTable("meta_zorder_str")
+    // string key with numeric-like ordering (zero-padded) + a long axis
+    LakeTable.overwrite(spark, t,
+      spark.range(8000).select(col("id"),
+        format_string("k%04d", col("id") % 80).as("k"),
+        (col("id") / 80).cast("long").as("y"))
+        .repartition(6))
+    LakeTable.compact(spark, t, zorderBy = Seq("k", "y"),
+      targetFileBytes = 4L << 10)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    val total = snap.files.size
+    assert(total >= 10, s"expected a multi-file rewrite, got $total")
+    val live = spark.read.format("graft").load(t)
+    val sk = fileScan(live.filter(col("k") === "k0042")).metrics("numFiles").value
+    val sy = fileScan(live.filter(col("y") === 50L)).metrics("numFiles").value
+    assert(sk < total && sk <= (2 * total) / 3, s"k slab scanned $sk of $total")
+    assert(sy < total && sy <= (2 * total) / 3, s"y slab scanned $sy of $total")
+    assert(live.filter(col("k") === "k0042").count() == 100)
+    assert(live.filter(col("y") === 50L).count() == 80)
+  }
+
   test("range-clustered compact: disjoint file bounds, point filter reads one file") {
     val t = tmpTable("meta_sortskip")
     LakeTable.overwrite(spark, t,
