@@ -36,7 +36,12 @@ object Bench {
     def consume(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (diagnosis; the driver
+    // never sets it, so driver benches always cover every query)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // warmup: execute each query once (ignore failures; timed passes report them)
     names.foreach { n =>
       try consume(SparkEntry.queries(n)(spark, sfDir))
