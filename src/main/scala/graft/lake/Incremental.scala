@@ -30,8 +30,9 @@ import org.apache.hadoop.fs.Path
   * Contract: measures must be ADDITIVE (SUM / COUNT; an average is a
   * ratio of two sums downstream). MIN/MAX are not incrementally
   * maintainable from a feed without per-group recompute and are
-  * deliberately not offered. Group keys should be non-null (merge keys
-  * join by equality; null keys never match and would re-insert).
+  * deliberately not offered. Null group keys are refused loudly
+  * (merge keys join by equality; a null key would never match and
+  * would re-insert on every refresh).
   */
 object Incremental {
 
@@ -62,6 +63,9 @@ object Incremental {
     require(measures.nonEmpty, "refreshAgg needs at least one measure")
     require(!measures.contains(RowsCol) && !groupBy.contains(RowsCol),
       s"$RowsCol is reserved for the maintenance row count")
+    val collide = measures.keySet.intersect(groupBy.toSet)
+    require(collide.isEmpty,
+      s"measure name(s) collide with group column(s): ${collide.mkString(", ")}")
     val srcSnap = LakeTable.latestSnapshot(spark, source)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version at source $source"))
@@ -71,22 +75,36 @@ object Incremental {
     if (done >= srcSnap.version) return tgtSnap.get.version
     val ms = measures.toSeq // stable column order
 
+    // a null group key would never merge-match (equality join) and
+    // re-insert on every refresh — refuse it the moment it appears,
+    // in the initial build AND in every delta (cheap: the probe runs
+    // on a ~#groups-sized aggregate)
+    def requireNonNullKeys(agg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val nulls = agg.filter(groupBy.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count()
+      require(nulls == 0L,
+        s"refreshAgg group key(s) (${groupBy.mkString(", ")}) contain nulls — " +
+          "null keys never merge-match; filter or coalesce them upstream")
+      agg
+    }
+
     if (done == 0L) {
       // initial build: one full scan of the pinned source snapshot
-      val agg = LakeTable.read(spark, source, asOf = Some(srcSnap.version))
-        .groupBy(groupBy.map(col).toIndexedSeq: _*)
-        .agg(count(lit(1)).as(RowsCol),
-          ms.map { case (n, e) => sum(e).as(n) }: _*)
+      val agg = requireNonNullKeys(
+        LakeTable.read(spark, source, asOf = Some(srcSnap.version))
+          .groupBy(groupBy.map(col).toIndexedSeq: _*)
+          .agg(count(lit(1)).as(RowsCol),
+            ms.map { case (n, e) => sum(e).as(n) }: _*))
       LakeTable.overwrite(spark, target, agg, txn = Some(qid -> srcSnap.version))
     } else {
       // delta: only the feed of (done, srcSnap.version] is read
       val feed = LakeTable.changes(spark, source, done + 1, srcSnap.version)
       val sign = when(col(LakeTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-      val delta = feed
+      val delta = requireNonNullKeys(feed
         .groupBy(groupBy.map(col).toIndexedSeq: _*)
         .agg(sum(sign).as(RowsCol),
-          ms.map { case (n, e) => sum(sign * e).as(n) }: _*)
+          ms.map { case (n, e) => sum(sign * e).as(n) }: _*))
         // groups the feed touched but left net-unchanged still merge
         // (their measures may have moved even at rows-delta 0)
       val names = ms.map(_._1) :+ RowsCol

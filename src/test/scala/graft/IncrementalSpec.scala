@@ -102,4 +102,19 @@ class IncrementalSpec extends SparkSpec {
     assertConverged(src, tgt)
     assert(targetState(tgt)("a") == ((2L, 7L, 5.0)))
   }
+
+  test("null group keys and colliding measure names are refused loudly") {
+    val src = tmpTable("incr_guard_src")
+    val tgt = tmpTable("incr_guard_tgt")
+    LakeTable.overwrite(spark, src,
+      Seq((1L, Some("a"), 2L), (2L, None: Option[String], 3L))
+        .toDF("id", "grp", "qty"))
+    val e = intercept[IllegalArgumentException] {
+      Incremental.refreshAgg(spark, src, tgt, Seq("grp"), Map("qty" -> col("qty")))
+    }
+    assert(e.getMessage.contains("null"))
+    assert(intercept[IllegalArgumentException] {
+      Incremental.refreshAgg(spark, src, tgt, Seq("grp"), Map("grp" -> col("qty")))
+    }.getMessage.contains("collide"))
+  }
 }
