@@ -7,8 +7,9 @@ import org.apache.hadoop.fs.Path
 /** Incremental maintenance of an additive aggregate from a lake table's
   * change feed — the propagate-the-delta pattern that turns a 100 TB
   * gold refresh from recompute-the-world into cost-of-the-change
-  * (reference behavior: the daily Trino `INSERT OVERWRITE` transforms
-  * of trino_iceberg_transform_component.py recompute; this is the
+  * (reference behavior: every scheduled transform re-runs CREATE TABLE
+  * AS over its full input,
+  * trino_iceberg_transform_component.py:116-129; this is the
   * incremental upgrade of that contract).
   *
   * The target table holds one row per group: the group columns, one

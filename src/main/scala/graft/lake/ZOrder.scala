@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional clustering support for [[LakeTable.compact]] — the
-  * OPTIMIZE ZORDER BY analog (reference behavior:
-  * trino_iceberg_transform_component.py drives Iceberg
-  * `rewrite_data_files`, whose sort-order rewrite is the same lever).
+  * OPTIMIZE ZORDER BY analog for the lake tables behind every
+  * reference transform (Iceberg tables created at
+  * trino_iceberg_transform_component.py:116-123; Iceberg's sort-order
+  * file rewrite is the same public-knowledge lever).
   *
   * A linear sort clusters file bounds tightly on the LEADING column
   * only; a filter on any later column still admits every file. Mapping

@@ -7,8 +7,8 @@ import graft.Tables
 import graft.lake.{Incremental, LakeTable}
 
 /** End-to-end incremental aggregation (ref behavior: the daily
-  * recompute-the-world Trino transforms of
-  * trino_iceberg_transform_component.py — this is the
+  * recompute-the-world CREATE TABLE AS transforms of
+  * trino_iceberg_transform_component.py:116-129 — this is the
   * propagate-the-delta upgrade): a lake copy of `orders` goes through
   * overwrite → append → copy-on-write DELETE, and after each commit
   * the target aggregate is refreshed from the CHANGE FEED only, never
