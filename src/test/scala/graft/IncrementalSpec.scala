@@ -103,6 +103,38 @@ class IncrementalSpec extends SparkSpec {
     assert(targetState(tgt)("a") == ((2L, 7L, 5.0)))
   }
 
+  test("racing refreshes fold the delta exactly once (atomic watermark under a real race)") {
+    val src = tmpTable("incr_race_src")
+    val tgt = tmpTable("incr_race_tgt")
+    val measures = Map("qty" -> col("qty"))
+    LakeTable.overwrite(spark, src,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "qty"))
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    LakeTable.append(spark, src, Seq((3L, "a", 5L)).toDF("id", "grp", "qty"))
+
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errors = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (1 to 2).map { i =>
+      new Thread(() => {
+        start.await()
+        try Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+        catch {
+          // a loser aborting loudly is acceptable; folding twice is not
+          case e: LakeTable.ConcurrentCommitException => errors.add(e.getMessage); ()
+        }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+
+    // whoever lost (if anyone) retries and must see the watermark no-op
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    assert(Incremental.refreshedThrough(spark, src, tgt).contains(2L))
+    // the +5 delta applied EXACTLY once
+    assert(LakeTable.read(spark, tgt)
+      .select("grp", "qty").as[(String, Long)].collect().toMap ==
+      Map("a" -> 15L, "b" -> 20L))
+  }
+
   test("null group keys and colliding measure names are refused loudly") {
     val src = tmpTable("incr_guard_src")
     val tgt = tmpTable("incr_guard_tgt")
