@@ -103,6 +103,47 @@ class IncrementalSpec extends SparkSpec {
     assert(targetState(tgt)("a") == ((2L, 7L, 5.0)))
   }
 
+  test("a delta refresh reads the feed, never the source table (counting FS proof)") {
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val work = java.nio.file.Files.createTempDirectory("incr_cost").toString
+    val src = s"cfs:$work/src"
+    val tgt = s"cfs:$work/tgt"
+    val measures = Map("qty" -> col("qty"))
+    // source with many data files: a recompute would have to open them
+    LakeTable.overwrite(spark, src,
+      (1L to 80L).map(i => (i, s"g${i % 4}", i)).toDF("id", "grp", "qty")
+        .repartition(8))
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+
+    // append delta: the only source DATA files opened are the appended ones
+    LakeTable.append(spark, src, Seq((81L, "g1", 5L)).toDF("id", "grp", "qty"))
+    val appended = LakeTable.latestSnapshot(spark, src).get.files
+      .map(_.path).toSet -- LakeTable.snapshotAt(spark, src, 1L).filePaths.toSet
+    CountingFileSystem.reset()
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    val openedAfterAppend = CountingFileSystem.openedUnder("/src/data/")
+      .filterNot(_.endsWith(".crc"))
+    assert(openedAfterAppend.nonEmpty &&
+      openedAfterAppend.forall(p => appended.exists(p.endsWith)),
+      s"append refresh opened non-delta source files: $openedAfterAppend")
+
+    // CoW-delete delta: the refresh reads the RECORDED change files only
+    // — zero source data files, on a 9-file source
+    LakeTable.delete(spark, src, col("id") === 3L)
+    CountingFileSystem.reset()
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures)
+    val openedData = CountingFileSystem.openedUnder("/src/data/")
+    assert(openedData.isEmpty,
+      s"delete refresh re-read source data files: $openedData")
+    assert(CountingFileSystem.openedUnder("/src/_change_data/").nonEmpty,
+      "the delete's recorded change files are the expected read")
+    // and the result is still right
+    assert(LakeTable.read(spark, tgt).select("grp", "qty")
+      .as[(String, Long)].collect().toMap ==
+      LakeTable.read(spark, src).groupBy("grp").agg(sum("qty"))
+        .as[(String, Long)].collect().toMap)
+  }
+
   test("racing refreshes fold the delta exactly once (atomic watermark under a real race)") {
     val src = tmpTable("incr_race_src")
     val tgt = tmpTable("incr_race_tgt")
