@@ -664,11 +664,17 @@ object LakeTable {
           s"change feed of $table: version $v is a legacy full-state commit " +
             "(pre-change-feed) — its row-level changes were not recorded")
       case None if e.reset =>
-        // overwrite: everything before is deleted, everything added inserts
-        val prev = snapshotAt(spark, table, v - 1)
+        // overwrite: everything before is deleted, everything added
+        // inserts. Version 1 has no previous snapshot — a table CREATED
+        // by overwrite (the common case) starts from the empty base,
+        // mirroring reconstruct's "first commit: empty base" rule.
         val deletes =
-          if (prev.files.isEmpty) emptyChanges
-          else decorate(readData(prev.filePaths, prev.schema), Some("delete"))
+          if (v == 1) emptyChanges
+          else {
+            val prev = snapshotAt(spark, table, v - 1)
+            if (prev.files.isEmpty) emptyChanges
+            else decorate(readData(prev.filePaths, prev.schema), Some("delete"))
+          }
         val inserts =
           if (e.adds.isEmpty) emptyChanges
           else decorate(readData(e.adds.map(_.path), e.schema), Some("insert"))
@@ -1006,7 +1012,13 @@ object LakeTable {
             .getOrElse(reconstruct(f, table, v).files.size.toLong)
           count = Some(nf)
           HistEntry(v, e.timestampMs, e.operation, nf)
-        }.toOption
+        } match {
+          case scala.util.Success(h) => Some(h)
+          // an existing-but-unparsable entry must poison the running
+          // count like a missing one, or every later version's delta
+          // arithmetic compounds off a stale base
+          case scala.util.Failure(_) => count = None; None
+        }
       }
       val entries = carried ++ fresh
       val body = JsonMethods.compact(JsonMethods.render(JObject(
@@ -1268,6 +1280,29 @@ object LakeTable {
     require(keys.forall(snap.schema.fieldNames.contains),
       s"merge keys must be target columns: ${keys.mkString(", ")}")
 
+    // The source is scanned several times below — cardinality check,
+    // matched-file detection, rewrite join, insert anti-join, CDC
+    // projection. Persist it once so every scan reads the same
+    // materialization: a non-deterministic source (rand(), uuid(), a
+    // re-shuffling subquery) could otherwise pass the cardinality check
+    // yet yield DIFFERENT rewrite vs change-feed images per scan — the
+    // reason Delta stages its MERGE source before acting on it.
+    // MEMORY_AND_DISK spills instead of evicting, so each source row is
+    // computed once barring executor loss.
+    val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeRowsOn(spark, table, snap, src, keys, matched, notMatchedInsert,
+      notMatchedBySource, scopeToUpdatePartitions, txn)
+    finally src.unpersist(blocking = false)
+  }
+
+  /** [[mergeRows]] after validation, acting on the persisted source. */
+  private def mergeRowsOn(spark: SparkSession, table: String, snap: Snapshot,
+                          source: DataFrame, keys: Seq[String],
+                          matched: Seq[MatchedClause],
+                          notMatchedInsert: Seq[(Option[Column], Map[String, Column])],
+                          notMatchedBySource: Seq[MatchedClause],
+                          scopeToUpdatePartitions: Boolean,
+                          txn: Option[(String, Long)]): Long = {
     // SQL MERGE cardinality: a target row matching two source rows is
     // an error, never a silent duplicate — with equality keys that can
     // only come from duplicate source keys
@@ -1720,6 +1755,14 @@ object LakeTable {
         "must fit one long) — and curve locality degrades past a few anyway")
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    // validate cluster columns BEFORE any early return: a misspelled
+    // column on an already-compacted scope must fail loudly, not no-op
+    (sortBy ++ zorderBy).foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"cluster column $c is not in the schema of $table")
+      require(!snap.partitionColumns.contains(c),
+        s"cluster column $c is a partition column — constant per file already")
+    }
     val f = fs(spark, table)
     val base = dataPath(table)
     val inScope: FileEntry => Boolean = partitionFilter match {
@@ -1761,12 +1804,6 @@ object LakeTable {
     val small = smallSized.map(_._1)
     val big = bigSized.map(_._1)
     if (small.size <= 1) return snap.version
-    (sortBy ++ zorderBy).foreach { c =>
-      require(snap.schema.fieldNames.contains(c),
-        s"cluster column $c is not in the schema of $table")
-      require(!snap.partitionColumns.contains(c),
-        s"cluster column $c is a partition column — constant per file already")
-    }
     // a byte-budgeted task count: Spark's split planning targets one
     // split PER CORE (files.minPartitionNum defaults to the
     // parallelism), which on tiny inputs re-emits one output file per

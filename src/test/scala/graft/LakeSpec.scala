@@ -587,4 +587,95 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.read(spark, t, asOf = Some(21L)).as[(Long, String)]
       .collect().toSet == Set((21L, "r21")))
   }
+
+  test("change feed reads from version 1 of a table created by overwrite") {
+    val t = tmpTable("lake_cdf1")
+    LakeTable.overwrite(spark, t, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")) // v1
+    LakeTable.append(spark, t, Seq((3L, 30.0)).toDF("id", "v"))                // v2
+    // v1 is a reset with no previous snapshot: the feed starts from the
+    // empty base — pure inserts, no phantom deletes, no crash
+    val v1 = LakeTable.changes(spark, t, 1L, 1L)
+      .select("id", "v", LakeTable.ChangeTypeCol)
+      .as[(Long, Double, String)].collect().toSet
+    assert(v1 == Set((1L, 10.0, "insert"), (2L, 20.0, "insert")))
+    val whole = LakeTable.changes(spark, t, 1L, 2L)
+    assert(whole.count() == 3)
+    assert(whole.filter(col(LakeTable.ChangeTypeCol) =!= "insert").count() == 0)
+  }
+
+  test("compact validates cluster columns even when there is nothing to pack") {
+    val t = tmpTable("lake_cval")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    // single file -> nothing to pack, but a misspelled cluster column
+    // must still fail loudly instead of silently no-opping
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.compact(spark, t, sortBy = Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+    val e2 = intercept[IllegalArgumentException] {
+      LakeTable.compact(spark, t, zorderBy = Seq("id", "missing"))
+    }
+    assert(e2.getMessage.contains("missing"))
+  }
+
+  test("mergeRows with a non-deterministic source: rewrite and feed agree") {
+    val t = tmpTable("lake_mdet")
+    LakeTable.overwrite(spark, t,
+      (1L to 10L).map(i => (i, 0.0)).toDF("id", "v"))
+    // rand() re-evaluates on every scan of an unpersisted plan — the
+    // persisted source guarantees the cardinality check, rewrite join,
+    // insert anti-join and CDC projection all see the SAME values
+    val source = (5L to 14L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.rand(seed = 7) * 1000)
+    LakeTable.mergeRows(spark, t, source, Seq("id"),
+      matched = Seq(LakeTable.MatchedUpdate(None, Map("v" -> col("s.v")))),
+      notMatchedInsert = Seq((None, Map("id" -> col("s.id"), "v" -> col("s.v")))))
+    val v = LakeTable.latestSnapshot(spark, t).get.version
+    val finalRows = LakeTable.read(spark, t).as[(Long, Double)].collect().toMap
+    val feed = LakeTable.changes(spark, t, v, v)
+      .select("id", "v", LakeTable.ChangeTypeCol)
+      .as[(Long, Double, String)].collect()
+    // every post-image / insert in the feed must equal the committed row
+    feed.filter(c => c._3 == "update_postimage" || c._3 == "insert").foreach {
+      case (id, value, _) => assert(finalRows(id) == value,
+        s"feed image for id=$id ($value) diverged from table (${finalRows(id)})")
+    }
+    assert(feed.count(_._3 == "insert") == 4) // ids 11..14
+    assert(feed.count(_._3 == "update_postimage") == 6) // ids 5..10
+  }
+
+  test("history checkpoint: an unparsable log entry poisons the running count") {
+    val t = tmpTable("lake_hcp")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s").coalesce(1)) // v1
+    (2L to 6L).foreach(i =>
+      LakeTable.append(spark, t, Seq((i, "x")).toDF("id", "s").coalesce(1)))
+    // corrupt v3's entry IN PLACE (an existing-but-unparsable file, the
+    // case distinct from a missing one)
+    val vf = new java.io.File(s"$t/_graft_log/${"%020d".format(3)}.json")
+    val w = new java.io.FileWriter(vf); w.write("{not json"); w.close()
+    val m = LakeTable.getClass.getDeclaredMethod("writeHistoryCheckpoint",
+      classOf[org.apache.hadoop.fs.FileSystem], classOf[String], java.lang.Long.TYPE)
+    m.setAccessible(true)
+    val fsm = LakeTable.getClass.getDeclaredMethod("fs",
+      classOf[org.apache.spark.sql.SparkSession], classOf[String])
+    fsm.setAccessible(true)
+    val f = fsm.invoke(LakeTable, spark, t).asInstanceOf[org.apache.hadoop.fs.FileSystem]
+    m.invoke(LakeTable, f, t, java.lang.Long.valueOf(6L))
+    // every entry the checkpoint DOES record carries the true file count
+    // (1 file per version here): v4+ must not be computed off v2's stale
+    // count — they are either reconstructed correctly or skipped
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$t/_graft_log/_history_checkpoint")), "UTF-8")
+    val entries = org.json4s.jackson.JsonMethods.parse(txt) \ "entries"
+    import org.json4s._
+    entries.asInstanceOf[JArray].arr.foreach { e =>
+      val v = (e \ "v").asInstanceOf[JValue] match {
+        case JLong(x) => x; case JInt(x) => x.toLong; case _ => fail("bad v")
+      }
+      val nf = (e \ "nf") match {
+        case JLong(x) => x; case JInt(x) => x.toLong; case _ => fail("bad nf")
+      }
+      assert(nf == v, s"history checkpoint records $nf files at v$v (true: $v)")
+    }
+  }
 }
