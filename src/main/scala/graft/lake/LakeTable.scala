@@ -87,10 +87,34 @@ object LakeTable {
   final case class FileEntry(path: String, size: Long, mtimeMs: Long,
                              rowCount: Long, stats: Map[String, ColStats])
 
+  /** The log's protocol stamp (Delta's protocol action / Iceberg's
+    * format-version): `reader` names the capability a client needs to
+    * READ the table correctly, `writer` the capability to WRITE it
+    * without corrupting invariants newer clients rely on. Every commit
+    * and checkpoint carries the stamp; entries written before the stamp
+    * existed read as version 1. A client refuses — loudly, naming both
+    * numbers — to read past [[LakeTable.MaxReaderVersion]] or commit
+    * past [[LakeTable.MaxWriterVersion]], so a future format change
+    * (manifest segments, column mapping) degrades to a clear "upgrade
+    * the library" error instead of a silent misread.
+    */
+  final case class Protocol(reader: Int, writer: Int)
+
+  /** Highest log protocol this library can read / write. Bump ONLY with
+    * the feature that requires it, and stamp the bumped version only on
+    * tables that actually use the feature — older tables stay readable
+    * by older clients.
+    */
+  val MaxReaderVersion = 1
+  val MaxWriterVersion = 1
+
+  final class ProtocolVersionException(msg: String) extends RuntimeException(msg)
+
   final case class Snapshot(version: Long, timestampMs: Long, operation: String,
                             schema: StructType, partitionColumns: Seq[String],
                             files: Seq[FileEntry],
-                            txns: Map[String, Long] = Map.empty) {
+                            txns: Map[String, Long] = Map.empty,
+                            protocol: Protocol = Protocol(1, 1)) {
     def filePaths: Seq[String] = files.map(_.path)
   }
 
@@ -109,7 +133,8 @@ object LakeTable {
       txns: Map[String, Long],
       full: Option[Seq[FileEntry]],
       adds: Seq[FileEntry], removes: Seq[String], reset: Boolean,
-      cdc: Option[Seq[String]])
+      cdc: Option[Seq[String]],
+      protocol: Protocol)
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
@@ -137,10 +162,13 @@ object LakeTable {
 
   private def commonFields(version: Long, timestampMs: Long, operation: String,
                            schema: StructType, partitionColumns: Seq[String],
-                           txns: Map[String, Long]): List[(String, JValue)] = {
+                           txns: Map[String, Long],
+                           protocol: Protocol): List[(String, JValue)] = {
     val base = List(
       "version" -> JLong(version),
       "timestampMs" -> JLong(timestampMs),
+      "rv" -> JLong(protocol.reader.toLong),
+      "wv" -> JLong(protocol.writer.toLong),
       "operation" -> JString(operation),
       "schemaJson" -> JString(schema.json),
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList))
@@ -159,7 +187,7 @@ object LakeTable {
   private def renderSnapshot(s: Snapshot): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       commonFields(s.version, s.timestampMs, s.operation, s.schema,
-        s.partitionColumns, s.txns) :+
+        s.partitionColumns, s.txns, s.protocol) :+
         ("files" -> JArray(s.files.map(renderFile).toList)))))
 
   /** Delta render — what every commit writes: O(files touched), never
@@ -171,7 +199,7 @@ object LakeTable {
                           removes: Seq[String], reset: Boolean,
                           cdc: Option[Seq[String]]): String = {
     val fields = commonFields(s.version, s.timestampMs, s.operation, s.schema,
-      s.partitionColumns, s.txns) ++
+      s.partitionColumns, s.txns, s.protocol) ++
       List("adds" -> JArray(adds.map(renderFile).toList)) ++
       (if (reset) List("reset" -> JBool(true))
        else if (removes.nonEmpty)
@@ -225,6 +253,16 @@ object LakeTable {
     */
   private def parseLogEntry(s: String): LogEntry = {
     val j = JsonMethods.parse(s)
+    // protocol gate FIRST: refusing to read a future-reader entry must
+    // not depend on the rest of the entry parsing (a future format may
+    // not even carry today's fields)
+    val rv = jLongOpt(j \ "rv").map(_.toInt).getOrElse(1)
+    val wv = jLongOpt(j \ "wv").map(_.toInt).getOrElse(1)
+    if (rv > MaxReaderVersion)
+      throw new ProtocolVersionException(
+        s"this table's log requires readerVersion $rv, but this library reads " +
+          s"up to readerVersion $MaxReaderVersion — upgrade the library to read " +
+          "this table")
     val full = (j \ "files") match {
       case JArray(entries) => Some(entries.map(parseFile))
       case _               => None
@@ -255,7 +293,8 @@ object LakeTable {
       cdc = (j \ "cdc") match {
         case JArray(entries) => Some(entries.map(jStr))
         case _               => None
-      })
+      },
+      protocol = Protocol(rv, wv))
   }
 
   private def readFileText(f: FileSystem, p: Path): String = {
@@ -366,7 +405,7 @@ object LakeTable {
       else scala.util.Try {
         val e = parseLogEntry(readFileText(f, p))
         Snapshot(e.version, e.timestampMs, e.operation, e.schema,
-          e.partitionColumns, e.full.getOrElse(Seq.empty), e.txns)
+          e.partitionColumns, e.full.getOrElse(Seq.empty), e.txns, e.protocol)
       }.toOption
     } catch { case _: java.io.IOException => None }
 
@@ -399,7 +438,7 @@ object LakeTable {
       head.full match {
         case Some(files) =>
           Snapshot(version, head.timestampMs, head.operation, head.schema,
-            head.partitionColumns, files, head.txns)
+            head.partitionColumns, files, head.txns, head.protocol)
         case None =>
           // walk back to a base, collecting the delta chain (ascending)
           var chain: List[LogEntry] = List(head)
@@ -435,7 +474,7 @@ object LakeTable {
               }
           }
           Snapshot(version, head.timestampMs, head.operation, head.schema,
-            head.partitionColumns, files, head.txns)
+            head.partitionColumns, files, head.txns, head.protocol)
       }
     }
   }
@@ -451,21 +490,36 @@ object LakeTable {
   private[lake] def tryCommit(spark: SparkSession, table: String, snap: Snapshot,
                               adds: Seq[FileEntry], removes: Seq[String],
                               reset: Boolean = false,
-                              cdc: Option[Seq[String]] = None): Boolean = {
+                              cdc: Option[Seq[String]] = None,
+                              prev: Option[Snapshot] = None): Boolean = {
+    // writer gate: refuse to commit over a log that demands a newer
+    // writer (the invariants it encodes are unknown to this client);
+    // the stamp is monotonic — a commit never downgrades the table's
+    // protocol, so one upgraded writer doesn't strand later readers
+    prev.map(_.protocol).foreach { p =>
+      if (p.writer > MaxWriterVersion)
+        throw new ProtocolVersionException(
+          s"table $table requires writerVersion ${p.writer}, but this library " +
+            s"writes up to writerVersion $MaxWriterVersion — upgrade the " +
+            "library to write this table")
+    }
+    val stamped = snap.copy(protocol = Protocol(
+      math.max(snap.protocol.reader, prev.map(_.protocol.reader).getOrElse(1)),
+      math.max(snap.protocol.writer, prev.map(_.protocol.writer).getOrElse(1))))
     val f = fs(spark, table)
     f.mkdirs(logPath(table))
-    val target = versionFile(table, snap.version)
+    val target = versionFile(table, stamped.version)
     if (f.exists(target)) return false // fast path only; atomicity is in the publish
     val tmp = new Path(logPath(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(renderDelta(snap, adds, removes, reset, cdc).getBytes("UTF-8"))
+    try out.write(renderDelta(stamped, adds, removes, reset, cdc).getBytes("UTF-8"))
     finally out.close()
     val won = publishIfAbsent(f, tmp, target)
     if (won) {
-      writeLatestHint(f, table, snap.version)
-      if (snap.version % checkpointInterval == 0) {
-        writeSnapshotCheckpoint(f, table, snap)
-        writeHistoryCheckpoint(f, table, snap.version)
+      writeLatestHint(f, table, stamped.version)
+      if (stamped.version % checkpointInterval == 0) {
+        writeSnapshotCheckpoint(f, table, stamped)
+        writeHistoryCheckpoint(f, table, stamped.version)
       }
     }
     won
@@ -818,7 +872,8 @@ object LakeTable {
         prev.map(_.partitionColumns).getOrElse(parts),
         prev.map(_.files).getOrElse(Nil) ++ newFiles,
         txns = prev.map(_.txns).getOrElse(Map.empty) + (queryId -> batchId))
-      if (tryCommit(spark, table, snap, newFiles, Nil)) return Some(snap.version)
+      if (tryCommit(spark, table, snap, newFiles, Nil, prev = prev))
+        return Some(snap.version)
       attempt += 1
     }
     throw new ConcurrentCommitException(
@@ -855,7 +910,7 @@ object LakeTable {
         System.currentTimeMillis(), "STREAMING OVERWRITE",
         df.schema, parts, newFiles,
         txns = prev.map(_.txns).getOrElse(Map.empty) + (queryId -> batchId))
-      if (tryCommit(spark, table, snap, newFiles, Nil, reset = true))
+      if (tryCommit(spark, table, snap, newFiles, Nil, reset = true, prev = prev))
         return Some(snap.version)
       attempt += 1
     }
@@ -874,7 +929,8 @@ object LakeTable {
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
         System.currentTimeMillis(), op, spec.schema, spec.partitionColumns, spec.files,
         txns = prev.map(_.txns).getOrElse(Map.empty) ++ spec.txnUpdate)
-      if (tryCommit(spark, table, snap, spec.adds, spec.removes, spec.reset))
+      if (tryCommit(spark, table, snap, spec.adds, spec.removes, spec.reset,
+          prev = prev))
         return snap.version
       attempt += 1
     }
@@ -1363,7 +1419,8 @@ object LakeTable {
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
         snap.schema, snap.partitionColumns, snap.files ++ newFiles,
         txns = snap.txns ++ txn.toMap)
-      if (!tryCommit(spark, table, next, newFiles, Nil, cdc = Some(cdcFiles))) {
+      if (!tryCommit(spark, table, next, newFiles, Nil, cdc = Some(cdcFiles),
+          prev = Some(snap))) {
         val f = fs(spark, table)
         newFiles.foreach(e =>
           try f.delete(new Path(dataPath(table), e.path), false)
@@ -1564,7 +1621,8 @@ object LakeTable {
         schemaOf(cur), cur.partitionColumns,
         cur.files.filterNot(e => affectedPathSet(e.path)) ++ newFiles,
         txns = cur.txns ++ txnUpdate)
-      if (tryCommit(spark, table, next, newFiles, affectedRel, cdc = cdc))
+      if (tryCommit(spark, table, next, newFiles, affectedRel, cdc = cdc,
+          prev = Some(cur)))
         return next.version
       attempt += 1
     }
@@ -1625,7 +1683,8 @@ object LakeTable {
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = Some(cdcFiles)))
+    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = Some(cdcFiles),
+        prev = Some(snap)))
       throw new ConcurrentCommitException(
         s"DELETE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this delete never scanned)")
@@ -1696,7 +1755,8 @@ object LakeTable {
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "UPDATE",
       snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = Some(cdcFiles)))
+    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = Some(cdcFiles),
+        prev = Some(snap)))
       throw new ConcurrentCommitException(
         s"UPDATE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this update never scanned)")
@@ -1843,7 +1903,7 @@ object LakeTable {
     val newFiles = stageFiles(spark, table, rows, snap.partitionColumns)
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
       snap.schema, snap.partitionColumns, big ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, small.map(_.path)))
+    if (!tryCommit(spark, table, next, newFiles, small.map(_.path), prev = Some(snap)))
       throw new ConcurrentCommitException(s"COMPACT on $table lost the commit race")
     next.version
   }

@@ -78,9 +78,9 @@ class LakeSpec extends SparkSpec {
     val racing = LakeTable.latestSnapshot(spark, t).get.copy(version = 2L, operation = "RACER")
     val m = tryCommitHandle
     assert(m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
-      java.lang.Boolean.FALSE, None).asInstanceOf[Boolean])
+      java.lang.Boolean.FALSE, None, None).asInstanceOf[Boolean])
     assert(!m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
-      java.lang.Boolean.FALSE, None).asInstanceOf[Boolean],
+      java.lang.Boolean.FALSE, None, None).asInstanceOf[Boolean],
       "second commit of the same version must lose")
     // a normal writer lands after the racer without clobbering it
     val v = LakeTable.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
@@ -246,7 +246,7 @@ class LakeSpec extends SparkSpec {
     val m = LakeTable.getClass.getDeclaredMethod("tryCommit",
       classOf[org.apache.spark.sql.SparkSession], classOf[String],
       classOf[LakeTable.Snapshot], classOf[Seq[_]], classOf[Seq[_]],
-      java.lang.Boolean.TYPE, classOf[Option[_]])
+      java.lang.Boolean.TYPE, classOf[Option[_]], classOf[Option[_]])
     m.setAccessible(true)
     m
   }
@@ -271,7 +271,7 @@ class LakeSpec extends SparkSpec {
             val snap = base.copy(version = v, operation = s"W$i")
             start.await()
             if (m.invoke(LakeTable, spark, t, snap, Seq.empty, Seq.empty,
-                java.lang.Boolean.FALSE, None).asInstanceOf[Boolean])
+                java.lang.Boolean.FALSE, None, None).asInstanceOf[Boolean])
               wins.add(s"W$i")
           }
         })
@@ -316,7 +316,7 @@ class LakeSpec extends SparkSpec {
     // ~50 metadata-only commits (same file list, bumped version)
     (2L to 50L).foreach { v =>
       assert(m.invoke(LakeTable, spark, t, base.copy(version = v), Seq.empty, Seq.empty,
-        java.lang.Boolean.FALSE, None).asInstanceOf[Boolean])
+        java.lang.Boolean.FALSE, None, None).asInstanceOf[Boolean])
     }
     val hint = java.nio.file.Paths.get(s"$t/_graft_log/_latest_hint")
     assert(new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim == "50")
@@ -677,5 +677,40 @@ class LakeSpec extends SparkSpec {
       }
       assert(nf == v, s"history checkpoint records $nf files at v$v (true: $v)")
     }
+  }
+
+  test("protocol versions: future reader/writer stamps fail loudly, by name") {
+    val t = tmpTable("lake_proto")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s")) // v1
+    LakeTable.append(spark, t, Seq((2L, "b")).toDF("id", "s"))    // v2
+    val v2File = java.nio.file.Paths.get(s"$t/_graft_log/${"%020d".format(2)}.json")
+    val original = new String(java.nio.file.Files.readAllBytes(v2File), "UTF-8")
+    // every commit is stamped with the current protocol
+    assert(original.contains("\"rv\":1") && original.contains("\"wv\":1"))
+
+    def restamp(s: String): Unit = java.nio.file.Files.write(v2File, s.getBytes("UTF-8"))
+
+    // future WRITER version: reads stay fine, commits refuse loudly
+    restamp(original.replace("\"wv\":1", "\"wv\":99"))
+    assert(LakeTable.read(spark, t).count() == 2)
+    val we = intercept[LakeTable.ProtocolVersionException] {
+      LakeTable.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    }
+    assert(we.getMessage.contains("writerVersion 99") &&
+      we.getMessage.contains(s"writerVersion ${LakeTable.MaxWriterVersion}"))
+
+    // future READER version: even reads refuse, naming both numbers
+    restamp(original.replace("\"rv\":1", "\"rv\":99"))
+    val re = intercept[LakeTable.ProtocolVersionException] {
+      LakeTable.read(spark, t).count()
+    }
+    assert(re.getMessage.contains("readerVersion 99") &&
+      re.getMessage.contains(s"readerVersion ${LakeTable.MaxReaderVersion}"))
+
+    // an UNSTAMPED (pre-protocol) entry reads as version 1: both fine
+    restamp(original.replace("\"rv\":1,\"wv\":1,", ""))
+    assert(LakeTable.read(spark, t).count() == 2)
+    LakeTable.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    assert(LakeTable.read(spark, t).count() == 3)
   }
 }
