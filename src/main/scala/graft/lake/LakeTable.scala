@@ -525,36 +525,52 @@ object LakeTable {
     won
   }
 
+  // ------------------------------------------------------ commit publishing
+  //
+  // Publishing a version file is delegated to a per-scheme
+  // CommitPublisher (the pluggable seam an object-store deployment
+  // fills in). Only schemes with a KNOWN-atomic put-if-absent ship
+  // built in; anything else is refused loudly at commit time — the
+  // alternative is a commit protocol that silently degrades to
+  // last-writer-wins under concurrency.
+
+  private val commitPublishers =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitPublisher]()
+  commitPublishers.put("file", HardLinkPublisher)
+  // hdfs/viewfs: single-namespace-op no-overwrite rename; abfs(s): ADLS
+  // Gen2 hierarchical namespace, true atomic rename; cfs: this repo's
+  // counting test filesystem (a RawLocal delegate — same contract)
+  Seq("hdfs", "viewfs", "abfs", "abfss", "cfs").foreach(
+    commitPublishers.put(_, RenameNonePublisher))
+
+  /** Register (or replace) the [[CommitPublisher]] for a URI scheme —
+    * how an S3-family deployment supplies its conditional-PUT /
+    * lock-table primitive. See [[CommitPublisher]] for the contract.
+    */
+  def registerCommitPublisher(scheme: String, p: CommitPublisher): Unit =
+    commitPublishers.put(scheme.toLowerCase(java.util.Locale.ROOT), p)
+
+  private def publisherFor(f: FileSystem): CommitPublisher = {
+    val scheme = Option(f.getUri.getScheme).getOrElse("file")
+      .toLowerCase(java.util.Locale.ROOT)
+    commitPublishers.get(scheme) match {
+      case null => throw new UnsupportedOperationException(
+        s"no atomic commit publisher is registered for filesystem scheme " +
+          s"'$scheme' — the commit protocol requires an atomic put-if-absent " +
+          "primitive, and this scheme has no known-safe rename/link (S3-family " +
+          "stores notably lack one: without it, concurrent writers degrade to " +
+          "last-writer-wins and lose snapshots). Register one with " +
+          "LakeTable.registerCommitPublisher(scheme, publisher) backed by a " +
+          "conditional PUT or an external lock service")
+      case p => p
+    }
+  }
+
   /** Atomically publish the fully-written `tmp` as `target` iff `target`
-    * does not exist. A plain `FileSystem.rename` cannot do this on the
-    * local filesystem: it is POSIX rename(2), which silently REPLACES an
-    * existing target, so an exists() pre-check leaves a TOCTOU window in
-    * which two racing writers both "win" the same version and one
-    * snapshot is lost. Per scheme:
-    *  - `file`: publish via a hard link — link(2) fails with EEXIST
-    *    atomically in the kernel, the put-if-absent primitive.
-    *  - others: `FileContext.rename` with `Options.Rename.NONE`, which
-    *    contractually fails with FileAlreadyExistsException when the
-    *    destination exists; on HDFS the check-and-rename is a single
-    *    NameNode operation.
+    * does not exist, via the scheme's registered [[CommitPublisher]].
     */
   private def publishIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean = {
-    val won =
-      if (f.getUri.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, f.getConf)
-        try { fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.NONE); true }
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: org.apache.hadoop.fs.PathExistsException        => false
-        }
-      }
+    val won = publisherFor(f).publishIfAbsent(f, tmp, target)
     // link path: tmp still exists either way; rename path: only on loss.
     try f.delete(tmp, false) catch { case _: java.io.IOException => () }
     won

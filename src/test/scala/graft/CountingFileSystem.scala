@@ -72,3 +72,12 @@ object CountingFileSystem {
 class CountingAbstractFs(uri: java.net.URI, conf: Configuration)
   extends org.apache.hadoop.fs.DelegateToFileSystem(
     uri, new CountingFileSystem, conf, "cfs", false)
+
+/** The same local filesystem under an UNLISTED scheme (`nofs://`) — no
+  * CommitPublisher is registered for it, so it stands in for an
+  * S3-family store: the lake must refuse to commit there rather than
+  * degrade to last-writer-wins.
+  */
+class UnpublishableFileSystem extends CountingFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("nofs:///")
+}

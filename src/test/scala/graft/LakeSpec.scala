@@ -713,4 +713,30 @@ class LakeSpec extends SparkSpec {
     LakeTable.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
     assert(LakeTable.read(spark, t).count() == 3)
   }
+
+  test("a scheme without an atomic commit publisher refuses loudly; the trait is the seam") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nofs.impl", classOf[UnpublishableFileSystem].getName)
+    val t = "nofs://" + tmpTable("lake_nofs")
+    // commits must refuse: no known-atomic put-if-absent for 'nofs'
+    // (the S3-family situation), named in the message
+    val e = intercept[UnsupportedOperationException] {
+      LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("'nofs'"))
+    assert(e.getMessage.contains("registerCommitPublisher"))
+    // registering a publisher for the scheme is ALL it takes — proof
+    // that the publisher trait is the only seam the commit path uses
+    LakeTable.registerCommitPublisher("nofs", new graft.lake.CommitPublisher {
+      def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+                          tmp: org.apache.hadoop.fs.Path,
+                          target: org.apache.hadoop.fs.Path): Boolean =
+        // test-only single-writer publisher; a real object-store one
+        // would be a conditional PUT
+        !f.exists(target) && f.rename(tmp, target)
+    })
+    LakeTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    LakeTable.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    assert(LakeTable.read(spark, t).count() == 3)
+  }
 }
