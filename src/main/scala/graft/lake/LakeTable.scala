@@ -180,15 +180,9 @@ object LakeTable {
     }))
   }
 
-  /** Full-state render — checkpoints (and nothing else) use this; the
-    * format doubles as the legacy pre-sharding version-file format, so
-    * one parser reads both.
-    */
-  private def renderSnapshot(s: Snapshot): String =
-    JsonMethods.compact(JsonMethods.render(JObject(
-      commonFields(s.version, s.timestampMs, s.operation, s.schema,
-        s.partitionColumns, s.txns, s.protocol) :+
-        ("files" -> JArray(s.files.map(renderFile).toList)))))
+  // (The legacy full-state RENDER is gone — checkpoints are segmented
+  // now, see "manifest segments" below — but the full-state PARSE stays:
+  // legacy version files and v1 checkpoints still read.)
 
   /** Delta render — what every commit writes: O(files touched), never
     * O(table). Schema/partition-columns/txns ride along in full (they
@@ -396,27 +390,235 @@ object LakeTable {
   private def snapshotCheckpointFile(table: String, v: Long): Path =
     new Path(logPath(table), f"$v%020d.checkpoint.json")
 
-  /** Parse `<v>.checkpoint.json` if present and well-formed. */
+  // ------------------------------------------------- manifest segments
+  //
+  // A full-state checkpoint serialized as ONE file costs O(table) bytes
+  // every checkpointInterval commits — at 1M files that is hundreds of
+  // MB of JSON re-serialized thousands of times over a streaming
+  // table's life, the last O(table) metadata WRITE in the format. The
+  // file list is therefore SEGMENTED: immutable, content-addressed
+  // manifest files of ~segmentTargetEntries entries each, sorted and
+  // range-partitioned by data-file path, under `_graft_log/_manifests/`.
+  // The checkpoint itself is just the ordered list of segment
+  // references (name, entry count, path range). A later checkpoint
+  // REUSES every segment whose membership did not change: removals
+  // rewrite only the segment(s) whose path range covers them (located
+  // by range — untouched segments are never even read), adds chunk into
+  // fresh segments, and runt segments fold into the next chunking so
+  // the segment count stays O(files / segmentSize), not O(checkpoints).
+  // This is Iceberg's manifest / manifest-list reuse discipline (the
+  // format behind every reference transform, ref:
+  // trino_iceberg_transform_component.py:116-123); Delta's multi-part
+  // checkpoints shard the same way. Content addressing (name = md5 of
+  // content) makes segment publication idempotent across racing
+  // checkpointers, and turns a rewrite that changed nothing into no
+  // write at all.
+  //
+  // The v2 checkpoint file deliberately does NOT carry the legacy
+  // `schemaJson` key: a pre-segment reader's checkpoint parse fails,
+  // and it degrades to delta-chain reconstruction — correct, just
+  // longer — instead of silently misreading a checkpoint format it
+  // does not understand. (New READERS of old single-file checkpoints
+  // still work: both formats parse below.)
+
+  /** One immutable manifest segment, as the checkpoint references it:
+    * content-addressed file name, entry count, and the sorted
+    * data-file-path range it covers (how removals find their segment
+    * without reading any).
+    */
+  private[lake] final case class SegmentRef(name: String, count: Long,
+                                            minPath: String, maxPath: String)
+
+  private[lake] def manifestsPath(table: String) = new Path(logPath(table), "_manifests")
+
+  /** Target entries per manifest segment. ~300 bytes of JSON per entry
+    * puts the default segment near the 8-16 MB manifest sweet spot;
+    * specs shrink it to exercise multi-segment checkpoints on small
+    * tables.
+    */
+  private[lake] def segmentTargetEntries(spark: SparkSession): Int =
+    spark.sessionState.conf.getConfString(
+      "spark.graft.checkpoint.segmentTargetEntries", "50000").toInt
+
+  /** Write `entries` (sorted by path, non-empty) as a content-addressed
+    * segment, unless that exact content is already published.
+    */
+  private def writeSegment(f: FileSystem, table: String,
+                           entries: Seq[FileEntry]): SegmentRef = {
+    val body = JsonMethods.compact(JsonMethods.render(
+      JObject("files" -> JArray(entries.map(renderFile).toList))))
+    val bytes = body.getBytes("UTF-8")
+    val name = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString + ".segment.json"
+    val target = new Path(manifestsPath(table), name)
+    if (!f.exists(target)) {
+      f.mkdirs(manifestsPath(table))
+      val tmp = new Path(logPath(table), s".seg-tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(bytes) finally out.close()
+      publishIfAbsent(f, tmp, target) // same-content race: either write stands
+    }
+    SegmentRef(name, entries.size.toLong, entries.head.path, entries.last.path)
+  }
+
+  private def readSegment(f: FileSystem, table: String, name: String): Seq[FileEntry] =
+    (JsonMethods.parse(readFileText(f, new Path(manifestsPath(table), name))) \ "files")
+      .asInstanceOf[JArray].arr.map(parseFile)
+
+  /** Segment references of a v2 checkpoint, without reading segments —
+    * the writer-side handle for reuse. None for missing/legacy/torn.
+    */
+  private def readCheckpointRefs(f: FileSystem, table: String,
+                                 v: Long): Option[Seq[SegmentRef]] =
+    if (v <= 0) None
+    else try {
+      val p = snapshotCheckpointFile(table, v)
+      if (!f.exists(p)) None
+      else scala.util.Try {
+        val j = JsonMethods.parse(readFileText(f, p))
+        require(jLongOpt(j \ "checkpointV").contains(2L), "not a segmented checkpoint")
+        (j \ "segments").asInstanceOf[JArray].arr.map(s =>
+          SegmentRef(jStr(s \ "n"), jLong(s \ "c"), jStr(s \ "lo"), jStr(s \ "hi")))
+      }.toOption
+    } catch { case _: java.io.IOException => None }
+
+  private def renderCheckpointV2(s: Snapshot, segs: Seq[SegmentRef]): String =
+    JsonMethods.compact(JsonMethods.render(JObject(List(
+      "checkpointV" -> JLong(2L),
+      "version" -> JLong(s.version),
+      "timestampMs" -> JLong(s.timestampMs),
+      "rv" -> JLong(s.protocol.reader.toLong),
+      "wv" -> JLong(s.protocol.writer.toLong),
+      "operation" -> JString(s.operation),
+      // "schema", NOT the legacy "schemaJson" — see the format note above
+      "schema" -> JString(s.schema.json),
+      "partitionColumns" -> JArray(s.partitionColumns.map(JString(_)).toList),
+      "txns" -> JObject(s.txns.toList.sortBy(_._1).map { case (q, b) =>
+        q -> (JLong(b): JValue) }),
+      "segments" -> JArray(segs.map(r => JObject(
+        "n" -> JString(r.name), "c" -> JLong(r.count),
+        "lo" -> JString(r.minPath), "hi" -> JString(r.maxPath))).toList)))))
+
+  private def parseCheckpointV2(f: FileSystem, table: String, j: JValue): Snapshot = {
+    val rv = jLongOpt(j \ "rv").map(_.toInt).getOrElse(1)
+    if (rv > MaxReaderVersion)
+      throw new ProtocolVersionException(
+        s"this table's checkpoint requires readerVersion $rv, but this library " +
+          s"reads up to readerVersion $MaxReaderVersion")
+    val segs = (j \ "segments").asInstanceOf[JArray].arr.map(s => jStr(s \ "n"))
+    Snapshot(
+      jLong(j \ "version"), jLong(j \ "timestampMs"), jStr(j \ "operation"),
+      DataType.fromJson(jStr(j \ "schema")).asInstanceOf[StructType],
+      (j \ "partitionColumns").asInstanceOf[JArray].arr.map(jStr),
+      segs.flatMap(readSegment(f, table, _)),
+      (j \ "txns") match {
+        case JObject(fields) => fields.map { case (q, b) => q -> jLong(b) }.toMap
+        case _               => Map.empty
+      },
+      Protocol(rv, jLongOpt(j \ "wv").map(_.toInt).getOrElse(1)))
+  }
+
+  /** Parse `<v>.checkpoint.json` if present and fully readable — either
+    * a v2 segmented checkpoint or a legacy single-file full state. Any
+    * missing segment or parse failure degrades to None (delta-walk
+    * reconstruction); an entry with neither `checkpointV` nor `files`
+    * is never read as an empty table.
+    */
   private def readSnapshotCheckpoint(f: FileSystem, table: String,
                                      v: Long): Option[Snapshot] =
     try {
       val p = snapshotCheckpointFile(table, v)
       if (!f.exists(p)) None
       else scala.util.Try {
-        val e = parseLogEntry(readFileText(f, p))
-        Snapshot(e.version, e.timestampMs, e.operation, e.schema,
-          e.partitionColumns, e.full.getOrElse(Seq.empty), e.txns, e.protocol)
+        val txt = readFileText(f, p)
+        val j = JsonMethods.parse(txt)
+        if (jLongOpt(j \ "checkpointV").isDefined) parseCheckpointV2(f, table, j)
+        else {
+          val e = parseLogEntry(txt)
+          Snapshot(e.version, e.timestampMs, e.operation, e.schema,
+            e.partitionColumns, e.full.get, e.txns, e.protocol)
+        }
       }.toOption
     } catch { case _: java.io.IOException => None }
 
-  private def writeSnapshotCheckpoint(f: FileSystem, table: String,
-                                      snap: Snapshot): Unit =
+  /** Segments of the new checkpoint given the previous checkpoint's and
+    * the plain deltas since it: reuse untouched segments, rewrite the
+    * range-touched ones without their removed paths, and chunk the
+    * window's adds — pooling runt segments into the chunking so they
+    * fold forward instead of accumulating. O(segments touched + adds),
+    * never O(table).
+    */
+  private def incrementalSegments(f: FileSystem, table: String,
+                                  prev: Seq[SegmentRef], deltas: Seq[LogEntry],
+                                  sortedNow: Seq[FileEntry],
+                                  segTarget: Int): Seq[SegmentRef] = {
+    val removed = deltas.flatMap(_.removes).toSet
+    val addedPaths = deltas.flatMap(_.adds.map(_.path)).toSet
+    val liveByPath = sortedNow.map(e => e.path -> e).toMap
+    val added = sortedNow.filter(e => addedPaths(e.path)) // sorted already
+    def touches(r: SegmentRef): Boolean =
+      removed.exists(p => p >= r.minPath && p <= r.maxPath)
+    val (touched, untouched) = prev.partition(touches)
+    val rewritten = touched.flatMap { r =>
+      // refresh surviving entries from the live snapshot (stats may have
+      // upgraded); identical content re-publishes as itself — no write
+      val entries = readSegment(f, table, r.name)
+        .filterNot(e => removed(e.path))
+        .map(e => liveByPath.getOrElse(e.path, e))
+      if (entries.isEmpty) None else Some(writeSegment(f, table, entries))
+    }
+    // runts fold into this checkpoint's chunking (log-structured merge):
+    // without this, streaming-cadence checkpoints leak one small segment
+    // each and the manifest list grows O(checkpoints)
+    val (runts, keep) = (untouched ++ rewritten).partition(_.count < segTarget / 2)
+    val (pooledRunts, keptRunts) =
+      if (added.nonEmpty || runts.size >= 2) (runts, Seq.empty[SegmentRef])
+      else (Seq.empty[SegmentRef], runts)
+    val pool = (added ++ pooledRunts.flatMap(r =>
+      readSegment(f, table, r.name).map(e => liveByPath.getOrElse(e.path, e))))
+      .sortBy(_.path)
+    val pooled = pool.grouped(segTarget).filter(_.nonEmpty)
+      .map(g => writeSegment(f, table, g)).toSeq
+    val out = (keep ++ keptRunts ++ pooled).sortBy(_.minPath)
+    // paranoia: the composed segments must account for exactly the live
+    // set; any drift (however caused) falls back to a full re-chunk
+    if (out.map(_.count).sum != sortedNow.size.toLong)
+      chunkSegments(f, table, sortedNow, segTarget)
+    else out
+  }
+
+  private def chunkSegments(f: FileSystem, table: String, sorted: Seq[FileEntry],
+                            segTarget: Int): Seq[SegmentRef] =
+    sorted.grouped(segTarget).filter(_.nonEmpty)
+      .map(g => writeSegment(f, table, g)).toSeq
+
+  private def writeSnapshotCheckpoint(spark: SparkSession, f: FileSystem,
+                                      table: String, snap: Snapshot): Unit =
     try {
       val target = snapshotCheckpointFile(table, snap.version)
       if (f.exists(target)) return // deterministic content; first write stands
+      val segTarget = math.max(1, segmentTargetEntries(spark))
+      val sorted = snap.files.sortBy(_.path)
+      val prevRefs = readCheckpointRefs(f, table, snap.version - checkpointInterval)
+      // incremental only over a window of PLAIN deltas: a reset (its own
+      // base) or legacy full-state entry in range means the previous
+      // segments describe a dead lineage — re-chunk from the live list
+      val window = prevRefs.flatMap { _ =>
+        scala.util.Try {
+          ((snap.version - checkpointInterval + 1) to snap.version)
+            .map(v => parseLogEntry(readFileText(f, versionFile(table, v))))
+        }.toOption.filter(_.forall(e => e.full.isEmpty && !e.reset))
+      }
+      val segs = (prevRefs, window) match {
+        case (Some(refs), Some(deltas)) =>
+          scala.util.Try(incrementalSegments(f, table, refs, deltas, sorted, segTarget))
+            .getOrElse(chunkSegments(f, table, sorted, segTarget))
+        case _ => chunkSegments(f, table, sorted, segTarget)
+      }
       val tmp = new Path(logPath(table), s".cp-snap-tmp-${java.util.UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(renderSnapshot(snap).getBytes("UTF-8")) finally out.close()
+      try out.write(renderCheckpointV2(snap, segs).getBytes("UTF-8"))
+      finally out.close()
       publishIfAbsent(f, tmp, target)
       ()
     } catch { case _: java.io.IOException => () } // advisory — never fail a commit
@@ -518,7 +720,7 @@ object LakeTable {
     if (won) {
       writeLatestHint(f, table, stamped.version)
       if (stamped.version % checkpointInterval == 0) {
-        writeSnapshotCheckpoint(f, table, stamped)
+        writeSnapshotCheckpoint(spark, f, table, stamped)
         writeHistoryCheckpoint(f, table, stamped.version)
       }
     }
@@ -2057,6 +2259,43 @@ object LakeTable {
       }
       if (dryRun) deleted += cdcToDelete.size
       else cdcToDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    }
+    // checkpoints strictly below the newest one still useful to the
+    // retention window age out, then manifest segments referenced by NO
+    // surviving checkpoint (dead lineages, orphans of crashed
+    // checkpoint writes) — same grace discipline as data files. The
+    // newest checkpoint at or below the OLDEST retained version stays:
+    // it is that version's reconstruction base. Checkpoints only ever
+    // land at interval multiples, so they are FOUND by existence probes
+    // (O(commits / interval) stats), never by listing the log dir —
+    // vacuum stays zero-listing on the log.
+    val cpVersions = (checkpointInterval to vs.max by checkpointInterval)
+      .filter(v => f.exists(snapshotCheckpointFile(table, v)))
+    val oldestRetained = vs.takeRight(math.max(1, retainVersions)).min
+    val keepFloor = cpVersions.filter(_ <= oldestRetained).lastOption.getOrElse(Long.MinValue)
+    val (cpDrop0, cpKeep) = cpVersions.partition(_ < keepFloor)
+    val cpDrop = cpDrop0.filter { v =>
+      val st = scala.util.Try(f.getFileStatus(snapshotCheckpointFile(table, v))).toOption
+      st.exists(_.getModificationTime < cutoffMs)
+    }
+    if (dryRun) deleted += cpDrop.size
+    else cpDrop.foreach { v =>
+      if (f.delete(snapshotCheckpointFile(table, v), false)) deleted += 1
+    }
+    val mp = manifestsPath(table)
+    if (f.exists(mp)) {
+      // checkpoints surviving this pass: kept ones plus any below the
+      // floor that the grace window protected (they still reference
+      // their segments) — same set whether this is a dry run or not
+      val survivors = cpKeep ++ cpDrop0.diff(cpDrop)
+      val referenced = survivors
+        .flatMap(v => readCheckpointRefs(f, table, v).getOrElse(Nil))
+        .map(_.name).toSet
+      val segsToDelete = f.listStatus(mp).toSeq.filter(st =>
+        st.isFile && st.getModificationTime < cutoffMs &&
+          !referenced.contains(st.getPath.getName))
+      if (dryRun) deleted += segsToDelete.size
+      else segsToDelete.foreach { st => if (f.delete(st.getPath, false)) deleted += 1 }
     }
     // sweep staging dirs from crashed writes — only once they are old
     // enough that no live writer can still be using them

@@ -213,7 +213,12 @@ class LakeMetaSpec extends SparkSpec {
       s"history() listed the log dir despite a checkpoint: $listedHist")
     CountingFileSystem.reset()
     LakeTable.vacuum(spark, t, retainVersions = 2, graceMs = 0L)
+    // the one listing vacuum MAY do under the log is _manifests/ —
+    // orphaned segments are by definition referenced nowhere, so orphan
+    // detection needs a listing there, and it is O(segments), bounded
+    // by table size / segment size, never O(commits)
     val listedVac = CountingFileSystem.listedUnder("/t/_graft_log")
+      .filterNot(_.contains("_manifests"))
     assert(listedVac.isEmpty,
       s"vacuum() listed the log dir despite a checkpoint: $listedVac")
     // vacuum still reclaimed old version data and latest still reads
@@ -358,17 +363,87 @@ class LakeMetaSpec extends SparkSpec {
     // would be ~60x v2.
     assert(deltaSizes.max <= deltaSizes.min + 64,
       s"append commit sizes should be flat, got min=${deltaSizes.min} max=${deltaSizes.max}")
-    // the full-state render DOES grow — visible in the snapshot
-    // checkpoint, which at v60 holds all 60 entries and dwarfs a delta
+    // the checkpoint is a segment LIST, not the full state: at v60 it
+    // references manifest segments under _manifests/ (which between
+    // them hold all 60 entries) instead of serializing them inline
     val cp60 = size(f"${60L}%020d.checkpoint.json")
-    assert(cp60 > deltaSizes.max * 10,
-      s"checkpoint ($cp60 B) should dwarf a delta (${deltaSizes.max} B)")
+    assert(cp60 < 4096, s"checkpoint should be a small manifest list, got $cp60 B")
+    val manifests = java.nio.file.Paths.get(s"$t/_graft_log/_manifests")
+    assert(java.nio.file.Files.list(manifests).count() >= 1)
     // checkpoints landed at every 10th commit
     Seq(10L, 20L, 30L, 40L, 50L).foreach { v =>
       assert(java.nio.file.Files.exists(logDir.resolve(f"$v%020d.checkpoint.json")))
     }
     assert(LakeTable.latestSnapshot(spark, t).get.files.size == 60)
     assert(LakeTable.read(spark, t).count() == 60)
+  }
+
+  test("segmented checkpoint: writes O(touched segment) per checkpoint, reuses the rest") {
+    spark.conf.set("spark.graft.checkpoint.segmentTargetEntries", "8")
+    try {
+      val t = tmpTable("meta_seg")
+      LakeTable.overwrite(spark, t, Seq((1L, "r1")).toDF("id", "s")) // v1
+      (2 to 59).foreach { i =>
+        LakeTable.append(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+      }
+      val manifests = java.nio.file.Paths.get(s"$t/_graft_log/_manifests")
+      import scala.jdk.CollectionConverters._
+      def segNames: Set[String] = {
+        val s = java.nio.file.Files.list(manifests)
+        try s.iterator().asScala.map(_.getFileName.toString).toSet finally s.close()
+      }
+      def segEntries(n: String): Int = {
+        val txt = new String(java.nio.file.Files.readAllBytes(manifests.resolve(n)), "UTF-8")
+        "\"p\":".r.findAllIn(txt).size
+      }
+      def referencedBy(v: Long): Set[String] = {
+        val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+          .get(s"$t/_graft_log/${"%020d".format(v)}.checkpoint.json")), "UTF-8")
+        "\"n\":\"([0-9a-f]+\\.segment\\.json)\"".r.findAllMatchIn(txt).map(_.group(1)).toSet
+      }
+      // --- append-only window: the v60 checkpoint writes only the
+      // window's adds (plus a folded runt), never the 60-entry table
+      val before = segNames
+      LakeTable.append(spark, t, Seq((60L, "r60")).toDF("id", "s")) // v60
+      val fresh = segNames.diff(before)
+      val freshEntries = fresh.toSeq.map(segEntries).sum
+      assert(freshEntries <= 24,
+        s"v60 checkpoint wrote $freshEntries entries into fresh segments (table: 60)")
+      val refs60 = referencedBy(60L)
+      assert(refs60.toSeq.map(segEntries).sum == 60, "segments must cover the table exactly")
+      assert(refs60.intersect(before).nonEmpty,
+        "checkpoint must REUSE segments from earlier checkpoints")
+      assert(LakeTable.snapshotAt(spark, t, 60L).files.size == 60)
+      // --- remove window: a delete rewrites ONLY the segment(s) whose
+      // path range covers the removed file
+      LakeTable.delete(spark, t, col("id") === 5L) // v61: one file removed
+      (62 to 70).foreach { i =>
+        LakeTable.append(spark, t, Seq((i.toLong + 100, s"r$i")).toDF("id", "s"))
+      } // v70 checkpoint
+      val live70 = LakeTable.latestSnapshot(spark, t).get.files.size
+      val refs70 = referencedBy(70L)
+      val fresh70 = refs70.diff(refs60)
+      assert(fresh70.toSeq.map(segEntries).sum <= 32,
+        s"v70 checkpoint rewrote ${fresh70.toSeq.map(segEntries).sum} entries " +
+          s"(table: $live70)")
+      assert(refs70.intersect(refs60).nonEmpty, "v70 must still reuse v60 segments")
+      assert(refs70.toSeq.map(segEntries).sum == live70,
+        "segments must cover the table exactly after the remove window")
+      assert(LakeTable.snapshotAt(spark, t, 70L).files.size == live70)
+      assert(LakeTable.read(spark, t).count() == 68)
+      assert(LakeTable.read(spark, t).filter(col("id") === 5L).count() == 0)
+      // --- reconstruction equivalence: with every checkpoint removed,
+      // pure delta replay lands on the same state
+      val viaCp = LakeTable.snapshotAt(spark, t, 70L)
+      val logDir = java.nio.file.Paths.get(s"$t/_graft_log")
+      val l = java.nio.file.Files.list(logDir)
+      try l.iterator().asScala.filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+        .toSeq.foreach(java.nio.file.Files.delete)
+      finally l.close()
+      val replayed = LakeTable.snapshotAt(spark, t, 70L)
+      assert(viaCp.files.map(_.path).toSet == replayed.files.map(_.path).toSet,
+        "segmented checkpoint and delta replay must agree")
+    } finally spark.conf.unset("spark.graft.checkpoint.segmentTargetEntries")
   }
 
   test("snapshot reconstruction reads O(interval) log files, independent of history length") {
@@ -419,7 +494,12 @@ class LakeMetaSpec extends SparkSpec {
     assert(removedAny, "expected at least one snapshot checkpoint to exist")
     val withoutCp = (1L to 15L).map(v => LakeTable.snapshotAt(spark, t, v))
     withCp.zip(withoutCp).foreach { case (a, b) =>
-      assert(a == b, s"v${a.version}: checkpointed and replayed snapshots differ")
+      // file ORDER is not part of the snapshot contract (checkpoints
+      // hold path-sorted segments; delta replay appends in commit
+      // order) — compare canonicalized
+      assert(a.copy(files = a.files.sortBy(_.path)) ==
+          b.copy(files = b.files.sortBy(_.path)),
+        s"v${a.version}: checkpointed and replayed snapshots differ")
     }
     // data-level sanity at key versions
     assert(LakeTable.read(spark, t, asOf = Some(11L)).count() == 12)
