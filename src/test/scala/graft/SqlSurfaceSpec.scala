@@ -387,4 +387,44 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(row.getAs[Double]("dp") == 11.0)
     assert(row.getAs[Long]("sh") != 0L)
   }
+
+  test("a pure-SQL session reads the batch change feed of a DML range") {
+    import spark.implicits._
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.functions.col
+    val t = java.nio.file.Files.createTempDirectory("sql_cdf").toString + "/t"
+    LakeTable.overwrite(spark, t, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")) // v1
+    LakeTable.append(spark, t, Seq((3L, 30.0)).toDF("id", "v"))                // v2
+    LakeTable.delete(spark, t, col("id") === 1L)                               // v3
+    LakeTable.update(spark, t, Seq("v" -> (col("v") + 1)), col("id") === 2L)   // v4
+    // SQL-only surface: a temp view over the feed options
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW cdf_feed
+          USING graft
+          OPTIONS (path '$t', readChangeFeed 'true', startingVersion '2')""")
+    val viaSql = spark.sql(
+      s"""SELECT ${LakeTable.CommitVersionCol}, id, v, ${LakeTable.ChangeTypeCol}
+          FROM cdf_feed ORDER BY 1, 2, 4""")
+      .as[(Long, Long, Double, String)].collect().toSeq
+    val viaApi = LakeTable.changes(spark, t, 2L, 4L)
+      .select(LakeTable.CommitVersionCol, "id", "v", LakeTable.ChangeTypeCol)
+      .as[(Long, Long, Double, String)].collect().toSeq.sorted
+    assert(viaSql.sorted == viaApi, s"SQL feed $viaSql != API feed $viaApi")
+    assert(viaSql.exists(_._4 == "delete") && viaSql.exists(_._4 == "update_postimage"))
+    // filters compose in SQL over the feed
+    assert(spark.sql(
+      s"SELECT count(*) FROM cdf_feed WHERE ${LakeTable.ChangeTypeCol} = 'insert'")
+      .head.getLong(0) == 1L)
+    // an invalid range names itself in the error
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("readChangeFeed", "true").option("startingVersion", "99")
+        .load(t)
+    }
+    assert(e.getMessage.contains("[99, 4]"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("readChangeFeed", "true").load(t)
+    }
+    assert(e2.getMessage.contains("startingVersion"))
+  }
 }
