@@ -1763,6 +1763,70 @@ object LakeTable {
       newFiles, affectedRel, scoped, cdc = Some(cdcFiles), txnUpdate = txn.toMap)
   }
 
+  /** A user partition predicate resolved against a snapshot's partition
+    * schema, evaluable driver-side: per FILE path (exact, all columns
+    * bound) and per DIRECTORY at any hive level (conjunct-wise — a
+    * conjunct judges a dir only once every column it references is
+    * bound by the path so far, so pruning is sound for arbitrary
+    * predicates, not just leading-column ones).
+    */
+  private final class PartitionScope(
+      conjuncts: Seq[(org.apache.spark.sql.catalyst.expressions.BasePredicate, Int)],
+      pSchema: StructType, tz: Option[String]) {
+    /** Exact membership of a table-relative FILE path. */
+    def fileInScope(rel: String): Boolean = {
+      val row = PartitionPaths.valuesOf(rel, pSchema, tz)
+      conjuncts.forall(_._1.eval(row))
+    }
+    /** Can the dir binding columns [0, depth] still contain matches?
+      * False only when some fully-bound conjunct refutes it.
+      */
+    def dirMayMatch(dirRel: String, depth: Int): Boolean = {
+      val row = PartitionPaths.valuesOf(dirRel + "/_", pSchema, tz)
+      !conjuncts.exists { case (p, maxIdx) => maxIdx <= depth && !p.eval(row) }
+    }
+    def numPartitionCols: Int = pSchema.size
+  }
+
+  /** Resolve a user `Column` against the PARTITION schema alone (an
+    * empty frame): references to non-partition columns fail here, and
+    * analysis applies the usual implicit casts. Shared by compact and
+    * vacuum scoping.
+    */
+  private def resolvePartitionFilter(spark: SparkSession, snap: Snapshot,
+                                     c: Column, what: String): PartitionScope = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    val pSchema = GraftDataSource.asNullable(
+      StructType(snap.partitionColumns.map(snap.schema(_))))
+    val expr =
+      try spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pSchema)
+        .filter(c).queryExecution.analyzed.collectFirst {
+          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+        }.getOrElse(throw new IllegalArgumentException(
+          s"could not resolve $what partitionFilter $c"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$what partitionFilter must reference only partition columns " +
+              s"(${snap.partitionColumns.mkString(", ")}): ${e.getMessage}")
+      }
+    val resolver = spark.sessionState.conf.resolver
+    require(PartitionPaths.evaluableOnPartitions(Seq(expr), pSchema, resolver),
+      s"$what partitionFilter must reference only partition columns " +
+        s"(${snap.partitionColumns.mkString(", ")}) deterministically")
+    def split(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => split(l) ++ split(r)
+      case other     => Seq(other)
+    }
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    val bound = split(expr).map { cj =>
+      val maxIdx = cj.references.toSeq.map(a =>
+        pSchema.fields.indexWhere(f => resolver(f.name, a.name))).foldLeft(0)(math.max)
+      (PartitionPaths.bind(Seq(cj), pSchema, resolver), maxIdx)
+    }
+    new PartitionScope(bound, pSchema, tz)
+  }
+
   /** Partition-tuple predicate of `updates`' distinct partition values
     * — bounded by partitions touched, not rows (the scoped-detection
     * pruner shared by [[merge]] and [[mergeRows]]).
@@ -2046,31 +2110,8 @@ object LakeTable {
     val inScope: FileEntry => Boolean = partitionFilter match {
       case None => _ => true
       case Some(c) =>
-        // resolve the user Column against the PARTITION schema alone (an
-        // empty frame): references to non-partition columns fail here,
-        // and analysis applies the usual implicit casts — the resolved
-        // predicate then evaluates driver-side per file path
-        val pSchema = GraftDataSource.asNullable(
-          StructType(snap.partitionColumns.map(snap.schema(_))))
-        val expr =
-          try spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pSchema)
-            .filter(c).queryExecution.analyzed.collectFirst {
-              case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
-            }.getOrElse(throw new IllegalArgumentException(
-              s"could not resolve compact partitionFilter $c"))
-          catch {
-            case e: org.apache.spark.sql.AnalysisException =>
-              throw new IllegalArgumentException(
-                s"compact partitionFilter must reference only partition columns " +
-                  s"(${snap.partitionColumns.mkString(", ")}): ${e.getMessage}")
-          }
-        val resolver = spark.sessionState.conf.resolver
-        require(PartitionPaths.evaluableOnPartitions(Seq(expr), pSchema, resolver),
-          s"compact partitionFilter must reference only partition columns " +
-            s"(${snap.partitionColumns.mkString(", ")}) deterministically")
-        val pred = PartitionPaths.bind(Seq(expr), pSchema, resolver)
-        val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
-        e => pred.eval(PartitionPaths.valuesOf(e.path, pSchema, tz))
+        val scope = resolvePartitionFilter(spark, snap, c, "compact")
+        e => scope.fileInScope(e.path)
     }
     // sizes come from the log; a legacy entry (pre-stats log) costs one
     // stat — never a listing
@@ -2218,9 +2259,21 @@ object LakeTable {
     * age past the grace window. Pass `graceMs = 0` only when no other
     * writer can be active. `dryRun = true` counts what WOULD be
     * deleted without touching anything (VACUUM DRY RUN).
+    *
+    * `partitionFilter` SCOPES the sweep to the matching hive
+    * partitions: the walk descends only into directories the predicate
+    * could match (conjuncts are judged as soon as the path binds the
+    * columns they reference), so a 100 TB fact vacuums one day with a
+    * one-day listing — the same maintenance scoping compact has —
+    * and files outside the scope are never listed, let alone deleted.
+    * A scoped pass sweeps ONLY the data tree; the whole-table sweeps
+    * (change-data files, aged checkpoints, orphan manifest segments,
+    * staging dirs) run on unscoped passes, which a maintenance
+    * schedule should still include periodically.
     */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2,
-             graceMs: Long = 15L * 60 * 1000, dryRun: Boolean = false): Int = {
+             graceMs: Long = 15L * 60 * 1000, dryRun: Boolean = false,
+             partitionFilter: Option[Column] = None): Int = {
     val f = fs(spark, table)
     val vs = versionsFast(spark, table)
     if (vs.isEmpty) return 0
@@ -2230,8 +2283,36 @@ object LakeTable {
     val dp = dataPath(table)
     if (!f.exists(dp)) return 0
     var deleted = 0
-    val it = f.listFiles(dp, true)
     val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
+    partitionFilter match {
+      case Some(c) =>
+        val snap = snapshotAt(spark, table, vs.max)
+        require(snap.partitionColumns.nonEmpty,
+          s"partition-scoped vacuum needs a partitioned table; $table has no " +
+            "partition columns")
+        val scope = resolvePartitionFilter(spark, snap, c, "vacuum")
+        def walk(dir: Path, rel: String, depth: Int): Unit =
+          f.listStatus(dir).foreach { st =>
+            val name = st.getPath.getName
+            val childRel = if (rel.isEmpty) name else s"$rel/$name"
+            if (st.isDirectory) {
+              if (depth >= scope.numPartitionCols ||
+                  scope.dirMayMatch(childRel, depth))
+                walk(st.getPath, childRel, depth + 1)
+            } else if (depth >= scope.numPartitionCols &&
+                st.getModificationTime < cutoffMs &&
+                scope.fileInScope(childRel) && !retained.contains(childRel))
+              toDelete += st.getPath
+            // a file ABOVE leaf depth is not hive data of this layout —
+            // out of scope by definition; the unscoped pass handles it
+          }
+        walk(dp, "", 0)
+        if (dryRun) deleted += toDelete.size
+        else toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+        return deleted
+      case None => ()
+    }
+    val it = f.listFiles(dp, true)
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getModificationTime < cutoffMs &&

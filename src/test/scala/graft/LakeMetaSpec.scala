@@ -378,6 +378,43 @@ class LakeMetaSpec extends SparkSpec {
     assert(LakeTable.read(spark, t).count() == 60)
   }
 
+  test("partition-scoped vacuum lists only the scoped partition's directories") {
+    val t = cfsTable("meta_svac")
+    def rows(tag: String) = Seq((1L, "d1", tag), (2L, "d2", tag)).toDF("id", "dt", "s")
+    LakeTable.overwrite(spark, t, rows("a"), partitionBy = Seq("dt")) // v1
+    LakeTable.append(spark, t, rows("b"))                             // v2
+    LakeTable.overwrite(spark, t, rows("c"), partitionBy = Seq("dt")) // v3 (orphans v1+v2 data)
+    val d2Files = {
+      val dir = new java.io.File(new java.net.URI("file:" +
+        t.stripPrefix("cfs:") + "/data/dt=d2"))
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    assert(d2Files.size >= 3) // three versions' worth
+    CountingFileSystem.reset()
+    val n = LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L,
+      partitionFilter = Some(col("dt") === "d1"))
+    assert(n >= 2, s"expected the two orphaned d1 files swept, got $n")
+    // the walk descended ONLY into dt=d1 — dt=d2 was never listed
+    val listed = CountingFileSystem.listedUnder("/t/data")
+    assert(listed.nonEmpty)
+    assert(!listed.exists(_.contains("dt=d2")),
+      s"scoped vacuum listed out-of-scope directories: $listed")
+    // nothing outside the scope was deleted, referenced or not
+    val d2After = {
+      val dir = new java.io.File(new java.net.URI("file:" +
+        t.stripPrefix("cfs:") + "/data/dt=d2"))
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    assert(d2After == d2Files, "scoped vacuum must never touch out-of-scope files")
+    // the live table still reads in full; d1 time travel is gone
+    assert(LakeTable.read(spark, t).count() == 2)
+    // a filter on a non-partition column is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.vacuum(spark, t, partitionFilter = Some(col("id") > 0))
+    }
+    assert(e.getMessage.contains("partition columns"))
+  }
+
   test("segmented checkpoint: writes O(touched segment) per checkpoint, reuses the rest") {
     spark.conf.set("spark.graft.checkpoint.segmentTargetEntries", "8")
     try {
