@@ -28,12 +28,18 @@ import org.apache.hadoop.fs.Path
   * double-count — the same discipline as the streaming sink's batch
   * watermark.
   *
-  * Contract: measures must be ADDITIVE (SUM / COUNT; an average is a
-  * ratio of two sums downstream). MIN/MAX are not incrementally
-  * maintainable from a feed without per-group recompute and are
-  * deliberately not offered. Null group keys are refused loudly
-  * (merge keys join by equality; a null key would never match and
-  * would re-insert on every refresh).
+  * Contract: `measures` must be ADDITIVE (SUM / COUNT; an average is a
+  * ratio of two sums downstream). MIN/MAX are not foldable from a feed
+  * alone (a delete may retire the current extreme, and the feed cannot
+  * name the runner-up), so `mins`/`maxs` are maintained HYBRID: the
+  * additive part still folds from the feed, and the extremes are
+  * recomputed ONLY for the groups the feed touched — a scan pruned to
+  * those groups (pushed as a group-key predicate when the touched set
+  * is small, so file skipping on the logged bounds applies; a
+  * broadcast semi-join past that) — still cost-of-the-change, never
+  * recompute-the-world. Null group keys are refused loudly (merge keys
+  * join by equality; a null key would never match and would re-insert
+  * on every refresh).
   */
 object Incremental {
 
@@ -59,12 +65,19 @@ object Incremental {
     */
   def refreshAgg(spark: SparkSession, source: String, target: String,
                  groupBy: Seq[String],
-                 measures: Map[String, Column]): Long = {
+                 measures: Map[String, Column],
+                 mins: Map[String, Column] = Map.empty,
+                 maxs: Map[String, Column] = Map.empty): Long = {
     require(groupBy.nonEmpty, "refreshAgg needs at least one group column")
     require(measures.nonEmpty, "refreshAgg needs at least one measure")
-    require(!measures.contains(RowsCol) && !groupBy.contains(RowsCol),
+    val allNames = measures.keys ++ mins.keys ++ maxs.keys
+    require(!allNames.exists(_ == RowsCol) && !groupBy.contains(RowsCol),
       s"$RowsCol is reserved for the maintenance row count")
-    val collide = measures.keySet.intersect(groupBy.toSet)
+    require(allNames.size == allNames.toSet.size &&
+        measures.keySet.intersect(mins.keySet ++ maxs.keySet).isEmpty &&
+        mins.keySet.intersect(maxs.keySet).isEmpty,
+      "measure/min/max output names must be distinct")
+    val collide = allNames.toSet.intersect(groupBy.toSet)
     require(collide.isEmpty,
       s"measure name(s) collide with group column(s): ${collide.mkString(", ")}")
     val srcSnap = LakeTable.latestSnapshot(spark, source)
@@ -75,6 +88,8 @@ object Incremental {
     val done = tgtSnap.flatMap(_.txns.get(qid)).getOrElse(0L)
     if (done >= srcSnap.version) return tgtSnap.get.version
     val ms = measures.toSeq // stable column order
+    val ext = mins.toSeq.map { case (n, e) => (n, min(e)) } ++
+      maxs.toSeq.map { case (n, e) => (n, max(e)) }
 
     // a null group key would never merge-match (equality join) and
     // re-insert on every refresh — refuse it the moment it appears,
@@ -95,33 +110,65 @@ object Incremental {
         LakeTable.read(spark, source, asOf = Some(srcSnap.version))
           .groupBy(groupBy.map(col).toIndexedSeq: _*)
           .agg(count(lit(1)).as(RowsCol),
-            ms.map { case (n, e) => sum(e).as(n) }: _*))
+            (ms.map { case (n, e) => sum(e).as(n) } ++
+              ext.map { case (n, a) => a.as(n) }): _*))
       LakeTable.overwrite(spark, target, agg, txn = Some(qid -> srcSnap.version))
     } else {
       // delta: only the feed of (done, srcSnap.version] is read
       val feed = LakeTable.changes(spark, source, done + 1, srcSnap.version)
       val sign = when(col(LakeTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-      val delta = requireNonNullKeys(feed
+      val additive = requireNonNullKeys(feed
         .groupBy(groupBy.map(col).toIndexedSeq: _*)
         .agg(sum(sign).as(RowsCol),
           ms.map { case (n, e) => sum(sign * e).as(n) }: _*))
         // groups the feed touched but left net-unchanged still merge
         // (their measures may have moved even at rows-delta 0)
-      val names = ms.map(_._1) :+ RowsCol
+      val delta =
+        if (ext.isEmpty) additive
+        else {
+          // extremes: recompute ONLY the touched groups, against the
+          // same pinned source version the feed runs through. With a
+          // small touched set the group tuples become a pushed
+          // predicate — the scan file-skips on the logged bounds; past
+          // the cap, a broadcast semi-join still prunes rows (a scan,
+          // but of matching rows only, never a recompute of untouched
+          // groups)
+          val touched = additive.select(groupBy.map(col).toIndexedSeq: _*).distinct()
+          val tuples = touched.limit(10001).collect()
+          val pinned = LakeTable.read(spark, source, asOf = Some(srcSnap.version))
+          val pruned =
+            if (tuples.length > 10000)
+              pinned.join(broadcast(touched), groupBy, "left_semi")
+            else if (tuples.isEmpty) pinned.filter(lit(false))
+            else pinned.filter(tuples.map { r =>
+              groupBy.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+                .reduce(_ && _)
+            }.reduce(_ || _))
+          val extremes = pruned.groupBy(groupBy.map(col).toIndexedSeq: _*)
+            .agg(ext.head._2.as(ext.head._1),
+              ext.tail.map { case (n, a) => a.as(n) }: _*)
+          // touched-but-emptied groups have no extremes row (left
+          // outer): their nulls never land — the DELETE clause claims
+          // them first
+          additive.join(extremes, groupBy, "left_outer")
+        }
+      val addNames = ms.map(_._1) :+ RowsCol
+      val extNames = ext.map(_._1)
       LakeTable.mergeRows(spark, target, delta, groupBy,
         matched = Seq(
           // group emptied out: remove its row
           LakeTable.MatchedDelete(
             Some(col(s"t.$RowsCol") + col(s"s.$RowsCol") === 0L)),
           LakeTable.MatchedUpdate(None,
-            names.map(n => n -> (col(s"t.$n") + col(s"s.$n"))).toMap)),
+            (addNames.map(n => n -> (col(s"t.$n") + col(s"s.$n"))) ++
+              extNames.map(n => n -> col(s"s.$n"))).toMap)),
         notMatchedInsert = Seq(
           // a brand-new group inserts its delta verbatim; a pure-delete
           // delta for a group the target never had would be feed
           // corruption — guard rather than insert a negative group
           (Some(col(s"s.$RowsCol") > 0L),
-            (groupBy ++ names).map(n => n -> col(s"s.$n")).toMap)),
+            (groupBy ++ addNames ++ extNames).map(n => n -> col(s"s.$n")).toMap)),
         txn = Some(qid -> srcSnap.version))
     }
   }

@@ -103,6 +103,86 @@ class IncrementalSpec extends SparkSpec {
     assert(targetState(tgt)("a") == ((2L, 7L, 5.0)))
   }
 
+  test("hybrid MIN/MAX refresh equals full recompute across a DML history") {
+    val src = tmpTable("incr_mm_src")
+    val tgt = tmpTable("incr_mm_tgt")
+    val measures = Map("qty" -> col("qty"))
+    val mins = Map("qmin" -> col("qty"))
+    val maxs = Map("qmax" -> col("qty"))
+    def refresh(): Unit =
+      Incremental.refreshAgg(spark, src, tgt, Seq("grp"), measures, mins, maxs)
+    def converged(): Unit = {
+      val got = LakeTable.read(spark, tgt).select("grp", "qty", "qmin", "qmax")
+        .as[(String, Long, Long, Long)].collect()
+        .map { case (g, q, lo, hi) => g -> ((q, lo, hi)) }.toMap
+      val want = LakeTable.read(spark, src).groupBy("grp")
+        .agg(sum("qty").as("qty"), min("qty").as("qmin"), max("qty").as("qmax"))
+        .as[(String, Long, Long, Long)].collect()
+        .map { case (g, q, lo, hi) => g -> ((q, lo, hi)) }.toMap
+      assert(got == want, s"hybrid target $got diverged from recompute $want")
+    }
+    LakeTable.overwrite(spark, src,
+      (1L to 20L).map(i => (i, s"g${i % 4}", i)).toDF("id", "grp", "qty")) // v1
+    refresh(); converged()
+    // retire a group's current MAX: the runner-up must surface — the
+    // exact case pure feed-folding cannot answer
+    LakeTable.delete(spark, src, col("qty") === 20L)                      // v2 (g0's max)
+    refresh(); converged()
+    // an update dives below the group's MIN
+    LakeTable.update(spark, src, Seq("qty" -> lit(0L)), col("id") === 7L) // v3
+    refresh(); converged()
+    // multi-version fold in one refresh: append + delete
+    LakeTable.append(spark, src,
+      (21L to 25L).map(i => (i, s"g${i % 4}", i * 10)).toDF("id", "grp", "qty")) // v4
+    LakeTable.delete(spark, src, col("id") <= 2L)                         // v5
+    refresh(); converged()
+    // a group emptied out disappears
+    LakeTable.delete(spark, src, col("grp") === "g3")                     // v6
+    refresh(); converged()
+    assert(!LakeTable.read(spark, tgt).select("grp").as[String]
+      .collect().contains("g3"))
+  }
+
+  test("MIN/MAX delta refresh reads only source files whose bounds admit touched groups") {
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val work = java.nio.file.Files.createTempDirectory("incr_mm_cost").toString
+    val src = s"cfs:$work/src"
+    val tgt = s"cfs:$work/tgt"
+    // one data file per group: each file's logged grp bounds are [gK, gK]
+    LakeTable.overwrite(spark, src,
+      (1L to 10L).map(i => (i, "g0", i)).toDF("id", "grp", "qty").coalesce(1))
+    (1 to 7).foreach { k =>
+      LakeTable.append(spark, src,
+        (1L to 10L).map(i => (k * 100L + i, s"g$k", i)).toDF("id", "grp", "qty")
+          .coalesce(1))
+    }
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"),
+      Map("qty" -> col("qty")), mins = Map("qmin" -> col("qty")))
+    // touch exactly one group
+    LakeTable.update(spark, src, Seq("qty" -> lit(0L)), col("id") === 301L) // g3
+    val g3Files = LakeTable.latestSnapshot(spark, src).get.files
+      .filter(_.stats.get("grp").exists(s =>
+        s.min.exists(_ <= "g3") && s.max.exists(_ >= "g3")))
+      .map(_.path).toSet
+    assert(g3Files.nonEmpty && g3Files.size <= 2)
+    CountingFileSystem.reset()
+    Incremental.refreshAgg(spark, src, tgt, Seq("grp"),
+      Map("qty" -> col("qty")), mins = Map("qmin" -> col("qty")))
+    val opened = CountingFileSystem.openedUnder("/src/data/")
+      .filterNot(_.endsWith(".crc")).toSet
+    // the extremes recompute must read SOMETHING (unlike pure-additive,
+    // which reads zero source files) — but only g3's file(s), proven by
+    // the logged bounds skipping the other 7 groups' files
+    assert(opened.nonEmpty, "a MIN refresh must recompute the touched group")
+    assert(opened.forall(p => g3Files.exists(p.endsWith)),
+      s"recompute read files outside the touched group's bounds: $opened")
+    // correctness of the hybrid state
+    assert(LakeTable.read(spark, tgt).select("grp", "qmin")
+      .as[(String, Long)].collect().toMap ==
+      LakeTable.read(spark, src).groupBy("grp").agg(min("qty"))
+        .as[(String, Long)].collect().toMap)
+  }
+
   test("a delta refresh reads the feed, never the source table (counting FS proof)") {
     CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
     val work = java.nio.file.Files.createTempDirectory("incr_cost").toString
