@@ -75,7 +75,10 @@ object SparkEntry {
     // lineage metadata (ref column-lineage)
     "lineage"              -> ((s, d) => Lineage.lineage(s, d)),
     // lake + change feed + incremental maintenance, end to end
-    "incr_agg"             -> ((s, d) => IncrementalOps.incrAgg(s, d))
+    "incr_agg"             -> ((s, d) => IncrementalOps.incrAgg(s, d)),
+    // full maintenance surface (merge/delete/update/compact/restore)
+    // vs an independent engine's replay
+    "lake_dml"             -> ((s, d) => MaintenanceOps.lakeDml(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -480,6 +483,7 @@ object SparkEntry {
          1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS fake_frames
          FROM documents""",
     "lineage" -> operators.Lineage.oracleSql,
-    "incr_agg" -> operators.IncrementalOps.oracleSql
+    "incr_agg" -> operators.IncrementalOps.oracleSql,
+    "lake_dml" -> operators.MaintenanceOps.oracleSql
   )
 }
