@@ -144,7 +144,15 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // from pre-evolution files and must read as null — the vectorized
     // reader hard-errors on a missing NON-nullable column.
     val dataSchema = GraftDataSource.asNullable(snap.schema)
-    new GraftRelation(table, index, partitionSchema, dataSchema, parameters, spark)
+    // a column-mapped snapshot reads through the name-translating
+    // parquet format; identity-mapped tables keep the stock format
+    // (and its class-based plan-cache equality)
+    val fileFormat =
+      if (ColumnMapping.needsTranslation(snap.schema))
+        new GraftParquetFileFormat(ColumnMapping.mapping(snap.schema))
+      else new ParquetFileFormat
+    new GraftRelation(table, index, partitionSchema, dataSchema, fileFormat,
+      parameters, spark)
   }
 
   /** `CREATE TABLE ... USING graft` support: the session catalog stores
@@ -294,10 +302,11 @@ private[graft] class GraftRelation(
     val index: GraftFileIndex,
     partitionSchemaArg: StructType,
     dataSchemaArg: StructType,
+    fileFormat: ParquetFileFormat,
     options: Map[String, String],
     spark: SparkSession)
   extends HadoopFsRelation(index, partitionSchemaArg, dataSchemaArg,
-    bucketSpec = None, new ParquetFileFormat, options)(spark)
+    bucketSpec = None, fileFormat, options)(spark)
   with InsertableRelation {
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {

@@ -183,14 +183,24 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
         parts.filter { case (row, _) => bound.eval(row) }
       }
     // file-level data skipping on the logged min/max bounds: a file
-    // whose bounds exclude the pushed filters never reaches the scan
-    val dataSchema = StructType(
-      initialSnapshot.schema.filterNot(f => initialSnapshot.partitionColumns.contains(f.name)))
+    // whose bounds exclude the pushed filters never reaches the scan.
+    // Stats are keyed by PHYSICAL column names (the names in the files,
+    // collected at write time), so on a column-mapped table both the
+    // schema and the filters' attributes translate logical → physical
+    // before the bounds comparison — identity for unmapped tables.
+    val nameMap = ColumnMapping.mapping(initialSnapshot.schema)
+    val dataSchema = ColumnMapping.physicalSchema(
+      StructType(initialSnapshot.schema
+        .filterNot(f => initialSnapshot.partitionColumns.contains(f.name))))
+    val physFilters =
+      if (ColumnMapping.needsTranslation(initialSnapshot.schema))
+        dataFilters.map(ColumnMapping.physicalizeExpr(_, nameMap))
+      else dataFilters
     val skipped = pruned.map { case (row, files) =>
       val kept =
         if (dataFilters.isEmpty) files
         else files.filterNot { case (_, entry) =>
-          DataSkipping.skip(dataFilters, dataSchema, resolver, entry)
+          DataSkipping.skip(physFilters, dataSchema, resolver, entry)
         }
       (row, kept)
     }.filter(_._2.nonEmpty)

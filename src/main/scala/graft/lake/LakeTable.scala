@@ -104,9 +104,16 @@ object LakeTable {
     * the feature that requires it, and stamp the bumped version only on
     * tables that actually use the feature — older tables stay readable
     * by older clients.
+    *
+    * Version 2 = column mapping ([[ColumnMapping]]): the schema's
+    * logical names indirect to stable physical names in the data
+    * files. A version-1 reader would match logical names against the
+    * files and read every renamed column as null — exactly the silent
+    * misread the gate prevents. Only tables that RENAME/DROP a column
+    * (or enable mapping explicitly) get stamped 2.
     */
-  val MaxReaderVersion = 1
-  val MaxWriterVersion = 1
+  val MaxReaderVersion = 2
+  val MaxWriterVersion = 2
 
   final class ProtocolVersionException(msg: String) extends RuntimeException(msg)
 
@@ -789,11 +796,18 @@ object LakeTable {
     * reader plans from the log alone.
     */
   private def stageFiles(spark: SparkSession, table: String, df: DataFrame,
-                         partitionBy: Seq[String]): Seq[FileEntry] = {
+                         partitionBy: Seq[String],
+                         mapping: Map[String, String] = Map.empty): Seq[FileEntry] = {
+    // column mapping: files (and therefore their footer stats, and the
+    // stats recorded in the log) always carry PHYSICAL column names —
+    // `mapping` is the caller's authoritative logical → physical map
+    // for this commit's schema; identity (or empty) for unmapped tables
+    val physDf = ColumnMapping.renameToPhysical(df, mapping)
+    val physParts = partitionBy.map(p => mapping.getOrElse(p, p))
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    val writer = physDf.write.mode("overwrite")
+    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
       .parquet(staging.toString)
 
     val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
@@ -806,8 +820,8 @@ object LakeTable {
       }
     }
     // partition column values live in the dir path, not the file — only
-    // data columns have footer stats
-    val dataSchema = StructType(df.schema.filterNot(fl => partitionBy.contains(fl.name)))
+    // data columns have footer stats (physical names: the files' own)
+    val dataSchema = StructType(physDf.schema.filterNot(fl => physParts.contains(fl.name)))
     val conf = spark.sessionState.newHadoopConf()
     // move + stat + footer-read PER FILE, fanned out on a bounded pool:
     // serially this is the driver-side commit bottleneck once a write
@@ -909,14 +923,8 @@ object LakeTable {
         .withColumn(CommitVersionCol, lit(v))
         .withColumn(CommitTimestampCol, lit(e.timestampMs))
     }
-    def readData(files: Seq[String], schema: StructType): DataFrame = {
-      val base = dataPath(table)
-      spark.read
-        .option("basePath", base.toString)
-        .schema(GraftDataSource.asNullable(schema))
-        .parquet(files.map(rel => new Path(base, rel).toString): _*)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    }
+    def readData(files: Seq[String], schema: StructType): DataFrame =
+      readDataFiles(spark, table, schema, files)
     def emptyChanges: DataFrame = decorate(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         GraftDataSource.asNullable(e.schema)).withColumn(ChangeTypeCol, lit("insert"))
@@ -1002,6 +1010,65 @@ object LakeTable {
     s.drop(b.length + 1)
   }
 
+  /** Read specific data files of a snapshot directly (the rewrite /
+    * feed paths that bypass the registered source), translated for
+    * column mapping: the parquet read requests the PHYSICAL schema
+    * (deep-nullable — evolved columns are absent from old files) and
+    * the result renames back to `schema`'s logical names, in schema
+    * order. Identity rename for unmapped tables.
+    */
+  private[lake] def readDataFiles(spark: SparkSession, table: String,
+                                  schema: StructType,
+                                  relPaths: Seq[String]): DataFrame = {
+    val base = dataPath(table)
+    val nullable = GraftDataSource.asNullable(schema)
+    val df = spark.read
+      .option("basePath", base.toString)
+      .schema(ColumnMapping.physicalSchema(nullable))
+      .parquet(relPaths.map(rel => new Path(base, rel).toString): _*)
+    df.select(nullable.fields.map(f =>
+      col(ColumnMapping.physicalName(f)).as(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Incoming write schema decorated for the target's column mapping:
+    * fields whose name the snapshot knows take its physical name; new
+    * fields get a fresh one when (and only when) the table is mapped.
+    * Returns the decorated fields plus the logical → physical map to
+    * stage this write's files with. Identity for unmapped tables.
+    */
+  private def mappedIncoming(prev: Option[Snapshot],
+                             incoming: StructType): (StructType, Map[String, String]) =
+    prev match {
+      case Some(p) if ColumnMapping.isMapped(p.schema) =>
+        val snapMap = ColumnMapping.mapping(p.schema)
+        val fields = incoming.fields.map { f =>
+          ColumnMapping.withPhysical(f,
+            snapMap.getOrElse(f.name, ColumnMapping.freshPhysicalName()))
+        }
+        val st = StructType(fields)
+        (st, ColumnMapping.mapping(st))
+      case _ => (incoming, Map.empty)
+    }
+
+  /** Commit-time guard for writes that staged files BEFORE the commit
+    * loop resolved the final snapshot: if a racing RENAME/DROP (or
+    * mapping enable) changed any staged column's physical name since,
+    * the staged files carry the wrong names — abort loudly rather than
+    * commit unreadable bytes.
+    */
+  private def checkMappingStable(table: String, prev: Option[Snapshot],
+                                 incoming: StructType,
+                                 staged: Map[String, String]): Unit = {
+    val cur = prev.map(p => ColumnMapping.mapping(p.schema)).getOrElse(Map.empty)
+    val drift = incoming.fieldNames.filter(n =>
+      cur.get(n).exists(_ != staged.getOrElse(n, n)))
+    if (drift.nonEmpty)
+      throw new ConcurrentCommitException(
+        s"write to $table raced a column-mapping change (RENAME/DROP COLUMN) on: " +
+          s"${drift.mkString(", ")} — the staged files carry outdated physical " +
+          "names; re-run the write")
+  }
+
   // ---------------------------------------------------------------- writes
 
   private val maxRetries = 3
@@ -1017,7 +1084,8 @@ object LakeTable {
   private final case class CommitSpec(schema: StructType, partitionColumns: Seq[String],
                                       files: Seq[FileEntry], adds: Seq[FileEntry],
                                       removes: Seq[String], reset: Boolean,
-                                      txnUpdate: Map[String, Long] = Map.empty)
+                                      txnUpdate: Map[String, Long] = Map.empty,
+                                      protocol: Protocol = Protocol(1, 1))
 
   /** `txn = Some(appId -> version)` records an APPLICATION watermark in
     * the same commit (the txnAppId/txnVersion idiom): data and progress
@@ -1025,9 +1093,15 @@ object LakeTable {
     * `latestSnapshot.txns(appId)` and skip work it already committed —
     * the exactly-once primitive [[Incremental]] builds on.
     */
-  def overwrite(spark: SparkSession, table: String, df: DataFrame,
+  def overwrite(spark: SparkSession, table: String, df0: DataFrame,
                 partitionBy: Seq[String] = Nil,
                 txn: Option[(String, Long)] = None): Long = {
+    // overwrite replaces the schema wholesale, so it replaces the
+    // column mapping too: sanitize strips any metadata the frame
+    // carried from a mapped source, and the files are written with the
+    // logical names — the fresh-table state. (A renamed table's
+    // protocol stays ≥2, which is harmless: the stamp is monotonic.)
+    val df = ColumnMapping.sanitize(df0)
     val newFiles = stageFiles(spark, table, df, partitionBy)
     retryCommit(spark, table, "OVERWRITE") { prev =>
       // reset delta: carries the complete new file list, so it is its
@@ -1040,11 +1114,18 @@ object LakeTable {
   /** Append rows; new columns merge into the snapshot schema (old files
     * read them as null). Partitioning is carried from the table.
     */
-  def append(spark: SparkSession, table: String, df: DataFrame): Long = {
-    val parts = latestSnapshot(spark, table).map(_.partitionColumns).getOrElse(Nil)
-    val newFiles = stageFiles(spark, table, df, parts)
+  def append(spark: SparkSession, table: String, df0: DataFrame): Long = {
+    val df = ColumnMapping.sanitize(df0)
+    val prev0 = latestSnapshot(spark, table)
+    val parts = prev0.map(_.partitionColumns).getOrElse(Nil)
+    // on a mapped table the files stage under the snapshot's physical
+    // names (fresh names for evolution columns); the commit loop
+    // re-verifies the mapping against the snapshot it actually lands on
+    val (incoming, mapping) = mappedIncoming(prev0, df.schema)
+    val newFiles = stageFiles(spark, table, df, parts, mapping)
     retryCommit(spark, table, "APPEND") { prev =>
-      val schema = prev.map(p => mergeSchemas(p.schema, df.schema)).getOrElse(df.schema)
+      checkMappingStable(table, prev, df.schema, mapping)
+      val schema = prev.map(p => mergeSchemas(p.schema, incoming)).getOrElse(incoming)
       CommitSpec(schema, prev.map(_.partitionColumns).getOrElse(parts),
         prev.map(_.files).getOrElse(Nil) ++ newFiles, newFiles, Nil, reset = false)
     }
@@ -1065,15 +1146,17 @@ object LakeTable {
     * and the loser's staged files are dropped before they ever enter a
     * snapshot.
     */
-  def appendStream(spark: SparkSession, table: String, df: DataFrame,
+  def appendStream(spark: SparkSession, table: String, df0: DataFrame,
                    queryId: String, batchId: Long,
                    partitionByIfNew: Seq[String] = Nil): Option[Long] = {
+    val df = ColumnMapping.sanitize(df0)
     def alreadyCommitted(s: Option[Snapshot]): Boolean =
       s.exists(_.txns.get(queryId).exists(_ >= batchId))
     val prev0 = latestSnapshot(spark, table)
     if (alreadyCommitted(prev0)) return None // replay detected before any staging cost
     val parts = prev0.map(_.partitionColumns).getOrElse(partitionByIfNew)
-    val newFiles = stageFiles(spark, table, df, parts)
+    val (incoming, mapping) = mappedIncoming(prev0, df.schema)
+    val newFiles = stageFiles(spark, table, df, parts, mapping)
     val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1084,9 +1167,10 @@ object LakeTable {
           catch { case _: java.io.IOException => () }) // orphans; vacuum also reclaims
         return None
       }
+      checkMappingStable(table, prev, df.schema, mapping)
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
         System.currentTimeMillis(), "STREAMING APPEND",
-        prev.map(p => mergeSchemas(p.schema, df.schema)).getOrElse(df.schema),
+        prev.map(p => mergeSchemas(p.schema, incoming)).getOrElse(incoming),
         prev.map(_.partitionColumns).getOrElse(parts),
         prev.map(_.files).getOrElse(Nil) ++ newFiles,
         txns = prev.map(_.txns).getOrElse(Map.empty) + (queryId -> batchId))
@@ -1103,9 +1187,10 @@ object LakeTable {
     * the same `(queryId, batchId)` replay protection as
     * [[appendStream]].
     */
-  def overwriteStream(spark: SparkSession, table: String, df: DataFrame,
+  def overwriteStream(spark: SparkSession, table: String, df0: DataFrame,
                       queryId: String, batchId: Long,
                       partitionBy: Seq[String] = Nil): Option[Long] = {
+    val df = ColumnMapping.sanitize(df0) // replaces the mapping like overwrite
     def alreadyCommitted(s: Option[Snapshot]): Boolean =
       s.exists(_.txns.get(queryId).exists(_ >= batchId))
     val prev0 = latestSnapshot(spark, table)
@@ -1146,7 +1231,8 @@ object LakeTable {
       // would make a restarted stream re-append its last batch
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
         System.currentTimeMillis(), op, spec.schema, spec.partitionColumns, spec.files,
-        txns = prev.map(_.txns).getOrElse(Map.empty) ++ spec.txnUpdate)
+        txns = prev.map(_.txns).getOrElse(Map.empty) ++ spec.txnUpdate,
+        protocol = spec.protocol)
       if (tryCommit(spark, table, snap, spec.adds, spec.removes, spec.reset,
           prev = prev))
         return snap.version
@@ -1409,8 +1495,9 @@ object LakeTable {
     * the same discipline Delta asks of users via partition predicates
     * in the MERGE condition.
     */
-  def merge(spark: SparkSession, table: String, updates: DataFrame,
+  def merge(spark: SparkSession, table: String, updates0: DataFrame,
             keys: Seq[String], scopeToUpdatePartitions: Boolean = false): Long = {
+    val updates = ColumnMapping.sanitize(updates0)
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val keyCols = keys.map(col)
@@ -1444,7 +1531,9 @@ object LakeTable {
     // files that are not rewritten simply lack the column and read as
     // null — including the matched-but-untouched rows carried into the
     // rewritten files via the union below
-    val schema = mergeSchemas(snap.schema, updates.schema)
+    val (incoming, _) = mappedIncoming(Some(snap), updates.schema)
+    val schema = mergeSchemas(snap.schema, incoming)
+    val stagingMap = ColumnMapping.mapping(schema)
     val ordered = schema.fieldNames.map(col).toIndexedSeq
     def padTo(df: DataFrame): DataFrame = df.select(schema.fields.toSeq.map { fld =>
       if (df.columns.contains(fld.name)) col(fld.name).cast(fld.dataType).as(fld.name)
@@ -1452,10 +1541,7 @@ object LakeTable {
     }: _*)
     val affectedRows =
       if (affectedRel.isEmpty) None
-      else Some(spark.read
-        .option("basePath", base)
-        .schema(snap.schema)
-        .parquet(affectedRel.map(rel => new Path(base, rel).toString): _*))
+      else Some(readDataFiles(spark, table, snap.schema, affectedRel))
     val rewritten = affectedRows match {
       case None => updates
       case Some(rows) =>
@@ -1478,9 +1564,9 @@ object LakeTable {
     }
     val cdcFiles = stageChangeFiles(spark, table, cdcDf)
 
-    val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns)
+    val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns, stagingMap)
     commitRewrite(spark, table, snap, "MERGE",
-      cur => mergeSchemas(cur.schema, updates.schema),
+      cur => mergeSchemas(cur.schema, incoming),
       newFiles, affectedRel, scopeToUpdatePartitions, cdc = Some(cdcFiles))
   }
 
@@ -1631,7 +1717,8 @@ object LakeTable {
         source.alias("s")
           .join(read(spark, table, asOf = Some(snap.version)).select(keyCols: _*),
             keys, "left_anti"))
-      val newFiles = stageFiles(spark, table, insertRows, snap.partitionColumns)
+      val newFiles = stageFiles(spark, table, insertRows, snap.partitionColumns,
+        ColumnMapping.mapping(snap.schema))
       val cdcFiles = stageChangeFiles(spark, table,
         insertRows.withColumn(ChangeTypeCol, lit("insert")))
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
@@ -1691,12 +1778,7 @@ object LakeTable {
     val (rewritten, cdcRewrite) =
       if (affectedRel.isEmpty) (None, None)
       else {
-        val affectedPaths = affectedRel.map(rel => new Path(base, rel).toString)
-        val t = spark.read
-          .option("basePath", base)
-          .schema(snap.schema)
-          .parquet(affectedPaths: _*)
-          .alias("t")
+        val t = readDataFiles(spark, table, snap.schema, affectedRel).alias("t")
         val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
         val joined = t.join(sMarked.alias("s"), keyCond, "left_outer")
         val matchedMark = col("__s_matched").isNotNull
@@ -1738,10 +1820,7 @@ object LakeTable {
           if (affectedRel.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
               StructType(keys.map(k => snap.schema(k))))
-          else spark.read
-            .option("basePath", base)
-            .schema(snap.schema)
-            .parquet(affectedRel.map(rel => new Path(base, rel).toString): _*)
+          else readDataFiles(spark, table, snap.schema, affectedRel)
             .select(keyCols: _*)
         insertProjection(source.alias("s").join(existingKeys, keys, "left_anti"))
       }
@@ -1754,7 +1833,8 @@ object LakeTable {
         // rewrite clauses but no affected file and no insert: no-op
         return snap.version
     }
-    val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns)
+    val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns,
+      ColumnMapping.mapping(snap.schema))
     val cdcAll = (cdcRewrite.toSeq ++
       insertRows.map(_.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
       .reduce(_ unionByName _)
@@ -1948,15 +2028,11 @@ object LakeTable {
     val affectedRel = mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
     val matchedSet = affectedRel.toSet
     val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
-    val affectedPaths = affectedRel.map(rel => new Path(dataPath(table), rel).toString)
 
-    val affectedDf = spark.read
-      .option("basePath", dataPath(table).toString)
-      .schema(snap.schema)
-      .parquet(affectedPaths: _*)
-      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val affectedDf = readDataFiles(spark, table, snap.schema, affectedRel)
     val kept = affectedDf.filter(!coalesce(condition, lit(false)))
-    val newFiles = stageFiles(spark, table, kept, snap.partitionColumns)
+    val newFiles = stageFiles(spark, table, kept, snap.partitionColumns,
+      ColumnMapping.mapping(snap.schema))
     // change feed: the removed rows, recorded at commit time — the
     // only moment they are knowable
     val cdcFiles = stageChangeFiles(spark, table,
@@ -2005,14 +2081,10 @@ object LakeTable {
     val affectedRel = mapMatchedRel(spark, table, matchedAbs, "UPDATE", snap)
     val matchedSet = affectedRel.toSet
     val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
-    val affectedPaths = affectedRel.map(rel => new Path(dataPath(table), rel).toString)
 
     val setByName = set.toMap
     val hit = coalesce(condition, lit(false))
-    val affectedDf = spark.read
-      .option("basePath", dataPath(table).toString)
-      .schema(snap.schema)
-      .parquet(affectedPaths: _*)
+    val affectedDf = readDataFiles(spark, table, snap.schema, affectedRel)
     val applied = snap.schema.fields.toSeq.map { fld =>
       setByName.get(fld.name) match {
         case Some(v) => v.cast(fld.dataType).as(fld.name)
@@ -2026,7 +2098,8 @@ object LakeTable {
           case None => col(fld.name)
         }
       }.toIndexedSeq: _*)
-    val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns)
+    val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns,
+      ColumnMapping.mapping(snap.schema))
     // change feed: pre/post images of exactly the hit rows
     val hitRows = affectedDf.filter(hit)
     val cdcFiles = stageChangeFiles(spark, table,
@@ -2131,11 +2204,7 @@ object LakeTable {
     // sweet spot.
     val targetTasks = math.max(1,
       math.ceil(smallSized.map(_._2).sum.toDouble / targetFileBytes).toInt)
-    val packed = spark.read
-      .option("basePath", base.toString)
-      .schema(snap.schema)
-      .parquet(small.map(e => new Path(base, e.path).toString): _*)
-      .select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val packed = readDataFiles(spark, table, snap.schema, small.map(_.path))
     // partition cols lead the range-partitioning and the sort, so the
     // write path's required ordering is already satisfied and it does
     // not re-sort (which would destroy the clustering)
@@ -2159,7 +2228,8 @@ object LakeTable {
         packed.repartitionByRange(targetTasks, sCols.toIndexedSeq: _*)
           .sortWithinPartitions(sCols.toIndexedSeq: _*)
       } else packed.coalesce(targetTasks)
-    val newFiles = stageFiles(spark, table, rows, snap.partitionColumns)
+    val newFiles = stageFiles(spark, table, rows, snap.partitionColumns,
+      ColumnMapping.mapping(snap.schema))
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
       snap.schema, snap.partitionColumns, big ++ newFiles, txns = snap.txns)
     if (!tryCommit(spark, table, next, newFiles, small.map(_.path), prev = Some(snap)))
