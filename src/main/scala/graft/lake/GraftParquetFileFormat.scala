@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.StructType
   * never get this class (see [[GraftDataSource.createRelation]]); they
   * keep the stock [[ParquetFileFormat]] and its plan-cache equality.
   */
-private[lake] class GraftParquetFileFormat(logicalToPhysical: Map[String, String])
+private[lake] class GraftParquetFileFormat(val logicalToPhysical: Map[String, String])
     extends ParquetFileFormat {
 
   private def physicalize(schema: StructType): StructType =
