@@ -1056,12 +1056,19 @@ object LakeTable {
     * the staged files carry the wrong names — abort loudly rather than
     * commit unreadable bytes.
     */
-  private def checkMappingStable(table: String, prev: Option[Snapshot],
+  private def checkMappingStable(table: String, stagePrev: Option[Snapshot],
+                                 prev: Option[Snapshot],
                                  incoming: StructType,
                                  staged: Map[String, String]): Unit = {
+    val was = stagePrev.map(p => ColumnMapping.mapping(p.schema)).getOrElse(Map.empty)
     val cur = prev.map(p => ColumnMapping.mapping(p.schema)).getOrElse(Map.empty)
     val drift = incoming.fieldNames.filter(n =>
-      cur.get(n).exists(_ != staged.getOrElse(n, n)))
+      // the column's physical name changed since staging, or a column
+      // the stage-time snapshot knew has since been renamed/dropped —
+      // committing would re-add its old logical name over bytes (or a
+      // physical name) that now belong to something else
+      cur.get(n).exists(_ != staged.getOrElse(n, n)) ||
+        (was.contains(n) && !cur.contains(n)))
     if (drift.nonEmpty)
       throw new ConcurrentCommitException(
         s"write to $table raced a column-mapping change (RENAME/DROP COLUMN) on: " +
@@ -1124,7 +1131,7 @@ object LakeTable {
     val (incoming, mapping) = mappedIncoming(prev0, df.schema)
     val newFiles = stageFiles(spark, table, df, parts, mapping)
     retryCommit(spark, table, "APPEND") { prev =>
-      checkMappingStable(table, prev, df.schema, mapping)
+      checkMappingStable(table, prev0, prev, df.schema, mapping)
       val schema = prev.map(p => mergeSchemas(p.schema, incoming)).getOrElse(incoming)
       CommitSpec(schema, prev.map(_.partitionColumns).getOrElse(parts),
         prev.map(_.files).getOrElse(Nil) ++ newFiles, newFiles, Nil, reset = false)
@@ -1167,7 +1174,7 @@ object LakeTable {
           catch { case _: java.io.IOException => () }) // orphans; vacuum also reclaims
         return None
       }
-      checkMappingStable(table, prev, df.schema, mapping)
+      checkMappingStable(table, prev0, prev, df.schema, mapping)
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
         System.currentTimeMillis(), "STREAMING APPEND",
         prev.map(p => mergeSchemas(p.schema, incoming)).getOrElse(incoming),
@@ -2245,14 +2252,16 @@ object LakeTable {
     * as null, exactly like append/merge evolution; the new columns
     * must therefore be nullable.
     *
-    * A name that some LIVE file physically carries (visible in its
-    * logged stats — e.g. the column was dropped from the schema by an
-    * overwrite and is being re-added) is refused: the old bytes would
-    * silently resurrect as the "new" column's values. This guard is
-    * best-effort (stats only cover stats-bearing primitive columns);
-    * metadata-only DROP is deliberately not offered for the same
-    * reason — dropping safely without column mapping requires a
-    * physical rewrite (overwrite with the column projected away).
+    * On an UNMAPPED table, a name that some LIVE file physically
+    * carries (visible in its logged stats — e.g. the column was
+    * dropped from the schema by an overwrite and is being re-added) is
+    * refused: the old bytes would silently resurrect as the "new"
+    * column's values. This guard is best-effort (stats only cover
+    * stats-bearing primitive columns). On a COLUMN-MAPPED table the
+    * guard is unnecessary — every added field gets a fresh
+    * `col-<uuid>` physical name, so no live file can carry its bytes
+    * by construction; drop + re-add ([[dropColumn]]) reads null, never
+    * stale values.
     */
   def addColumns(spark: SparkSession, table: String, cols: StructType): Long = {
     require(cols.nonEmpty, "addColumns needs at least one column")
@@ -2268,14 +2277,117 @@ object LakeTable {
       require(notNullable.isEmpty,
         s"new column(s) must be nullable — existing rows have no value for: " +
           notNullable.mkString(", "))
-      val resurrected = cols.fieldNames.filter(n =>
-        prev.files.exists(_.stats.keys.exists(resolver(_, n))))
-      require(resurrected.isEmpty,
-        s"live data files of $table still carry bytes for: " +
-          s"${resurrected.mkString(", ")} — re-adding the name would resurrect " +
-          "stale values; rewrite first (overwrite/compact) or pick another name")
-      CommitSpec(StructType(prev.schema.fields ++ cols.fields),
+      val mapped = ColumnMapping.isMapped(prev.schema)
+      if (!mapped) {
+        val resurrected = cols.fieldNames.filter(n =>
+          prev.files.exists(_.stats.keys.exists(resolver(_, n))))
+        require(resurrected.isEmpty,
+          s"live data files of $table still carry bytes for: " +
+            s"${resurrected.mkString(", ")} — re-adding the name would resurrect " +
+            "stale values; rewrite first (overwrite/compact) or pick another name")
+      }
+      val newFields =
+        if (mapped) cols.fields.map(f =>
+          ColumnMapping.withPhysical(f, ColumnMapping.freshPhysicalName()))
+        else cols.fields
+      CommitSpec(StructType(prev.schema.fields ++ newFields),
         prev.partitionColumns, prev.files, Nil, Nil, reset = false)
+    }
+  }
+
+  /** Stamp every field that lacks one with physical name == its
+    * current logical name — the state transition that turns an
+    * unmapped table into a mapped one without touching a byte: the
+    * files already carry exactly those names.
+    */
+  private def ensureMapped(schema: StructType): StructType =
+    StructType(schema.fields.map(f =>
+      if (f.metadata.contains(ColumnMapping.PhysicalNameKey)) f
+      else ColumnMapping.withPhysical(f, f.name)))
+
+  /** Enable column mapping explicitly (RENAME/DROP COLUMN do it
+    * implicitly on first use): each field's current name becomes its
+    * stable physical name, and the commit stamps `Protocol(2, 2)` — a
+    * version-1 reader would match logical names against the files and
+    * silently misread every later-renamed column as null, so it must
+    * refuse instead (see [[Protocol]]). Metadata-only; no data files
+    * are read or written. Idempotent.
+    */
+  def enableColumnMapping(spark: SparkSession, table: String): Long =
+    retryCommit(spark, table, "ENABLE COLUMN MAPPING") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+      CommitSpec(ensureMapped(prev.schema), prev.partitionColumns, prev.files,
+        Nil, Nil, reset = false, protocol = Protocol(2, 2))
+    }
+
+  /** `ALTER TABLE … RENAME COLUMN` — metadata-only: the field keeps
+    * its physical name (the one in the data files and their logged
+    * stats), only the logical name in the schema changes; zero data
+    * files are read or written, at any table size. First use enables
+    * column mapping ([[enableColumnMapping]]) and stamps
+    * `Protocol(2, 2)` in the same commit. Reads and writes after the
+    * rename translate logical ⇄ physical at the scan/stage boundary
+    * ([[GraftParquetFileFormat]], [[stageFiles]]); time travel to
+    * pre-rename versions sees the old name. The reference renames
+    * Iceberg columns the same metadata-only way via Trino ALTER (ref:
+    * trino_iceberg_transform_component.py:116-123).
+    *
+    * Partition columns are not renameable: their names are baked into
+    * the hive directory layout of every existing data file.
+    */
+  def renameColumn(spark: SparkSession, table: String,
+                   oldName: String, newName: String): Long = {
+    require(newName.nonEmpty, "new column name must be non-empty")
+    val resolver = spark.sessionState.conf.resolver
+    retryCommit(spark, table, "RENAME COLUMN") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+      require(!prev.partitionColumns.exists(resolver(_, oldName)),
+        s"cannot rename partition column '$oldName' of $table — partition " +
+          "names are baked into the hive directory layout of existing files")
+      val mapped = ensureMapped(prev.schema)
+      val idx = mapped.fields.indexWhere(f => resolver(f.name, oldName))
+      require(idx >= 0, s"no such column on $table: '$oldName'")
+      val clash = mapped.fields.zipWithIndex.exists { case (f, i) =>
+        i != idx && resolver(f.name, newName) }
+      require(!clash, s"column '$newName' already exists on $table")
+      val fields = mapped.fields.clone()
+      fields(idx) = fields(idx).copy(name = newName)
+      CommitSpec(StructType(fields), prev.partitionColumns, prev.files,
+        Nil, Nil, reset = false, protocol = Protocol(2, 2))
+    }
+  }
+
+  /** `ALTER TABLE … DROP COLUMN` — metadata-only: the field leaves the
+    * schema; the bytes in existing files are simply never requested
+    * again (and vanish physically as compaction/DML rewrite the files
+    * through the post-drop schema). First use enables column mapping
+    * and stamps `Protocol(2, 2)`, which is what makes a later re-add
+    * of the same name SAFE: [[addColumns]] on a mapped table assigns a
+    * fresh `col-<uuid>` physical name, so the dropped bytes can never
+    * resurrect as the new column's values — they read as null.
+    *
+    * Partition columns cannot be dropped (their values live in the
+    * directory layout, not the files); the last data column cannot be
+    * dropped (a table needs a schema).
+    */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val resolver = spark.sessionState.conf.resolver
+    retryCommit(spark, table, "DROP COLUMN") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+      require(!prev.partitionColumns.exists(resolver(_, name)),
+        s"cannot drop partition column '$name' of $table — partition values " +
+          "live in the directory layout of existing files")
+      val mapped = ensureMapped(prev.schema)
+      val idx = mapped.fields.indexWhere(f => resolver(f.name, name))
+      require(idx >= 0, s"no such column on $table: '$name'")
+      require(mapped.fields.length > 1,
+        s"cannot drop the last column of $table")
+      CommitSpec(StructType(mapped.fields.patch(idx, Nil, 1)),
+        prev.partitionColumns, prev.files,
+        Nil, Nil, reset = false, protocol = Protocol(2, 2))
     }
   }
 
