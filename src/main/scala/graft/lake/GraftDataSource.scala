@@ -147,12 +147,23 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // a column-mapped snapshot reads through the name-translating
     // parquet format; identity-mapped tables keep the stock format
     // (and its class-based plan-cache equality)
+    val mapped = ColumnMapping.needsTranslation(snap.schema)
     val fileFormat =
-      if (ColumnMapping.needsTranslation(snap.schema))
-        new GraftParquetFileFormat(ColumnMapping.mapping(snap.schema))
+      if (mapped) new GraftParquetFileFormat(ColumnMapping.mapping(snap.schema))
       else new ParquetFileFormat
+    // HadoopFsRelation equality includes `options`, and stock
+    // ParquetFileFormat.equals is isInstanceOf-based (so
+    // stock.equals(graftFormat) is TRUE while the reverse is false).
+    // Stamp the mapping into the relation's options so a mapped
+    // relation can never compare equal to a stock-format relation —
+    // in EITHER direction — whatever a cache's lookup order is.
+    val relOptions =
+      if (mapped)
+        parameters + ("graft.columnMapping" ->
+          ColumnMapping.mapping(snap.schema).toSeq.sorted.mkString(","))
+      else parameters
     new GraftRelation(table, index, partitionSchema, dataSchema, fileFormat,
-      parameters, spark)
+      relOptions, spark)
   }
 
   /** `CREATE TABLE ... USING graft` support: the session catalog stores

@@ -81,14 +81,27 @@ private[lake] object ZOrder {
   /** Rank bucket of `c` against sorted `boundaries`:
     * `count(b <= c)` — 0 for nulls (and for an all-null sample, where
     * there are no boundaries at all).
+    *
+    * Computed as a balanced binary-search decision tree of `when`
+    * expressions over the sorted boundary literals: ~log2(n)
+    * comparisons evaluated per row (the generated code follows one
+    * root-to-leaf path) instead of the previous `aggregate`'s O(n)
+    * scan — still built-in codegen'd expressions only, no UDF.
     */
   def bucket(c: Column, boundaries: Seq[Any]): Column =
     if (boundaries.isEmpty) lit(0)
     else {
-      val arr = array(boundaries.map(lit).toIndexedSeq: _*)
-      when(c.isNull, lit(0)).otherwise(
-        aggregate(arr, lit(0),
-          (acc, b) => acc + when(c.geq(b), lit(1)).otherwise(lit(0))))
+      // rank(lo, hi): the count, given it is already known to lie in
+      // [lo, hi]. boundaries is sorted ascending and distinct, so
+      // c >= boundaries(mid) pins every index <= mid as counted.
+      def rank(lo: Int, hi: Int): Column =
+        if (lo >= hi) lit(lo)
+        else {
+          val mid = (lo + hi) / 2
+          when(c.geq(lit(boundaries(mid))), rank(mid + 1, hi))
+            .otherwise(rank(lo, mid))
+        }
+      when(c.isNull, lit(0)).otherwise(rank(0, boundaries.length))
     }
 
   /** MSB-first bit interleave of the bucket ids (each in [0, Buckets))

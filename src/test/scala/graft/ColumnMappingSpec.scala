@@ -309,6 +309,52 @@ class ColumnMappingSpec extends SparkSpec {
     assert(fa.hashCode != fb.hashCode)
   }
 
+  test("stock-vs-mapped relations never alias, in EITHER equality direction") {
+    // Spark's ParquetFileFormat.equals is isInstanceOf-based, so
+    // stockFormat.equals(graftFormat) is TRUE while the reverse is
+    // false — a cache comparing stock-first could alias a mapped
+    // relation to a plain one. The defense: mapped relations stamp
+    // their mapping into the HadoopFsRelation `options` (part of
+    // case-class equality), so the relations compare unequal in BOTH
+    // directions regardless of the format's asymmetry.
+    val t = tmpTable("cm_stockfirst")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "tag"))
+    LakeTable.renameColumn(spark, t, "tag", "label")
+    // the asymmetry itself, documented:
+    val stockFmt = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val graftFmt = new GraftParquetFileFormat(Map("label" -> "tag"))
+    assert(stockFmt.equals(graftFmt), "Spark's class-based equals (the hazard)")
+    assert(!graftFmt.equals(stockFmt))
+
+    // stock parquet relation over the SAME files, resolved and CACHED
+    // FIRST — the stock-first lookup direction
+    val stockDf = spark.read.parquet(s"$t/data")
+    stockDf.cache()
+    try {
+      assert(stockDf.columns.toSeq == Seq("id", "tag"), "raw files carry physical names")
+      assert(stockDf.select("tag").as[String].head() == "a")
+      val graftDf = spark.read.format("graft").load(t)
+      // the mapped read must NOT hit the cached stock plan
+      assert(graftDf.columns.toSeq == Seq("id", "label"))
+      assert(graftDf.select("label").as[String].head() == "a")
+      import org.apache.spark.sql.execution.datasources.LogicalRelation
+      def relOf(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.analyzed.collectFirst {
+          case l: LogicalRelation => l.relation
+        }.getOrElse(fail("no LogicalRelation"))
+      val stockRel = relOf(stockDf)
+      val graftRel = relOf(graftDf)
+      assert(!stockRel.equals(graftRel), "stock-first comparison must not alias")
+      assert(!graftRel.equals(stockRel), "graft-first comparison must not alias")
+      // the distinct key is structural: the mapping is in the options
+      graftRel match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          assert(h.options.contains("graft.columnMapping"))
+        case other => fail(s"unexpected relation ${other.getClass}")
+      }
+    } finally stockDf.unpersist()
+  }
+
   test("enableColumnMapping is explicit, idempotent, and write-compatible") {
     val (t, local) = cfsTable("cm_enable")
     LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "tag"))

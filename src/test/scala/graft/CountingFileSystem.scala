@@ -30,6 +30,15 @@ class CountingFileSystem extends RawLocalFileSystem {
     super.open(f, bufferSize)
   }
 
+  // every public create() overload funnels through this one
+  override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    CountingFileSystem.recordCreate(f)
+    super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+
   override def getFileStatus(f: Path): FileStatus = strip(super.getFileStatus(f))
 }
 
@@ -37,11 +46,13 @@ object CountingFileSystem {
   val uri: java.net.URI = java.net.URI.create("cfs:///")
   private val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val opened = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def record(p: Path): Unit = listed.add(p.toUri.getPath)
   private def recordOpen(p: Path): Unit = opened.add(p.toUri.getPath)
+  private def recordCreate(p: Path): Unit = created.add(p.toUri.getPath)
 
-  def reset(): Unit = { listed.clear(); opened.clear() }
+  def reset(): Unit = { listed.clear(); opened.clear(); created.clear() }
 
   /** Paths listed since the last reset that contain `fragment`. */
   def listedUnder(fragment: String): Seq[String] = {
@@ -57,6 +68,16 @@ object CountingFileSystem {
   def openedUnder(fragment: String): Seq[String] = {
     import scala.jdk.CollectionConverters._
     opened.iterator().asScala.filter(_.contains(fragment)).toSeq
+  }
+
+  /** Paths created (written) since the last reset that contain
+    * `fragment` — the per-step metadata-WRITE counter: on an object
+    * store every create is a PUT, so "how many files did this step
+    * write" bounds the commit/checkpoint cost that scales.
+    */
+  def createdUnder(fragment: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    created.iterator().asScala.filter(_.contains(fragment)).toSeq
   }
 
   /** Install the cfs:// scheme on the session's Hadoop conf (idempotent). */
@@ -81,3 +102,17 @@ class CountingAbstractFs(uri: java.net.URI, conf: Configuration)
 class UnpublishableFileSystem extends CountingFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("nofs:///")
 }
+
+/** The same local filesystem under `mput://` — also ships with NO
+  * built-in publisher (no atomic rename/link exists on the emulated
+  * store), but specs register a mock conditional-PUT publisher for it
+  * (emulated S3 `If-None-Match`), proving the `registerCommitPublisher`
+  * seam suffices for an S3-style deployment.
+  */
+class MockPutFileSystem extends CountingFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mput:///")
+}
+
+class MockPutAbstractFs(uri: java.net.URI, conf: Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new MockPutFileSystem, conf, "mput", false)

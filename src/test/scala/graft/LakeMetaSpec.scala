@@ -483,6 +483,66 @@ class LakeMetaSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.checkpoint.segmentTargetEntries")
   }
 
+  test("checkpoint segment reuse: O(touched) writes and reads, zero re-listing — counting-FS proof") {
+    // The segment-name diff test above proves WHICH segments a
+    // checkpoint references; this one proves the I/O COST on the
+    // counting filesystem: a checkpoint cycle writes only the window's
+    // fresh segments (tmp creates), reads only the runt/touched
+    // segments it folds or rewrites, and never LISTS the manifest
+    // directory — i.e. untouched segments are reused by reference
+    // alone, the Iceberg manifest-list shape. On an object store these
+    // counters are PUTs and GETs, the cost that scales.
+    spark.conf.set("spark.graft.checkpoint.segmentTargetEntries", "8")
+    try {
+      val t = cfsTable("meta_segio")
+      LakeTable.overwrite(spark, t, Seq((1L, "r1")).toDF("id", "s")) // v1
+      (2 to 30).foreach { i =>
+        LakeTable.append(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+      } // checkpoints at v10, v20, v30; table: 30 files in ~4 segments
+      // --- cycle 1: append-only window ending in the v40 checkpoint
+      CountingFileSystem.reset()
+      (31 to 40).foreach { i =>
+        LakeTable.append(spark, t, Seq((i.toLong, s"r$i")).toDF("id", "s"))
+      }
+      val segWrites1 = CountingFileSystem.createdUnder(".seg-tmp-").size
+      assert(segWrites1 > 0, "a checkpoint landed in this window")
+      assert(segWrites1 <= 4,
+        s"append window wrote $segWrites1 segments (table: 40 entries ≥5 segments) — " +
+          "untouched segments must carry over by reference, never rewrite")
+      assert(CountingFileSystem.listedUnder("_manifests").isEmpty,
+        "checkpointing must never list the manifest directory")
+      // (segment OPENS are not asserted here: every commit's snapshot
+      // reconstruction legitimately reads the base checkpoint's
+      // segments — the manifest-list read Iceberg/Delta pay too; the
+      // reuse claim is about WRITES and LISTINGS)
+      // --- cycle 2: a removal + appends ending in the v50 checkpoint
+      LakeTable.delete(spark, t, col("id") === 3L) // v41: one file removed
+      CountingFileSystem.reset()
+      (42 to 50).foreach { i =>
+        LakeTable.append(spark, t, Seq((i.toLong + 100, s"r$i")).toDF("id", "s"))
+      }
+      val segWrites2 = CountingFileSystem.createdUnder(".seg-tmp-").size
+      assert(segWrites2 <= 5,
+        s"remove window wrote $segWrites2 segments — only the covering segment " +
+          "rewrites, plus the window's adds")
+      assert(CountingFileSystem.listedUnder("_manifests").isEmpty)
+      // --- the cheap checkpoints are still COMPLETE and equivalent to replay
+      val live = LakeTable.latestSnapshot(spark, t).get.files.size
+      val viaCp = LakeTable.snapshotAt(spark, t, 50L)
+      assert(viaCp.files.size == live)
+      val logDir = java.nio.file.Paths.get(
+        new java.net.URI("file:" + t.stripPrefix("cfs:") + "/_graft_log"))
+      import scala.jdk.CollectionConverters._
+      val l = java.nio.file.Files.list(logDir)
+      try l.iterator().asScala.filter(_.getFileName.toString.endsWith(".checkpoint.json"))
+        .toSeq.foreach(java.nio.file.Files.delete)
+      finally l.close()
+      val replayed = LakeTable.snapshotAt(spark, t, 50L)
+      assert(viaCp.files.map(_.path).toSet == replayed.files.map(_.path).toSet,
+        "counting-FS-cheap checkpoints and delta replay must agree")
+    } finally spark.conf.unset("spark.graft.checkpoint.segmentTargetEntries")
+  }
+
   test("snapshot reconstruction reads O(interval) log files, independent of history length") {
     val t = cfsTable("meta_ropen")
     LakeTable.overwrite(spark, t, Seq((1L, "r1")).toDF("id", "s"))

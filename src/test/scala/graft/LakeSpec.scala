@@ -286,6 +286,68 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.latestSnapshot(spark, t).get.version == base.version + 5)
   }
 
+  test("mock conditional-PUT publisher: the seam carries the full race guarantee") {
+    // An S3-style deployment registers a publisher backed by a
+    // conditional PUT (If-None-Match) — no rename/link primitive exists
+    // on the scheme at all. The mock emulates the store's atomic
+    // check-and-create (per-key mutex around exists+copy, the fidelity a
+    // local emulation can offer) and is driven through the same
+    // latch-aligned 8-writer race as the built-in publishers.
+    val puts = new java.util.concurrent.atomic.AtomicInteger
+    val rejects = new java.util.concurrent.atomic.AtomicInteger
+    val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    LakeTable.registerCommitPublisher("mput", new graft.lake.CommitPublisher {
+      def publishIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+                          tmp: org.apache.hadoop.fs.Path,
+                          target: org.apache.hadoop.fs.Path): Boolean = {
+        val lock = locks.computeIfAbsent(target.toUri.getPath, _ => new Object)
+        lock.synchronized {
+          if (f.exists(target)) { rejects.incrementAndGet(); false }
+          else {
+            org.apache.hadoop.fs.FileUtil.copy(f, tmp, f, target, false, false, f.getConf)
+            puts.incrementAndGet(); true
+          }
+        }
+      }
+    })
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mput.impl", classOf[MockPutFileSystem].getName)
+    conf.set("fs.AbstractFileSystem.mput.impl", classOf[MockPutAbstractFs].getName)
+    val t = "mput:" + tmpTable("lake_mput")
+    LakeTable.overwrite(spark, t, Seq((0L, "base")).toDF("id", "s"))
+    assert(puts.get >= 1, "commits on mput must flow through the registered publisher")
+    val base = LakeTable.latestSnapshot(spark, t).get
+    val m = tryCommitHandle
+    (1 to 5).foreach { round =>
+      val v = base.version + round
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val futures = (1 to 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val snap = base.copy(version = v, operation = s"W$i")
+            start.await()
+            if (m.invoke(LakeTable, spark, t, snap, Seq.empty, Seq.empty,
+                java.lang.Boolean.FALSE, None, None).asInstanceOf[Boolean])
+              wins.add(s"W$i")
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get())
+      pool.shutdown()
+      assert(wins.size == 1, s"version $v: ${wins.size} writers claimed the win")
+      assert(LakeTable.snapshotAt(spark, t, v).operation == wins.peek())
+    }
+    assert(LakeTable.latestSnapshot(spark, t).get.version == base.version + 5)
+    // losers really did hit the conditional-PUT rejection path (not the
+    // pre-publish exists() fast path every time)
+    assert(rejects.get >= 1,
+      "the race never exercised the publisher's conditional rejection")
+    assert(LakeTable.read(spark, t).count() == 1)
+  }
+
   test("concurrent appends all land via optimistic retry; versions contiguous") {
     val t = tmpTable("lake_capp")
     LakeTable.overwrite(spark, t, Seq((0L, "x")).toDF("id", "s"))
