@@ -30,13 +30,22 @@ class CountingFileSystem extends RawLocalFileSystem {
     super.open(f, bufferSize)
   }
 
-  // every public create() overload funnels through this one
+  // RawLocalFileSystem implements BOTH public create() variants
+  // directly against its private 8-arg create (they do not chain
+  // through each other), so both must record — overriding only the
+  // FsPermission one misses every plain f.create(path, overwrite) call
   override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
                       overwrite: Boolean, bufferSize: Int, replication: Short,
                       blockSize: Long, progress: org.apache.hadoop.util.Progressable)
       : org.apache.hadoop.fs.FSDataOutputStream = {
     CountingFileSystem.recordCreate(f)
     super.create(f, permission, overwrite, bufferSize, replication, blockSize, progress)
+  }
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    CountingFileSystem.recordCreate(f)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
   }
 
   override def getFileStatus(f: Path): FileStatus = strip(super.getFileStatus(f))
