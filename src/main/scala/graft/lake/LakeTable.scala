@@ -2411,18 +2411,36 @@ object LakeTable {
     val f = fs(spark, table)
     val base = dataPath(table)
     // existence probes fan out like staging: bounded pool, one RPC each
-    val missing = stageParallel(target.filePaths)(rel =>
+    def probeMissing(): Seq[String] = stageParallel(target.filePaths)(rel =>
       if (f.exists(new Path(base, rel))) None else Some(rel)).flatten
-    require(missing.isEmpty,
-      s"cannot restore $table to version $version: ${missing.size} of its data " +
-        s"file(s) were vacuumed (first: ${missing.headOption.getOrElse("")}) — " +
-        "that version is outside the retention window")
-    retryCommit(spark, table, "RESTORE") { prev =>
+    // probe INSIDE each commit attempt, so the vulnerable window
+    // against a concurrent vacuum is one probe→publish, not the whole
+    // call; vacuum narrows its side too (it re-validates its doomed
+    // list against the log right before deleting, so a committed
+    // RESTORE re-protects its files)
+    val v = retryCommit(spark, table, "RESTORE") { prev =>
       require(prev.exists(_.version >= version),
         s"restore target $version is beyond the latest version of $table")
+      val missing = probeMissing()
+      require(missing.isEmpty,
+        s"cannot restore $table to version $version: ${missing.size} of its data " +
+          s"file(s) were vacuumed (first: ${missing.headOption.getOrElse("")}) — " +
+          "that version is outside the retention window")
       CommitSpec(target.schema, target.partitionColumns, target.files,
         target.files, Nil, reset = true)
     }
+    // detection for the residual window: a vacuum whose live set
+    // predates this commit may still have swept the re-referenced
+    // files between our probe and publish — surface that NOW, loudly,
+    // instead of as FILE_NOT_EXIST at some later read
+    val gone = probeMissing()
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"restore of $table to version $version committed as v$v, but " +
+          s"${gone.size} re-referenced data file(s) were vacuumed concurrently " +
+          s"(first: ${gone.head}) — the restored version is unreadable; re-run " +
+          "restore to a version inside the current retention window")
+    v
   }
 
   // ---------------------------------------------------------------- vacuum
@@ -2466,6 +2484,24 @@ object LakeTable {
     if (!f.exists(dp)) return 0
     var deleted = 0
     val toDelete = scala.collection.mutable.ArrayBuffer.empty[Path]
+    // Restore-race re-validation, called right before any data-file
+    // deletion: a commit that landed while this vacuum walked (a
+    // RESTORE re-referencing old files being the dangerous one) makes
+    // doomed files live again. Re-resolving the retained set against
+    // the CURRENT log shrinks the unprotected window from the whole
+    // listing+compute duration to one metadata roundtrip. (Fully
+    // closing it needs store-side coordination no object store offers;
+    // restore's own probe-in-commit + post-commit verify covers the
+    // residue loudly.)
+    def revalidated(paths: Seq[Path]): Seq[Path] = {
+      val vsNow = versionsFast(spark, table)
+      if (vsNow == vs) paths
+      else {
+        val retainedNow = vsNow.takeRight(math.max(1, retainVersions))
+          .flatMap(v => snapshotAt(spark, table, v).filePaths).toSet
+        paths.filterNot(p => retainedNow.contains(relativize(dp, p)))
+      }
+    }
     partitionFilter match {
       case Some(c) =>
         val snap = snapshotAt(spark, table, vs.max)
@@ -2490,7 +2526,9 @@ object LakeTable {
           }
         walk(dp, "", 0)
         if (dryRun) deleted += toDelete.size
-        else toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+        else revalidated(toDelete.toSeq).foreach { p =>
+          if (f.delete(p, false)) deleted += 1
+        }
         return deleted
       case None => ()
     }
@@ -2502,7 +2540,9 @@ object LakeTable {
         toDelete += st.getPath
     }
     if (dryRun) deleted += toDelete.size
-    else toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    else revalidated(toDelete.toSeq).foreach { p =>
+      if (f.delete(p, false)) deleted += 1
+    }
     // change-data files age out with their versions: keep those the
     // retained versions recorded (the feed stays readable over the
     // same window time travel works), sweep the rest once old enough

@@ -22,6 +22,7 @@ class CountingFileSystem extends RawLocalFileSystem {
 
   override def listStatus(f: Path): Array[FileStatus] = {
     CountingFileSystem.record(f)
+    CountingFileSystem.onList(f.toUri.getPath)
     super.listStatus(f).map(strip)
   }
 
@@ -61,7 +62,14 @@ object CountingFileSystem {
   private def recordOpen(p: Path): Unit = opened.add(p.toUri.getPath)
   private def recordCreate(p: Path): Unit = created.add(p.toUri.getPath)
 
-  def reset(): Unit = { listed.clear(); opened.clear(); created.clear() }
+  def reset(): Unit = { listed.clear(); opened.clear(); created.clear(); onList = _ => () }
+
+  /** Test interception hook: invoked with each listed path BEFORE the
+    * listing returns — lets a spec deterministically interleave a
+    * commit into another operation's list-then-act window (e.g. a
+    * RESTORE landing mid-vacuum). Reset() clears it.
+    */
+  @volatile var onList: String => Unit = _ => ()
 
   /** Paths listed since the last reset that contain `fragment`. */
   def listedUnder(fragment: String): Seq[String] = {

@@ -286,6 +286,33 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.latestSnapshot(spark, t).get.version == base.version + 5)
   }
 
+  test("vacuum re-validates its doomed list against a RESTORE that commits mid-walk") {
+    // the documented restore-vs-vacuum race, driven deterministically:
+    // vacuum resolves its retained set, then — while it walks the data
+    // tree — a RESTORE commits, re-referencing files vacuum already
+    // marked doomed. The pre-delete re-validation must notice the log
+    // advanced and keep its hands off the re-referenced files.
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val t = "cfs:" + tmpTable("lake_rvac")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s")) // v1
+    LakeTable.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s")) // v2
+    LakeTable.overwrite(spark, t, Seq((3L, "c")).toDF("id", "s")) // v3
+    @volatile var fired = false
+    CountingFileSystem.onList = p =>
+      if (!fired && p.contains("/t/data")) {
+        fired = true
+        LakeTable.restore(spark, t, 1L) // v4: re-references v1's files
+      }
+    try {
+      val n = LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
+      assert(fired, "the interleaved restore never ran")
+      assert(n >= 1, "v2's files are genuinely unreferenced and must still sweep")
+      // the restored table reads in full: v1's files survived the sweep
+      assert(LakeTable.read(spark, t).as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a")))
+    } finally CountingFileSystem.reset()
+  }
+
   test("mock conditional-PUT publisher: the seam carries the full race guarantee") {
     // An S3-style deployment registers a publisher backed by a
     // conditional PUT (If-None-Match) — no rename/link primitive exists
