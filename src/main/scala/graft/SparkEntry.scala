@@ -56,6 +56,7 @@ object SparkEntry {
     "doc_fingerprint"      -> ((s, d) => TextAnalysis.docFingerprint(s, d)),
     "redact_pii"           -> ((s, d) => TextAnalysis.redactPii(s, d)),
     "dataset_split"        -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
+    "seq_pack"             -> ((s, d) => TextAnalysis.seqPack(s, d)),
     "decontaminate"        -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "stratified_sample"    -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "rep_ngrams"           -> ((s, d) => TextAnalysis.repNgrams(s, d)),
@@ -376,6 +377,18 @@ object SparkEntry {
            CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'
                 ELSE 'test' END AS split
          FROM b""",
+    "seq_pack" ->
+      """WITH t AS (SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT doc_id, source, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+         FROM c""",
     "decontaminate" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
          s AS (SELECT doc_id,

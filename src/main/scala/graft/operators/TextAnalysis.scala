@@ -92,6 +92,32 @@ object TextAnalysis {
             + lit(0.3) * (lit(1.0) - col("punct_ratio")), 4).as("quality_score"))
   }
 
+  /** Sequence packing: stream each source shard's documents (doc_id
+    * order) into a token buffer and cut a training pack every `budget`
+    * tokens — the concat-then-chunk packing a pretraining dataloader
+    * performs, precomputed as an assignment table. `pack_id` is the
+    * pack a document STARTS in (floor of its exclusive running-token
+    * offset over the budget); `pack_offset` is its first token's
+    * position within that pack. One window shuffle keyed on the shard
+    * column; at 100 TB the shards partition the corpus, so there is no
+    * global sort and each shard's running sum is independent —
+    * parallelism = number of sources, the same contract a sharded
+    * dataloader has.
+    */
+  def seqPack(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(budget.toLong)).as("pack_id"),
+        ((col("cum") - col("n_tokens")) % lit(budget.toLong)).as("pack_offset"))
+  }
+
   /** Deterministic train/val/test split (8/1/1) by content-independent
     * key hash — stable under re-runs and corpus growth, no RNG state.
     * The bucket is derived from md5 bytes so the same rows land in the

@@ -159,6 +159,33 @@ class DedupSpec extends SparkSpec {
     assert(df.map(_.getAs[String]("term")).distinct.length == 20)
   }
 
+  test("seq_pack streams each shard into contiguous fixed-budget packs") {
+    val budget = 2048L
+    val df = TextAnalysis.seqPack(spark, sf).cache()
+    assert(df.count() == Tables.documents(spark, sf).count(),
+      "every document is assigned to exactly one pack")
+    // offsets live inside the budget; ids/offsets are non-negative
+    assert(df.filter(col("pack_offset") < 0 || col("pack_offset") >= budget ||
+      col("pack_id") < 0).count() == 0)
+    // the assignment is exactly the exclusive running-token offset:
+    // recompute it independently with a window and compare
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val check = df
+      .withColumn("start", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("pack_id") =!= floor(col("start") / budget) ||
+        col("pack_offset") =!= col("start") % budget)
+    assert(check.count() == 0, "pack assignment must equal the running offset")
+    // packs are contiguous per shard: ids are dense from 0
+    import spark.implicits._
+    df.groupBy("source").agg(max("pack_id").as("mx"),
+        countDistinct("pack_id").as("nd"))
+      .as[(String, Long, Long)].collect().foreach { case (src, mx, nd) =>
+        assert(nd == mx + 1, s"shard $src has pack-id holes")
+      }
+  }
+
   test("stratified sample decides row-locally from key hash and stratum rate") {
     val df = TextAnalysis.stratifiedSample(spark, sf).cache()
     assert(df.count() == Tables.documents(spark, sf).count())
