@@ -35,6 +35,32 @@ class AnalyticsPlanSpec extends SparkSpec {
   }
 }
 
+/** Pins seq_pack's plan contract: exactly ONE shuffle (the shard-key
+  * Exchange feeding the running-sum window) and a column-pruned scan —
+  * the properties that make it shard-parallel at 100 TB. A regression
+  * to a global sort or a second shuffle would pass correctness and
+  * only show up here.
+  */
+class SeqPackPlanSpec extends SparkSpec {
+  test("seq_pack plans one shard-key shuffle over a pruned scan") {
+    val df = operators.TextAnalysis.seqPack(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // AdaptiveSparkPlan.toString prints BOTH the final and the initial
+    // plan — count shuffles in the final section only
+    val finalPlan = plan.toString.split("== Initial Plan ==")(0)
+    val shuffles = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly one shuffle, got $shuffles:\n$plan")
+    assert(!finalPlan.contains("rangepartitioning"),
+      "seq_pack must never global-sort")
+    // the scan leaf sits inside an AQE query stage — assert the pruned
+    // read schema from the rendered plan
+    assert(finalPlan.contains(
+      "ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"scan must prune to the 3 referenced columns:\n$finalPlan")
+  }
+}
+
 /** Same discipline for rollup_sales: the rollup-over-pre-aggregate form
   * must equal the native rollup bit-for-bit, and its Expand must sit
   * above the fact aggregate (replicating ≤|flag×status| rows), not on
