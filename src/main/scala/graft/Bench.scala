@@ -69,8 +69,15 @@ object Bench {
     val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // in-band box-load indicator: rounds 6 and 10 both produced
+    // 2-4x-inflated numbers on a loaded box that read as regressions
+    // until re-measured — record the 1-min load average with the
+    // timings so noise is diagnosable from the artifact alone
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failedNames.mkString("[", ",", "]")},"runs":$timedRuns,"sf":"$sfDir"}""")
+      s""""failed":${failedNames.mkString("[", ",", "]")},"runs":$timedRuns,""" +
+      s""""load_avg_1m":$load,"cpus":"$cpus","sf":"$sfDir"}""")
     spark.stop()
   }
 }
