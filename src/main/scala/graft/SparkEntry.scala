@@ -79,7 +79,11 @@ object SparkEntry {
     "incr_agg"             -> ((s, d) => IncrementalOps.incrAgg(s, d)),
     // full maintenance surface (merge/delete/update/compact/restore)
     // vs an independent engine's replay
-    "lake_dml"             -> ((s, d) => MaintenanceOps.lakeDml(s, d))
+    "lake_dml"             -> ((s, d) => MaintenanceOps.lakeDml(s, d)),
+    // merge-on-read deletes (deletion vectors) end to end: MoR delete /
+    // vector folding / CoW-over-vectors / compact reconcile, final
+    // state read THROUGH active vectors vs an independent replay
+    "lake_dv"              -> ((s, d) => MaintenanceOps.lakeDv(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -497,6 +501,7 @@ object SparkEntry {
          FROM documents""",
     "lineage" -> operators.Lineage.oracleSql,
     "incr_agg" -> operators.IncrementalOps.oracleSql,
-    "lake_dml" -> operators.MaintenanceOps.oracleSql
+    "lake_dml" -> operators.MaintenanceOps.oracleSql,
+    "lake_dv" -> operators.MaintenanceOps.dvOracleSql
   )
 }

@@ -130,6 +130,18 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         s"versionAsOf must be a version number, got '$v'"))
     }.orElse(parameters.get("timestampAsOf").map(t =>
       LakeTable.versionAtTimestamp(spark, table, parseTimestampMs(t))))
+    // a snapshot carrying merge-on-read deletion vectors cannot be
+    // served by the HadoopFsRelation scan (it would read deleted rows
+    // back) — it resolves to the dv-applying composition relation
+    // instead, and back to this (faster, whole-stage-codegen) relation
+    // once compact reconciles the vectors away
+    val probe = asOf match {
+      case Some(v) => LakeTable.snapshotAt(spark, table, v)
+      case None => LakeTable.latestSnapshot(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $table"))
+    }
+    if (LakeTable.hasDv(probe))
+      return new GraftMorRelation(table, asOf, spark)
     val index = new GraftFileIndex(spark, table, asOf)
     val snap = index.snapshotNow()
     val partitionSchema = index.partitionSchema

@@ -115,6 +115,17 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
       case _ =>
         val snap = LakeTable.snapshotAt(spark, tablePath, curVersion)
         checkNotStale(snap)
+        // same loud-failure discipline as schema drift: a merge-on-read
+        // DELETE that committed since this relation was registered means
+        // the plain file-list scan would RESURRECT deleted rows — the
+        // re-registered relation resolves through the dv-aware scan
+        if (LakeTable.hasDv(snap))
+          throw new IllegalStateException(
+            s"table $tablePath carries merge-on-read deletion vectors as of " +
+              s"v${snap.version}, committed after this relation was registered " +
+              s"at v${initialSnapshot.version} — a plain scan would read deleted " +
+              "rows; re-register the view (REFRESH TABLE / re-create it) to read " +
+              "through the vector-aware scan")
         val statuses: Seq[(String, FileStatus, LakeTable.FileEntry)] =
           if (snap.files.forall(_.size >= 0)) {
             // the log carries size + mtime per file, so the scan's

@@ -112,10 +112,13 @@ final case class GraftMergeRowsCommand(
 }
 
 /** SQL `DELETE FROM <graft table> WHERE ...`, planned onto
-  * [[LakeTable.delete]] (file-granularity copy-on-write). The resolved
-  * predicate's attribute references are re-bound BY NAME against the
-  * fresh read the delete performs — the exprIds of the command's view
-  * resolution do not exist in that plan.
+  * [[LakeTable.delete]] (file-granularity copy-on-write) or — when the
+  * session sets `spark.graft.delete.mode=mor` —
+  * [[LakeTable.deleteMergeOnRead]] (positional deletion vectors, the
+  * O(deleted rows) point-delete path). The resolved predicate's
+  * attribute references are re-bound BY NAME against the fresh read
+  * the delete performs — the exprIds of the command's view resolution
+  * do not exist in that plan.
   */
 final case class GraftDeleteCommand(tablePath: String, condition: Expression)
     extends LeafRunnableCommand {
@@ -123,8 +126,13 @@ final case class GraftDeleteCommand(tablePath: String, condition: Expression)
     val byName = condition.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }
-    LakeTable.delete(spark, tablePath,
-      org.apache.spark.sql.graft.SqlShims.columnOf(byName))
+    val cond = org.apache.spark.sql.graft.SqlShims.columnOf(byName)
+    spark.conf.getOption("spark.graft.delete.mode").map(_.toLowerCase) match {
+      case Some("mor") => LakeTable.deleteMergeOnRead(spark, tablePath, cond)
+      case Some("cow") | None => LakeTable.delete(spark, tablePath, cond)
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.delete.mode must be 'cow' or 'mor', got '$other'")
+    }
     Seq.empty
   }
 }
@@ -151,9 +159,15 @@ final case class GraftUpdateCommand(tablePath: String,
 
 final class GraftMergeRule extends Rule[LogicalPlan] {
 
-  /** The graft file index behind a (possibly aliased/viewed) relation. */
-  private def graftIndex(plan: LogicalPlan): Option[GraftFileIndex] = plan match {
-    case LogicalRelation(rel: GraftRelation, _, _, _, _) => Some(rel.index)
+  /** The graft table (path, pinned version) behind a (possibly
+    * aliased/viewed) relation — plain or merge-on-read form.
+    */
+  private final case class Target(tablePath: String, asOf: Option[Long])
+  private def graftIndex(plan: LogicalPlan): Option[Target] = plan match {
+    case LogicalRelation(rel: GraftRelation, _, _, _, _) =>
+      Some(Target(rel.index.tablePath, rel.index.asOf))
+    case LogicalRelation(rel: GraftMorRelation, _, _, _, _) =>
+      Some(Target(rel.tablePath, rel.asOf))
     case SubqueryAlias(_, child) => graftIndex(child)
     case View(_, _, child, _) => graftIndex(child)
     case _ => None

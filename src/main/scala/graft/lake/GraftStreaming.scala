@@ -256,9 +256,16 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
       return changeFeedBatch(start.map(versionOf).orElse(startingVersion), endV)
     val files: Seq[String] = start.map(versionOf).orElse(startingVersion) match {
       case None =>
-        // initial batch: the whole table as of endV
+        // initial batch: the whole table as of endV. A snapshot with
+        // outstanding deletion vectors reads through the dv-applying
+        // composition — the raw file list would resurrect deleted rows.
         val snap = LakeTable.snapshotAt(spark, table, endV)
         checkSchemaPinned(endV, snap.schema, snap.partitionColumns)
+        if (LakeTable.hasDv(snap)) {
+          val df = LakeTable.morScan(spark, table, snap, snap.files, keepPos = false)
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          return SqlShims.asStreaming(df)
+        }
         snap.filePaths
       case Some(startV) =>
         // one log-entry read per commit in the range: a delta names its

@@ -65,7 +65,7 @@ import org.json4s.jackson.JsonMethods
   * <table>/_staging/<uuid>/   (transient)
   * }}}
   */
-object LakeTable {
+object LakeTable extends org.apache.spark.internal.Logging {
 
   /** Min/max/null-count of one column within one data file, rendered in
     * the canonical string domain of [[ParquetStats]]/[[DataSkipping]].
@@ -73,6 +73,21 @@ object LakeTable {
     */
   final case class ColStats(min: Option[String], max: Option[String],
                             nullCount: Option[Long])
+
+  /** A positional deletion vector attached to one data file — the
+    * merge-on-read delete analog of Iceberg v2's positional delete
+    * files (the reference's tables are Iceberg-v2-on-Trino, ref:
+    * trino_iceberg_transform_component.py:33,116-123). `path` is a
+    * table-root-relative directory under `_deletes/` holding parquet
+    * rows `(p: string, pos: long)` — the data-file-relative path and
+    * 0-based physical row ordinal of each deleted row. One delete
+    * commit writes ONE such directory shared by every file it touched;
+    * each touched file's entry points at the directory that holds its
+    * COMPLETE current deleted-position set (a later delete on the same
+    * file folds the old positions into its new directory).
+    * `cardinality` is this file's deleted-row count within that set.
+    */
+  final case class DeleteVector(path: String, cardinality: Long)
 
   /** One data file as the transaction log records it: table-relative
     * path plus the metadata a reader needs to PLAN a scan without
@@ -83,9 +98,20 @@ object LakeTable {
     * trino_iceberg_transform_component.py:116-123). `size < 0` marks a
     * legacy entry (pre-stats log) — readers fall back to listing, and
     * the entry upgrades on the next rewrite of the file's snapshot.
+    *
+    * `dv`: the file's outstanding [[DeleteVector]], if any — readers
+    * must filter the file's rows by position against it. Logged
+    * min/max/nullCount stats stay SOUND under a dv (they bound a
+    * superset of the live rows — skipping can only under-prune, never
+    * misprune), but `rowCount` alone over-counts: use [[liveRowCount]].
     */
   final case class FileEntry(path: String, size: Long, mtimeMs: Long,
-                             rowCount: Long, stats: Map[String, ColStats])
+                             rowCount: Long, stats: Map[String, ColStats],
+                             dv: Option[DeleteVector] = None) {
+    /** Rows a scan of this file yields after dv filtering; -1 unknown. */
+    def liveRowCount: Long =
+      if (rowCount < 0) -1L else rowCount - dv.map(_.cardinality).getOrElse(0L)
+  }
 
   /** The log's protocol stamp (Delta's protocol action / Iceberg's
     * format-version): `reader` names the capability a client needs to
@@ -111,9 +137,16 @@ object LakeTable {
     * files and read every renamed column as null — exactly the silent
     * misread the gate prevents. Only tables that RENAME/DROP a column
     * (or enable mapping explicitly) get stamped 2.
+    *
+    * Version 3 = merge-on-read deletes ([[DeleteVector]]): file entries
+    * may carry positional deletion vectors that a reader must apply. A
+    * version-≤2 reader would scan the files raw and RESURRECT deleted
+    * rows; a version-≤2 writer would rewrite entries without their dv
+    * field on its next commit, silently undeleting. Only tables that
+    * actually commit a dv ([[deleteMergeOnRead]]) get stamped 3.
     */
-  val MaxReaderVersion = 2
-  val MaxWriterVersion = 2
+  val MaxReaderVersion = 3
+  val MaxWriterVersion = 3
 
   final class ProtocolVersionException(msg: String) extends RuntimeException(msg)
 
@@ -147,6 +180,7 @@ object LakeTable {
 
   private[lake] def logPath(table: String) = new Path(table, "_graft_log")
   private[lake] def dataPath(table: String) = new Path(table, "data")
+  private[lake] def deletesPath(table: String) = new Path(table, "_deletes")
   private[lake] def fs(spark: SparkSession, table: String): FileSystem =
     new Path(table).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -155,17 +189,19 @@ object LakeTable {
 
   // ---------------------------------------------------------------- log I/O
 
-  private def renderFile(e: FileEntry): JValue = JObject(
+  private def renderFile(e: FileEntry): JValue = JObject(List(
     "p" -> JString(e.path),
     "sz" -> JLong(e.size),
     "mt" -> JLong(e.mtimeMs),
     "rc" -> JLong(e.rowCount),
     "st" -> JObject(e.stats.toList.sortBy(_._1).map { case (c, s) =>
-      c -> JObject(List(
+      c -> (JObject(List(
         s.min.map(m => "mn" -> JString(m)),
         s.max.map(m => "mx" -> JString(m)),
-        s.nullCount.map(n => "nc" -> JLong(n))).flatten)
-    }))
+        s.nullCount.map(n => "nc" -> JLong(n))).flatten): JValue)
+    })) ++
+    e.dv.map(d => "dv" -> (JObject(List(
+      "p" -> JString(d.path), "c" -> JLong(d.cardinality))): JValue)).toList)
 
   private def commonFields(version: Long, timestampMs: Long, operation: String,
                            schema: StructType, partitionColumns: Seq[String],
@@ -245,7 +281,11 @@ object LakeTable {
         }.toMap
         case _ => Map.empty[String, ColStats]
       }
-      FileEntry(jStr(o \ "p"), jLong(o \ "sz"), jLong(o \ "mt"), jLong(o \ "rc"), stats)
+      val dv = (o \ "dv") match {
+        case d: JObject => Some(DeleteVector(jStr(d \ "p"), jLong(d \ "c")))
+        case _          => None
+      }
+      FileEntry(jStr(o \ "p"), jLong(o \ "sz"), jLong(o \ "mt"), jLong(o \ "rc"), stats, dv)
     case other => throw new IllegalStateException(s"expected file entry, got $other")
   }
 
@@ -923,8 +963,13 @@ object LakeTable {
         .withColumn(CommitVersionCol, lit(v))
         .withColumn(CommitTimestampCol, lit(e.timestampMs))
     }
-    def readData(files: Seq[String], schema: StructType): DataFrame =
-      readDataFiles(spark, table, schema, files)
+    // entry-aware read: a snapshot / add-list may carry deletion
+    // vectors (e.g. a RESTORE re-referencing dv'd entries) whose
+    // deleted rows must not appear in synthesized change rows
+    def readEntries(entries: Seq[FileEntry], schema: StructType): DataFrame =
+      morScan(spark, table,
+        Snapshot(v, e.timestampMs, e.operation, schema, e.partitionColumns, entries),
+        entries, keepPos = false)
     def emptyChanges: DataFrame = decorate(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         GraftDataSource.asNullable(e.schema)).withColumn(ChangeTypeCol, lit("insert"))
@@ -953,11 +998,11 @@ object LakeTable {
           else {
             val prev = snapshotAt(spark, table, v - 1)
             if (prev.files.isEmpty) emptyChanges
-            else decorate(readData(prev.filePaths, prev.schema), Some("delete"))
+            else decorate(readEntries(prev.files, prev.schema), Some("delete"))
           }
         val inserts =
           if (e.adds.isEmpty) emptyChanges
-          else decorate(readData(e.adds.map(_.path), e.schema), Some("insert"))
+          else decorate(readEntries(e.adds, e.schema), Some("insert"))
         Some(deletes.unionByName(inserts, allowMissingColumns = true))
       case None if e.removes.nonEmpty =>
         throw new UnsupportedOperationException(
@@ -966,7 +1011,7 @@ object LakeTable {
       case None =>
         // append-shaped: added files ARE the inserted rows
         if (e.adds.isEmpty) Some(emptyChanges)
-        else Some(decorate(readData(e.adds.map(_.path), e.schema), Some("insert")))
+        else Some(decorate(readEntries(e.adds, e.schema), Some("insert")))
     }
   }
 
@@ -1029,6 +1074,214 @@ object LakeTable {
     df.select(nullable.fields.map(f =>
       col(ColumnMapping.physicalName(f)).as(f.name)).toIndexedSeq: _*)
   }
+
+  // ------------------------------------------------- merge-on-read reads
+  //
+  // A snapshot whose entries carry deletion vectors cannot be served by
+  // the plain HadoopFsRelation scan (it would read deleted rows back).
+  // The MoR scan is a two-leg composition: dv-free files read exactly
+  // as before; dv-bearing files read WITH the parquet reader's
+  // per-file physical row index (`_metadata.row_index` — computed
+  // correctly even under splits and row-group skipping) and are
+  // LEFT-ANTI joined against the referenced deletion-vector rows on
+  // (file, position). The dv side is bounded by deleted-row count (the
+  // point-delete case this path exists for), so it broadcasts; user
+  // filters sit above one logical plan and push into both legs' parquet
+  // scans via Catalyst as usual.
+
+  /** Column names the MoR scan uses for file identity + row position.
+    * Underscored like Delta's internal columns; dropped before rows
+    * reach a user unless the caller asks to keep them (detection
+    * scans).
+    */
+  private[lake] val FilePathCol = "__graft_file_path"
+  private[lake] val RowPosCol = "__graft_row_pos"
+
+  private[lake] def hasDv(snap: Snapshot): Boolean = snap.files.exists(_.dv.isDefined)
+
+  /** The absolute data-root prefix EXACTLY as the scan's
+    * `_metadata.file_path` renders file paths (Hadoop's
+    * `Path.toString` of the qualified path — `file:/x`, not the URI
+    * form `file:///x`). Rows that violate the assumption fail loudly in
+    * [[deleteMergeOnRead]]'s relativization rather than mis-joining.
+    */
+  private def qualifiedDataPrefix(spark: SparkSession, table: String): String =
+    fs(spark, table).makeQualified(dataPath(table)).toString
+
+  /** Threshold (rows) under which the dv side of the MoR anti-join is
+    * broadcast. Above it the join falls back to a shuffle — correct but
+    * a sign the table wants a [[compact]] to reconcile its vectors.
+    */
+  private def dvBroadcastRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.broadcastRows").map(_.toLong).getOrElse(1000000L)
+
+  /** All (file-relative-path, position) rows of the given entries'
+    * deletion vectors. May contain rows for OTHER files sharing a dv
+    * directory — callers join/filter by file, so extras are inert.
+    */
+  private def dvRows(spark: SparkSession, table: String, entries: Seq[FileEntry]): DataFrame = {
+    val dirs = entries.flatMap(_.dv.map(_.path)).distinct
+    val schema = StructType(Seq(StructField("p", org.apache.spark.sql.types.StringType),
+      StructField("pos", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).parquet(dirs.map(rel => new Path(table, rel).toString): _*)
+  }
+
+  /** [[readDataFiles]] plus the scan's file path and physical row
+    * position as [[FilePathCol]]/[[RowPosCol]].
+    */
+  private def readDataFilesWithPos(spark: SparkSession, table: String,
+                                   schema: StructType,
+                                   relPaths: Seq[String]): DataFrame = {
+    val base = dataPath(table)
+    val nullable = GraftDataSource.asNullable(schema)
+    val df = spark.read
+      .option("basePath", base.toString)
+      .schema(ColumnMapping.physicalSchema(nullable))
+      .parquet(relPaths.map(rel => new Path(base, rel).toString): _*)
+    df.select(nullable.fields.map(f =>
+      col(ColumnMapping.physicalName(f)).as(f.name)).toIndexedSeq
+      :+ col("_metadata.file_path").as(FilePathCol)
+      :+ col("_metadata.row_index").as(RowPosCol): _*)
+  }
+
+  /** Scan `entries` of `snap` with their deletion vectors applied.
+    * Output columns are the snapshot's logical schema, plus
+    * [[FilePathCol]]/[[RowPosCol]] when `keepPos` (the detection-scan
+    * form — the DV-safe replacement for `input_file_name()`).
+    */
+  private[lake] def morScan(spark: SparkSession, table: String, snap: Snapshot,
+                            entries: Seq[FileEntry], keepPos: Boolean): DataFrame = {
+    val (dvd, plain) = entries.partition(_.dv.isDefined)
+    val dvdLeg = if (dvd.isEmpty) None else Some {
+      val df = readDataFilesWithPos(spark, table, snap.schema, dvd.map(_.path))
+      val prefix = qualifiedDataPrefix(spark, table) + "/"
+      val del = dvRows(spark, table, dvd)
+        .select(concat(lit(prefix), col("p")).as("__dv_file"),
+          col("pos").as("__dv_pos"))
+      val card = dvd.flatMap(_.dv).map(_.cardinality).sum
+      val delHinted = if (card <= dvBroadcastRows(spark)) broadcast(del) else del
+      val kept = df.join(delHinted,
+        df(FilePathCol) === delHinted("__dv_file") &&
+          df(RowPosCol) === delHinted("__dv_pos"), "left_anti")
+      if (keepPos) kept else kept.drop(FilePathCol, RowPosCol)
+    }
+    val plainLeg =
+      if (plain.isEmpty) None
+      else if (keepPos) Some(readDataFilesWithPos(spark, table, snap.schema, plain.map(_.path)))
+      else Some(readDataFiles(spark, table, snap.schema, plain.map(_.path)))
+    (plainLeg, dvdLeg) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None) =>
+        val base = GraftDataSource.asNullable(snap.schema)
+        val shape =
+          if (!keepPos) base
+          else StructType(base.fields ++ Seq(
+            StructField(FilePathCol, org.apache.spark.sql.types.StringType),
+            StructField(RowPosCol, org.apache.spark.sql.types.LongType)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], shape)
+    }
+  }
+
+  /** [[readDataFiles]] with the snapshot's deletion vectors applied —
+    * what every rewrite/feed path that means LIVE rows must use.
+    * Identical plan to [[readDataFiles]] when none of the requested
+    * files carries a dv.
+    */
+  private[lake] def readDataFilesLive(spark: SparkSession, table: String,
+                                      snap: Snapshot,
+                                      relPaths: Seq[String]): DataFrame = {
+    val byPath = snap.files.iterator.map(e => e.path -> e).toMap
+    val entries = relPaths.map(p =>
+      byPath.getOrElse(p, FileEntry(p, -1L, -1L, -1L, Map.empty)))
+    if (entries.forall(_.dv.isEmpty)) readDataFiles(spark, table, snap.schema, relPaths)
+    else morScan(spark, table, snap, entries, keepPos = false)
+  }
+
+  /** Best-effort resolution of a user `Column` predicate against a
+    * schema, split into conjuncts — feeds driver-side file pruning
+    * ([[prunedEntries]]). Empty on any resolution failure: pruning is
+    * an optimization, never a gate.
+    */
+  private[lake] def resolvedConjuncts(spark: SparkSession, schema: StructType,
+                                      condition: Column): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+    def split(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => split(l) ++ split(r)
+      case other      => Seq(other)
+    }
+    try {
+      val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        GraftDataSource.asNullable(schema))
+      empty.filter(condition).queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => split(f.condition)
+      }.flatten
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+  }
+
+  /** The snapshot's entries pruned driver-side by the resolved
+    * conjuncts: hive partition-value evaluation for conjuncts touching
+    * only partition columns, [[DataSkipping]] bounds for the rest —
+    * the same pruning [[GraftFileIndex.listFiles]] gives a relation
+    * scan, for the MoR paths that plan their own file list. A point
+    * delete on a clustered key reads ~1 file, not the table.
+    */
+  private[lake] def prunedEntries(spark: SparkSession, table: String, snap: Snapshot,
+                                  conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[FileEntry] = {
+    if (conds.isEmpty || snap.files.isEmpty) return snap.files
+    val resolver = spark.sessionState.conf.resolver
+    val pSchema = GraftDataSource.asNullable(
+      StructType(snap.partitionColumns.map(snap.schema(_))))
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    val (pConds, rest) = conds.partition(c =>
+      PartitionPaths.evaluableOnPartitions(Seq(c), pSchema, resolver))
+    val pPred = if (pConds.isEmpty) None
+      else Some(PartitionPaths.bind(pConds, pSchema, resolver))
+    val nameMap = ColumnMapping.mapping(snap.schema)
+    val dataSchema = ColumnMapping.physicalSchema(
+      StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name))))
+    val physConds =
+      if (ColumnMapping.needsTranslation(snap.schema))
+        rest.map(ColumnMapping.physicalizeExpr(_, nameMap))
+      else rest
+    snap.files.filter { e =>
+      val pOk = pPred.forall(_.eval(PartitionPaths.valuesOf(e.path, pSchema, tz)))
+      pOk && !DataSkipping.skip(physConds, dataSchema, resolver, e)
+    }
+  }
+
+  /** Detection scan pinned at `snap` with a `__file` column carrying
+    * each row's absolute data-file path — the DV-safe generalization
+    * of `read(...).withColumn("__file", input_file_name())` the DML
+    * paths detect matched files with. On a dv-free snapshot it IS that
+    * relation scan (full pushdown + skipping); with vectors present it
+    * is the [[morScan]] composition over [[prunedEntries]] (Catalyst
+    * still pushes the caller's filters into the legs; `conds` carries
+    * the resolved conjuncts for driver-side file skipping).
+    *
+    * `scope` is the caller's selection predicate and MUST come in here
+    * rather than as a `.filter` on the result: `input_file_name()` is
+    * nondeterministic, so Catalyst refuses to push any later filter
+    * through the project that computes `__file` — the predicate is
+    * applied BELOW it (on the relation, where partition pruning and
+    * file skipping see it). `alias` names the scan for predicates
+    * written against an aliased side (mergeRows' `t`).
+    */
+  private def detectionScan(spark: SparkSession, table: String, snap: Snapshot,
+                            conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+                            alias: Option[String] = None,
+                            scope: Option[Column] = None): DataFrame =
+    if (!hasDv(snap)) {
+      val r0 = read(spark, table, asOf = Some(snap.version))
+      val r1 = alias.fold(r0)(r0.alias)
+      scope.fold(r1)(r1.filter).withColumn("__file", input_file_name())
+    } else {
+      val m0 = morScan(spark, table, snap, prunedEntries(spark, table, snap, conds), keepPos = true)
+        .withColumnRenamed(FilePathCol, "__file").drop(RowPosCol)
+      val m1 = alias.fold(m0)(m0.alias)
+      scope.fold(m1)(m1.filter)
+    }
 
   /** Incoming write schema decorated for the target's column mapping:
     * fields whose name the snapshot knows take its physical name; new
@@ -1515,19 +1768,17 @@ object LakeTable {
     // partitions' files are read), else the whole snapshot. Pinned to
     // this snapshot so the pushed predicate also file-skips on the
     // logged bounds.
-    val detectionSource =
+    val detectionSource = detectionScan(spark, table, snap, scope =
       if (scopeToUpdatePartitions && snap.partitionColumns.nonEmpty)
-        read(spark, table, asOf = Some(snap.version))
-          .filter(partitionTuplePredicate(updates, snap.partitionColumns))
-      else read(spark, table, asOf = Some(snap.version))
+        Some(partitionTuplePredicate(updates, snap.partitionColumns))
+      else None)
 
     // which files contain a matched key? (file names only — bounded by
-    // file count, not row count). input_file_name() URIs are decoded +
+    // file count, not row count). The `__file` URIs are decoded +
     // qualified against the data root inside mapMatchedRel; an
     // unmappable matched file is a hard error.
     val base = dataPath(table).toString
     val affectedAbs = detectionSource
-      .withColumn("__file", input_file_name())
       .join(broadcast(updKeys), keys)
       .select("__file").distinct()
       .collect().map(_.getString(0))
@@ -1548,7 +1799,7 @@ object LakeTable {
     }: _*)
     val affectedRows =
       if (affectedRel.isEmpty) None
-      else Some(readDataFiles(spark, table, snap.schema, affectedRel))
+      else Some(readDataFilesLive(spark, table, snap, affectedRel))
     val rewritten = affectedRows match {
       case None => updates
       case Some(rows) =>
@@ -1746,18 +1997,18 @@ object LakeTable {
 
     // ---- rewrite clauses present: copy-on-write over the affected files
     val scoped = scopeToUpdatePartitions && notMatchedBySource.isEmpty
-    val pinned = read(spark, table, asOf = Some(snap.version))
-    val detectionSource =
+    // dv-aware, `__file` column; the partition scope rides in as the
+    // below-the-file-column predicate so pruning still fires
+    val detectionSource = detectionScan(spark, table, snap, scope =
       if (scoped && snap.partitionColumns.nonEmpty)
-        pinned.filter(partitionTuplePredicate(source, snap.partitionColumns))
-      else pinned
+        Some(partitionTuplePredicate(source, snap.partitionColumns))
+      else None)
     // needed by matched clauses AND by the insert anti-join (whose
     // soundness requires every file containing a source key to be in
     // the affected set)
     val matchedFileAbs =
       if (matched.isEmpty && notMatchedInsert.isEmpty) Array.empty[String]
       else detectionSource
-        .withColumn("__file", input_file_name())
         .join(broadcast(updKeys), keys)
         .select("__file").distinct()
         .collect().map(_.getString(0))
@@ -1772,8 +2023,8 @@ object LakeTable {
         val pred = notMatchedBySource
           .map(_.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
           .reduce(_ || _)
-        pinned.alias("t").filter(pred)
-          .select(input_file_name()).distinct()
+        detectionScan(spark, table, snap, alias = Some("t"), scope = Some(pred))
+          .select(col("__file")).distinct()
           .collect().map(_.getString(0))
       }
     val affectedRel = mapMatchedRel(spark, table,
@@ -1785,7 +2036,7 @@ object LakeTable {
     val (rewritten, cdcRewrite) =
       if (affectedRel.isEmpty) (None, None)
       else {
-        val t = readDataFiles(spark, table, snap.schema, affectedRel).alias("t")
+        val t = readDataFilesLive(spark, table, snap, affectedRel).alias("t")
         val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
         val joined = t.join(sMarked.alias("s"), keyCond, "left_outer")
         val matchedMark = col("__s_matched").isNotNull
@@ -1827,7 +2078,7 @@ object LakeTable {
           if (affectedRel.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
               StructType(keys.map(k => snap.schema(k))))
-          else readDataFiles(spark, table, snap.schema, affectedRel)
+          else readDataFilesLive(spark, table, snap, affectedRel)
             .select(keyCols: _*)
         insertProjection(source.alias("s").join(existingKeys, keys, "left_anti"))
       }
@@ -2023,10 +2274,11 @@ object LakeTable {
     // the pushed predicate prunes at FILE level against the logged
     // bounds (DataSkipping), so a selective predicate's detection scan
     // reads only the files it could possibly match — not the table
-    val matchedAbs = spark.read.format("graft")
-      .option("versionAsOf", snap.version).load(table)
-      .filter(condition)
-      .select(input_file_name()).distinct()
+    // (detectionScan swaps in the dv-aware composition when vectors
+    // are outstanding)
+    val matchedAbs = detectionScan(spark, table, snap,
+      resolvedConjuncts(spark, snap.schema, condition), scope = Some(condition))
+      .select(col("__file")).distinct()
       .collect().map(_.getString(0))
     if (matchedAbs.isEmpty) return snap.version
 
@@ -2036,7 +2288,7 @@ object LakeTable {
     val matchedSet = affectedRel.toSet
     val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
 
-    val affectedDf = readDataFiles(spark, table, snap.schema, affectedRel)
+    val affectedDf = readDataFilesLive(spark, table, snap, affectedRel)
     val kept = affectedDf.filter(!coalesce(condition, lit(false)))
     val newFiles = stageFiles(spark, table, kept, snap.partitionColumns,
       ColumnMapping.mapping(snap.schema))
@@ -2054,6 +2306,113 @@ object LakeTable {
         s"DELETE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this delete never scanned)")
     next.version
+  }
+
+  /** Stage `df` (columns `p` = data-file-relative path, `pos` = row
+    * ordinal) as ONE new deletion-vector directory under `_deletes/`,
+    * returning its table-relative path. Partitioned by file so a
+    * reader's per-file rows cluster; `_SUCCESS` markers are hidden
+    * files the parquet read ignores.
+    */
+  private def stageDeleteVector(spark: SparkSession, table: String,
+                                df: DataFrame, parts: Int): String = {
+    val f = fs(spark, table)
+    val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
+    df.repartition(parts, col("p")).write.mode("overwrite").parquet(staging.toString)
+    val name = java.util.UUID.randomUUID().toString
+    val dest = new Path(deletesPath(table), name)
+    f.mkdirs(deletesPath(table))
+    if (!f.rename(staging, dest))
+      throw new IllegalStateException(
+        s"could not move staged deletion vector $staging to $dest")
+    s"_deletes/$name"
+  }
+
+  /** Merge-on-read DELETE: instead of rewriting every data file that
+    * contains a matching row (copy-on-write [[delete]] — O(bytes of
+    * affected files)), commit a positional [[DeleteVector]] per
+    * affected file and leave the data files untouched — O(deleted
+    * rows) bytes written, the Iceberg-v2 positional-delete / Delta
+    * deletion-vector discipline (ref:
+    * trino_iceberg_transform_component.py:33,116-123). The canonical
+    * 100 TB case is a trickle of GDPR-style point deletes against a
+    * fact table: CoW rewrites the table; this writes kilobytes.
+    *
+    * Reads apply the vectors via [[morScan]]; [[compact]] reconciles
+    * them back into clean files; the change feed records the deleted
+    * rows at commit time exactly like CoW. A file whose every row is
+    * deleted is simply REMOVED from the snapshot (no vector needed).
+    * Repeat deletes on the same file fold the old vector into the new
+    * one, so each entry references its complete deleted set. Commits
+    * stamp protocol (3, 3): older readers/writers refuse loudly
+    * instead of resurrecting rows. Returns the committed version —
+    * unchanged when nothing matched.
+    */
+  def deleteMergeOnRead(spark: SparkSession, table: String, condition: Column): Long = {
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    val conds = resolvedConjuncts(spark, snap.schema, condition)
+    val candidates = prunedEntries(spark, table, snap, conds)
+    if (candidates.isEmpty) return snap.version
+
+    // one detection scan, three consumers (positions, per-file counts,
+    // change-feed preimages): persist so they agree and the scan runs
+    // once. Bounded by matched rows, not table size.
+    val matched = morScan(spark, table, snap, candidates, keepPos = true)
+      .filter(coalesce(condition, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matchedAbs = matched.select(col(FilePathCol)).distinct()
+        .collect().map(_.getString(0))
+      if (matchedAbs.isEmpty) return snap.version
+      val affectedRel = mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
+      val affectedSet = affectedRel.toSet
+
+      // new positions, relativized IN the plan (no driver round-trip of
+      // row-level data); a file outside the data root fails loudly
+      val prefix = qualifiedDataPrefix(spark, table) + "/"
+      val relCol = when(col(FilePathCol).startsWith(prefix),
+        col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
+        .otherwise(raise_error(concat(
+          lit(s"DELETE on $table matched a file outside the data root: "),
+          col(FilePathCol))))
+      val newRows = matched.select(relCol.as("p"), col(RowPosCol).as("pos"))
+
+      // fold in the affected files' existing vectors, so each rewritten
+      // entry's single dv reference is its COMPLETE deleted set
+      val withOldDv = candidates.filter(e => affectedSet(e.path) && e.dv.isDefined)
+      val allRows =
+        if (withOldDv.isEmpty) newRows
+        else newRows.unionByName(dvRows(spark, table, withOldDv)
+          .filter(col("p").isInCollection(withOldDv.map(_.path))))
+      val dvDir = stageDeleteVector(spark, table, allRows,
+        math.max(1, math.min(32, affectedRel.size)))
+
+      val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      val carried = snap.files.filterNot(e => affectedSet.contains(e.path))
+      val updated = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
+        val card = cardByFile.getOrElse(e.path, 0L)
+        // fully-deleted file: drop the entry outright (vacuum reclaims
+        // the bytes once the version ages out)
+        if (e.rowCount >= 0 && card >= e.rowCount) None
+        else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
+      }
+
+      val cdcFiles = stageChangeFiles(spark, table,
+        matched.drop(FilePathCol, RowPosCol).withColumn(ChangeTypeCol, lit("delete")))
+
+      val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
+        snap.schema, snap.partitionColumns, carried ++ updated, txns = snap.txns,
+        protocol = Protocol(3, 3))
+      if (!tryCommit(spark, table, next, updated, affectedRel, cdc = Some(cdcFiles),
+          prev = Some(snap)))
+        throw new ConcurrentCommitException(
+          s"merge-on-read DELETE on $table lost the commit race — re-run (a " +
+            "concurrent commit may contain rows this delete never scanned)")
+      next.version
+    } finally matched.unpersist(blocking = false)
   }
 
   /** Copy-on-write UPDATE: apply `set` to the rows matching `condition`
@@ -2078,10 +2437,10 @@ object LakeTable {
     // the pushed predicate prunes at FILE level against the logged
     // bounds (DataSkipping), so a selective predicate's detection scan
     // reads only the files it could possibly match — not the table
-    val matchedAbs = spark.read.format("graft")
-      .option("versionAsOf", snap.version).load(table)
-      .filter(condition)
-      .select(input_file_name()).distinct()
+    // (dv-aware via detectionScan)
+    val matchedAbs = detectionScan(spark, table, snap,
+      resolvedConjuncts(spark, snap.schema, condition), scope = Some(condition))
+      .select(col("__file")).distinct()
       .collect().map(_.getString(0))
     if (matchedAbs.isEmpty) return snap.version
 
@@ -2091,7 +2450,7 @@ object LakeTable {
 
     val setByName = set.toMap
     val hit = coalesce(condition, lit(false))
-    val affectedDf = readDataFiles(spark, table, snap.schema, affectedRel)
+    val affectedDf = readDataFilesLive(spark, table, snap, affectedRel)
     val applied = snap.schema.fields.toSeq.map { fld =>
       setByName.get(fld.name) match {
         case Some(v) => v.cast(fld.dataType).as(fld.name)
@@ -2194,15 +2553,20 @@ object LakeTable {
         e => scope.fileInScope(e.path)
     }
     // sizes come from the log; a legacy entry (pre-stats log) costs one
-    // stat — never a listing
+    // stat — never a listing. A file with an outstanding deletion
+    // vector joins the rewrite set REGARDLESS of size: compact is where
+    // merge-on-read deletes reconcile back into clean files (Iceberg's
+    // rewrite_data_files with delete-file compaction), so readers stop
+    // paying the anti-join and vacuum can reclaim the vector.
     val sized = snap.files.map(e => e ->
       (if (e.size >= 0) e.size else f.getFileStatus(new Path(base, e.path)).getLen))
     val (smallSized, bigSized) = sized.partition { case (e, sz) =>
-      inScope(e) && sz < smallFileBytes
+      inScope(e) && (sz < smallFileBytes || e.dv.isDefined)
     }
     val small = smallSized.map(_._1)
     val big = bigSized.map(_._1)
-    if (small.size <= 1) return snap.version
+    if (small.isEmpty || (small.size <= 1 && small.forall(_.dv.isEmpty)))
+      return snap.version
     // a byte-budgeted task count: Spark's split planning targets one
     // split PER CORE (files.minPartitionNum defaults to the
     // parallelism), which on tiny inputs re-emits one output file per
@@ -2211,16 +2575,16 @@ object LakeTable {
     // sweet spot.
     val targetTasks = math.max(1,
       math.ceil(smallSized.map(_._2).sum.toDouble / targetFileBytes).toInt)
-    val packed = readDataFiles(spark, table, snap.schema, small.map(_.path))
+    val packed = readDataFilesLive(spark, table, snap, small.map(_.path))
     // partition cols lead the range-partitioning and the sort, so the
     // write path's required ordering is already satisfied and it does
     // not re-sort (which would destroy the clustering)
     val pCols = snap.partitionColumns.map(col)
     val rows =
       if (zorderBy.nonEmpty) {
-        // logged row counts size the boundary sample; a legacy entry
-        // (rowCount unknown) costs one count of the scope
-        val counts = smallSized.map(_._1.rowCount)
+        // logged LIVE row counts size the boundary sample; a legacy
+        // entry (rowCount unknown) costs one count of the scope
+        val counts = smallSized.map(_._1.liveRowCount)
         val totalRows = if (counts.forall(_ >= 0)) counts.sum else packed.count()
         val zc = "_graft_zvalue"
         packed.withColumn(zc, ZOrder.zvalue(packed, zorderBy, totalRows))
@@ -2410,17 +2774,26 @@ object LakeTable {
     val target = snapshotAt(spark, table, version)
     val f = fs(spark, table)
     val base = dataPath(table)
-    // existence probes fan out like staging: bounded pool, one RPC each
-    def probeMissing(): Seq[String] = stageParallel(target.filePaths)(rel =>
-      if (f.exists(new Path(base, rel))) None else Some(rel)).flatten
+    // existence probes fan out like staging: bounded pool, one RPC
+    // each. Deletion-vector dirs are re-referenced state too — a
+    // vacuumed vector would silently RESURRECT its deleted rows.
+    val probeRels: Seq[String] =
+      target.filePaths ++ target.files.flatMap(_.dv.map(_.path)).distinct
+    def probeMissing(): Seq[String] = stageParallel(probeRels)(rel =>
+      if (f.exists(
+        if (rel.startsWith("_deletes/")) new Path(table, rel)
+        else new Path(base, rel))) None
+      else Some(rel)).flatten
     // probe INSIDE each commit attempt, so the vulnerable window
     // against a concurrent vacuum is one probe→publish, not the whole
     // call; vacuum narrows its side too (it re-validates its doomed
     // list against the log right before deleting, so a committed
     // RESTORE re-protects its files)
+    var preHead: Option[Snapshot] = None
     val v = retryCommit(spark, table, "RESTORE") { prev =>
       require(prev.exists(_.version >= version),
         s"restore target $version is beyond the latest version of $table")
+      preHead = prev
       val missing = probeMissing()
       require(missing.isEmpty,
         s"cannot restore $table to version $version: ${missing.size} of its data " +
@@ -2432,14 +2805,37 @@ object LakeTable {
     // detection for the residual window: a vacuum whose live set
     // predates this commit may still have swept the re-referenced
     // files between our probe and publish — surface that NOW, loudly,
-    // instead of as FILE_NOT_EXIST at some later read
+    // instead of as FILE_NOT_EXIST at some later read. Before
+    // throwing, commit a COMPENSATING restore back to the pre-restore
+    // head (whose files a concurrent vacuum retained by definition) so
+    // the table stays readable while the failure still surfaces —
+    // otherwise every read fails until a manual re-restore.
     val gone = probeMissing()
-    if (gone.nonEmpty)
+    if (gone.nonEmpty) {
+      val compensated = preHead.exists { h =>
+        scala.util.Try(retryCommit(spark, table, "RESTORE") { p =>
+          // only compensate while OUR broken restore is still the head —
+          // a later commit supersedes the problem (and the authority to
+          // fix it)
+          require(p.exists(_.version == v),
+            s"head moved past v$v; not compensating")
+          CommitSpec(h.schema, h.partitionColumns, h.files, h.files, Nil,
+            reset = true)
+        }).isSuccess
+      }
       throw new IllegalStateException(
         s"restore of $table to version $version committed as v$v, but " +
           s"${gone.size} re-referenced data file(s) were vacuumed concurrently " +
-          s"(first: ${gone.head}) — the restored version is unreadable; re-run " +
-          "restore to a version inside the current retention window")
+          s"(first: ${gone.head}) — the restored version is unreadable; " +
+          (if (compensated)
+            s"a compensating restore to the pre-restore state " +
+              s"(v${preHead.get.version}) was committed so the table stays " +
+              "readable; re-run restore to a version inside the current " +
+              "retention window"
+          else
+            "re-run restore to a version inside the current retention window " +
+              "(compensating restore could not be committed)"))
+    }
     v
   }
 
@@ -2477,8 +2873,9 @@ object LakeTable {
     val f = fs(spark, table)
     val vs = versionsFast(spark, table)
     if (vs.isEmpty) return 0
-    val retained = vs.takeRight(math.max(1, retainVersions))
-      .flatMap(v => snapshotAt(spark, table, v).filePaths).toSet
+    val retainedSnaps = vs.takeRight(math.max(1, retainVersions))
+      .map(v => snapshotAt(spark, table, v))
+    val retained = retainedSnaps.flatMap(_.filePaths).toSet
     val cutoffMs = System.currentTimeMillis() - math.max(0L, graceMs)
     val dp = dataPath(table)
     if (!f.exists(dp)) return 0
@@ -2489,10 +2886,12 @@ object LakeTable {
     // RESTORE re-referencing old files being the dangerous one) makes
     // doomed files live again. Re-resolving the retained set against
     // the CURRENT log shrinks the unprotected window from the whole
-    // listing+compute duration to one metadata roundtrip. (Fully
-    // closing it needs store-side coordination no object store offers;
-    // restore's own probe-in-commit + post-commit verify covers the
-    // residue loudly.)
+    // listing+compute duration to one metadata roundtrip. NOT fully
+    // closed: a RESTORE that commits AFTER this re-check but BEFORE
+    // the delete loop finishes can still lose files with restore's own
+    // probe-in-commit passing — store-side coordination no object
+    // store offers would be needed. postDeleteCheck below detects that
+    // ordering after the fact and warns loudly.
     def revalidated(paths: Seq[Path]): Seq[Path] = {
       val vsNow = versionsFast(spark, table)
       if (vsNow == vs) paths
@@ -2501,6 +2900,18 @@ object LakeTable {
           .flatMap(v => snapshotAt(spark, table, v).filePaths).toSet
         paths.filterNot(p => retainedNow.contains(relativize(dp, p)))
       }
+    }
+    // Residual-race detector: if the log advanced WHILE the delete loop
+    // ran, a commit (RESTORE being the dangerous one) may reference
+    // files this vacuum just swept — surface it here, loudly, instead
+    // of as FILE_NOT_EXIST at some later read.
+    def postDeleteCheck(): Unit = {
+      val vsAfter = versionsFast(spark, table)
+      if (vsAfter != vs)
+        logWarning(s"vacuum of $table raced a concurrent commit (log advanced " +
+          s"from v${vs.max} to v${vsAfter.max} during deletion) — if that commit " +
+          "was a RESTORE re-referencing vacuumed files, the restored version may " +
+          "be unreadable; verify with a read and re-run restore if needed")
     }
     partitionFilter match {
       case Some(c) =>
@@ -2526,8 +2937,11 @@ object LakeTable {
           }
         walk(dp, "", 0)
         if (dryRun) deleted += toDelete.size
-        else revalidated(toDelete.toSeq).foreach { p =>
-          if (f.delete(p, false)) deleted += 1
+        else {
+          revalidated(toDelete.toSeq).foreach { p =>
+            if (f.delete(p, false)) deleted += 1
+          }
+          postDeleteCheck()
         }
         return deleted
       case None => ()
@@ -2540,8 +2954,11 @@ object LakeTable {
         toDelete += st.getPath
     }
     if (dryRun) deleted += toDelete.size
-    else revalidated(toDelete.toSeq).foreach { p =>
-      if (f.delete(p, false)) deleted += 1
+    else {
+      revalidated(toDelete.toSeq).foreach { p =>
+        if (f.delete(p, false)) deleted += 1
+      }
+      postDeleteCheck()
     }
     // change-data files age out with their versions: keep those the
     // retained versions recorded (the feed stays readable over the
@@ -2562,6 +2979,22 @@ object LakeTable {
       }
       if (dryRun) deleted += cdcToDelete.size
       else cdcToDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    }
+    // deletion-vector dirs age out the same way: a dir referenced by
+    // no retained snapshot (superseded by a later delete's merged
+    // vector, reconciled by compact, or orphaned by a lost commit
+    // race) is swept whole once past the grace window
+    val retainedDv = retainedSnaps
+      .flatMap(_.files.flatMap(_.dv.map(_.path))).toSet
+    val delp = deletesPath(table)
+    if (f.exists(delp)) {
+      f.listStatus(delp).foreach { st =>
+        if (st.isDirectory && st.getModificationTime < cutoffMs &&
+            !retainedDv.contains("_deletes/" + st.getPath.getName)) {
+          if (dryRun) deleted += 1
+          else if (f.delete(st.getPath, true)) deleted += 1
+        }
+      }
     }
     // checkpoints strictly below the newest one still useful to the
     // retention window age out, then manifest segments referenced by NO

@@ -44,14 +44,16 @@ class MetadataOnlyCount extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The graft relation under attribute-only Projects and Filters,
-    * with the filter conditions collected on the way down. A Project
-    * that computes or renames anything bails: a collected condition
-    * could then reference an alias this rule would mis-bind.
+  /** The graft relation (plain or merge-on-read) under attribute-only
+    * Projects and Filters, with the filter conditions collected on the
+    * way down. A Project that computes or renames anything bails: a
+    * collected condition could then reference an alias this rule would
+    * mis-bind.
     */
-  private def graftScan(plan: LogicalPlan): Option[(GraftRelation, Seq[Expression])] =
+  private def graftScan(plan: LogicalPlan): Option[(Either[GraftRelation, GraftMorRelation], Seq[Expression])] =
     plan match {
-      case LogicalRelation(rel: GraftRelation, _, _, false, _) => Some((rel, Nil))
+      case LogicalRelation(rel: GraftRelation, _, _, false, _)    => Some((Left(rel), Nil))
+      case LogicalRelation(rel: GraftMorRelation, _, _, false, _) => Some((Right(rel), Nil))
       case Project(projectList, child)
           if projectList.forall(_.isInstanceOf[AttributeReference]) =>
         graftScan(child)
@@ -68,14 +70,19 @@ class MetadataOnlyCount extends Rule[LogicalPlan] {
           case _                                 => false
         } =>
       graftScan(child) match {
-        case Some((rel, conds)) =>
+        case Some((relE, conds)) =>
           // checked: an evolved/re-partitioned table fails as loudly
           // here as the scan this answer replaces would
-          val snap = rel.index.snapshotChecked()
-          val pSchema = rel.index.partitionSchema
-          lazy val countable = snap.files.forall(_.rowCount >= 0)
+          val (snap, pSchema) = relE match {
+            case Left(rel)  => (rel.index.snapshotChecked(), rel.index.partitionSchema)
+            case Right(rel) => (rel.snapshotChecked(), rel.partitionSchema)
+          }
+          // a deletion vector's cardinality subtracts from the logged
+          // count — the metadata answer stays exact under merge-on-read
+          lazy val countable = snap.files.forall(e =>
+            e.rowCount >= 0 && e.dv.forall(_.cardinality >= 0))
           if (conds.isEmpty && countable) {
-            val total = snap.files.map(_.rowCount).sum
+            val total = snap.files.map(_.liveRowCount).sum
             LocalRelation(agg.output.map(_.toAttribute),
               Seq(InternalRow.fromSeq(aggExprs.map(_ => total))))
           } else if (countable &&
@@ -89,7 +96,7 @@ class MetadataOnlyCount extends Rule[LogicalPlan] {
             })
             val total = byDir.iterator.map { case (_, files) =>
               val row = PartitionPaths.valuesOf(files.head.path, pSchema, tz)
-              if (pred.eval(row)) files.map(_.rowCount).sum else 0L
+              if (pred.eval(row)) files.map(_.liveRowCount).sum else 0L
             }.sum
             LocalRelation(agg.output.map(_.toAttribute),
               Seq(InternalRow.fromSeq(aggExprs.map(_ => total))))

@@ -54,6 +54,62 @@ object MaintenanceOps {
       col("o_totalprice").cast("double").as("o_totalprice"))
   }
 
+  /** Merge-on-read maintenance check: the same cross-engine loop as
+    * [[lakeDml]], but driving the DELETION-VECTOR surface (ref:
+    * Iceberg v2 positional deletes, trino_iceberg_transform_component
+    * .py:33,116-123) — two MoR deletes whose vectors fold on shared
+    * files, a copy-on-write UPDATE over the vectored table (rewrite
+    * clears the affected files' vectors), a COMPACT that reconciles
+    * the rest, and a final MoR delete so the state handed to the
+    * correctness gate still carries ACTIVE vectors: the hash compare
+    * therefore proves the MoR read composition itself (anti-join on
+    * file/position), not just vector bookkeeping. DuckDB replays the
+    * history as plain SQL over the same input parquet.
+    */
+  def lakeDv(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_lakedv").toString
+    val t = s"$work/orders_lake"
+    val key = col("o_orderkey")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+    // v1: partitioned overwrite of one slice, v2: append another
+    LakeTable.overwrite(spark, t, orders.filter(key % 3 === 0),
+      partitionBy = Seq("o_orderstatus"))
+    LakeTable.append(spark, t, orders.filter(key % 3 === 1))
+    // v3, v4: merge-on-read deletes — the second folds its vectors
+    // into the first's on every shared file
+    LakeTable.deleteMergeOnRead(spark, t, key % 7 === 3)
+    LakeTable.deleteMergeOnRead(spark, t, col("o_orderpriority") === "5-LOW")
+    // v5: copy-on-write UPDATE over the vectored table (must not
+    // resurrect; rewritten files drop their vectors)
+    LakeTable.update(spark, t,
+      Seq("o_totalprice" -> (col("o_totalprice") * 2)),
+      col("o_orderpriority") === "1-URGENT")
+    // v6: compact reconciles every remaining vector into clean files
+    LakeTable.compact(spark, t, smallFileBytes = 1L << 30)
+    // v7: a fresh MoR delete — the FINAL state carries active vectors,
+    // so the oracle compare exercises the MoR read path end to end
+    LakeTable.deleteMergeOnRead(spark, t, key % 11 === 5)
+
+    LakeTable.read(spark, t).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"))
+  }
+
+  /** DuckDB replay of [[lakeDv]]'s history (deletes commute with the
+    * priority-gated price update, so the chain flattens to filters).
+    */
+  val dvOracleSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_orderstatus,
+              CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+                        ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+       FROM orders
+       WHERE o_orderkey % 3 IN (0, 1)
+         AND o_orderkey % 7 <> 3
+         AND o_orderpriority <> '5-LOW'
+         AND o_orderkey % 11 <> 5"""
+
   /** DuckDB replays the same history as one SQL expression. */
   val oracleSql: String =
     """WITH merged AS (

@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+
+/** Merge-on-read deletes (deletion vectors): a point DELETE commits a
+  * positional vector in O(deleted rows) bytes — no data file is
+  * rewritten — and every read path (relation scan, SQL, detection
+  * scans of later DML, change feed, metadata-only count, streaming
+  * initial batch, time travel, restore) applies the vectors; compact
+  * reconciles them back into clean files and vacuum reclaims aged
+  * vectors. The Iceberg-v2 positional-delete analog (ref:
+  * trino_iceberg_transform_component.py:33,116-123).
+  */
+class DeleteVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def fsOf(t: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def dataFiles(t: String): Set[String] = {
+    val f = fsOf(t)
+    val dp = new org.apache.hadoop.fs.Path(t, "data")
+    if (!f.exists(dp)) Set.empty
+    else {
+      val it = f.listFiles(dp, true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) { val st = it.next(); if (st.isFile) out += st.getPath.toString }
+      out.toSet
+    }
+  }
+
+  private def baseDf = (1L to 100L).map(i => (i, s"g${i % 4}", i * 1.5))
+    .toDF("id", "grp", "v")
+
+  test("MoR delete: O(deleted rows) — no data-file rewrite, reads filter") {
+    val t = tmpTable("dv_basic")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    val before = dataFiles(t)
+    val v2 = LakeTable.deleteMergeOnRead(spark, t, col("id") % 10 === 3)
+    assert(v2 == 2L)
+    // THE merge-on-read property: the data tree is byte-identical —
+    // only a vector (and change data + one log delta) was written
+    assert(dataFiles(t) == before,
+      "MoR delete must not add, rewrite or remove any data file")
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.exists(_.dv.isDefined))
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum == 10L)
+    assert(snap.protocol.reader == 3 && snap.protocol.writer == 3)
+    // reads apply the vector
+    val ids = LakeTable.read(spark, t).select("id").as[Long].collect().toSet
+    assert(ids == (1L to 100L).filterNot(_ % 10 == 3).toSet)
+    // time travel to the pre-delete version still sees every row
+    assert(LakeTable.read(spark, t, asOf = Some(1L)).count() == 100L)
+    // vectors live under _deletes/, never data/
+    assert(snap.files.flatMap(_.dv).forall(_.path.startsWith("_deletes/")))
+  }
+
+  test("repeat deletes fold vectors; full-file delete drops the entry") {
+    val t = tmpTable("dv_fold")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    LakeTable.deleteMergeOnRead(spark, t, col("id") % 10 === 3)
+    LakeTable.deleteMergeOnRead(spark, t, col("id") % 10 === 7)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    // each touched file references ONE vector holding its complete set
+    val dvd = snap.files.filter(_.dv.isDefined)
+    assert(dvd.nonEmpty)
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum == 20L)
+    val ids = LakeTable.read(spark, t).select("id").as[Long].collect().toSet
+    assert(ids == (1L to 100L).filterNot(i => i % 10 == 3 || i % 10 == 7).toSet)
+    // delete an entire partition's rows: entries vanish instead of
+    // carrying 100%-deleted vectors
+    val g1 = (1L to 100L).filter(i => i % 4 == 1)
+    LakeTable.deleteMergeOnRead(spark, t, col("grp") === "g1")
+    val snap2 = LakeTable.latestSnapshot(spark, t).get
+    assert(!snap2.files.exists(_.path.startsWith("grp=g1/")),
+      "fully-deleted files must be removed, not vectored")
+    assert(LakeTable.read(spark, t).filter(col("grp") === "g1").count() == 0L)
+  }
+
+  test("detection scans of later DML apply vectors; CoW rewrite clears them") {
+    val t = tmpTable("dv_dml")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    LakeTable.deleteMergeOnRead(spark, t, col("id") <= 8)
+    // CoW UPDATE on a dv'd table: deleted rows must not resurrect, and
+    // the rewritten files drop their vectors
+    LakeTable.update(spark, t, Seq("v" -> (col("v") + 1000.0)), col("id") <= 16)
+    val out = LakeTable.read(spark, t).select("id", "v").as[(Long, Double)].collect().toMap
+    assert(!out.keySet.exists(_ <= 8), "CoW update resurrected MoR-deleted rows")
+    assert((9L to 16L).forall(i => out(i) == i * 1.5 + 1000.0))
+    assert((17L to 100L).forall(i => out(i) == i * 1.5))
+    // MERGE upsert on a dv'd table sees live rows only
+    LakeTable.deleteMergeOnRead(spark, t, col("id") === 99L)
+    LakeTable.merge(spark, t,
+      Seq((99L, "g3", -1.0), (101L, "g1", 101.5)).toDF("id", "grp", "v"),
+      keys = Seq("id"))
+    val out2 = LakeTable.read(spark, t).select("id", "v").as[(Long, Double)].collect().toMap
+    // 99 was MoR-deleted, so the merge INSERTS it fresh
+    assert(out2(99L) == -1.0 && out2(101L) == 101.5)
+    // CoW delete on a dv'd table
+    LakeTable.delete(spark, t, col("id") === 50L)
+    assert(!LakeTable.read(spark, t).select("id").as[Long].collect().contains(50L))
+  }
+
+  test("compact reconciles vectors into clean files; vacuum reclaims them") {
+    val t = tmpTable("dv_compact")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    LakeTable.deleteMergeOnRead(spark, t, col("id") % 7 === 0)
+    val live = LakeTable.read(spark, t).select("id").as[Long].collect().toSet
+    val vCompact = LakeTable.compact(spark, t, smallFileBytes = 1L << 30)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.version == vCompact)
+    assert(!snap.files.exists(_.dv.isDefined), "compact must clear all vectors")
+    assert(LakeTable.read(spark, t).select("id").as[Long].collect().toSet == live)
+    // rows unchanged ⇒ COMPACT stays changes-feed-invisible (a range of
+    // only-COMPACT commits folds to a truthful empty feed)
+    assert(LakeTable.changes(spark, t, vCompact, vCompact).count() == 0L)
+    // vector dirs age out once no retained version references them
+    val f = fsOf(t)
+    val delp = new org.apache.hadoop.fs.Path(t, "_deletes")
+    assert(f.exists(delp) && f.listStatus(delp).nonEmpty)
+    LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
+    assert(!f.exists(delp) || f.listStatus(delp).isEmpty,
+      "vacuum must sweep unreferenced deletion-vector dirs")
+    // while referenced, vacuum keeps them: new delete, vacuum with the
+    // dv version retained
+    LakeTable.deleteMergeOnRead(spark, t, col("id") === 2L)
+    LakeTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
+    assert(LakeTable.read(spark, t).count() == live.size - 1L,
+      "vacuum swept a LIVE deletion vector")
+  }
+
+  test("change feed records MoR-deleted rows; restore crosses dv commits") {
+    val t = tmpTable("dv_cdf")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    val v2 = LakeTable.deleteMergeOnRead(spark, t, col("id") > 90)
+    val feed = LakeTable.changes(spark, t, v2, v2)
+    val del = feed.filter(col(LakeTable.ChangeTypeCol) === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(del == (91L to 100L).toSet)
+    // a later overwrite's synthesized deletes are the LIVE rows only
+    val v3 = LakeTable.overwrite(spark, t, Seq((0L, "g0", 0.0)).toDF("id", "grp", "v"))
+    val owDel = LakeTable.changes(spark, t, v3, v3)
+      .filter(col(LakeTable.ChangeTypeCol) === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(owDel == (1L to 90L).toSet,
+      "overwrite synthesis must apply the previous snapshot's vectors")
+    // restore back ONTO the dv'd version: vector still applies
+    LakeTable.restore(spark, t, v2)
+    assert(LakeTable.read(spark, t).select("id").as[Long].collect().toSet
+      == (1L to 90L).toSet)
+    // restore to the pre-delete version resurrects (that IS v1's state)
+    LakeTable.restore(spark, t, 1L)
+    assert(LakeTable.read(spark, t).count() == 100L)
+  }
+
+  test("SQL surface: mode conf routes DELETE; stale plain relations fail loudly") {
+    val t = tmpTable("dv_sql")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    // register a view while the table is vector-free: plain relation
+    spark.read.format("graft").load(t).createOrReplaceTempView("dv_sql_view")
+    assert(spark.sql("SELECT count(*) c FROM dv_sql_view").head.getLong(0) == 100L)
+    val before = dataFiles(t)
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql(s"DELETE FROM dv_sql_view WHERE id % 10 = 0")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    assert(dataFiles(t) == before, "SQL MoR delete rewrote data files")
+    // the pre-dv plain relation must refuse (re-register hint), never
+    // silently resurrect deleted rows
+    val e = intercept[Exception] {
+      spark.sql("SELECT sum(id) FROM dv_sql_view").collect()
+    }
+    assert(e.getMessage.contains("re-register")
+      || Option(e.getCause).exists(_.getMessage.contains("re-register")))
+    // re-registered: resolves through the dv-aware relation
+    spark.read.format("graft").load(t).createOrReplaceTempView("dv_sql_view")
+    assert(spark.sql("SELECT count(*) c FROM dv_sql_view").head.getLong(0) == 90L)
+    val ids = spark.sql("SELECT id FROM dv_sql_view WHERE grp = 'g1' AND id < 20")
+      .as[Long].collect().toSet
+    assert(ids == (1L to 19L).filter(i => i % 4 == 1 && i % 10 != 0).toSet)
+    // metadata-only count stays exact under vectors (liveRowCount sums)
+    assert(spark.sql("SELECT count(*) FROM dv_sql_view WHERE grp = 'g2'").head.getLong(0)
+      == (1L to 100L).count(i => i % 4 == 2 && i % 10 != 0))
+  }
+
+  test("column-mapped table: MoR delete after RENAME reads correctly") {
+    val t = tmpTable("dv_map")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    LakeTable.renameColumn(spark, t, "v", "value")
+    LakeTable.deleteMergeOnRead(spark, t, col("value") > 120.0)
+    val out = LakeTable.read(spark, t)
+    assert(out.columns.contains("value"))
+    assert(out.count() == (1L to 100L).count(_ * 1.5 <= 120.0))
+    assert(out.agg(max("value")).head.getDouble(0) == 120.0)
+  }
+
+  test("lake_dv gate query matches an independent SQL replay") {
+    val got = operators.MaintenanceOps.lakeDv(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toMap
+    graft.Tables.orders(spark, sf).createOrReplaceTempView("dv_orders")
+    val want = spark.sql(
+      """SELECT o_orderkey,
+                CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+                          ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+         FROM dv_orders
+         WHERE o_orderkey % 3 IN (0, 1)
+           AND o_orderkey % 7 <> 3
+           AND o_orderpriority <> '5-LOW'
+           AND o_orderkey % 11 <> 5""")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == want.size)
+    assert(got == want)
+  }
+
+  test("streaming initial batch applies vectors") {
+    val t = tmpTable("dv_stream")
+    LakeTable.overwrite(spark, t, baseDf.limit(20), partitionBy = Seq("grp"))
+    LakeTable.deleteMergeOnRead(spark, t, col("id") % 2 === 0)
+    val outDir = java.nio.file.Files.createTempDirectory("dv_stream_out").toString
+    val q = spark.readStream.format("graft").load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$outDir/sink")
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$outDir/sink").select("id").as[Long].collect().toSet
+    assert(got == (1L to 20L).filter(_ % 2 == 1).toSet)
+  }
+}
