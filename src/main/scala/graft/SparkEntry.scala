@@ -64,6 +64,7 @@ object SparkEntry {
     "top_terms"            -> ((s, d) => TextAnalysis.topTerms(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.dedupSimhash(s, d)),
     // similarity search
@@ -473,6 +474,30 @@ object SparkEntry {
          FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, lang,
+                   regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+           WHERE len(w) >= 3),
+         e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+         sym AS (SELECT doc_a AS src, doc_b AS dst FROM e
+                 UNION ALL SELECT doc_b, doc_a FROM e),
+         reach AS (SELECT src, dst FROM sym
+                   UNION
+                   SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         rep AS (SELECT doc.doc_id,
+                   LEAST(doc.doc_id, COALESCE(MIN(r.dst), doc.doc_id)) AS rep_id
+                 FROM documents doc LEFT JOIN reach r ON r.src = doc.doc_id
+                 GROUP BY doc.doc_id)
+         SELECT doc_id, rep_id,
+                CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS cluster_size
+         FROM rep""",
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),

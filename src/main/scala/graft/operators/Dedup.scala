@@ -79,6 +79,74 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), rnd(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** doc_id → connected-component representative (min doc_id reachable
+    * over `edges`) via iterative min-label propagation — the step that
+    * turns PAIR output (quadratic in clique size: a 1000-copy document
+    * emits ~500k pairs) into the doc→keeper map a dedup pipeline
+    * actually applies. All DataFrame joins, no driver loop over data:
+    * each round propagates every vertex's current label across the
+    * symmetrized edge set (one join + one min-aggregate, both shuffles
+    * bounded by |E|+|V|) and folds it with `least`. Rounds needed =
+    * component diameter, which for near-duplicate clusters is tiny
+    * (cliques from a shared source have diameter 1-2); `maxIters`
+    * bounds pathological chains and convergence is CHECKED (an
+    * existence probe of any changed label), with each round's labels
+    * persisted and the previous round's released.
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+                          maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("rep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var i = 0
+      var converged = false
+      while (!converged && i < maxIters) {
+        val viaNbr = sym
+          .join(labels.select(col("doc_id").as("dst"), col("rep_id")), Seq("dst"))
+          .groupBy(col("src").as("doc_id")).agg(min(col("rep_id")).as("nbr_rep"))
+        val next = labels
+          .join(viaNbr, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("rep_id"), coalesce(col("nbr_rep"), col("rep_id"))).as("rep_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next
+          .join(labels.select(col("doc_id"), col("rep_id").as("old_rep")), Seq("doc_id"))
+          .filter(col("rep_id") =!= col("old_rep"))
+          .limit(1).count() // existence probe, short-circuits
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = changed == 0L
+        i += 1
+      }
+      // materialize before releasing the caches the plan leans on
+      labels.count()
+      labels
+    } finally sym.unpersist(blocking = false)
+  }
+
+  /** Cluster-representative dedup over the EXACT near-duplicate edge
+    * set ([[ngramJaccard]] — prefix-filtered, lossless, which is what
+    * makes this oracle-checkable end to end; the minhash/simhash
+    * candidate generators plug into the same [[connectedComponents]]
+    * at 100 TB where exactness is traded for bucket-local candidate
+    * cost). Output: every document with its component representative
+    * (min doc_id; singletons map to themselves) and the component
+    * size — the keep/drop map a training-data pipeline joins against,
+    * LINEAR in corpus size where the pair output is quadratic in
+    * clique size.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val vertices = Tables.documents(spark, dir).select(col("doc_id"))
+    val edges = ngramJaccard(spark, dir, threshold).select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(vertices, edges)
+    val sizes = labels.groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("rep_id"))
+      .select(col("doc_id"), col("rep_id"), col("cluster_size"))
+  }
+
   /** MinHash + LSH near-dup detection: 64-permutation signature →
     * 16 bands of 4 → band-bucket join for candidates → verified with
     * both the signature estimate and the exact shingle Jaccard.

@@ -84,6 +84,43 @@ class DedupSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("connected components: chains, cliques and singletons label to the min id") {
+    import spark.implicits._
+    // component {1,2,3,4} as a chain, {10,11,12} as a clique, 20 and 21
+    // as an isolated edge, 30 as a singleton vertex
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L).toDF("doc_id")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("dedup_clusters matches a brute-force transitive closure of the edge set") {
+    import spark.implicits._
+    val edges = Dedup.ngramJaccard(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val vertices = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    // driver-side union-find over the small-SF edges
+    val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = vertices.map(v => (v, find(v))).toMap
+    val got = Dedup.dedupClusters(spark, sf)
+      .select("doc_id", "rep_id").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // sizes agree with the label multiplicity and sum to the corpus
+    val sizes = Dedup.dedupClusters(spark, sf)
+      .select("rep_id", "cluster_size").distinct()
+      .as[(Long, Long)].collect().toMap
+    val wantSizes = want.values.groupBy(identity).map { case (r, vs) => r -> vs.size.toLong }
+    assert(sizes == wantSizes)
+  }
+
   test("exact dedup partitions the corpus") {
     val df = Dedup.dedupExact(spark, sf)
     assert(df.agg(sum("n_copies")).head.getLong(0) ==
