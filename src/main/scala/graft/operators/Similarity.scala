@@ -67,7 +67,7 @@ object Similarity {
     * its cells' partitions.
     */
   def annIvf(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
-             cells: Int = 16, probes: Int = 4): DataFrame = {
+             cells: Int = 16, probes: Int = 10): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v"))).cache()
     val model = fitQuantizer(e, cells)
@@ -171,7 +171,7 @@ object Similarity {
     * probe; it exists purely to prune I/O.
     */
   def annIvfIndexed(spark: SparkSession, dir: String, indexPath: String,
-                    numQueries: Int = 10, k: Int = 5, probes: Int = 4): DataFrame = {
+                    numQueries: Int = 10, k: Int = 5, probes: Int = 8): DataFrame = {
     Sketches.register(spark)
     val corpus = graft.lake.LakeTable.read(spark, s"$indexPath/corpus")
     val centersDf = graft.lake.LakeTable.read(spark, s"$indexPath/centroids")
@@ -198,14 +198,24 @@ object Similarity {
         col("rank"), col("cell").cast("long").as("cell"))
   }
 
-  /** Random-hyperplane LSH ANN, multi-table: 8 tables × 6 sign bits.
-    * A pair is a candidate if it collides in ANY table (single-table
-    * sign-LSH has near-zero recall at moderate cosine); candidates get
-    * exact cosine and are deduped across tables.
+  /** Random-hyperplane LSH ANN, multi-table. A pair is a candidate if
+    * it collides in ANY table (single-table sign-LSH has near-zero
+    * recall at moderate cosine); candidates get exact cosine and are
+    * deduped across tables.
+    *
+    * Parameter math (sign-LSH: P[bit agrees] = 1 − θ/π): at the
+    * default cosine threshold 0.35 (θ ≈ 69.5°, p ≈ 0.61), recall for
+    * a threshold-grade pair is 1 − (1 − p^bits)^tables — the 24×4
+    * default gives ≈0.97, asserted as a floor by RecallSpec against
+    * brute force. The cost side is candidate volume: an uncorrelated
+    * pair (p ≈ 0.5) collides somewhere with prob 1 − (1 − 2^-bits)^
+    * tables, so LOW thresholds are intrinsically expensive in any LSH
+    * scheme — raise `bits` (and `tables` with it) when the target
+    * cosine is higher, e.g. 6 bits × 8 tables is the cheap setting
+    * for ≥0.6-cosine near-dup mining.
     */
-  def annLsh(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val tables = 8
-    val bits = 6
+  def annLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
+             tables: Int = 24, bits: Int = 4): DataFrame = {
     val e = vectors(spark, dir)
       .withColumn("sigs", expr(s"lsh_sigs(v, $tables, $bits, 20260812)"))
       .select(col("vec_id"), col("v"), col("norm"),

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Measured recall gates for the approximate tier. These operators
+  * pass the driver's correctness gate as rows-only (no SQL oracle can
+  * replay a probabilistic sketch), so THIS spec is what stops their
+  * quality drifting silently: each one's recall is computed against
+  * its exact counterpart on the same data and asserted against a
+  * floor, and the values are printed on one `RECALL` line for the
+  * round log.
+  */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val recalls = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+  test("ann_ivf recall@5 vs exact brute-force top-k") {
+    val exact = Similarity.annTopk(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    recalls("ann_ivf@5") = recall
+    assert(recall >= 0.9, s"ann_ivf recall@5 $recall < 0.9")
+  }
+
+  test("ann_lsh recall vs exact cosine pairs at the same threshold") {
+    val t = 0.35
+    // exact ground truth: every unordered pair at cosine >= t, brute
+    // force over the small-SF corpus
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val withNorm = e.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(v, 0d, (acc, x) -> acc + x * x)")))
+    val a = withNorm.select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = withNorm.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
+    val exact = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, x) -> acc + x)")
+          / (col("na") * col("nb")))
+      .filter(col("cosine") >= t)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLsh(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    recalls("ann_lsh") = recall
+    assert(exact.nonEmpty)
+    assert(recall >= 0.9, s"ann_lsh recall $recall < 0.9")
+  }
+
+  test("dedup_minhash recall vs the exact Jaccard pair set") {
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.dedupMinhash(spark, sf, threshold = 0.5)
+      .filter(col("exact_jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = mh.intersect(exact).size.toDouble / exact.size
+    recalls("dedup_minhash") = recall
+    assert(exact.nonEmpty)
+    assert(recall >= 0.9, s"dedup_minhash recall $recall < 0.9")
+  }
+
+  test("dedup_simhash chunk blocking is lossless within the hamming bound") {
+    graft.functions.Sketches.register(spark)
+    // brute-force ground truth over the collected 64-bit signatures
+    val sigs = graft.Tables.documents(spark, sf)
+      .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
+      .withColumn("simhash", expr("simhash_bits(transform(toks, t -> xxhash64(t)))"))
+      .select("doc_id", "simhash").as[(Long, Long)].collect()
+    val exact = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
+    } yield {
+      val (x, y) = (sigs(i)._1, sigs(j)._1)
+      (math.min(x, y), math.max(x, y))
+    }).toSet
+    val got = Dedup.dedupSimhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    recalls("dedup_simhash") = if (exact.isEmpty) 1.0
+      else got.intersect(exact).size.toDouble / exact.size
+    assert(got == exact, "4x16-bit chunk blocking must be exhaustive at hamming <= 3")
+    // pigeonhole argument: <=3 differing bits cannot touch all 4 chunks
+    assert(recalls("dedup_simhash") == 1.0)
+  }
+
+  test("recall summary line for the round log") {
+    assert(recalls.size == 4, s"expected all four recalls measured, got $recalls")
+    val json = recalls.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
+      .mkString("{", ",", "}")
+    info(s"RECALL $json")
+    println(s"RECALL $json")
+  }
+}
