@@ -207,11 +207,17 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
       if (ColumnMapping.needsTranslation(initialSnapshot.schema))
         dataFilters.map(ColumnMapping.physicalizeExpr(_, nameMap))
       else dataFilters
+    // equality probes additionally consult the per-file bloom sidecars
+    // (advisory — a file without one just isn't bloom-skipped)
+    val probes =
+      if (dataFilters.isEmpty) Nil
+      else BloomIndex.equalityProbes(physFilters, dataSchema, resolver)
     val skipped = pruned.map { case (row, files) =>
       val kept =
         if (dataFilters.isEmpty) files
         else files.filterNot { case (_, entry) =>
-          DataSkipping.skip(physFilters, dataSchema, resolver, entry)
+          DataSkipping.skip(physFilters, dataSchema, resolver, entry) ||
+            BloomIndex.skip(hadoopFs, tablePath, entry, probes)
         }
       (row, kept)
     }.filter(_._2.nonEmpty)

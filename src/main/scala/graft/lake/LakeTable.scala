@@ -104,10 +104,16 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * min/max/nullCount stats stay SOUND under a dv (they bound a
     * superset of the live rows — skipping can only under-prune, never
     * misprune), but `rowCount` alone over-counts: use [[liveRowCount]].
+    *
+    * `bloom`: table-relative path of the commit sidecar holding this
+    * file's per-column bloom filters ([[BloomIndex]]) — ADVISORY
+    * equality-skipping metadata; absent/unreadable degrades to "scan
+    * the file", so no protocol gate guards it.
     */
   final case class FileEntry(path: String, size: Long, mtimeMs: Long,
                              rowCount: Long, stats: Map[String, ColStats],
-                             dv: Option[DeleteVector] = None) {
+                             dv: Option[DeleteVector] = None,
+                             bloom: Option[String] = None) {
     /** Rows a scan of this file yields after dv filtering; -1 unknown. */
     def liveRowCount: Long =
       if (rowCount < 0) -1L else rowCount - dv.map(_.cardinality).getOrElse(0L)
@@ -201,7 +207,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
         s.nullCount.map(n => "nc" -> JLong(n))).flatten): JValue)
     })) ++
     e.dv.map(d => "dv" -> (JObject(List(
-      "p" -> JString(d.path), "c" -> JLong(d.cardinality))): JValue)).toList)
+      "p" -> JString(d.path), "c" -> JLong(d.cardinality))): JValue)).toList ++
+    e.bloom.map(b => "bf" -> (JString(b): JValue)).toList)
 
   private def commonFields(version: Long, timestampMs: Long, operation: String,
                            schema: StructType, partitionColumns: Seq[String],
@@ -285,7 +292,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
         case d: JObject => Some(DeleteVector(jStr(d \ "p"), jLong(d \ "c")))
         case _          => None
       }
-      FileEntry(jStr(o \ "p"), jLong(o \ "sz"), jLong(o \ "mt"), jLong(o \ "rc"), stats, dv)
+      FileEntry(jStr(o \ "p"), jLong(o \ "sz"), jLong(o \ "mt"), jLong(o \ "rc"), stats,
+        dv, jStrOpt(o \ "bf"))
     case other => throw new IllegalStateException(s"expected file entry, got $other")
   }
 
@@ -879,7 +887,25 @@ object LakeTable extends org.apache.spark.internal.Logging {
         FileEntry(rel, st.getLen, st.getModificationTime, rows, stats)
       }
       finally f.delete(staging, true)
-    entries
+    // bloom sidecar for flagged columns: the table's CURRENT schema
+    // metadata names them (enableBloomFilter); the build reads the
+    // just-moved, page-cache-warm files once, distributed. Flags are
+    // logical names; the staged files (and the probe-side stats path)
+    // carry physical names, so translate through this write's mapping.
+    val flagged = latestSnapshot(spark, table)
+      .map(s => BloomIndex.flaggedColumns(s.schema)).getOrElse(Nil)
+    if (flagged.isEmpty || entries.isEmpty) entries
+    else {
+      val byPhys = flagged.flatMap { case (logical, fpp) =>
+        val phys = mapping.getOrElse(logical, logical)
+        dataSchema.fields.find(_.name == phys).map(fl => (phys, fl.dataType, fpp))
+      }
+      BloomIndex.buildSidecar(spark, table, entries.map(_.path), byPhys,
+        entries.map(e => e.path -> e.rowCount).toMap) match {
+        case Some(sidecar) => entries.map(_.copy(bloom = Some(sidecar)))
+        case None => entries
+      }
+    }
   }
 
   /** Run `body` over the items on a bounded thread pool, preserving
@@ -1245,9 +1271,12 @@ object LakeTable extends org.apache.spark.internal.Logging {
       if (ColumnMapping.needsTranslation(snap.schema))
         rest.map(ColumnMapping.physicalizeExpr(_, nameMap))
       else rest
+    val probes = BloomIndex.equalityProbes(physConds, dataSchema, resolver)
+    val f = fs(spark, table)
     snap.files.filter { e =>
       val pOk = pPred.forall(_.eval(PartitionPaths.valuesOf(e.path, pSchema, tz)))
-      pOk && !DataSkipping.skip(physConds, dataSchema, resolver, e)
+      pOk && !DataSkipping.skip(physConds, dataSchema, resolver, e) &&
+        !BloomIndex.skip(f, table, e, probes)
     }
   }
 
@@ -2627,6 +2656,35 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * by construction; drop + re-add ([[dropColumn]]) reads null, never
     * stale values.
     */
+  /** Opt `column` into per-file bloom-filter indexing ([[BloomIndex]])
+    * — a metadata-only commit stamping the fpp into the field's schema
+    * metadata. Every LATER write builds blooms for its staged files;
+    * run a [[compact]] to backfill existing files. Supported types:
+    * integral and string (anything else is flagged but silently
+    * unindexed — blooms are advisory). Use on high-cardinality columns
+    * that equality probes hit and clustering does not serve: min/max
+    * bounds cannot skip a point lookup on an unclustered key.
+    */
+  def enableBloomFilter(spark: SparkSession, table: String, column: String,
+                        fpp: Double = 0.01): Long = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    retryCommit(spark, table, "ENABLE BLOOM") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+      require(prev.schema.fieldNames.contains(column),
+        s"bloom column $column is not in the schema of $table")
+      require(!prev.partitionColumns.contains(column),
+        s"bloom column $column is a partition column — pruned from the path already")
+      val fields = prev.schema.fields.map { fl =>
+        if (fl.name != column) fl
+        else fl.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fl.metadata).putDouble(BloomIndex.MetaKey, fpp).build())
+      }
+      CommitSpec(StructType(fields), prev.partitionColumns, prev.files, Nil, Nil,
+        reset = false, protocol = prev.protocol)
+    }
+  }
+
   def addColumns(spark: SparkSession, table: String, cols: StructType): Long = {
     require(cols.nonEmpty, "addColumns needs at least one column")
     val resolver = spark.sessionState.conf.resolver
@@ -2993,6 +3051,20 @@ object LakeTable extends org.apache.spark.internal.Logging {
             !retainedDv.contains("_deletes/" + st.getPath.getName)) {
           if (dryRun) deleted += 1
           else if (f.delete(st.getPath, true)) deleted += 1
+        }
+      }
+    }
+    // bloom sidecars: advisory, swept when no retained entry references
+    // them (their files were rewritten/vacuumed) and old enough
+    val retainedBloom = retainedSnaps
+      .flatMap(_.files.flatMap(_.bloom)).toSet
+    val blp = BloomIndex.bloomPath(table)
+    if (f.exists(blp)) {
+      f.listStatus(blp).foreach { st =>
+        if (st.isFile && st.getModificationTime < cutoffMs &&
+            !retainedBloom.contains("_index/bloom/" + st.getPath.getName)) {
+          if (dryRun) deleted += 1
+          else if (f.delete(st.getPath, false)) deleted += 1
         }
       }
     }
