@@ -72,12 +72,20 @@ object Bench {
     // in-band box-load indicator: rounds 6 and 10 both produced
     // 2-4x-inflated numbers on a loaded box that read as regressions
     // until re-measured — record the 1-min load average with the
-    // timings so noise is diagnosable from the artifact alone
+    // timings so noise is diagnosable from the artifact alone.
+    // Unavailable (negative) reads as null, cpus is numeric, and a
+    // loaded box stamps load_note=RETRY so the artifact carries its
+    // own "re-measure before judging" flag.
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadJson = if (load < 0.0) "null" else load.toString
+    val loadNote =
+      if (load > 1.5) s""","load_note":"RETRY: load_avg ${"%.2f".format(load)} > 1.5 at sample time - timings likely inflated; re-measure on a quiet box""""
+      else ""
+    val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"runs":$timedRuns,""" +
-      s""""load_avg_1m":$load,"cpus":"$cpus","sf":"$sfDir"}""")
+      s""""load_avg_1m":$loadJson,"cpus":$cpusJson,"sf":"$sfDir"$loadNote}""")
     spark.stop()
   }
 }

@@ -34,8 +34,25 @@ object Tables {
       try load(s, d, "events")
       catch {
         case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          load(s, d, "events")
+          // Scope the legacy handling to this relation. Schema
+          // INFERENCE only honors the session conf, so set it for the
+          // one synchronous inference and restore in a finally — then
+          // hand the inferred schema to a fresh read whose nanos
+          // handling rides a per-relation READ OPTION (merged into the
+          // scan's hadoopConf at execution). The session conf is back
+          // to its prior value before this function returns, so no
+          // later parquet read in the session changes behavior.
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prior = s.conf.getOption(key)
+          s.conf.set(key, "true")
+          val inferred =
+            try load(s, d, "events").schema
+            finally prior match {
+              case Some(v) => s.conf.set(key, v)
+              case None    => s.conf.unset(key)
+            }
+          s.read.schema(inferred).option(key, "true")
+            .parquet(s"$d/events.parquet")
       }
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -17,6 +17,26 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Caches outstanding from the PREVIOUS invocation of each operator,
+    * released when the operator runs again. The caches serve reuse
+    * WITHIN the returned (lazy) plan, so they cannot be dropped before
+    * the caller consumes it — but a long-running session calling an
+    * operator repeatedly must not accumulate one cached plan per call.
+    * This bounds the liability to one outstanding set per operator; a
+    * concurrent overlapping call at worst recomputes (correctness
+    * unaffected — unpersist only drops the materialization).
+    */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
+
+  private def retirePrevious(op: String, current: Seq[DataFrame]): Unit = {
+    val old = liveCaches.put(op, current)
+    if (old != null) old.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Exact dedup: md5 content hash → group, keep min doc_id. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -57,6 +77,7 @@ object Dedup {
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
       .select(col("lang"), col("doc_id"), col("n"), col("s"))
       .cache() // joined with itself below; avoid recomputing the rank window twice
+    retirePrevious("ngramJaccard", Seq(d, prefix))
 
     // (A PPJoin positional filter was considered here but is unsound
     // without exact common-before-position counts, which a relational
@@ -95,11 +116,17 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIters: Int = 25): DataFrame = {
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetrize with ONE scan of the (possibly expensive) edge plan —
+    // a union of two projections would execute it twice
+    val sym = edges
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("doc_id"), col("doc_id").as("rep_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prev: DataFrame = labels // each round retires its predecessor's cache
     try {
       var i = 0
       var converged = false
@@ -107,22 +134,22 @@ object Dedup {
         val viaNbr = sym
           .join(labels.select(col("doc_id").as("dst"), col("rep_id")), Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(min(col("rep_id")).as("nbr_rep"))
+        // old and new label side by side: the convergence probe rides
+        // the SAME cached round, no extra join per iteration
         val next = labels
           .join(viaNbr, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("rep_id").as("old_rep"),
             least(col("rep_id"), coalesce(col("nbr_rep"), col("rep_id"))).as("rep_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next
-          .join(labels.select(col("doc_id"), col("rep_id").as("old_rep")), Seq("doc_id"))
-          .filter(col("rep_id") =!= col("old_rep"))
+        val changed = next.filter(col("rep_id") =!= col("old_rep"))
           .limit(1).count() // existence probe, short-circuits
-        labels.unpersist(blocking = false)
-        labels = next
+        if (prev != null) prev.unpersist(blocking = false)
+        prev = next
+        labels = next.select(col("doc_id"), col("rep_id"))
         converged = changed == 0L
         i += 1
       }
-      // materialize before releasing the caches the plan leans on
-      labels.count()
+      retirePrevious("connectedComponents", Seq(prev).filter(_ != null))
       labels
     } finally sym.unpersist(blocking = false)
   }
@@ -164,6 +191,7 @@ object Dedup {
       .withColumn("sig", expr(s"minhash_sig(transform(sh, s -> xxhash64(s)), $numHashes)"))
       .select(col("doc_id"), col("sh"), col("sig"))
       .cache()
+    retirePrevious("dedupMinhash", Seq(d))
 
     val banded = d.select(
       col("doc_id"), col("sig"),

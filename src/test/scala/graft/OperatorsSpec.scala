@@ -84,6 +84,21 @@ class DedupSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("repeated dedup calls do not accumulate cached plans") {
+    def cachedCount = spark.sparkContext.getPersistentRDDs.size
+    Dedup.ngramJaccard(spark, sf).count()
+    Dedup.dedupMinhash(spark, sf).count()
+    val after1 = cachedCount
+    (1 to 2).foreach { _ =>
+      Dedup.ngramJaccard(spark, sf).count()
+      Dedup.dedupMinhash(spark, sf).count()
+    }
+    // each call retires its predecessor's caches: bounded at one
+    // outstanding set per operator, not one per invocation
+    assert(cachedCount <= after1,
+      s"cached RDD count grew across repeated calls: $after1 -> $cachedCount")
+  }
+
   test("connected components: chains, cliques and singletons label to the min id") {
     import spark.implicits._
     // component {1,2,3,4} as a chain, {10,11,12} as a clique, 20 and 21

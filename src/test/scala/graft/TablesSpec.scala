@@ -56,6 +56,46 @@ class TablesSpec extends SparkSpec {
     assert(loadedMicros(d) == micros)
   }
 
+  test("events loader: TRUE parquet TIMESTAMP(NANOS) reads scoped — session conf untouched") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageTypeParser, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64).named("event_id")
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS)).named("ts")
+      .named("events")
+    val d = java.nio.file.Files.createTempDirectory("tables_nanos").toString
+    val file = new org.apache.hadoop.fs.Path(s"$d/events.parquet/part-0.parquet")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter.builder(file).withConf(conf).build()
+    val g = new SimpleGroupFactory(schema).newGroup()
+    g.add("event_id", 1L)
+    g.add("ts", micros * 1000L)
+    w.write(g)
+    w.close()
+
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key) // Some("false"): the default
+    assert(!before.contains("true"))
+    // a bare read of the NANOS file fails (that is what the loader's
+    // fallback catches)
+    intercept[Exception] { spark.read.parquet(s"$d/events.parquet").schema }
+    assert(loadedMicros(d) == micros)
+    // the legacy handling rode the inference window + the relation's
+    // read options: the session value is exactly what it was, so later
+    // parquet reads in this session are unaffected
+    assert(spark.conf.getOption(key) == before,
+      "legacy nanos conf must not leak into the session")
+    // and a bare NANOS read still fails — proof the session did not
+    // silently inherit the legacy behavior
+    intercept[Exception] { spark.read.parquet(s"$d/events.parquet").schema }
+  }
+
   test("events loader: an unreadable ts type is refused loudly") {
     val d = dirFor(Seq((1L, "not-a-time")).toDF("event_id", "ts"))
     val e = intercept[IllegalStateException] { Tables.events(spark, d) }
