@@ -2637,6 +2637,108 @@ object LakeTable extends org.apache.spark.internal.Logging {
     next.version
   }
 
+  /** Reserved txn-ledger key recording the last clustering commit for
+    * a given cluster spec — rides the snapshot's txns map (atomic with
+    * the commit), distinguished from streaming writer ids by prefix.
+    */
+  private def clusterWatermarkKey(sortBy: Seq[String], zorderBy: Seq[String]): String =
+    if (zorderBy.nonEmpty) s"__graft_cluster:z:${zorderBy.mkString(",")}"
+    else s"__graft_cluster:s:${sortBy.mkString(",")}"
+
+  /** Incremental re-cluster: range/Z-order-cluster ONLY the files that
+    * arrived since the last clustering commit with the same spec (the
+    * "unclustered tail"), carrying every already-clustered file by
+    * reference. The last clustering version is a WATERMARK in the
+    * snapshot's txn ledger (committed atomically with the clustering
+    * itself), and "new since" is exactly the entries absent from that
+    * version's snapshot — entries are immutable per path, so set
+    * difference is the precise tail.
+    *
+    * This is the maintenance loop a daily-append 100 TB fact needs:
+    * the first call clusters everything (no watermark yet); each later
+    * call sorts just the day's appends into tightly-bounded files, so
+    * [[DataSkipping]] keeps serving narrow per-file ranges WITHOUT the
+    * daily full-partition rewrite a plain clustered [[compact]] costs.
+    * Tail files overlap the historical runs' key ranges, which
+    * file-bound skipping is indifferent to (each file's own bounds
+    * stay tight); run a full clustered compact on the rare cadence
+    * where merging runs pays. Files with outstanding deletion vectors
+    * join the rewrite (same reconcile-on-rewrite rule as [[compact]]).
+    * Returns the committed version — unchanged when the tail is empty.
+    */
+  def reclusterIncremental(spark: SparkSession, table: String,
+                           sortBy: Seq[String] = Nil,
+                           zorderBy: Seq[String] = Nil,
+                           targetFileBytes: Long = 128L << 20,
+                           partitionFilter: Option[Column] = None): Long = {
+    require(sortBy.nonEmpty ^ zorderBy.nonEmpty,
+      "pass exactly one of sortBy / zorderBy")
+    require(zorderBy.isEmpty || zorderBy.size >= 2,
+      "zorderBy needs at least two columns — use sortBy to cluster on one")
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    (sortBy ++ zorderBy).foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"cluster column $c is not in the schema of $table")
+      require(!snap.partitionColumns.contains(c),
+        s"cluster column $c is a partition column — constant per file already")
+    }
+    val key = clusterWatermarkKey(sortBy, zorderBy)
+    val clusteredAsOf: Set[String] = snap.txns.get(key) match {
+      case Some(v) => scala.util.Try(snapshotAt(spark, table, v).filePaths.toSet)
+        .getOrElse(Set.empty) // watermark version vacuumed from the log → full pass
+      case None => Set.empty
+    }
+    val inScope: FileEntry => Boolean = partitionFilter match {
+      case None => _ => true
+      case Some(c) =>
+        val scope = resolvePartitionFilter(spark, snap, c, "recluster")
+        e => scope.fileInScope(e.path)
+    }
+    // NOTE: the watermark is table-global per cluster spec — use a
+    // consistent partitionFilter across calls (a scoped first pass
+    // followed by an unscoped one would treat never-clustered files
+    // that predate the watermark as clustered; run one unscoped full
+    // pass to re-baseline)
+    val tail = snap.files.filter(e =>
+      inScope(e) && (!clusteredAsOf.contains(e.path) || e.dv.isDefined))
+    if (tail.isEmpty) return snap.version
+    val tailSet = tail.map(_.path).toSet
+    val carried = snap.files.filterNot(e => tailSet.contains(e.path))
+
+    val packed = readDataFilesLive(spark, table, snap, tail.map(_.path))
+    val f = fs(spark, table)
+    val base = dataPath(table)
+    val tailBytes = tail.map(e =>
+      if (e.size >= 0) e.size else f.getFileStatus(new Path(base, e.path)).getLen).sum
+    val targetTasks = math.max(1,
+      math.ceil(tailBytes.toDouble / targetFileBytes).toInt)
+    val pCols = snap.partitionColumns.map(col)
+    val rows =
+      if (zorderBy.nonEmpty) {
+        val counts = tail.map(_.liveRowCount)
+        val totalRows = if (counts.forall(_ >= 0)) counts.sum else packed.count()
+        val zc = "_graft_zvalue"
+        packed.withColumn(zc, ZOrder.zvalue(packed, zorderBy, totalRows))
+          .repartitionByRange(targetTasks, (pCols :+ col(zc)).toIndexedSeq: _*)
+          .sortWithinPartitions((pCols :+ col(zc)).toIndexedSeq: _*)
+          .drop(zc)
+      } else {
+        val sCols = pCols ++ sortBy.map(col)
+        packed.repartitionByRange(targetTasks, sCols.toIndexedSeq: _*)
+          .sortWithinPartitions(sCols.toIndexedSeq: _*)
+      }
+    val newFiles = stageFiles(spark, table, rows, snap.partitionColumns,
+      ColumnMapping.mapping(snap.schema))
+    val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
+      snap.schema, snap.partitionColumns, carried ++ newFiles,
+      txns = snap.txns + (key -> (snap.version + 1)))
+    if (!tryCommit(spark, table, next, newFiles, tail.map(_.path), prev = Some(snap)))
+      throw new ConcurrentCommitException(
+        s"incremental recluster on $table lost the commit race")
+    next.version
+  }
+
   // ------------------------------------------------------------ schema DDL
 
   /** Explicit schema evolution — the ALTER TABLE ADD COLUMNS analog,
