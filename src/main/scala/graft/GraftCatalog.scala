@@ -63,6 +63,43 @@ object GraftCatalog {
     catch { case _: java.io.IOException | _: SecurityException => () }
   }
 
+  /** Snapshot-consistent multi-table reads: resolve EVERY cataloged
+    * lake table's latest committed version in one metadata sweep, then
+    * register each as `<name>_tbl` PINNED at that version (versionAsOf
+    * through [[graft.lake.LakeTable.read]]). Where [[registerLake]]'s
+    * live views re-resolve the log at every query — each query in a
+    * multi-statement gold build potentially seeing a different commit
+    * of each input — a pin freezes the whole surface at one instant,
+    * so a build that joins dims and facts across many statements reads
+    * one consistent warehouse state even while writers keep
+    * committing. This is the cross-table analog of the reference's
+    * per-query Glue snapshot resolution (its Trino queries each pin
+    * an Iceberg snapshot per table; a multi-table pin extends that to
+    * the whole job — ref: trino_iceberg_transform_component.py:33).
+    * The sweep is pure metadata (one `versions` listing per table, no
+    * data reads), so the window between the first and last table's
+    * resolution is milliseconds regardless of data size; per-table,
+    * every read through the pin is exactly one immutable snapshot.
+    * Returns table name -> pinned version. Re-register live views
+    * with [[registerLake]] to release the pin.
+    */
+  def pinLake(spark: SparkSession, warehouseDir: String): Map[String, Long] = {
+    val pins = for {
+      (layer, names) <- Seq("silver" -> Pipeline.silverModels.keySet,
+                            "gold"   -> Pipeline.goldModels.keySet)
+      name <- names.toSeq.sorted
+      path = Pipeline.tablePath(warehouseDir, layer, name)
+      v <- graft.lake.LakeTable.versions(spark, path).lastOption
+    } yield (name, path, v)
+    // resolution above is the only racy step; view registration below
+    // is pure session state over already-frozen versions
+    pins.foreach { case (name, path, v) =>
+      graft.lake.LakeTable.read(spark, path, asOf = Some(v))
+        .createOrReplaceTempView(s"${name}_tbl")
+    }
+    pins.map { case (name, _, v) => name -> v }.toMap
+  }
+
   // ------------------------------------------------ persistent registry
   //
   // The reference's tables live in a Glue catalog: any NEW Trino session

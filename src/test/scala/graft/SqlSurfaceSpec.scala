@@ -63,6 +63,33 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount <= 1)
   }
 
+  test("pinLake freezes the whole multi-table surface at one instant") {
+    import graft.lake.LakeTable
+    val tmp = java.nio.file.Files.createTempDirectory("sql_pin").toString
+    Pipeline.runSilver(spark, sf, tmp)
+    val pins = GraftCatalog.pinLake(spark, tmp)
+    assert(pins.keySet == Pipeline.silverModels.keySet)
+    val t = Pipeline.tablePath(tmp, "silver", "fact_events")
+    assert(pins("fact_events") == LakeTable.latestSnapshot(spark, t).get.version)
+    val before = spark.sql("SELECT count(*) FROM fact_events_tbl").head.getLong(0)
+    // a writer commits mid-"job": the pinned surface must not move —
+    // every later statement of the same build still reads the pin
+    LakeTable.append(spark, t, spark.table("fact_events_tbl").limit(3))
+    assert(spark.sql("SELECT count(*) FROM fact_events_tbl").head.getLong(0) == before)
+    // a pinned fact still joins a pinned dim (multi-table consistency
+    // is the point: both sides resolve to the same instant)
+    assert(spark.sql(
+      """SELECT count(*) FROM fact_events_tbl e
+         JOIN dim_customer_tbl c ON e.user_id = c.c_custkey""").head.getLong(0) > 0)
+    // releasing the pin (live re-register) sees the new commit...
+    GraftCatalog.registerLake(spark, tmp)
+    assert(spark.sql("SELECT count(*) FROM fact_events_tbl").head.getLong(0) == before + 3)
+    // ...and a fresh pin resolves the advanced version
+    val pins2 = GraftCatalog.pinLake(spark, tmp)
+    assert(pins2("fact_events") == pins("fact_events") + 1)
+    assert(spark.sql("SELECT count(*) FROM fact_events_tbl").head.getLong(0) == before + 3)
+  }
+
   test("INSERT INTO a registered lake view commits a lake version, visible live") {
     val tmp = java.nio.file.Files.createTempDirectory("sql_insert").toString
     Pipeline.runSilver(spark, sf, tmp)
