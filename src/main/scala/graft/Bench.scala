@@ -32,6 +32,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Sample BEFORE any query runs: the bench itself drives the box to
+    // full load, so an end-of-run sample would measure our own work and
+    // stamp RETRY on every healthy run. Pre-existing load is what
+    // inflates timings.
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
     // Full materialization of every column, zero sink cost.
     def consume(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -76,8 +83,6 @@ object Bench {
     // Unavailable (negative) reads as null, cpus is numeric, and a
     // loaded box stamps load_note=RETRY so the artifact carries its
     // own "re-measure before judging" flag.
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     val loadJson = if (load < 0.0) "null" else load.toString
     val loadNote =
       if (load > 1.5) s""","load_note":"RETRY: load_avg ${"%.2f".format(load)} > 1.5 at sample time - timings likely inflated; re-measure on a quiet box""""
