@@ -62,6 +62,7 @@ object SparkEntry {
     "rep_ngrams"           -> ((s, d) => TextAnalysis.repNgrams(s, d)),
     "char_entropy"         -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "top_terms"            -> ((s, d) => TextAnalysis.topTerms(s, d)),
+    "bm25_topk"            -> ((s, d) => TextAnalysis.bm25Topk(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -70,6 +71,7 @@ object SparkEntry {
     // similarity search
     "ann_topk"             -> ((s, d) => Similarity.annTopk(s, d)),
     "neardup_cosine"       -> ((s, d) => Similarity.neardupCosine(s, d)),
+    "semantic_dedup"       -> ((s, d) => Similarity.semanticDedup(s, d)),
     "ann_lsh"              -> ((s, d) => Similarity.annLsh(s, d)),
     "ann_ivf"              -> ((s, d) => Similarity.annIvf(s, d)),
     // multimodal plumbing
@@ -509,6 +511,45 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
            FROM s)
          SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+    "bm25_topk" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         dd AS (SELECT doc_id, w, len(w) AS dl FROM d),
+         tfc AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl, unnest(w) AS term FROM dd) GROUP BY 1, 2, 3),
+         cnt AS (SELECT term, sum(tf) AS n, CAST(count(*) AS DOUBLE) AS df FROM tfc GROUP BY 1),
+         q AS (SELECT term, df FROM cnt WHERE length(term) >= 4 ORDER BY n DESC, term LIMIT 5),
+         g AS (SELECT CAST(count(*) AS DOUBLE) AS nd, sum(dl) AS sum_dl FROM dd),
+         s AS (SELECT q.term, tfc.doc_id,
+             ln(1.0 + (g.nd - q.df + 0.5) / (q.df + 0.5)) *
+               (tfc.tf * (1.2 + 1.0)) /
+               (tfc.tf + 1.2 * (1.0 - 0.75 +
+                 0.75 * CAST(tfc.dl AS DOUBLE) / (CAST(g.sum_dl AS DOUBLE) / g.nd))) AS score
+           FROM tfc JOIN q USING (term) CROSS JOIN g),
+         r AS (SELECT term, doc_id, round(score, 5) AS score,
+             CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT term, doc_id, score, rank FROM r WHERE rank <= 10""",
+    "semantic_dedup" ->
+      """WITH RECURSIVE
+         ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm
+           FROM embeddings),
+         e AS (SELECT a.vec_id AS src, b.vec_id AS dst
+           FROM ev a JOIN ev b ON a.label = b.label AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.v, b.v) / (a.norm * b.norm) >= 0.35),
+         sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+         reach AS (SELECT src, dst FROM sym
+                   UNION
+                   SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         rep AS (SELECT ev.vec_id,
+                   LEAST(ev.vec_id, COALESCE(MIN(r.dst), ev.vec_id)) AS rep_id
+                 FROM ev LEFT JOIN reach r ON r.src = ev.vec_id
+                 GROUP BY ev.vec_id)
+         SELECT vec_id, rep_id,
+                CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS cluster_size
+         FROM rep""",
     "neardup_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS norm

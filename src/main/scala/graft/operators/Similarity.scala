@@ -59,6 +59,28 @@ object Similarity {
         rnd(col("cosine"), 5).as("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate CLUSTERS: the [[neardupCosine]]
+    * pair set closed into connected components (min-vec_id
+    * representative via [[Dedup.connectedComponents]]' label
+    * propagation — all DataFrame joins, rounds = component diameter).
+    * The semantic analog of `dedup_clusters`: where that op clusters
+    * lexical (shingle-Jaccard) duplicates, this clusters documents
+    * whose EMBEDDINGS agree — paraphrases and near-translations that
+    * share no n-grams — into the vec_id → keeper map a training
+    * pipeline applies. At 100 TB the edge generator swaps to the LSH/
+    * IVF candidate tiers; the component step is unchanged (shuffles
+    * bounded by |E|+|V|, no driver loops over data).
+    */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val edges = neardupCosine(spark, dir, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val vertices = Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id"))
+    val labels = Dedup.connectedComponents(vertices, edges)
+    val sizes = labels.groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("rep_id"))
+      .select(col("doc_id").as("vec_id"), col("rep_id"), col("cluster_size"))
+  }
+
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer (Spark ML,
     * fixed seed) partitions the corpus into cells; each query probes
     * its `probes` nearest cells and ranks candidates by exact cosine.

@@ -257,6 +257,53 @@ object TextAnalysis {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** BM25 relevance top-k (Lucene/Robertson variant: idf = ln(1 +
+    * (N - df + ½)/(df + ½)), k1 = 1.2, b = 0.75) of every document
+    * against a deterministic query set — the `numQueryTerms` most
+    * frequent terms of length ≥ 4 (tie-broken lexically), so the op is
+    * self-contained and oracle-checkable. The full-text-relevance
+    * primitive a retrieval-augmented pipeline needs next to ANN:
+    * lexical ranking where `ann_topk` is semantic.
+    *
+    * Plan: one explode→(doc,term) partial-agg shuffle for tf, one
+    * vocabulary-bounded term agg for df/query selection, then scoring
+    * is row-local against BROADCAST query terms and a broadcast 1-row
+    * global (N, avgdl = exact-integer token sum / N — integer-exact,
+    * so the oracle computes the identical double). The rank window
+    * partitions by query term (bounded partitions: only docs
+    * containing a query term enter).
+    */
+  def bm25Topk(spark: SparkSession, dir: String, numQueryTerms: Int = 5,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(TextFns.tokens(lower(col("text"))), x => x =!= "").as("w"))
+      .withColumn("dl", size(col("w")))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val termStats = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).as("n"), count(lit(1)).cast("double").as("df"))
+    val queryTerms = termStats.filter(length(col("term")) >= 4)
+      .orderBy(col("n").desc, col("term")).limit(numQueryTerms)
+      .select(col("term"), col("df"))
+    val global = docs.agg(count(lit(1)).cast("double").as("nd"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    val scored = tf.join(broadcast(queryTerms), Seq("term"))
+      .crossJoin(broadcast(global))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("nd"))
+      .withColumn("score",
+        log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("dl").cast("double") / col("avgdl"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("doc_id"), rnd(col("score"), 5).as("score"), col("rank"))
+  }
+
   /** Deterministic stratified sampling: each source stratum keeps a
     * fixed rate (25/50/75/100% cycling by source index), decided by a
     * content-independent md5 bucket of the doc key — the same rows

@@ -238,6 +238,42 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("bm25_topk ranks by the textbook formula against an independent recompute") {
+    import spark.implicits._
+    val got = TextAnalysis.bm25Topk(spark, sf).cache()
+    // structure: <= 5 query terms (length >= 4), ranks contiguous from 1,
+    // scores non-increasing within each term
+    val byTerm = got.select("term", "rank", "score").as[(String, Long, Double)]
+      .collect().groupBy(_._1)
+    assert(byTerm.nonEmpty && byTerm.size <= 5)
+    byTerm.foreach { case (term, rows) =>
+      assert(term.length >= 4)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq,
+        s"scores not non-increasing for $term")
+    }
+    // independent scalar recompute of one (term, doc) score from raw text
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .as[(Long, Seq[String])].collect().map { case (id, w) => id -> w.filter(_.nonEmpty) }
+    val nd = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / nd
+    val (term, rows0) = byTerm.head
+    val df = docs.count(_._2.contains(term)).toDouble
+    val idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+    rows0.sortBy(_._2).take(3).foreach { case (_, _, score) =>
+      val expectedTop = docs.collect { case (id, w) if w.contains(term) =>
+        val tf = w.count(_ == term).toDouble
+        val dl = w.length.toDouble
+        (id, idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      }
+      assert(expectedTop.exists(e => math.abs(e._2 - score) < 1e-4),
+        s"no doc's recomputed score matches reported $score for $term")
+    }
+    got.unpersist()
+  }
+
   test("stratified sample decides row-locally from key hash and stratum rate") {
     val df = TextAnalysis.stratifiedSample(spark, sf).cache()
     assert(df.count() == Tables.documents(spark, sf).count())
@@ -253,6 +289,30 @@ class DedupSpec extends SparkSpec {
 }
 
 class SimilaritySpec extends SparkSpec {
+  test("semantic_dedup clusters are closed over the cosine edge set") {
+    import spark.implicits._
+    val clusters = Similarity.semanticDedup(spark, sf).cache()
+    val rep = clusters.select("vec_id", "rep_id").as[(Long, Long)].collect().toMap
+    // total cover: every embedding labeled exactly once
+    assert(rep.size == Tables.embeddings(spark, sf).count())
+    // every near-dup edge's endpoints land in the same component
+    val edges = Similarity.neardupCosine(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"edge ($a,$b) split across clusters")
+    }
+    // representative = min member of its component; sizes consistent
+    val members = rep.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    members.foreach { case (r, m) => assert(m.min == r, s"rep $r is not min of $m") }
+    val sizes = clusters.select("rep_id", "cluster_size").as[(Long, Long)]
+      .collect().toMap
+    members.foreach { case (r, m) => assert(sizes(r) == m.size.toLong) }
+    // it actually merged something (the corpus plants near-dup vectors)
+    assert(members.exists(_._2.size > 1))
+    clusters.unpersist()
+  }
+
   test("ann_topk returns k ranked neighbors per query") {
     val df = Similarity.annTopk(spark, sf).cache()
     assert(df.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
