@@ -232,24 +232,101 @@ object Similarity {
     * brute force. The cost side is candidate volume: an uncorrelated
     * pair (p ≈ 0.5) collides somewhere with prob 1 − (1 − 2^-bits)^
     * tables, so LOW thresholds are intrinsically expensive in any LSH
-    * scheme — raise `bits` (and `tables` with it) when the target
-    * cosine is higher, e.g. 6 bits × 8 tables is the cheap setting
-    * for ≥0.6-cosine near-dup mining.
+    * scheme. Amplification alone cannot fix that (bucket-pair volume
+    * shrinks only as (2p)^-bits per recall-neutral bits step), so the
+    * bucket join is followed by a 256-bit HAMMING PREFILTER: each
+    * vector carries 8 extra 32-bit sign words (independent seed), and
+    * a joined pair survives only if its total sign disagreement ≤
+    * `maxDisagree` (default 118 ≈ 0.46·256 — a threshold-grade pair,
+    * expected disagreement 0.386·256 ≈ 99, σ ≈ 7.8, is lost with
+    * P[z>2.4] < 1%, while an uncorrelated pair, expected 128,
+    * survives with P ≈ 11%). The filter is pure codegen'd
+    * `bit_count(xor)` arithmetic on the joined row — the bucket join
+    * shuffles only (id, 8 ints) per side, never the vectors — so the
+    * pair-dedup exchange and the exact-cosine join downstream see
+    * ~10× fewer rows, which is what keeps ×10-scale wall time bounded
+    * by true-pair volume, not bucket-collision volume. Exact cosine
+    * (computed ONCE per distinct surviving pair, after the dedup)
+    * remains the final arbiter, so precision is unaffected.
     */
   def annLsh(spark: SparkSession, dir: String, threshold: Double = 0.35,
-             tables: Int = 24, bits: Int = 4): DataFrame = {
-    val e = vectors(spark, dir)
+             tables: Int = 24, bits: Int = 4, maxDisagree: Int = 118): DataFrame = {
+    val filterWords = 8 // 8 × 32-bit sign words = 256 filter bits
+    // EXACT-DUPLICATE COLLAPSE first: group byte-identical vectors and
+    // mine near-dup pairs over one representative per group, expanding
+    // the group members back into the pair set afterwards. Bucket-join
+    // volume is quadratic in bucket occupancy, and exact duplicates
+    // (ubiquitous in crawled corpora — and what replica-scaled bench
+    // data maximizes) all land in the same buckets of every table, so
+    // collapsing them first is the difference between paying the
+    // quadratic cost on distinct CONTENT vs on raw row count. Identical
+    // vectors have identical cosine against everything, so the expanded
+    // pair set is exactly what mining the raw corpus would emit.
+    val members = vectors(spark, dir)
+      .groupBy(col("v"))
+      .agg(min(col("vec_id")).as("rep_id"), first(col("norm")).as("norm"),
+        collect_list(col("vec_id")).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireLshCache(members)
+    val base = members
+      .select(col("rep_id"), col("v"), col("norm"))
       .withColumn("sigs", expr(s"lsh_sigs(v, $tables, $bits, 20260812)"))
-      .select(col("vec_id"), col("v"), col("norm"),
-        posexplode(col("sigs")).as(Seq("t", "sig")))
-    val a = e.select(col("t"), col("sig"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("t"), col("sig"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("t", "sig"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (expr("dot_d(va, vb)") / (col("na") * col("nb"))).as("cosine"))
+      .withColumn("fw", expr(s"lsh_sigs(v, $filterWords, 32, 20260813)"))
+    val e = base.select(col("rep_id"), col("fw"),
+      posexplode(col("sigs")).as(Seq("t", "sig")))
+    // mask to the low 32 bits: int^int promotes through bigint with
+    // sign extension, and an unmasked bit_count would add 32 phantom
+    // disagreements whenever word 31's sign bit differs
+    val hamming = (1 to filterWords).map { i =>
+      expr(s"bit_count((cast(element_at(fa, $i) as bigint) ^ " +
+        s"cast(element_at(fb, $i) as bigint)) & 4294967295)")
+    }.reduce(_ + _)
+    val cand = e.select(col("t"), col("sig"), col("rep_id").as("rep_a"), col("fw").as("fa"))
+      .join(e.select(col("t"), col("sig"), col("rep_id").as("rep_b"), col("fw").as("fb")),
+        Seq("t", "sig"))
+      .filter(col("rep_a") < col("rep_b") && hamming <= maxDisagree)
+      .select(col("rep_a"), col("rep_b"))
+      .distinct()
+    val repPairs = cand
+      .join(base.select(col("rep_id").as("rep_a"), col("v").as("va"), col("norm").as("na")), Seq("rep_a"))
+      .join(base.select(col("rep_id").as("rep_b"), col("v").as("vb"), col("norm").as("nb")), Seq("rep_b"))
+      .withColumn("cosine", expr("dot_d(va, vb)") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
-      .groupBy(col("vec_a"), col("vec_b"))
-      .agg(rnd(first(col("cosine")), 5).as("cosine"))
+      .select(col("rep_a"), col("rep_b"), rnd(col("cosine"), 5).as("cosine"))
+    // expand: every member of group A pairs with every member of group
+    // B at the REP pair's cosine (identical vectors ⇒ identical
+    // cosine), plus the within-group pairs (cosine exactly 1 after
+    // 5-digit rounding — sqrt/square round-trip is ≤1 ulp)
+    val groups = members.select(col("rep_id"), col("ids"))
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("rep_a"), col("ids").as("ids_a")), Seq("rep_a"))
+      .join(groups.select(col("rep_id").as("rep_b"), col("ids").as("ids_b")), Seq("rep_b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("cosine"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("cosine"))
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"), col("cosine"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("vec_a"), col("ib").as("vec_b"), lit(1.0).as("cosine"))
+    cross.unionByName(within)
+  }
+
+  /** One outstanding signature cache for [[annLsh]], retired on the
+    * next call unless the plan is canonically identical (same
+    * dir/params — then the CacheManager entry is shared and must stay;
+    * see the twin logic in [[Dedup]]).
+    */
+  @volatile private var lshCache: DataFrame = _
+  private def retireLshCache(current: DataFrame): Unit = synchronized {
+    val old = lshCache
+    lshCache = current
+    if (old != null &&
+        old.queryExecution.analyzed.canonicalized !=
+          current.queryExecution.analyzed.canonicalized) {
+      try old.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 }
