@@ -197,14 +197,26 @@ object Dedup {
     val bands = 16
     val rowsPerBand = numHashes / bands
     graft.functions.Sketches.register(spark)
-    val d = Tables.documents(spark, dir)
+    // exact-duplicate collapse first (see the twin rationale on
+    // Similarity.annLsh): byte-identical texts share every band bucket,
+    // so band-join volume is quadratic in duplicate multiplicity unless
+    // they mine as ONE representative and expand afterwards. Identical
+    // text ⇒ identical signature and shingles, so the expanded pair set
+    // (members × members at the rep pair's estimates; within-group
+    // pairs at exactly 1.0) is what mining the raw corpus would emit.
+    val members = Tables.documents(spark, dir)
       .withColumn("w", TextFns.tokens(col("text")))
       .filter(size(col("w")) >= 3)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = members
+      .withColumn("w", TextFns.tokens(col("text")))
       .withColumn("sh", TextFns.shingleExpr("w", 3))
       .withColumn("sig", expr(s"minhash_sig(transform(sh, s -> xxhash64(s)), $numHashes)"))
-      .select(col("doc_id"), col("sh"), col("sig"))
+      .select(col("rep_id").as("doc_id"), col("sh"), col("sig"))
       .cache()
-    retirePrevious("dedupMinhash", Seq(d))
+    retirePrevious("dedupMinhash", Seq(members, d))
 
     val banded = d.select(
       col("doc_id"), col("sig"),
@@ -225,13 +237,32 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .distinct()
 
-    est
+    val repPairs = est
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(
         col("doc_a"), col("doc_b"),
         rnd(col("est_jaccard"), 4).as("est_jaccard"),
         rnd(TextFns.jaccard(col("sh_a"), col("sh_b")), 6).as("exact_jaccard"))
+
+    val groups = members.select(col("rep_id"), col("ids"))
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("doc_a"), col("ids").as("ids_a")), Seq("doc_a"))
+      .join(groups.select(col("rep_id").as("doc_b"), col("ids").as("ids_b")), Seq("doc_b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"),
+        col("est_jaccard"), col("exact_jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"),
+        col("est_jaccard"), col("exact_jaccard"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"),
+        col("est_jaccard"), col("exact_jaccard"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"),
+        lit(1.0).as("est_jaccard"), lit(1.0).as("exact_jaccard"))
+    cross.unionByName(within)
   }
 
   /** SimHash near-dup detection: 64-bit signature; candidates share one
@@ -240,10 +271,18 @@ object Dedup {
     */
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     graft.functions.Sketches.register(spark)
-    val d = Tables.documents(spark, dir)
+    // exact-duplicate collapse first (see Similarity.annLsh): identical
+    // texts share every chunk bucket and pair at hamming 0, so they
+    // mine as one representative and expand afterwards
+    val members = Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retirePrevious("dedupSimhash", Seq(members))
+    val d = members
       .withColumn("toks", TextFns.tokens(col("text")))
       .withColumn("simhash", expr("simhash_bits(transform(toks, t -> xxhash64(t)))"))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("rep_id").as("doc_id"), col("simhash"))
 
     val chunked = d.select(
       col("doc_id"), col("simhash"),
@@ -254,12 +293,28 @@ object Dedup {
     // hamming is row-local and cheap, and most chunk collisions fail it:
     // filtering BEFORE the pair-dedup means the distinct shuffles only
     // near-duplicates, not every bucket collision
-    chunked.as("x").join(chunked.as("y"), Seq("chunk", "ch"))
+    val repPairs = chunked.as("x").join(chunked.as("y"), Seq("chunk", "ch"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+
+    val groups = members.select(col("rep_id"), col("ids"))
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("doc_a"), col("ids").as("ids_a")), Seq("doc_a"))
+      .join(groups.select(col("rep_id").as("doc_b"), col("ids").as("ids_b")), Seq("doc_b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("hamming"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 }
