@@ -69,11 +69,23 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     graft.functions.Sketches.register(spark)
-    val d = Tables.documents(spark, dir)
+    // exact-duplicate collapse first (see Similarity.annLsh): identical
+    // (lang, text) rows — the lang column blocks pairing, so it is part
+    // of the identity — share every shingle and every posting, making
+    // the prefix join quadratic in duplicate multiplicity. They mine as
+    // one representative and expand afterwards; identical text means
+    // identical shingles, so cross pairs carry the rep pair's jaccard
+    // verbatim and within-group pairs are exactly 1.
+    val members = Tables.documents(spark, dir)
       .withColumn("w", TextFns.tokens(col("text")))
       .filter(size(col("w")) >= 3)
+      .groupBy(col("lang"), col("text"))
+      .agg(min(col("doc_id")).as("rep_id"), collect_list(col("doc_id")).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d = members
+      .withColumn("w", TextFns.tokens(col("text")))
       .withColumn("sh", array_sort(TextFns.shingleExpr("w", 3)))
-      .select(col("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
+      .select(col("rep_id").as("doc_id"), col("lang"), col("sh"), size(col("sh")).as("n"))
       // reused three times (doc-freq scan, prefix build, verify joins),
       // but shingle arrays are ~10x the document text: DISK_ONLY keeps
       // the re-read cheap without pinning executor memory at 100 TB
@@ -90,7 +102,7 @@ object Dedup {
       .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")).cast("int") + 1)
       .select(col("lang"), col("doc_id"), col("n"), col("s"))
       .cache() // joined with itself below; avoid recomputing the rank window twice
-    retirePrevious("ngramJaccard", Seq(d, prefix))
+    retirePrevious("ngramJaccard", Seq(members, d, prefix))
 
     // (A PPJoin positional filter was considered here but is unsound
     // without exact common-before-position counts, which a relational
@@ -105,12 +117,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
-    cand
+    val repPairs = cand
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), rnd(col("jaccard"), 6).as("jaccard"))
+
+    val groups = members.select(col("rep_id"), col("ids"))
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("doc_a"), col("ids").as("ids_a")), Seq("doc_a"))
+      .join(groups.select(col("rep_id").as("doc_b"), col("ids").as("ids_b")), Seq("doc_b"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("jaccard"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("ia"), col("ids"))
+      .select(col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** doc_id → connected-component representative (min doc_id reachable
