@@ -46,17 +46,48 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Exact cosine near-duplicate pairs, blocked by label. */
+  /** Exact cosine near-duplicate pairs, blocked by label. Identical
+    * vectors within a label collapse to one representative before the
+    * blocked pair join and expand afterwards (see [[annLsh]]) — the
+    * join is quadratic in block occupancy and exact duplicates have
+    * identical cosine against everything, so the expanded set is
+    * byte-identical to mining raw rows (within-group pairs round to
+    * cosine 1 at 5 digits in both engines).
+    */
   def neardupCosine(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val e = vectors(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+    val members = vectors(spark, dir)
+      .groupBy(col("label"), col("v"))
+      .agg(min(col("vec_id")).as("rep_id"), first(col("norm")).as("norm"),
+        collect_list(col("vec_id")).as("ids"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("neardupCosine", members)
+    val e = members.select(col("label"), col("rep_id"), col("v"), col("norm"))
+    val a = e.select(col("label"), col("rep_id").as("rep_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("label"), col("rep_id").as("rep_b"), col("v").as("vb"), col("norm").as("nb"))
+    val repPairs = a.join(b, Seq("label"))
+      .filter(col("rep_a") < col("rep_b"))
       .withColumn("cosine", expr("dot_d(va, vb)") / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
-      .select(col("label").cast("long").as("label"), col("vec_a"), col("vec_b"),
-        rnd(col("cosine"), 5).as("cosine"))
+      .select(col("label"), col("rep_a"), col("rep_b"), rnd(col("cosine"), 5).as("cosine"))
+    // norm > 0 guard: a zero vector's cosine is undefined (NaN fails
+    // the threshold in both engines), so its group emits no pairs
+    val groups = members.filter(col("norm") > 0)
+      .select(col("label"), col("rep_id"), col("ids"))
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("rep_a"), col("ids").as("ids_a")), Seq("rep_a"))
+      .join(groups.select(col("rep_id").as("rep_b"), col("ids").as("ids_b")), Seq("rep_b"))
+      .select(col("label"), explode(col("ids_a")).as("ia"), col("ids_b"), col("cosine"))
+      .select(col("label"), col("ia"), explode(col("ids_b")).as("ib"), col("cosine"))
+      .select(col("label").cast("long").as("label"),
+        least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"), col("cosine"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(col("label"), explode(col("ids")).as("ia"), col("ids"))
+      .select(col("label"), col("ia"), explode(col("ids")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("label").cast("long").as("label"),
+        col("ia").as("vec_a"), col("ib").as("vec_b"), lit(1.0).as("cosine"))
+    cross.unionByName(within)
   }
 
   /** Embedding-cosine near-duplicate CLUSTERS: the [[neardupCosine]]
@@ -313,15 +344,15 @@ object Similarity {
     cross.unionByName(within)
   }
 
-  /** One outstanding signature cache for [[annLsh]], retired on the
-    * next call unless the plan is canonically identical (same
-    * dir/params — then the CacheManager entry is shared and must stay;
-    * see the twin logic in [[Dedup]]).
+  /** One outstanding cache per operator, retired on the next call
+    * unless the plan is canonically identical (same dir/params — then
+    * the CacheManager entry is shared and must stay; see the twin
+    * logic in [[Dedup]]).
     */
-  @volatile private var lshCache: DataFrame = _
-  private def retireLshCache(current: DataFrame): Unit = synchronized {
-    val old = lshCache
-    lshCache = current
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def retireCache(op: String, current: DataFrame): Unit = {
+    val old = liveCaches.put(op, current)
     if (old != null &&
         old.queryExecution.analyzed.canonicalized !=
           current.queryExecution.analyzed.canonicalized) {
@@ -329,4 +360,5 @@ object Similarity {
       catch { case scala.util.control.NonFatal(_) => () }
     }
   }
+  private def retireLshCache(current: DataFrame): Unit = retireCache("annLsh", current)
 }
