@@ -156,6 +156,7 @@ object Dedup {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIters: Int = 25): DataFrame = {
+    val spark = vertices.sparkSession
     // symmetrize with ONE scan of the (possibly expensive) edge plan —
     // a union of two projections would execute it twice
     val sym = edges
@@ -164,34 +165,69 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("rep_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var prev: DataFrame = labels // each round retires its predecessor's cache
+    // Each round's labels live as an RDD-BACKED frame, not a cached
+    // plan: chaining DataFrames would nest one join deeper per round,
+    // and the re-analysis + fresh whole-stage codegen of that
+    // ever-deeper tree dominated wall time (measured ~2s/round on a
+    // 129k-edge graph whose actual shuffles are milliseconds). The
+    // LogicalRDD truncates the lineage to O(1) per round and gives an
+    // explicit per-round release handle.
+    def toDf(r: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(r, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("old_rep",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rep_id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = vertices
+      .select(col("doc_id").cast("long"), col("doc_id").cast("long").as("old_rep"),
+        col("doc_id").cast("long").as("rep_id"))
+      .rdd.persist(level)
     try {
       var i = 0
       var converged = false
       while (!converged && i < maxIters) {
+        val labels = toDf(cur).select(col("doc_id"), col("rep_id"))
         val viaNbr = sym
           .join(labels.select(col("doc_id").as("dst"), col("rep_id")), Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(min(col("rep_id")).as("nbr_rep"))
-        // old and new label side by side: the convergence probe rides
-        // the SAME cached round, no extra join per iteration
-        val next = labels
+        val nextRows = labels
           .join(viaNbr, Seq("doc_id"), "left")
           .select(col("doc_id"), col("rep_id").as("old_rep"),
             least(col("rep_id"), coalesce(col("nbr_rep"), col("rep_id"))).as("rep_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next.filter(col("rep_id") =!= col("old_rep"))
-          .limit(1).count() // existence probe, short-circuits
-        if (prev != null) prev.unpersist(blocking = false)
-        prev = next
-        labels = next.select(col("doc_id"), col("rep_id"))
-        converged = changed == 0L
+          .rdd.persist(level)
+        // materialize IN FULL before retiring the predecessor — the new
+        // round's lineage runs through it, so a partial cache plus an
+        // unpersisted parent would cascade recomputation to round 0
+        nextRows.count()
+        // old and new label side by side: the convergence probe rides
+        // the materialized round, no extra join per iteration
+        val changed = !nextRows.filter(r => r.getLong(2) != r.getLong(1)).isEmpty()
+        cur.unpersist(blocking = false)
+        cur = nextRows
+        converged = !changed
         i += 1
       }
-      retirePrevious("connectedComponents", Seq(prev).filter(_ != null))
-      labels
+      retireRdd("connectedComponents", cur)
+      toDf(cur).select(col("doc_id"), col("rep_id"))
     } finally sym.unpersist(blocking = false)
+  }
+
+  /** One outstanding RDD-backed label set from [[connectedComponents]],
+    * released when the next call replaces it (the returned frame leans
+    * on it until the caller consumes the result).
+    */
+  private val liveRdds = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+  private def retireRdd(op: String,
+      current: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]): Unit = {
+    val old = liveRdds.put(op, current)
+    if (old != null && (old ne current)) {
+      try old.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Cluster-representative dedup over the EXACT near-duplicate edge
