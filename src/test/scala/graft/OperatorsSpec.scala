@@ -84,17 +84,24 @@ class DedupSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("repeated dedup calls do not accumulate cached plans") {
+  test("repeated dedup/similarity calls do not accumulate cached plans") {
     def cachedCount = spark.sparkContext.getPersistentRDDs.size
-    Dedup.ngramJaccard(spark, sf).count()
-    Dedup.dedupMinhash(spark, sf).count()
-    val after1 = cachedCount
-    (1 to 2).foreach { _ =>
+    def runAll(): Unit = {
       Dedup.ngramJaccard(spark, sf).count()
       Dedup.dedupMinhash(spark, sf).count()
+      Dedup.dedupSimhash(spark, sf).count()
+      Dedup.dedupClusters(spark, sf).count()
+      Similarity.annLsh(spark, sf).count()
+      Similarity.neardupCosine(spark, sf).count()
     }
-    // each call retires its predecessor's caches: bounded at one
-    // outstanding set per operator, not one per invocation
+    runAll()
+    val after1 = cachedCount
+    (1 to 2).foreach(_ => runAll())
+    // each call retires its predecessor's caches (keeping only
+    // canonically-identical entries, which the new plan reuses):
+    // bounded at one outstanding set per operator, not one per
+    // invocation — including the RDD-backed connected-components
+    // labels and the collapse-group frames
     assert(cachedCount <= after1,
       s"cached RDD count grew across repeated calls: $after1 -> $cachedCount")
   }
