@@ -63,6 +63,7 @@ object SparkEntry {
     "char_entropy"         -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "top_terms"            -> ((s, d) => TextAnalysis.topTerms(s, d)),
     "bm25_topk"            -> ((s, d) => TextAnalysis.bm25Topk(s, d)),
+    "dup_spans"            -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -531,6 +532,14 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank
            FROM s)
          SELECT term, doc_id, score, rank FROM r WHERE rank <= 10""",
+    "dup_spans" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         wins AS (SELECT doc_id, md5(array_to_string(w[i:i+19], ' ')) AS span_hash
+           FROM t, UNNEST(range(1, len(w) - 18)) AS u(i) WHERE len(w) >= 20)
+         SELECT span_hash, CAST(count(*) AS BIGINT) AS n_occurrences,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                min(doc_id) AS first_doc
+         FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""",
     "semantic_dedup" ->
       """WITH RECURSIVE
          ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -304,6 +304,28 @@ object TextAnalysis {
       .select(col("term"), col("doc_id"), rnd(col("score"), 5).as("score"), col("rank"))
   }
 
+  /** Cross-document repeated exact substrings — the exact-substring
+    * dedup primitive (a 20-token window appearing in more than one
+    * document is boilerplate/template text a training pipeline clips):
+    * every k-token window is digested ROW-LOCALLY (md5 of the joined
+    * window, computed inside the explode projection), so the single
+    * groupBy shuffle carries 16-byte digests + doc ids, never window
+    * text — at 100 TB the shuffle is ~corpus-token-count × digest
+    * width, not × window width. Output: spans seen in ≥ 2 documents
+    * with occurrence/document counts and the earliest containing doc.
+    */
+  def dupSpans(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(cast(array_join(slice(w, i, $k), ' ') as binary)))")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+
   /** Deterministic stratified sampling: each source stratum keeps a
     * fixed rate (25/50/75/100% cycling by source index), decided by a
     * content-independent md5 bucket of the doc key — the same rows

@@ -245,6 +245,27 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("dup_spans matches an independent sliding-window recompute") {
+    import spark.implicits._
+    val k = 20
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val expected = docs.toSeq.flatMap { case (id, t) =>
+      val w = t.trim.split("\\s+")
+      if (w.length >= k) w.sliding(k).map(win => (md5hex(win.mkString(" ")), id))
+      else Iterator.empty
+    }.groupBy(_._1).collect { case (h, occ) if occ.map(_._2).distinct.size > 1 =>
+      h -> ((occ.size.toLong, occ.map(_._2).distinct.size.toLong, occ.map(_._2).min))
+    }
+    val got = TextAnalysis.dupSpans(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected, s"got ${got.size} spans, expected ${expected.size}")
+    assert(expected.nonEmpty, "corpus should contain cross-document repeated spans")
+  }
+
   test("bm25_topk ranks by the textbook formula against an independent recompute") {
     import spark.implicits._
     val got = TextAnalysis.bm25Topk(spark, sf).cache()
