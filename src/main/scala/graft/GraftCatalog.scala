@@ -225,8 +225,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // only the V1 planner is missing — convert to the log's merge
     ext.injectPostHocResolutionRule(_ => new graft.lake.GraftMergeRule)
     // unfiltered count(*) over a lake table answered from the log's
-    // row counts — no scan (see MetadataOnlyCount)
-    ext.injectOptimizerRule(_ => new graft.lake.MetadataOnlyCount)
+    // row counts — no scan (see MetadataOnlyAgg)
+    ext.injectOptimizerRule(_ => new graft.lake.MetadataOnlyAgg)
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -64,6 +64,9 @@ object SparkEntry {
     "top_terms"            -> ((s, d) => TextAnalysis.topTerms(s, d)),
     "bm25_topk"            -> ((s, d) => TextAnalysis.bm25Topk(s, d)),
     "dup_spans"            -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    "corpus_filter"        -> ((s, d) => TextAnalysis.corpusFilter(s, d)),
+    "source_mix"           -> ((s, d) => TextAnalysis.sourceMix(s, d)),
+    "bpe_train"            -> ((s, d) => Bpe.bpeTrain(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
@@ -540,6 +543,45 @@ object SparkEntry {
                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                 min(doc_id) AS first_doc
          FROM wins GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""",
+    "corpus_filter" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+           FROM documents),
+         u AS (SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+             CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) ELSE [] END AS g
+           FROM t),
+         v AS (SELECT doc_id, n_tokens, n_chars,
+             n_tokens < 5 AS r_short,
+             n_chars - n_tokens + 1 > 12 * n_tokens AS r_long_word,
+             5 * alpha_chars < 3 * n_chars AS r_low_alpha,
+             5 * digit_chars > n_chars AS r_digit,
+             10 * (CAST(len(g) AS BIGINT) - len(list_distinct(g))) > 3 * len(g) AS r_dup
+           FROM u)
+         SELECT doc_id, n_tokens, n_chars, r_short, r_long_word, r_low_alpha, r_digit, r_dup,
+           NOT (r_short OR r_long_word OR r_low_alpha OR r_digit OR r_dup) AS keep,
+           CASE WHEN r_short THEN 'short' WHEN r_long_word THEN 'long_word'
+                WHEN r_low_alpha THEN 'low_alpha' WHEN r_digit THEN 'digit'
+                WHEN r_dup THEN 'dup' END AS drop_reason
+         FROM v""",
+    "source_mix" ->
+      """WITH t AS (SELECT source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         s AS (SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens FROM t GROUP BY 1),
+         g AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+                      CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sum_w
+               FROM s)
+         SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / g.tot, 6) AS token_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / g.sum_w, 6) AS mix_weight,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / g.sum_w * 1000000.0) AS BIGINT) AS sampled_tokens,
+           round(sqrt(CAST(n_tokens AS DOUBLE)) / g.sum_w * 1000000.0
+                 / CAST(n_tokens AS DOUBLE), 4) AS epochs
+         FROM s CROSS JOIN g""",
     "semantic_dedup" ->
       """WITH RECURSIVE
          ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -56,7 +56,7 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
   }
 
   /** [[snapshotNow]] plus the same staleness validation a scan runs:
-    * metadata-only answers (e.g. [[MetadataOnlyCount]]) must fail
+    * metadata-only answers (e.g. [[MetadataOnlyAgg]]) must fail
     * loudly on an evolved table exactly like the scan they replace
     * would, not silently succeed where `SELECT *` errors.
     */
@@ -237,7 +237,7 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
 
 /** Hive-style partition-path parsing and driver-side partition
   * predicates, shared by [[GraftFileIndex]] (scan-time pruning),
-  * [[MetadataOnlyCount]] (partition-filtered counts from the log), and
+  * [[MetadataOnlyAgg]] (partition-filtered aggregates from the log), and
   * `LakeTable.compact` (partition-scoped maintenance).
   */
 private[lake] object PartitionPaths {

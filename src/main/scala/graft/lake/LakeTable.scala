@@ -150,9 +150,16 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * rows; a version-≤2 writer would rewrite entries without their dv
     * field on its next commit, silently undeleting. Only tables that
     * actually commit a dv ([[deleteMergeOnRead]]) get stamped 3.
+    *
+    * Writer version 4 = CHECK constraints ([[addConstraint]]): the log
+    * carries invariant expressions every row-adding commit must have
+    * validated. Reading is unaffected (reader stays ≤3), but a
+    * version-≤3 writer would append unvalidated rows, silently breaking
+    * the invariant readers rely on. Only tables that ADD a constraint
+    * get stamped writer 4.
     */
   val MaxReaderVersion = 3
-  val MaxWriterVersion = 3
+  val MaxWriterVersion = 4
 
   final class ProtocolVersionException(msg: String) extends RuntimeException(msg)
 
@@ -160,7 +167,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
                             schema: StructType, partitionColumns: Seq[String],
                             files: Seq[FileEntry],
                             txns: Map[String, Long] = Map.empty,
-                            protocol: Protocol = Protocol(1, 1)) {
+                            protocol: Protocol = Protocol(1, 1),
+                            constraints: Map[String, String] = Map.empty) {
     def filePaths: Seq[String] = files.map(_.path)
   }
 
@@ -180,7 +188,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
       full: Option[Seq[FileEntry]],
       adds: Seq[FileEntry], removes: Seq[String], reset: Boolean,
       cdc: Option[Seq[String]],
-      protocol: Protocol)
+      protocol: Protocol,
+      constraints: Map[String, String] = Map.empty)
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
@@ -213,7 +222,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
   private def commonFields(version: Long, timestampMs: Long, operation: String,
                            schema: StructType, partitionColumns: Seq[String],
                            txns: Map[String, Long],
-                           protocol: Protocol): List[(String, JValue)] = {
+                           protocol: Protocol,
+                           constraints: Map[String, String]): List[(String, JValue)] = {
     val base = List(
       "version" -> JLong(version),
       "timestampMs" -> JLong(timestampMs),
@@ -224,10 +234,16 @@ object LakeTable extends org.apache.spark.internal.Logging {
       "partitionColumns" -> JArray(partitionColumns.map(JString(_)).toList))
     // streaming-writer watermarks (queryId -> highest committed epoch),
     // the exactly-once ledger; omitted when no stream has ever written
-    if (txns.isEmpty) base
-    else base :+ ("txns" -> JObject(txns.toList.sortBy(_._1).map {
-      case (q, b) => q -> JLong(b)
-    }))
+    val withTxns = if (txns.isEmpty) base
+    else base :+ ("txns" -> (JObject(txns.toList.sortBy(_._1).map {
+      case (q, b) => q -> (JLong(b): JValue)
+    }): JValue))
+    // CHECK constraints (name -> SQL expression) ride along in full
+    // like schema/txns — O(constraints), small
+    if (constraints.isEmpty) withTxns
+    else withTxns :+ ("cks" -> (JObject(constraints.toList.sortBy(_._1).map {
+      case (n, e) => n -> (JString(e): JValue)
+    }): JValue))
   }
 
   // (The legacy full-state RENDER is gone — checkpoints are segmented
@@ -243,7 +259,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
                           removes: Seq[String], reset: Boolean,
                           cdc: Option[Seq[String]]): String = {
     val fields = commonFields(s.version, s.timestampMs, s.operation, s.schema,
-      s.partitionColumns, s.txns, s.protocol) ++
+      s.partitionColumns, s.txns, s.protocol, s.constraints) ++
       List("adds" -> JArray(adds.map(renderFile).toList)) ++
       (if (reset) List("reset" -> JBool(true))
        else if (removes.nonEmpty)
@@ -343,7 +359,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
         case JArray(entries) => Some(entries.map(jStr))
         case _               => None
       },
-      protocol = Protocol(rv, wv))
+      protocol = Protocol(rv, wv),
+      constraints = (j \ "cks") match {
+        case JObject(fields) => fields.map { case (n, e) => n -> jStr(e) }.toMap
+        case _               => Map.empty
+      })
   }
 
   private def readFileText(f: FileSystem, p: Path): String = {
@@ -550,6 +570,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
       "partitionColumns" -> JArray(s.partitionColumns.map(JString(_)).toList),
       "txns" -> JObject(s.txns.toList.sortBy(_._1).map { case (q, b) =>
         q -> (JLong(b): JValue) }),
+      "cks" -> JObject(s.constraints.toList.sortBy(_._1).map { case (n, e) =>
+        n -> (JString(e): JValue) }),
       "segments" -> JArray(segs.map(r => JObject(
         "n" -> JString(r.name), "c" -> JLong(r.count),
         "lo" -> JString(r.minPath), "hi" -> JString(r.maxPath))).toList)))))
@@ -570,7 +592,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
         case JObject(fields) => fields.map { case (q, b) => q -> jLong(b) }.toMap
         case _               => Map.empty
       },
-      Protocol(rv, jLongOpt(j \ "wv").map(_.toInt).getOrElse(1)))
+      Protocol(rv, jLongOpt(j \ "wv").map(_.toInt).getOrElse(1)),
+      constraints = (j \ "cks") match {
+        case JObject(fields) => fields.map { case (n, e) => n -> jStr(e) }.toMap
+        case _               => Map.empty
+      })
   }
 
   /** Parse `<v>.checkpoint.json` if present and fully readable — either
@@ -591,7 +617,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
         else {
           val e = parseLogEntry(txt)
           Snapshot(e.version, e.timestampMs, e.operation, e.schema,
-            e.partitionColumns, e.full.get, e.txns, e.protocol)
+            e.partitionColumns, e.full.get, e.txns, e.protocol, e.constraints)
         }
       }.toOption
     } catch { case _: java.io.IOException => None }
@@ -695,7 +721,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
       head.full match {
         case Some(files) =>
           Snapshot(version, head.timestampMs, head.operation, head.schema,
-            head.partitionColumns, files, head.txns, head.protocol)
+            head.partitionColumns, files, head.txns, head.protocol,
+            head.constraints)
         case None =>
           // walk back to a base, collecting the delta chain (ascending)
           var chain: List[LogEntry] = List(head)
@@ -731,7 +758,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
               }
           }
           Snapshot(version, head.timestampMs, head.operation, head.schema,
-            head.partitionColumns, files, head.txns, head.protocol)
+            head.partitionColumns, files, head.txns, head.protocol,
+            head.constraints)
       }
     }
   }
@@ -748,7 +776,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
                               adds: Seq[FileEntry], removes: Seq[String],
                               reset: Boolean = false,
                               cdc: Option[Seq[String]] = None,
-                              prev: Option[Snapshot] = None): Boolean = {
+                              prev: Option[Snapshot] = None,
+                              constraintsUpdate: Option[Map[String, String]] = None): Boolean = {
     // writer gate: refuse to commit over a log that demands a newer
     // writer (the invariants it encodes are unknown to this client);
     // the stamp is monotonic — a commit never downgrades the table's
@@ -760,9 +789,16 @@ object LakeTable extends org.apache.spark.internal.Logging {
             s"writes up to writerVersion $MaxWriterVersion — upgrade the " +
             "library to write this table")
     }
-    val stamped = snap.copy(protocol = Protocol(
-      math.max(snap.protocol.reader, prev.map(_.protocol.reader).getOrElse(1)),
-      math.max(snap.protocol.writer, prev.map(_.protocol.writer).getOrElse(1))))
+    val stamped = snap.copy(
+      protocol = Protocol(
+        math.max(snap.protocol.reader, prev.map(_.protocol.reader).getOrElse(1)),
+        math.max(snap.protocol.writer, prev.map(_.protocol.writer).getOrElse(1))),
+      // CHECK constraints carry forward CENTRALLY (like the protocol
+      // stamp): no DML path can silently drop them by forgetting to
+      // thread the field; only an explicit ADD/DROP CONSTRAINT commit
+      // replaces the set
+      constraints = constraintsUpdate.getOrElse(
+        prev.map(_.constraints).getOrElse(snap.constraints)))
     val f = fs(spark, table)
     f.mkdirs(logPath(table))
     val target = versionFile(table, stamped.version)
@@ -845,18 +881,29 @@ object LakeTable extends org.apache.spark.internal.Logging {
     */
   private def stageFiles(spark: SparkSession, table: String, df: DataFrame,
                          partitionBy: Seq[String],
-                         mapping: Map[String, String] = Map.empty): Seq[FileEntry] = {
+                         mapping: Map[String, String] = Map.empty,
+                         checks: Map[String, String] = Map.empty): Seq[FileEntry] = {
+    // CHECK constraints evaluate over LOGICAL names, in-flight, before
+    // any physical renaming — see withChecks
+    val checked = withChecks(spark, table, df, checks)
     // column mapping: files (and therefore their footer stats, and the
     // stats recorded in the log) always carry PHYSICAL column names —
     // `mapping` is the caller's authoritative logical → physical map
     // for this commit's schema; identity (or empty) for unmapped tables
-    val physDf = ColumnMapping.renameToPhysical(df, mapping)
+    val physDf = ColumnMapping.renameToPhysical(checked, mapping)
     val physParts = partitionBy.map(p => mapping.getOrElse(p, p))
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
     val writer = physDf.write.mode("overwrite")
-    (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
+    try (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
       .parquet(staging.toString)
+    catch {
+      case e: Throwable =>
+        // a failed staging write (e.g. an in-flight CHECK-constraint
+        // violation) must not leave partial files behind
+        try f.delete(staging, true) catch { case _: java.io.IOException => () }
+        throw e
+    }
 
     val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
     val it = f.listFiles(staging, true)
@@ -1358,6 +1405,62 @@ object LakeTable extends org.apache.spark.internal.Logging {
           "names; re-run the write")
   }
 
+  /** In-flight CHECK-constraint enforcement (Delta invariants analog):
+    * wraps the outgoing frame so that any row where a constraint
+    * evaluates to exactly FALSE (SQL CHECK semantics — null PASSES)
+    * raises an error naming the violated constraints DURING the write.
+    * The guard rides the first column's write projection, so
+    * enforcement costs zero extra passes over the data — the same
+    * in-task check Delta's CheckInvariant performs, vs a separate
+    * validation scan that would double the read cost of every append
+    * at 100 TB.
+    *
+    * A constraint referencing a column the frame doesn't carry (schema
+    * evolution: this append omits it, readers see null) evaluates over
+    * nulls and therefore passes — skipped, matching SQL CHECK.
+    */
+  private def withChecks(spark: SparkSession, table: String, df: DataFrame,
+                         checks: Map[String, String]): DataFrame = {
+    if (checks.isEmpty || df.columns.isEmpty) return df
+    val resolver = spark.sessionState.conf.resolver
+    val applicable = checks.toSeq.sortBy(_._1).filter { case (_, sql) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }
+      refs.forall(r => df.columns.exists(c => resolver(c, r)))
+    }
+    if (applicable.isEmpty) return df
+    val viols = applicable.map { case (n, sql) =>
+      (n, coalesce(not(expr(sql)), lit(false)))
+    }
+    val anyViol = viols.map(_._2).reduce(_ || _)
+    val first = df.columns.head
+    val dt = df.schema.head.dataType
+    val msg = concat(
+      lit(s"CHECK constraint violated on write to $table: "),
+      concat_ws(", ", viols.map { case (n, v) => when(v, lit(n)) }: _*))
+    df.withColumn(first,
+      when(anyViol, raise_error(msg).cast(dt)).otherwise(col(first)))
+  }
+
+  /** Commit-time guard for writes that validated their rows against the
+    * constraint set of an earlier snapshot: if the snapshot this commit
+    * lands on carries a constraint the stager never checked (added or
+    * changed since), abort loudly — committing would put unvalidated
+    * rows behind an invariant readers trust. Dropped constraints are
+    * harmless (the write over-checked).
+    */
+  private def checkConstraintsStable(table: String, stagePrev: Option[Snapshot],
+                                     prev: Option[Snapshot]): Unit = {
+    val was = stagePrev.map(_.constraints).getOrElse(Map.empty)
+    val cur = prev.map(_.constraints).getOrElse(Map.empty)
+    val unchecked = cur.filter { case (n, e) => !was.get(n).contains(e) }
+    if (unchecked.nonEmpty)
+      throw new ConcurrentCommitException(
+        s"write to $table raced ADD CONSTRAINT (${unchecked.keys.toSeq.sorted.mkString(", ")}) " +
+          "committed after this write validated its rows — re-run the write")
+  }
+
   // ---------------------------------------------------------------- writes
 
   private val maxRetries = 3
@@ -1374,7 +1477,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
                                       files: Seq[FileEntry], adds: Seq[FileEntry],
                                       removes: Seq[String], reset: Boolean,
                                       txnUpdate: Map[String, Long] = Map.empty,
-                                      protocol: Protocol = Protocol(1, 1))
+                                      protocol: Protocol = Protocol(1, 1),
+                                      constraintsUpdate: Option[Map[String, String]] = None)
 
   /** `txn = Some(appId -> version)` records an APPLICATION watermark in
     * the same commit (the txnAppId/txnVersion idiom): data and progress
@@ -1391,8 +1495,13 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // logical names — the fresh-table state. (A renamed table's
     // protocol stays ≥2, which is harmless: the stamp is monotonic.)
     val df = ColumnMapping.sanitize(df0)
-    val newFiles = stageFiles(spark, table, df, partitionBy)
+    // CHECK constraints SURVIVE an overwrite (they are governance
+    // metadata, not data) — the replacement rows must satisfy them
+    val prev0 = latestSnapshot(spark, table)
+    val newFiles = stageFiles(spark, table, df, partitionBy,
+      checks = prev0.map(_.constraints).getOrElse(Map.empty))
     retryCommit(spark, table, "OVERWRITE") { prev =>
+      checkConstraintsStable(table, prev0, prev)
       // reset delta: carries the complete new file list, so it is its
       // own reconstruction base — an overwrite's delta IS full-state
       CommitSpec(df.schema, partitionBy, newFiles, newFiles, Nil, reset = true,
@@ -1411,9 +1520,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // names (fresh names for evolution columns); the commit loop
     // re-verifies the mapping against the snapshot it actually lands on
     val (incoming, mapping) = mappedIncoming(prev0, df.schema)
-    val newFiles = stageFiles(spark, table, df, parts, mapping)
+    val newFiles = stageFiles(spark, table, df, parts, mapping,
+      checks = prev0.map(_.constraints).getOrElse(Map.empty))
     retryCommit(spark, table, "APPEND") { prev =>
       checkMappingStable(table, prev0, prev, df.schema, mapping)
+      checkConstraintsStable(table, prev0, prev)
       val schema = prev.map(p => mergeSchemas(p.schema, incoming)).getOrElse(incoming)
       CommitSpec(schema, prev.map(_.partitionColumns).getOrElse(parts),
         prev.map(_.files).getOrElse(Nil) ++ newFiles, newFiles, Nil, reset = false)
@@ -1445,7 +1556,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     if (alreadyCommitted(prev0)) return None // replay detected before any staging cost
     val parts = prev0.map(_.partitionColumns).getOrElse(partitionByIfNew)
     val (incoming, mapping) = mappedIncoming(prev0, df.schema)
-    val newFiles = stageFiles(spark, table, df, parts, mapping)
+    val newFiles = stageFiles(spark, table, df, parts, mapping,
+      checks = prev0.map(_.constraints).getOrElse(Map.empty))
     val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1457,6 +1569,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
         return None
       }
       checkMappingStable(table, prev0, prev, df.schema, mapping)
+      checkConstraintsStable(table, prev0, prev)
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
         System.currentTimeMillis(), "STREAMING APPEND",
         prev.map(p => mergeSchemas(p.schema, incoming)).getOrElse(incoming),
@@ -1487,7 +1600,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val parts =
       if (partitionBy.nonEmpty) partitionBy
       else prev0.map(_.partitionColumns).getOrElse(Nil)
-    val newFiles = stageFiles(spark, table, df, parts)
+    val newFiles = stageFiles(spark, table, df, parts,
+      checks = prev0.map(_.constraints).getOrElse(Map.empty))
     val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1498,6 +1612,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
           catch { case _: java.io.IOException => () })
         return None
       }
+      checkConstraintsStable(table, prev0, prev)
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
         System.currentTimeMillis(), "STREAMING OVERWRITE",
         df.schema, parts, newFiles,
@@ -1523,7 +1638,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
         txns = prev.map(_.txns).getOrElse(Map.empty) ++ spec.txnUpdate,
         protocol = spec.protocol)
       if (tryCommit(spark, table, snap, spec.adds, spec.removes, spec.reset,
-          prev = prev))
+          prev = prev, constraintsUpdate = spec.constraintsUpdate))
         return snap.version
       attempt += 1
     }
@@ -1851,7 +1966,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     }
     val cdcFiles = stageChangeFiles(spark, table, cdcDf)
 
-    val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns, stagingMap)
+    val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns,
+      stagingMap, checks = snap.constraints)
     commitRewrite(spark, table, snap, "MERGE",
       cur => mergeSchemas(cur.schema, incoming),
       newFiles, affectedRel, scopeToUpdatePartitions, cdc = Some(cdcFiles))
@@ -2005,7 +2121,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
           .join(read(spark, table, asOf = Some(snap.version)).select(keyCols: _*),
             keys, "left_anti"))
       val newFiles = stageFiles(spark, table, insertRows, snap.partitionColumns,
-        ColumnMapping.mapping(snap.schema))
+        ColumnMapping.mapping(snap.schema), checks = snap.constraints)
       val cdcFiles = stageChangeFiles(spark, table,
         insertRows.withColumn(ChangeTypeCol, lit("insert")))
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
@@ -2121,7 +2237,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
         return snap.version
     }
     val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns,
-      ColumnMapping.mapping(snap.schema))
+      ColumnMapping.mapping(snap.schema), checks = snap.constraints)
     val cdcAll = (cdcRewrite.toSeq ++
       insertRows.map(_.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
       .reduce(_ unionByName _)
@@ -2259,6 +2375,9 @@ object LakeTable extends org.apache.spark.internal.Logging {
         val disjoint = scoped &&
           cur.schema == baseSnap.schema &&
           cur.partitionColumns == baseSnap.partitionColumns &&
+          // rows were validated against baseSnap's CHECK constraints;
+          // a rebase over a changed set would commit unvalidated rows
+          cur.constraints == baseSnap.constraints &&
           !winnerChanged.exists(e => footprintDirs(dirOf(e.path)))
         if (!disjoint)
           throw new ConcurrentCommitException(
@@ -2494,7 +2613,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
         }
       }.toIndexedSeq: _*)
     val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns,
-      ColumnMapping.mapping(snap.schema))
+      ColumnMapping.mapping(snap.schema), checks = snap.constraints)
     // change feed: pre/post images of exactly the hit rows
     val hitRows = affectedDf.filter(hit)
     val cdcFiles = stageChangeFiles(spark, table,
@@ -2818,6 +2937,65 @@ object LakeTable extends org.apache.spark.internal.Logging {
         prev.partitionColumns, prev.files, Nil, Nil, reset = false)
     }
   }
+
+  /** ADD a CHECK constraint (Delta `ALTER TABLE ... ADD CONSTRAINT ...
+    * CHECK` analog): `exprSql` is a boolean SQL expression over the
+    * table's logical columns that every row must not evaluate to FALSE
+    * (null PASSES — SQL CHECK semantics). Existing data is validated
+    * FIRST with one filtered scan (pushed filters + file skipping
+    * apply); any violating row refuses the DDL with an example. The
+    * commit is metadata-only, stamps writer-version 4 (a pre-constraint
+    * writer must not append unvalidated rows — see [[Protocol]]), and
+    * aborts if ANY other commit landed after the validation scan (rows
+    * the scan never saw could violate — re-run). From then on every
+    * row-adding write enforces the set in-flight ([[withChecks]]).
+    */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    exprSql: String): Long = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be alphanumeric/underscore, got '$name'")
+    val snap0 = latestSnapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    if (snap0.constraints.contains(name))
+      throw new IllegalArgumentException(
+        s"constraint '$name' already exists on $table " +
+          s"(${snap0.constraints(name)}); drop it first")
+    // fail fast on syntax before any scan
+    spark.sessionState.sqlParser.parseExpression(exprSql)
+    val bad = read(spark, table)
+      .filter(coalesce(not(expr(exprSql)), lit(false))).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint '$name' ($exprSql) to $table: existing " +
+          s"rows violate it, e.g. ${bad.head}")
+    retryCommit(spark, table, "ADD CONSTRAINT") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+      if (prev.version != snap0.version)
+        throw new ConcurrentCommitException(
+          s"ADD CONSTRAINT '$name' on $table raced commit v${prev.version}: the " +
+            "validation scan read v" + snap0.version + " and cannot vouch for " +
+            "later rows — re-run")
+      CommitSpec(prev.schema, prev.partitionColumns, prev.files, Nil, Nil,
+        reset = false, protocol = Protocol(prev.protocol.reader, 4),
+        constraintsUpdate = Some(prev.constraints + (name -> exprSql)))
+    }
+  }
+
+  /** DROP a CHECK constraint. Metadata-only; enforcement stops with the
+    * commit. The writer-version stamp stays (monotonic, like Delta).
+    */
+  def dropConstraint(spark: SparkSession, table: String, name: String): Long =
+    retryCommit(spark, table, "DROP CONSTRAINT") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+      if (!prev.constraints.contains(name))
+        throw new IllegalArgumentException(
+          s"no constraint '$name' on $table (have: " +
+            s"${prev.constraints.keys.toSeq.sorted.mkString(", ")})")
+      CommitSpec(prev.schema, prev.partitionColumns, prev.files, Nil, Nil,
+        reset = false, constraintsUpdate = Some(prev.constraints - name))
+    }
 
   /** Stamp every field that lacks one with physical name == its
     * current logical name — the state transition that turns an

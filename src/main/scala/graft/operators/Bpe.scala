@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Tables
+import graft.functions.TextFns
+
+/** Distributed BPE (byte-pair-encoding) merge training — the
+  * tokenizer-training step of an LLM data pipeline, run as Spark
+  * aggregations over the corpus instead of a single-node counter.
+  *
+  * Cost model (the reason this scales): after the one corpus-wide word
+  * count, every iteration touches only the DISTINCT-WORD vocabulary
+  * (bounded by content, not corpus size — Heaps' law, ~10⁶ rows at
+  * 100 TB where the corpus is 10¹¹ docs), so the expensive part is a
+  * single map-side-combined word count and the merge loop is k small
+  * vocabulary-local jobs. The only driver-side data is the argmax pair
+  * per iteration (1 row × k) — the merge DECISION, never the data.
+  */
+object Bpe {
+
+  /** Train `numMerges` BPE merges over the lowercase whitespace words of
+    * the corpus. Standard semantics (Sennrich-style): words split to
+    * character symbols plus a terminal `</w>` marker; each iteration
+    * counts adjacent symbol pairs weighted by word frequency (overlapping
+    * occurrences all count), merges the most frequent pair — ties broken
+    * lexicographically on (left, right) — into a single symbol by a
+    * greedy left-to-right non-overlapping rewrite, and repeats on the
+    * rewritten vocabulary.
+    *
+    * Returns the merge table: (rank, left, right, merged, pair_count).
+    * Deterministic, so the spec pins it against an in-memory reference
+    * implementation exactly; no SQL oracle (iterative rewriting is not
+    * expressible in portable SQL) → rows-only driver check by design.
+    */
+  def bpeTrain(spark: SparkSession, dir: String, numMerges: Int = 8): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(lower(col("text")))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // '.' does not match \n, but words come from a \s+ split so they
+      // cannot contain one; append the end-of-word marker symbol
+      .select(col("cnt"),
+        expr("array_append(regexp_extract_all(word, '.', 0), '</w>')").as("syms"))
+
+    var vocab = base.persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    try {
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        // adjacent-pair count: positions explode at top level (codegen),
+        // partial-agg combine before the pair shuffle
+        val best = vocab
+          .select(col("cnt"), explode(expr(
+            """transform(sequence(1, size(syms) - 1),
+                         i -> struct(element_at(syms, i) AS l,
+                                     element_at(syms, i + 1) AS r))""")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("l"), col("r"))
+          .limit(1)
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val row = best.head
+          val (l, r, pc) = (row.getString(0), row.getString(1), row.getLong(2))
+          val merged = l + r
+          merges += ((rank.toLong, l, r, merged, pc))
+          // greedy left-to-right non-overlapping rewrite as a fold: a
+          // just-merged symbol never re-matches `l` in the same pass
+          // (Column-API lambdas, so symbol text never string-interpolates
+          // into SQL). `when`'s And short-circuits, keeping the -1
+          // element_at guarded on non-empty acc under ANSI mode.
+          val rewritten = aggregate(
+            col("syms"),
+            array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(x))))
+          val next = vocab.select(col("cnt"), rewritten.as("syms"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the predecessor
+          vocab.unpersist()
+          vocab = next
+          rank += 1
+        }
+      }
+    } finally vocab.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+}

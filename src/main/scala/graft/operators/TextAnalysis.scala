@@ -331,6 +331,91 @@ object TextAnalysis {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Composite quality funnel (Gopher-rules-style corpus filter): five
+    * deterministic keep/drop rules evaluated in one row-local pass, with
+    * per-rule flags and a first-failing-rule attribution so a pipeline
+    * can report WHY each document was dropped (the funnel counts every
+    * production corpus-filter job emits). All thresholds compare
+    * integer-exact cross-multiplied counts — never floating ratios — so
+    * the verdicts are bit-portable to any engine:
+    *   short      n_tokens < 5
+    *   long_word  avg token len > 12   ⇔ n_chars - n_tokens + 1 > 12·n_tokens
+    *   low_alpha  alpha ratio < 0.6    ⇔ 5·alpha_chars < 3·n_chars
+    *   digit      digit ratio > 0.2    ⇔ 5·digit_chars > n_chars
+    *   dup        dup 3-gram ratio>0.3 ⇔ 10·(n_grams−n_distinct) > 3·n_grams
+    * Zero shuffles at any scale.
+    */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("w", TextFns.tokens(col("text")))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long"))
+      .withColumn("digit_chars",
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long"))
+      .withColumn("g", when(size(col("w")) >= 3, TextFns.shingleAllExpr("w", 3))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_grams", size(col("g")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("g"))).cast("long"))
+      .withColumn("r_short", col("n_tokens") < 5)
+      .withColumn("r_long_word",
+        col("n_chars") - col("n_tokens") + 1 > lit(12L) * col("n_tokens"))
+      .withColumn("r_low_alpha", lit(5L) * col("alpha_chars") < lit(3L) * col("n_chars"))
+      .withColumn("r_digit", lit(5L) * col("digit_chars") > col("n_chars"))
+      .withColumn("r_dup",
+        lit(10L) * (col("n_grams") - col("n_distinct")) > lit(3L) * col("n_grams"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_chars"),
+        col("r_short"), col("r_long_word"), col("r_low_alpha"),
+        col("r_digit"), col("r_dup"),
+        (!col("r_short") && !col("r_long_word") && !col("r_low_alpha") &&
+          !col("r_digit") && !col("r_dup")).as("keep"),
+        when(col("r_short"), "short")
+          .when(col("r_long_word"), "long_word")
+          .when(col("r_low_alpha"), "low_alpha")
+          .when(col("r_digit"), "digit")
+          .when(col("r_dup"), "dup").as("drop_reason"))
+  }
+
+  /** Temperature-based source mixing: the per-source sampling weights a
+    * multi-source pretraining run uses to flatten the corpus
+    * distribution (weight ∝ token_share^α with α = 0.5 — the
+    * multilingual-sampling temperature idiom). Emits each source's token
+    * share, its normalized mixture probability, the token count a
+    * 1M-token budget would draw from it, and the implied epoch factor
+    * (> 1 ⇒ the source repeats). One partial-agg shuffle over the
+    * corpus to the per-source rollup (group count = number of sources,
+    * tiny); normalization joins the broadcast 1-row global. sqrt is
+    * IEEE-correctly-rounded so the oracle computes identical doubles.
+    */
+  def sourceMix(spark: SparkSession, dir: String, budget: Long = 1000000L): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    // Σ sqrt accumulates in DECIMAL(38,18): exact and order-independent
+    // (a double sum would vary in its last ulps with partition order —
+    // across engines AND across runs), cast to double once at the end
+    val global = perSource.agg(
+      sum(col("n_tokens")).as("tot"),
+      sum(sqrt(col("n_tokens").cast("double")).cast("decimal(38,18)"))
+        .cast("double").as("sum_w"))
+    perSource.crossJoin(broadcast(global))
+      .withColumn("share", col("n_tokens").cast("double") / col("tot").cast("double"))
+      // weight ∝ share^0.5; dividing by Σ sqrt(n_tokens) cancels the
+      // common 1/sqrt(tot) factor, so p needs no per-row sqrt(share)
+      .withColumn("p", sqrt(col("n_tokens").cast("double")) / col("sum_w"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        rnd(col("share"), 6).as("token_share"),
+        rnd(col("p"), 6).as("mix_weight"),
+        floor(col("p") * lit(budget.toDouble)).cast("long").as("sampled_tokens"),
+        rnd(col("p") * lit(budget.toDouble) / col("n_tokens").cast("double"), 4)
+          .as("epochs"))
+  }
+
   /** Deterministic stratified sampling: each source stratum keeps a
     * fixed rate (25/50/75/100% cycling by source index), decided by a
     * content-independent md5 bucket of the doc key — the same rows

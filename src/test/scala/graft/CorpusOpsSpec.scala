@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Specs for the round-12 corpus-pipeline additions: the composite
+  * quality funnel, temperature source mixing, and distributed BPE merge
+  * training — each pinned against an independent in-memory reference
+  * computation on the small SF.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private def ws(text: String): Array[String] = text.trim.split("\\s+")
+
+  test("corpus_filter verdicts match an in-memory rule replay exactly") {
+    val got = TextAnalysis.corpusFilter(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(1))
+      val w = ws(text)
+      val nTok = w.length.toLong
+      val nChars = text.length.toLong
+      val alpha = text.count(c => (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')).toLong
+      val digit = text.count(c => c >= '0' && c <= '9').toLong
+      val grams = if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSeq else Seq.empty
+      val nG = grams.size.toLong
+      val nD = grams.distinct.size.toLong
+      val rShort = nTok < 5
+      val rLong = nChars - nTok + 1 > 12 * nTok
+      val rAlpha = 5 * alpha < 3 * nChars
+      val rDigit = 5 * digit > nChars
+      val rDup = 10 * (nG - nD) > 3 * nG
+      val row = got(id)
+      assert(row.getAs[Boolean]("r_short") == rShort, s"doc $id r_short")
+      assert(row.getAs[Boolean]("r_long_word") == rLong, s"doc $id r_long_word")
+      assert(row.getAs[Boolean]("r_low_alpha") == rAlpha, s"doc $id r_low_alpha")
+      assert(row.getAs[Boolean]("r_digit") == rDigit, s"doc $id r_digit")
+      assert(row.getAs[Boolean]("r_dup") == rDup, s"doc $id r_dup")
+      val keep = !(rShort || rLong || rAlpha || rDigit || rDup)
+      assert(row.getAs[Boolean]("keep") == keep, s"doc $id keep")
+      val reason =
+        if (rShort) "short" else if (rLong) "long_word" else if (rAlpha) "low_alpha"
+        else if (rDigit) "digit" else if (rDup) "dup" else null
+      assert(row.getAs[String]("drop_reason") == reason, s"doc $id drop_reason")
+    }
+  }
+
+  private val tokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
+
+  test("source_mix equals the in-memory temperature-weight computation") {
+    val rows = TextAnalysis.sourceMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val per = Tables.documents(spark, sf).select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, ds) =>
+        s -> (ds.length.toLong, ds.map(d => tokRe.findAllIn(d.getString(1)).size.toLong).sum)
+      }
+    assert(per.nonEmpty && rows.size == per.size)
+    val sumW = per.values.map(v => BigDecimal(math.sqrt(v._2.toDouble))
+      .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val tot = per.values.map(_._2).sum.toDouble
+    per.foreach { case (s, (nDocs, nTok)) =>
+      val r = rows(s)
+      val p = math.sqrt(nTok.toDouble) / sumW
+      assert(r.getAs[Long]("n_docs") == nDocs, s"$s n_docs")
+      assert(r.getAs[Long]("n_tokens") == nTok, s"$s n_tokens")
+      assert(math.abs(r.getAs[Double]("token_share") - nTok / tot) < 1e-6, s"$s share")
+      assert(math.abs(r.getAs[Double]("mix_weight") - p) < 1e-6, s"$s weight")
+      assert(r.getAs[Long]("sampled_tokens") == math.floor(p * 1e6).toLong, s"$s sampled")
+      assert(math.abs(r.getAs[Double]("epochs") - p * 1e6 / nTok) < 1e-3, s"$s epochs")
+    }
+    // mixture probabilities form a distribution
+    assert(math.abs(rows.values.map(_.getAs[Double]("mix_weight")).sum - 1.0) < 1e-4)
+  }
+
+  /** Reference single-node BPE (Sennrich semantics): overlapping
+    * adjacent-pair counts weighted by word frequency; argmax with
+    * (count desc, left, right) tie-break; greedy left-to-right
+    * non-overlapping merge.
+    */
+  private def refBpe(wordCounts: Map[String, Long], k: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    def chars(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    var vocab: Map[Vector[String], Long] =
+      wordCounts.groupMapReduce { case (w, _) => chars(w) :+ "</w>" }(_._2)(_ + _)
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= k && !done) {
+      val pairs = vocab.toSeq.flatMap { case (syms, c) =>
+        syms.zip(syms.tail).map(p => p -> c)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), pc) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, l + r, pc))
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r) else acc :+ x
+          } -> c
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpe_train reproduces reference BPE merges exactly") {
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => ws(r.getString(0).toLowerCase).filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val expected = refBpe(words, 8)
+    val got = Bpe.bpeTrain(spark, sf, numMerges = 8).orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count")))
+    assert(got.toSeq == expected,
+      s"merge tables differ:\n got      ${got.toSeq}\n expected $expected")
+    assert(got.nonEmpty && got.length == 8)
+  }
+}

@@ -672,4 +672,71 @@ class LakeMetaSpec extends SparkSpec {
     val q5 = spark.sql("SELECT count(*) AS n FROM meta_pcount_v WHERE dt = 'd2'")
     assert(q5.head.getLong(0) == 60 && scanFree(q5))
   }
+
+  test("min/max/count(col) answer from logged bounds: no scan; unsound shapes bail") {
+    val t = tmpTable("meta_minmax")
+    LakeTable.overwrite(spark, t,
+      spark.range(100).select(col("id"),
+        (col("id").cast("double") * 1.5).as("v"),
+        concat(lit("s"), col("id")).as("s"),
+        when(col("id") < 60, lit(null).cast("long")).otherwise(col("id")).as("maybe"),
+        lit(null).cast("int").as("allnull"),
+        when(col("id") < 30, "d1").otherwise("d2").as("dt")),
+      partitionBy = Seq("dt"))
+    LakeTable.append(spark, t,
+      spark.range(100, 120).select(col("id"), (col("id").cast("double") * 1.5).as("v"),
+        concat(lit("s"), col("id")).as("s"), col("id").as("maybe"),
+        lit(null).cast("int").as("allnull"), lit("d2").as("dt")))
+    val live = spark.read.format("graft").load(t)
+    live.createOrReplaceTempView("meta_minmax_v")
+
+    // a merge-on-read table scans through GraftMorRelation (a V1
+    // RowDataSourceScan), not a FileScan — catch both
+    def scanFree(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.executedPlan.toString
+      !p.contains("FileScan") && !p.contains("GraftMor")
+    }
+
+    // integral data column: min/max/count(col) fold over the log
+    val q1 = spark.sql(
+      "SELECT min(id) AS mn, max(id) AS mx, count(id) AS n, count(*) AS all FROM meta_minmax_v")
+    assert(q1.head == org.apache.spark.sql.Row(0L, 119L, 120L, 120L))
+    assert(scanFree(q1), "min/max/count on an integral column should answer from the log")
+    // count skips nulls via the logged null counts
+    val q2 = spark.sql("SELECT count(maybe) AS n, min(maybe) AS mn FROM meta_minmax_v")
+    assert(q2.head == org.apache.spark.sql.Row(60L, 60L) && scanFree(q2))
+    // an all-null column's min is null, provably from null counts
+    val q3 = spark.sql("SELECT min(allnull) AS mn FROM meta_minmax_v")
+    assert(q3.head.isNullAt(0) && scanFree(q3))
+    // partition column min/max parse from the paths (string-typed is fine)
+    val q4 = spark.sql("SELECT min(dt) AS mn, max(dt) AS mx FROM meta_minmax_v")
+    assert(q4.head == org.apache.spark.sql.Row("d1", "d2") && scanFree(q4))
+    // partition-only filter composes: the classic freshness probe shape
+    val q5 = spark.sql("SELECT max(id) AS mx FROM meta_minmax_v WHERE dt = 'd1'")
+    assert(q5.head.getLong(0) == 29L && scanFree(q5))
+    // doubles (NaN blindness) and strings (truncation) bail to the scan, correct
+    val q6 = spark.sql("SELECT max(v) FROM meta_minmax_v")
+    assert(q6.head.getDouble(0) == 178.5 && !scanFree(q6))
+    val q7 = spark.sql("SELECT max(s) FROM meta_minmax_v")
+    assert(q7.head.getString(0) == "s99" && !scanFree(q7))
+
+    // merge-on-read delete of the CURRENT max: its file carries a live
+    // dv, so the logged bound is no longer provably attained -> scan
+    // (the pre-dv plain view refuses to read past a dv commit by
+    // design, so re-register to get the vector-aware relation)
+    LakeTable.deleteMergeOnRead(spark, t, col("id") === 119L)
+    spark.read.format("graft").load(t).createOrReplaceTempView("meta_minmax_v")
+    val q8 = spark.sql("SELECT max(id) AS mx FROM meta_minmax_v")
+    assert(q8.head.getLong(0) == 118L, "max must reflect the MoR delete")
+    assert(!scanFree(q8), "a dv on the argmax file must bail to the scan")
+    // count(*) stays a log fold (dv cardinality is logged)...
+    val q9 = spark.sql("SELECT count(*) AS n FROM meta_minmax_v")
+    assert(q9.head.getLong(0) == 119L && scanFree(q9))
+    // ...but count(col) can't know how many deleted rows were null
+    val q10 = spark.sql("SELECT count(maybe) AS n FROM meta_minmax_v")
+    assert(q10.head.getLong(0) == 59L && !scanFree(q10))
+    // min over files the dv doesn't touch is still provably attained
+    val q11 = spark.sql("SELECT min(id) AS mn FROM meta_minmax_v")
+    assert(q11.head.getLong(0) == 0L && scanFree(q11))
+  }
 }
