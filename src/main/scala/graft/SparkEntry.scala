@@ -72,6 +72,8 @@ object SparkEntry {
     "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_minhash"        -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"        -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    // incremental dedup: persisted minhash band index + batch probe
+    "dedup_incr"           -> ((s, d) => Dedup.dedupIncr(s, d)),
     // similarity search
     "ann_topk"             -> ((s, d) => Similarity.annTopk(s, d)),
     "neardup_cosine"       -> ((s, d) => Similarity.neardupCosine(s, d)),

@@ -328,6 +328,174 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  // ------------------------------------------------- incremental dedup
+
+  private val IdxNumHashes = 64
+  private val IdxBands = 16
+
+  /** (doc_id, sig, band, bh) band buckets of a (doc_id, text) frame —
+    * the unit both the index build and the probe side compute.
+    */
+  private def bandBuckets(docs: DataFrame): DataFrame = {
+    val rowsPerBand = IdxNumHashes / IdxBands
+    docs
+      .withColumn("w", TextFns.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", TextFns.shingleExpr("w", 3))
+      .withColumn("sig",
+        expr(s"minhash_sig(transform(sh, s -> xxhash64(s)), $IdxNumHashes)"))
+      .select(col("doc_id"), col("sig"),
+        explode(expr(
+          s"transform(sequence(0, ${IdxBands - 1}), b -> named_struct('band', b, 'bh', hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand))))")).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"), col("sig"))
+  }
+
+  private def bandsTable(dir: String) = s"$dir/bands"
+  private def sigsTable(dir: String) = s"$dir/sigs"
+
+  /** Build a PERSISTED MinHash LSH index over `docs` — the artifact
+    * that turns dedup from recompute-the-corpus into probe-the-index:
+    * a 100 TB corpus is signed ONCE, and each arriving batch mines
+    * only against its own band collisions ([[probeMinhashIndex]]).
+    *
+    * Two lake tables under `indexDir`, sized for scale:
+    *  - `bands`: (band, bh, doc_id) — 16 fixed-width 16-byte rows per
+    *    document, range-clustered on (band, bh) so the logged per-file
+    *    bounds are disjoint in probe-key space and a probe's pushed
+    *    bucket predicate skips every file whose bh range holds none of
+    *    its buckets;
+    *  - `sigs`: (doc_id, sig) — the 64-hash signature stored ONCE per
+    *    document (~520 B, a fraction of document text), clustered on
+    *    doc_id so the verify step's candidate lookup skips too.
+    * (Inlining sig into the band rows would 16x it and make the index
+    * OUTWEIGH the corpus.) Incremental growth composes with the
+    * existing maintenance surface: [[appendToMinhashIndex]] appends
+    * both tables and the clustered-tail `compact` re-clusters only the
+    * unclustered tail.
+    */
+  def buildMinhashIndex(spark: SparkSession, docs: DataFrame, indexDir: String,
+                        targetFileBytes: Long = 128L << 20): Long = {
+    graft.functions.Sketches.register(spark)
+    val bb = bandBuckets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.lake.LakeTable.overwrite(spark, sigsTable(indexDir),
+        bb.filter(col("band") === 0).select(col("doc_id"), col("sig")))
+      graft.lake.LakeTable.compact(spark, sigsTable(indexDir),
+        smallFileBytes = Long.MaxValue, sortBy = Seq("doc_id"),
+        targetFileBytes = targetFileBytes)
+      graft.lake.LakeTable.overwrite(spark, bandsTable(indexDir),
+        bb.select(col("band"), col("bh"), col("doc_id")))
+      // cluster EVERYTHING (smallFileBytes = MaxValue): disjoint logged
+      // (band, bh) bounds are what make probe pushdown skip files
+      graft.lake.LakeTable.compact(spark, bandsTable(indexDir),
+        smallFileBytes = Long.MaxValue, sortBy = Seq("band", "bh"),
+        targetFileBytes = targetFileBytes)
+    } finally bb.unpersist(blocking = false)
+  }
+
+  /** Append a new batch to the index (the daily-ingest step). The tail
+    * stays unclustered until the next clustered-tail compact; probes
+    * remain correct throughout (skipping is advisory).
+    */
+  def appendToMinhashIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Long = {
+    graft.functions.Sketches.register(spark)
+    val bb = bandBuckets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.lake.LakeTable.append(spark, sigsTable(indexDir),
+        bb.filter(col("band") === 0).select(col("doc_id"), col("sig")))
+      graft.lake.LakeTable.append(spark, bandsTable(indexDir),
+        bb.select(col("band"), col("bh"), col("doc_id")))
+    } finally bb.unpersist(blocking = false)
+  }
+
+  /** Probe the persisted index with a new batch: candidate pairs are
+    * band-bucket collisions between the batch and the INDEX (never
+    * batch x corpus, never corpus x corpus), then the distinct
+    * candidates fetch the index side's stored signature and verify
+    * row-locally with the signature Jaccard estimate. Returns
+    * (doc_id [index side], probe_id [batch side], est_jaccard >=
+    * threshold).
+    *
+    * Scan economics: when the batch's distinct bucket count is bounded
+    * (<= `maxPushedKeys`), the probe pushes a per-band IN predicate
+    * into the bands scan — against the range-clustered per-file bh
+    * bounds this reads only the files whose range intersects the
+    * batch's buckets — and the verify step pushes the candidate
+    * doc_ids into the sigs scan the same way. A larger batch degrades
+    * gracefully to full scans of the two compact index tables joined
+    * against the (auto-broadcast) batch — still no corpus re-sign.
+    */
+  def probeMinhashIndex(spark: SparkSession, newDocs: DataFrame, indexDir: String,
+                        threshold: Double = 0.5,
+                        maxPushedKeys: Int = 10000): DataFrame = {
+    graft.functions.Sketches.register(spark)
+    val probe = bandBuckets(newDocs)
+      .withColumnRenamed("doc_id", "probe_id")
+      .withColumnRenamed("sig", "probe_sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retirePrevious("probeMinhashIndex", Seq(probe))
+    // bounded metadata to the driver: DISTINCT buckets, capped — the
+    // cap decides the scan strategy, it never truncates candidates
+    val buckets = probe.select(col("band"), col("bh")).distinct()
+      .limit(maxPushedKeys + 1).collect()
+    val bands0 = graft.lake.LakeTable.read(spark, bandsTable(indexDir))
+    val bands =
+      if (buckets.length > maxPushedKeys) bands0
+      else {
+        val byBand = buckets.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        val pred = byBand.map { case (b, rows) =>
+          col("band") === b && col("bh").isin(rows.map(_.getInt(1)): _*)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        bands0.filter(pred)
+      }
+    val cand = bands
+      .join(probe.select(col("band"), col("bh"), col("probe_id")), Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("doc_id"), col("probe_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate doc_ids, capped the same way, push into the sigs scan
+    val candIds = cand.select(col("doc_id")).distinct()
+      .limit(maxPushedKeys + 1).collect()
+    val sigs0 = graft.lake.LakeTable.read(spark, sigsTable(indexDir))
+    val sigs =
+      if (candIds.length > maxPushedKeys) sigs0
+      else if (candIds.isEmpty) sigs0.filter(lit(false))
+      else sigs0.filter(col("doc_id").isin(candIds.map(_.getLong(0)): _*))
+    retirePrevious("probeMinhashIndexCand", Seq(cand))
+    cand
+      .join(sigs, Seq("doc_id"))
+      // one sig row per probe doc: project band 0 of the cached probe
+      // (no distinct shuffle over signature arrays)
+      .join(probe.filter(col("band") === 0)
+        .select(col("probe_id"), col("probe_sig")), Seq("probe_id"))
+      .select(col("doc_id"), col("probe_id"),
+        expr(s"size(filter(zip_with(sig, probe_sig, (a, b) -> a = b), v -> v)) / cast($IdxNumHashes as double)").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** The incremental-dedup flow as a gate query: index the first 80% of
+    * the corpus (by doc_id) into a throwaway lake table, append the
+    * next 10% incrementally, probe the last 10% as the arriving batch.
+    * Output: the batch's candidate pairs against the indexed corpus —
+    * spec-proven identical to what full-corpus mining emits for the
+    * same (corpus x batch) pairs, without re-signing the corpus.
+    */
+  def dedupIncr(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val (c1, c2) = (n * 8 / 10, n * 9 / 10)
+    val work = java.nio.file.Files.createTempDirectory("graft_mh_idx")
+    work.toFile.deleteOnExit()
+    val table = s"$work/minhash_index"
+    buildMinhashIndex(spark, docs.filter(col("doc_id") < c1), table)
+    appendToMinhashIndex(spark, docs.filter(col("doc_id") >= c1 && col("doc_id") < c2), table)
+    probeMinhashIndex(spark, docs.filter(col("doc_id") >= c2), table, threshold)
+      .select(col("doc_id"), col("probe_id"), rnd(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
   /** SimHash near-dup detection: 64-bit signature; candidates share one
     * of four 16-bit chunks (any pair within Hamming distance 3 must
     * collide on at least one chunk), verified by bit_count(xor) <= 3.

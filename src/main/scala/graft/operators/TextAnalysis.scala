@@ -395,14 +395,25 @@ object TextAnalysis {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-    // Σ sqrt accumulates in DECIMAL(38,18): exact and order-independent
-    // (a double sum would vary in its last ulps with partition order —
-    // across engines AND across runs), cast to double once at the end
-    val global = perSource.agg(
-      sum(col("n_tokens")).as("tot"),
-      sum(sqrt(col("n_tokens").cast("double")).cast("decimal(38,18)"))
-        .cast("double").as("sum_w"))
-    perSource.crossJoin(broadcast(global))
+    // The normalizers (Σ tokens, Σ sqrt-weights) come from a window
+    // over the ALREADY-AGGREGATED per-source rows — group count, not
+    // corpus size — so the corpus is scanned exactly once (a separate
+    // global .agg() branch would re-derive its own scan: Catalyst does
+    // not dedupe uncached subplans, and the regex tokenizer would run
+    // twice over 100 TB). The single-partition exchange carries
+    // ~#sources rows. Σ sqrt accumulates in DECIMAL(38,18): exact and
+    // order-independent (a double sum would vary in its last ulps with
+    // partition order — across engines AND across runs), cast to
+    // double once at the end.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perSource
+      .withColumn("tot", sum(col("n_tokens")).over(w))
+      .withColumn("sum_w",
+        sum(sqrt(col("n_tokens").cast("double")).cast("decimal(38,18)"))
+          .over(w).cast("double"))
       .withColumn("share", col("n_tokens").cast("double") / col("tot").cast("double"))
       // weight ∝ share^0.5; dividing by Σ sqrt(n_tokens) cancels the
       // common 1/sqrt(tot) factor, so p needs no per-row sqrt(share)

@@ -414,7 +414,8 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query key has an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf", "events_approx")
+    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf",
+      "events_approx", "bpe_train", "dedup_incr")
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
