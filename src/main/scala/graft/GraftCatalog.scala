@@ -227,6 +227,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // unfiltered count(*) over a lake table answered from the log's
     // row counts — no scan (see MetadataOnlyAgg)
     ext.injectOptimizerRule(_ => new graft.lake.MetadataOnlyAgg)
+    // maintenance SQL the Spark grammar lacks: OPTIMIZE / VACUUM /
+    // RESTORE / ALTER TABLE ... ADD|DROP CONSTRAINT (GraftSqlParser
+    // delegates everything else to the session parser untouched)
+    ext.injectParser((session, delegate) =>
+      new graft.lake.GraftSqlParser(session, delegate))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -1,0 +1,177 @@
+package graft.lake
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Maintenance SQL for graft tables, Delta-SQL-parser style: a
+  * delegating [[ParserInterface]] that recognizes the statements the
+  * Spark grammar lacks and hands everything else to the session's
+  * parser untouched. With these, the ENTIRE lifecycle a Trino/Iceberg
+  * operator runs — DML, maintenance, rollback, governance — is
+  * drivable from `spark.sql`:
+  *
+  *   OPTIMIZE <target> [WHERE <partition predicate>]
+  *            [ZORDER BY (c1, c2, ...)] | [SORT BY (c1, ...)]
+  *   VACUUM <target> [RETAIN <n> VERSIONS] [DRY RUN]
+  *   RESTORE <target> [TO] VERSION AS OF <v>
+  *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER TABLE <target> DROP CONSTRAINT <name>
+  *
+  * `<target>` is a path in backticks or single quotes (Delta's
+  * `delta.`/path`` idiom without the prefix), or the name of a
+  * registered live view — resolved through the view's analyzed plan to
+  * the transaction-log path, so `<name>_tbl` views from
+  * [[graft.GraftCatalog.registerLake]] work directly. ALTER TABLE is
+  * intercepted ONLY when it contains a CONSTRAINT clause; every other
+  * ALTER TABLE parses through Spark.
+  */
+class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseMaintenance(sqlText.trim).getOrElse(delegate.parsePlan(sqlText))
+
+  private def parseMaintenance(s: String): Option[LogicalPlan] = s match {
+    case OptimizeRe(target, whereOpt, kindOpt, colsOpt) =>
+      val cols = Option(colsOpt).map(_.split(",").map(_.trim.stripPrefix("`")
+        .stripSuffix("`")).toSeq).getOrElse(Nil)
+      val zorder = Option(kindOpt).exists(_.equalsIgnoreCase("zorder"))
+      val where = Option(whereOpt).map(_.trim).filter(_.nonEmpty)
+      Some(GraftOptimizeCommand(target, where,
+        if (zorder) Nil else cols, if (zorder) cols else Nil))
+    case VacuumRe(target, retainOpt, dryOpt) =>
+      Some(GraftVacuumCommand(target,
+        Option(retainOpt).map(_.toInt).getOrElse(2), dryOpt != null))
+    case RestoreRe(target, v) =>
+      Some(GraftRestoreCommand(target, v.toLong))
+    case AddConstraintRe(target, name, expr) =>
+      Some(GraftAddConstraintCommand(target, name, expr.trim))
+    case DropConstraintRe(target, name) =>
+      Some(GraftDropConstraintCommand(target, name))
+    case _ => None
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+}
+
+private[graft] object GraftSqlParser {
+  // target: `path`, 'path', or an identifier (registered view name)
+  private val T = "(`[^`]+`|'[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"
+  private val OptimizeRe =
+    ("""(?is)^OPTIMIZE\s+""" + T +
+      """(?:\s+WHERE\s+(.+?))?(?:\s+(ZORDER|SORT)\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^VACUUM\s+""" + T +
+      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val RestoreRe =
+    ("""(?is)^RESTORE\s+""" + T + """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val AddConstraintRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + T +
+      """\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + T +
+      """\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
+
+  /** The transaction-log path behind a maintenance target: a quoted
+    * path literally, or a registered view resolved through its
+    * analyzed plan (works for both plain and merge-on-read relations).
+    */
+  def resolveTarget(spark: SparkSession, target: String): String = {
+    if (target.startsWith("`") || target.startsWith("'"))
+      target.substring(1, target.length - 1)
+    else {
+      val plan = spark.table(target).queryExecution.analyzed
+      plan.collectFirst {
+        case LogicalRelation(r: GraftRelation, _, _, _, _)    => r.index.tablePath
+        case LogicalRelation(r: GraftMorRelation, _, _, _, _) => r.tablePath
+      }.getOrElse(throw new IllegalArgumentException(
+        s"$target does not resolve to a graft lake table — register it " +
+          "(GraftCatalog.registerLake / format(\"graft\") view) or pass its " +
+          "path in backticks"))
+    }
+  }
+}
+
+private[graft] case class GraftOptimizeCommand(target: String,
+                                               where: Option[String],
+                                               sortBy: Seq[String],
+                                               zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    val pf = where.map(org.apache.spark.sql.functions.expr)
+    val v = LakeTable.compact(spark, path, sortBy = sortBy, zorderBy = zorderBy,
+      partitionFilter = pf,
+      smallFileBytes = if (sortBy.nonEmpty || zorderBy.nonEmpty) Long.MaxValue
+                       else 32L << 20)
+    Seq(Row(v))
+  }
+}
+
+private[graft] case class GraftVacuumCommand(target: String, retain: Int,
+                                             dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("files_reclaimed", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(LakeTable.vacuum(spark, path, retainVersions = retain,
+      dryRun = dryRun).toLong))
+  }
+}
+
+private[graft] case class GraftRestoreCommand(target: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(LakeTable.restore(spark, path, version)))
+  }
+}
+
+private[graft] case class GraftAddConstraintCommand(target: String, name: String,
+                                                    expr: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(LakeTable.addConstraint(spark, path, name, expr)))
+  }
+}
+
+private[graft] case class GraftDropConstraintCommand(target: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(LakeTable.dropConstraint(spark, path, name)))
+  }
+}

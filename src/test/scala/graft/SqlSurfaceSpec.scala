@@ -454,4 +454,60 @@ class SqlSurfaceSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("startingVersion"))
   }
+
+  test("maintenance SQL: OPTIMIZE / VACUUM / RESTORE / ADD|DROP CONSTRAINT") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_maint").toString + "/t"
+    LakeTable.overwrite(spark, t, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount"))
+    (3L to 6L).foreach(i =>
+      LakeTable.append(spark, t, Seq((i, i * 10.0)).toDF("id", "amount")))
+    val preFiles = LakeTable.latestSnapshot(spark, t).get.files.size
+    assert(preFiles >= 5)
+
+    // OPTIMIZE by path (backticks) bin-packs the small files
+    val v1 = spark.sql(s"OPTIMIZE `$t`").head.getLong(0)
+    assert(LakeTable.latestSnapshot(spark, t).get.files.size < preFiles)
+    assert(LakeTable.read(spark, t).count() == 6)
+
+    // OPTIMIZE a registered view with SORT BY clusters (disjoint bounds)
+    spark.read.format("graft").load(t).createOrReplaceTempView("maint_v")
+    (7L to 9L).foreach(i =>
+      LakeTable.append(spark, t, Seq((i, i * 10.0)).toDF("id", "amount")))
+    spark.sql("OPTIMIZE maint_v SORT BY (id)").collect()
+    assert(LakeTable.read(spark, t).count() == 9)
+
+    // ALTER TABLE ADD CONSTRAINT enforces; violating append refused
+    spark.sql(s"ALTER TABLE `$t` ADD CONSTRAINT amount_positive CHECK (amount > 0)")
+      .collect()
+    assert(LakeTable.latestSnapshot(spark, t).get.constraints
+      .contains("amount_positive"))
+    val err = intercept[Exception](
+      LakeTable.append(spark, t, Seq((99L, -1.0)).toDF("id", "amount")))
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + " | " + msgs(x.getCause)
+    assert(msgs(err).contains("CHECK constraint violated"))
+    spark.sql(s"ALTER TABLE `$t` DROP CONSTRAINT amount_positive").collect()
+    LakeTable.append(spark, t, Seq((99L, -1.0)).toDF("id", "amount"))
+
+    // RESTORE ... VERSION AS OF rolls back (to the post-OPTIMIZE state)
+    spark.sql(s"RESTORE `$t` TO VERSION AS OF $v1").collect()
+    assert(LakeTable.read(spark, t).count() == 6)
+
+    // VACUUM DRY RUN counts the same set the real run would (both 0
+    // here: the age grace protects seconds-old files — the full vacuum
+    // semantics are covered in LakeSpec); the table stays readable
+    val dry = spark.sql(s"VACUUM `$t` RETAIN 2 VERSIONS DRY RUN").head.getLong(0)
+    val real = spark.sql(s"VACUUM `$t` RETAIN 2 VERSIONS").head.getLong(0)
+    assert(dry == real, s"dry $dry real $real")
+    assert(LakeTable.read(spark, t).count() == 6)
+
+    // everything else still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1").head.getInt(0) == 2)
+    // a non-graft target names itself in the error
+    Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("not_lake")
+    val e3 = intercept[IllegalArgumentException](spark.sql("OPTIMIZE not_lake").collect())
+    assert(e3.getMessage.contains("not_lake"))
+  }
 }
