@@ -57,6 +57,20 @@ object Pipeline {
   def tablePath(warehouseDir: String, layer: String, name: String): String =
     s"$warehouseDir/$layer/$name"
 
+  /** Table-level invariant attached at materialization: the silver
+    * surrogate key is never null. This upgrades the reference's
+    * ERROR-severity not_null_pk audit (trino_iceberg_transform_
+    * component.py:192-206) from re-checked-after-every-run to
+    * ENFORCED on every subsequent write — an incremental MERGE
+    * ([[refreshFactEvents]]) or ad-hoc append cannot introduce a null
+    * key in the first place. Idempotent: attached once, carried by the
+    * log thereafter.
+    */
+  private val silverPk: Map[String, String] = Map(
+    "dim_customer" -> "customer_key", "dim_part" -> "part_key",
+    "dim_supplier" -> "supplier_key", "fact_lineitem" -> "lineitem_key",
+    "fact_orders" -> "order_key", "fact_events" -> "event_key")
+
   private def materialize(spark: SparkSession, srcDir: String, warehouseDir: String,
                           layer: String,
                           models: Map[String, (SparkSession, String) => DataFrame]): Map[String, Long] = {
@@ -69,6 +83,12 @@ object Pipeline {
         val drift = Contracts.drift(materialized.schema, expected)
         if (drift.nonEmpty)
           throw new IllegalStateException(s"schema contract violated for $name: $drift")
+      }
+      silverPk.get(name).foreach { pk =>
+        val has = LakeTable.latestSnapshot(spark, out)
+          .exists(_.constraints.contains("pk_not_null"))
+        if (!has)
+          LakeTable.addConstraint(spark, out, "pk_not_null", s"$pk IS NOT NULL")
       }
       name -> materialized.count()
     }

@@ -135,7 +135,7 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
             // million-object recursive listing per snapshot change.
             snap.files.map { e =>
               val st = new FileStatus(e.size, false, 1, 128L << 20,
-                math.max(e.mtimeMs, 0L), new Path(dataRoot, e.path))
+                math.max(e.mtimeMs, 0L), LakeTable.entryPath(dataRoot, e.path))
               (e.path, st, e)
             }
           } else {
@@ -152,7 +152,12 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
               }
             }
             snap.files.map { e =>
-              val st = byRel.getOrElse(e.path,
+              // a foreign (cloned) entry lives under its SOURCE root,
+              // never in this table's listing: stat it directly
+              val st =
+                if (LakeTable.isForeignEntry(e.path))
+                  hadoopFs.getFileStatus(new Path(e.path))
+                else byRel.getOrElse(e.path,
                 // a file committed in the snapshot but absent from the
                 // listing is corruption (or an over-eager vacuum) — fail
                 // loudly rather than silently returning partial data

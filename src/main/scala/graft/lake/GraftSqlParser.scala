@@ -56,6 +56,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       Some(GraftAddConstraintCommand(target, name, expr.trim))
     case DropConstraintRe(target, name) =>
       Some(GraftDropConstraintCommand(target, name))
+    case CloneRe(dst, src, vOpt) =>
+      Some(GraftCloneCommand(dst, src, Option(vOpt).map(_.toLong)))
     case _ => None
   }
 
@@ -94,6 +96,10 @@ private[graft] object GraftSqlParser {
   private val DropConstraintRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
+  // CREATE TABLE `dst` SHALLOW CLONE src [VERSION AS OF v] (Delta syntax)
+  private val CloneRe =
+    ("""(?is)^CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
 
   /** The transaction-log path behind a maintenance target: a quoted
     * path literally, or a registered view resolved through its
@@ -173,5 +179,21 @@ private[graft] case class GraftDropConstraintCommand(target: String, name: Strin
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolveTarget(spark, target)
     Seq(Row(LakeTable.dropConstraint(spark, path, name)))
+  }
+}
+
+private[graft] case class GraftCloneCommand(dst: String, src: String,
+                                            asOf: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    // dst is a NEW table: a bare path (backticks/quotes) only — there
+    // is no existing relation to resolve
+    require(dst.startsWith("`") || dst.startsWith("'"),
+      s"SHALLOW CLONE destination must be a quoted path, got $dst")
+    val dstPath = dst.substring(1, dst.length - 1)
+    val srcPath = GraftSqlParser.resolveTarget(spark, src)
+    Seq(Row(LakeTable.shallowClone(spark, srcPath, dstPath, asOf)))
   }
 }

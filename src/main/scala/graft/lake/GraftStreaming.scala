@@ -221,11 +221,11 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
         checkSchemaPinned(endV, snap.schema, snap.partitionColumns)
         if (snap.files.isEmpty) Seq.empty
         else {
-          val base = LakeTable.dataPath(table)
-          Seq(spark.read
-            .option("basePath", base.toString)
-            .schema(pinnedTableSchema)
-            .parquet(snap.filePaths.map(rel => new Path(base, rel).toString): _*)
+          // per-root legs: foreign (cloned) entries read from their
+          // source roots
+          Seq(LakeTable.parquetLegs(spark, table, pinnedTableSchema,
+            snap.filePaths, initialSnapshot.partitionColumns.size)
+            .reduce(_ unionByName _)
             .withColumn(LakeTable.ChangeTypeCol, org.apache.spark.sql.functions.lit("insert"))
             .withColumn(LakeTable.CommitVersionCol, org.apache.spark.sql.functions.lit(endV))
             .withColumn(LakeTable.CommitTimestampCol,
@@ -303,17 +303,17 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
         }
         added.toSeq
     }
-    val base = LakeTable.dataPath(table)
     if (files.isEmpty) {
       SqlShims.internalCreateDataFrame(spark,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
         schema, isStreaming = true)
     } else {
-      val df = spark.read
-        .option("basePath", base.toString)
-        .schema(schema)
-        .parquet(files.map(rel => new Path(base, rel).toString): _*)
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      // per-root legs: foreign (cloned) entries read from their source
+      // roots — basePath is per-scan state
+      val df = LakeTable.parquetLegs(spark, table, schema, files,
+        initialSnapshot.partitionColumns.size)
+        .map(_.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+        .reduce(_ unionByName _)
       SqlShims.asStreaming(df)
     }
   }

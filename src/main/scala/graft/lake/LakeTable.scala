@@ -1128,24 +1128,67 @@ object LakeTable extends org.apache.spark.internal.Logging {
     s.drop(b.length + 1)
   }
 
+  /** A FOREIGN entry is a zero-copy [[shallowClone]] reference: an
+    * absolute URI into the SOURCE table's data root, vs the normal
+    * data-root-relative path. (Local-FS qualified paths render as
+    * `file:/x` — single slash — so test `:/`, not `://`.)
+    */
+  private[lake] def isForeignEntry(rel: String): Boolean =
+    rel.startsWith("/") || rel.contains(":/")
+
+  /** The physical location of a log entry's file. */
+  private[lake] def entryPath(dataRoot: Path, rel: String): Path =
+    if (isForeignEntry(rel)) new Path(rel) else new Path(dataRoot, rel)
+
+  /** The source data root of a foreign file: strip the file name plus
+    * one hive dir per partition column. This is what `basePath` must
+    * be for Spark to parse the partition values from the foreign dirs.
+    */
+  private def foreignBasePath(abs: String, numPartCols: Int): String = {
+    var p = new Path(abs)
+    (0 to numPartCols).foreach(_ => p = p.getParent)
+    p.toString
+  }
+
+  /** Per-root parquet legs over a mixed local/foreign file list: all
+    * local files read under the table's own data root, foreign
+    * (cloned) files group by their SOURCE roots — `basePath` is
+    * per-scan state, so one read cannot span roots. Callers apply
+    * their own projections per leg (scan pseudo-columns like
+    * `_metadata` do not survive a union) and union the results.
+    */
+  private[lake] def parquetLegs(spark: SparkSession, table: String,
+                                physSchema: StructType, relPaths: Seq[String],
+                                numPartCols: Int): Seq[DataFrame] = {
+    val base = dataPath(table)
+    val (foreign, local) = relPaths.partition(isForeignEntry)
+    val legs =
+      (if (local.isEmpty) Nil
+       else Seq(base.toString -> local.map(r => new Path(base, r).toString))) ++
+      foreign.groupBy(foreignBasePath(_, numPartCols)).toSeq.sortBy(_._1)
+    legs.map { case (bp, files) =>
+      spark.read.option("basePath", bp).schema(physSchema).parquet(files: _*)
+    }
+  }
+
   /** Read specific data files of a snapshot directly (the rewrite /
     * feed paths that bypass the registered source), translated for
     * column mapping: the parquet read requests the PHYSICAL schema
     * (deep-nullable — evolved columns are absent from old files) and
     * the result renames back to `schema`'s logical names, in schema
-    * order. Identity rename for unmapped tables.
+    * order. Identity rename for unmapped tables. Foreign (cloned)
+    * entries read from their source roots ([[parquetLegs]]).
     */
   private[lake] def readDataFiles(spark: SparkSession, table: String,
                                   schema: StructType,
-                                  relPaths: Seq[String]): DataFrame = {
-    val base = dataPath(table)
+                                  relPaths: Seq[String],
+                                  numPartCols: Int): DataFrame = {
     val nullable = GraftDataSource.asNullable(schema)
-    val df = spark.read
-      .option("basePath", base.toString)
-      .schema(ColumnMapping.physicalSchema(nullable))
-      .parquet(relPaths.map(rel => new Path(base, rel).toString): _*)
-    df.select(nullable.fields.map(f =>
-      col(ColumnMapping.physicalName(f)).as(f.name)).toIndexedSeq: _*)
+    val legs = parquetLegs(spark, table, ColumnMapping.physicalSchema(nullable),
+      relPaths, numPartCols)
+    legs.map(_.select(nullable.fields.map(f =>
+      col(ColumnMapping.physicalName(f)).as(f.name)).toIndexedSeq: _*))
+      .reduce(_ unionByName _)
   }
 
   // ------------------------------------------------- merge-on-read reads
@@ -1204,17 +1247,17 @@ object LakeTable extends org.apache.spark.internal.Logging {
     */
   private def readDataFilesWithPos(spark: SparkSession, table: String,
                                    schema: StructType,
-                                   relPaths: Seq[String]): DataFrame = {
-    val base = dataPath(table)
+                                   relPaths: Seq[String],
+                                   numPartCols: Int): DataFrame = {
     val nullable = GraftDataSource.asNullable(schema)
-    val df = spark.read
-      .option("basePath", base.toString)
-      .schema(ColumnMapping.physicalSchema(nullable))
-      .parquet(relPaths.map(rel => new Path(base, rel).toString): _*)
-    df.select(nullable.fields.map(f =>
+    val legs = parquetLegs(spark, table, ColumnMapping.physicalSchema(nullable),
+      relPaths, numPartCols)
+    // _metadata is a per-scan pseudo-column: select it per leg
+    legs.map(_.select(nullable.fields.map(f =>
       col(ColumnMapping.physicalName(f)).as(f.name)).toIndexedSeq
       :+ col("_metadata.file_path").as(FilePathCol)
-      :+ col("_metadata.row_index").as(RowPosCol): _*)
+      :+ col("_metadata.row_index").as(RowPosCol): _*))
+      .reduce(_ unionByName _)
   }
 
   /** Scan `entries` of `snap` with their deletion vectors applied.
@@ -1226,7 +1269,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
                             entries: Seq[FileEntry], keepPos: Boolean): DataFrame = {
     val (dvd, plain) = entries.partition(_.dv.isDefined)
     val dvdLeg = if (dvd.isEmpty) None else Some {
-      val df = readDataFilesWithPos(spark, table, snap.schema, dvd.map(_.path))
+      val df = readDataFilesWithPos(spark, table, snap.schema, dvd.map(_.path),
+        snap.partitionColumns.size)
       val prefix = qualifiedDataPrefix(spark, table) + "/"
       val del = dvRows(spark, table, dvd)
         .select(concat(lit(prefix), col("p")).as("__dv_file"),
@@ -1240,8 +1284,10 @@ object LakeTable extends org.apache.spark.internal.Logging {
     }
     val plainLeg =
       if (plain.isEmpty) None
-      else if (keepPos) Some(readDataFilesWithPos(spark, table, snap.schema, plain.map(_.path)))
-      else Some(readDataFiles(spark, table, snap.schema, plain.map(_.path)))
+      else if (keepPos) Some(readDataFilesWithPos(spark, table, snap.schema,
+        plain.map(_.path), snap.partitionColumns.size))
+      else Some(readDataFiles(spark, table, snap.schema, plain.map(_.path),
+        snap.partitionColumns.size))
     (plainLeg, dvdLeg) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None)    => a
@@ -1268,7 +1314,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val byPath = snap.files.iterator.map(e => e.path -> e).toMap
     val entries = relPaths.map(p =>
       byPath.getOrElse(p, FileEntry(p, -1L, -1L, -1L, Map.empty)))
-    if (entries.forall(_.dv.isEmpty)) readDataFiles(spark, table, snap.schema, relPaths)
+    if (entries.forall(_.dv.isEmpty))
+      readDataFiles(spark, table, snap.schema, relPaths, snap.partitionColumns.size)
     else morScan(spark, table, snap, entries, keepPos = false)
   }
 
@@ -2334,12 +2381,18 @@ object LakeTable extends org.apache.spark.internal.Logging {
                             snap: Snapshot): Seq[String] = {
     val f = fs(spark, table)
     val baseRaw = f.makeQualified(dataPath(table)).toUri.getPath.stripSuffix("/")
+    // foreign (cloned) entries match by their own decoded absolute
+    // path, not the clone's data root
+    val foreignByRaw: Map[String, String] = snap.filePaths
+      .filter(isForeignEntry).map(p => new Path(p).toUri.getPath -> p).toMap
     val matchedSet = matchedAbs.map { abs =>
       val p = decodeFileUri(abs)
-      require(p.startsWith(baseRaw + "/"),
-        s"$op matched file $p outside the table data root $baseRaw/ — " +
-          "refusing to commit (the file could not be marked for rewrite)")
-      p.drop(baseRaw.length + 1)
+      if (p.startsWith(baseRaw + "/")) p.drop(baseRaw.length + 1)
+      else foreignByRaw.getOrElse(p,
+        throw new IllegalArgumentException(
+          s"$op matched file $p outside the table data root $baseRaw/ and not a " +
+            "cloned reference of this snapshot — refusing to commit (the file " +
+            "could not be marked for rewrite)"))
     }.toSet
     snap.filePaths.filter(matchedSet.contains)
   }
@@ -2707,7 +2760,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // rewrite_data_files with delete-file compaction), so readers stop
     // paying the anti-join and vacuum can reclaim the vector.
     val sized = snap.files.map(e => e ->
-      (if (e.size >= 0) e.size else f.getFileStatus(new Path(base, e.path)).getLen))
+      (if (e.size >= 0) e.size else f.getFileStatus(entryPath(base, e.path)).getLen))
     val (smallSized, bigSized) = sized.partition { case (e, sz) =>
       inScope(e) && (sz < smallFileBytes || e.dv.isDefined)
     }
@@ -2829,7 +2882,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val f = fs(spark, table)
     val base = dataPath(table)
     val tailBytes = tail.map(e =>
-      if (e.size >= 0) e.size else f.getFileStatus(new Path(base, e.path)).getLen).sum
+      if (e.size >= 0) e.size else f.getFileStatus(entryPath(base, e.path)).getLen).sum
     val targetTasks = math.max(1,
       math.ceil(tailBytes.toDouble / targetFileBytes).toInt)
     val pCols = snap.partitionColumns.map(col)
@@ -3108,6 +3161,59 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * has already been vacuumed away — a restore that silently produced
     * a table with holes would be corruption, not rollback.
     */
+  /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE` /
+    * Iceberg snapshot-ref analog): commit `dst` whose v1 REFERENCES
+    * `src`'s data files in place — absolute URIs in the log, zero
+    * bytes copied — so a 100 TB dev/test sandbox materializes in one
+    * metadata commit. The clone is fully independent from then on:
+    * appends land in its own data dir, CoW DML rewrites cloned files
+    * INTO the clone (the source never changes), and the clone's
+    * vacuum can never touch source bytes (foreign files are outside
+    * its data root, which is all vacuum ever lists). Per-file stats,
+    * skipping, schema/partition layout, protocol and CHECK
+    * constraints all carry over with the cloned entries.
+    *
+    * Caveats (the Delta shallow-clone contract):
+    *  - vacuuming the SOURCE can remove files the clone still
+    *    references — retain accordingly, or compact the clone
+    *    (rewrites localize every file they touch);
+    *  - a snapshot with ACTIVE deletion vectors is refused (vector
+    *    rows key on source-relative paths; compact the source first);
+    *  - bloom sidecars are dropped (advisory; rebuilt on rewrite);
+    *  - merge-on-read DELETE on still-foreign files is refused loudly
+    *    (copy-on-write DML works) — compact localizes them.
+    */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+                   asOf: Option[Long] = None): Long = {
+    val snap = asOf.map(v => snapshotAt(spark, src, v)).getOrElse(
+      latestSnapshot(spark, src).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $src")))
+    require(latestSnapshot(spark, dst).isEmpty,
+      s"refusing to clone into $dst: it already has committed versions")
+    require(snap.files.forall(e => e.dv.forall(_.cardinality == 0)),
+      s"cannot shallow-clone $src at v${snap.version}: the snapshot carries " +
+        "active deletion vectors (vector rows key on source-relative paths) — " +
+        "compact the source to reconcile them, then clone")
+    require(snap.files.forall(_.size >= 0),
+      s"cannot shallow-clone $src at v${snap.version}: legacy entries without " +
+        "logged stats — compact the source first")
+    val f = fs(spark, src)
+    val srcRoot = f.makeQualified(dataPath(src))
+    val entries = snap.files.map { e =>
+      val abs =
+        if (isForeignEntry(e.path)) e.path // clone of a clone: same refs
+        else new Path(srcRoot, e.path).toString
+      e.copy(path = abs, dv = None, bloom = None)
+    }
+    val next = Snapshot(1L, System.currentTimeMillis(), "CLONE",
+      snap.schema, snap.partitionColumns, entries,
+      protocol = snap.protocol, constraints = snap.constraints)
+    if (!tryCommit(spark, dst, next, entries, Nil, reset = true, prev = None,
+        constraintsUpdate = Some(snap.constraints)))
+      throw new ConcurrentCommitException(s"CLONE into $dst lost the commit race")
+    1L
+  }
+
   def restore(spark: SparkSession, table: String, version: Long): Long = {
     val target = snapshotAt(spark, table, version)
     val f = fs(spark, table)
@@ -3120,7 +3226,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     def probeMissing(): Seq[String] = stageParallel(probeRels)(rel =>
       if (f.exists(
         if (rel.startsWith("_deletes/")) new Path(table, rel)
-        else new Path(base, rel))) None
+        else entryPath(base, rel))) None
       else Some(rel)).flatten
     // probe INSIDE each commit attempt, so the vulnerable window
     // against a concurrent vacuum is one probe→publish, not the whole

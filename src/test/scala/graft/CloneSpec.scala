@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+
+/** Zero-copy shallow clone: one metadata commit materializes an
+  * independent table over the source's data files — reads, skipping,
+  * constraints and time travel work through the foreign references;
+  * writes localize copy-on-write; neither table's maintenance can
+  * corrupt the other.
+  */
+class CloneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def dataFiles(t: String): Seq[String] = {
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dp = new org.apache.hadoop.fs.Path(t, "data")
+    if (!f.exists(dp)) Nil
+    else {
+      val it = f.listFiles(dp, true)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) { val s = it.next(); if (s.isFile) out += s.getPath.toString }
+      out.result()
+    }
+  }
+
+  test("clone is zero-copy, reads the source's rows, and stays independent") {
+    val d = tmpDir("clone_basic")
+    val (src, dst) = (s"$d/src", s"$d/dst")
+    LakeTable.overwrite(spark, src,
+      spark.range(100).select(col("id"), (col("id") % 5).cast("string").as("grp"),
+        (col("id") * 1.5).as("v")),
+      partitionBy = Seq("grp"))
+    LakeTable.addConstraint(spark, src, "v_nonneg", "v >= 0")
+    LakeTable.shallowClone(spark, src, dst)
+
+    // zero copy: the clone's data dir holds NOTHING
+    assert(dataFiles(dst).isEmpty, "clone must not copy data files")
+    // full read equivalence, including partition values from foreign dirs
+    val out = LakeTable.read(spark, dst)
+    assert(out.count() == 100)
+    assert(out.filter(col("grp") === "3").count() == 20)
+    assert(out.agg(sum("id")).head.getLong(0) == 4950)
+    // constraints carried: violating append on the CLONE refused
+    val err = intercept[Exception](
+      LakeTable.append(spark, dst, Seq((999L, "1", -5.0)).toDF("id", "grp", "v")))
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + " | " + msgs(x.getCause)
+    assert(msgs(err).contains("CHECK constraint violated"))
+
+    // independence: append to the clone is invisible to the source
+    LakeTable.append(spark, dst, Seq((1000L, "1", 3.0)).toDF("id", "grp", "v"))
+    assert(LakeTable.read(spark, dst).count() == 101)
+    assert(LakeTable.read(spark, src).count() == 100)
+    // ...and vice versa
+    LakeTable.append(spark, src, Seq((2000L, "2", 4.0)).toDF("id", "grp", "v"))
+    assert(LakeTable.read(spark, dst).count() == 101)
+  }
+
+  test("data skipping and metadata-only aggregates work through cloned entries") {
+    val d = tmpDir("clone_skip")
+    val (src, dst) = (s"$d/src", s"$d/dst")
+    LakeTable.overwrite(spark, src,
+      spark.range(100).select(col("id"), (col("id") * 2).as("k"))
+        .repartitionByRange(4, col("id")))
+    LakeTable.shallowClone(spark, src, dst)
+    val live = spark.read.format("graft").load(dst)
+    // logged bounds carried over -> point filter skips to one file
+    live.filter(col("id") === 57L).collect()
+    val scan = live.filter(col("id") === 57L)
+    scan.collect()
+    val fsc = scan.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(fsc.metrics("numFiles").value == 1,
+      s"cloned bounds should skip: ${fsc.metrics("numFiles").value}")
+    // metadata-only count + min/max fold over the cloned log
+    def scanFree(df: org.apache.spark.sql.DataFrame): Boolean =
+      !df.queryExecution.executedPlan.toString.contains("FileScan")
+    val agg = live.groupBy().agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    assert(agg.head == org.apache.spark.sql.Row(100L, 99L) && scanFree(agg))
+  }
+
+  test("CoW DML on the clone rewrites INTO the clone; the source is untouched") {
+    val d = tmpDir("clone_dml")
+    val (src, dst) = (s"$d/src", s"$d/dst")
+    LakeTable.overwrite(spark, src,
+      spark.range(50).select(col("id"), (col("id") * 1.0).as("v")))
+    val srcFilesBefore = dataFiles(src).toSet
+    LakeTable.shallowClone(spark, src, dst)
+
+    // DELETE on the clone: matched foreign files rewrite locally
+    LakeTable.delete(spark, dst, col("id") === 7L)
+    assert(LakeTable.read(spark, dst).count() == 49)
+    assert(LakeTable.read(spark, src).count() == 50, "source must keep the row")
+    assert(dataFiles(src).toSet == srcFilesBefore, "source files untouched")
+    assert(dataFiles(dst).nonEmpty, "rewrite must land in the clone's data dir")
+    // UPDATE on the clone
+    LakeTable.update(spark, dst, Seq("v" -> lit(123.0)), col("id") === 8L)
+    assert(LakeTable.read(spark, dst).filter(col("id") === 8L)
+      .head.getDouble(1) == 123.0)
+    assert(LakeTable.read(spark, src).filter(col("id") === 8L)
+      .head.getDouble(1) == 8.0)
+    // time travel on the clone still sees v1 (the full cloned set)
+    assert(LakeTable.read(spark, dst, asOf = Some(1L)).count() == 50)
+    // compact localizes everything it touches; vacuum of the clone
+    // afterwards cannot touch source bytes (they are outside its root)
+    LakeTable.compact(spark, dst, smallFileBytes = Long.MaxValue)
+    LakeTable.vacuum(spark, dst, retainVersions = 1, graceMs = 0L)
+    assert(LakeTable.read(spark, dst).count() == 49)
+    assert(dataFiles(src).toSet == srcFilesBefore, "vacuum of clone spared source")
+    assert(LakeTable.read(spark, src).count() == 50)
+  }
+
+  test("clone change feed, streaming tail, and clone-of-clone") {
+    val d = tmpDir("clone_feed")
+    val (src, c1, c2) = (s"$d/src", s"$d/c1", s"$d/c2")
+    LakeTable.overwrite(spark, src, spark.range(10).toDF("id"))
+    LakeTable.shallowClone(spark, src, c1)
+    // v1 change feed synthesizes inserts from the FOREIGN files
+    val feed = LakeTable.changes(spark, c1, 1L, 1L)
+    assert(feed.filter(col(LakeTable.ChangeTypeCol) === "insert").count() == 10)
+    // clone of a clone keeps pointing at the original bytes
+    LakeTable.shallowClone(spark, c1, c2)
+    assert(dataFiles(c2).isEmpty && LakeTable.read(spark, c2).count() == 10)
+  }
+
+  test("SQL: CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF") {
+    val d = tmpDir("clone_sql")
+    val (src, dst) = (s"$d/src", s"$d/dst")
+    LakeTable.overwrite(spark, src, spark.range(10).toDF("id"))
+    LakeTable.append(spark, src, spark.range(10, 15).toDF("id"))
+    spark.sql(s"CREATE TABLE `$dst` SHALLOW CLONE `$src` VERSION AS OF 1").collect()
+    assert(LakeTable.read(spark, dst).count() == 10, "cloned the pinned version")
+    assert(dataFiles(dst).isEmpty)
+  }
+
+  test("clone refuses dv'd snapshots and non-empty destinations") {
+    val d = tmpDir("clone_refuse")
+    val (src, dst) = (s"$d/src", s"$d/dst")
+    LakeTable.overwrite(spark, src, spark.range(20).toDF("id"))
+    LakeTable.deleteMergeOnRead(spark, src, col("id") === 3L)
+    val e1 = intercept[IllegalArgumentException](
+      LakeTable.shallowClone(spark, src, dst))
+    assert(e1.getMessage.contains("deletion vectors"))
+    // compact reconciles the vectors; then the clone works
+    LakeTable.compact(spark, src, smallFileBytes = Long.MaxValue)
+    LakeTable.shallowClone(spark, src, dst)
+    assert(LakeTable.read(spark, dst).count() == 19)
+    val e2 = intercept[IllegalArgumentException](
+      LakeTable.shallowClone(spark, src, dst))
+    assert(e2.getMessage.contains("already has committed versions"))
+  }
+}

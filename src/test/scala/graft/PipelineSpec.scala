@@ -87,6 +87,22 @@ class PipelineSpec extends SparkSpec {
     val counts2 = Pipeline.runGold(spark, sf, tmp)
     assert(counts2("gold_sales_metrics") == counts("gold_sales_metrics"))
     assert(lake.LakeTable.versions(spark, gsm) == Seq(1L, 2L))
+    // every silver table carries the pk_not_null invariant, and it is
+    // ENFORCED on later writes (not just re-audited): a null-key append
+    // into the warehouse table is refused at write time
+    Pipeline.silverModels.keySet.foreach { name =>
+      val t = Pipeline.tablePath(tmp, "silver", name)
+      assert(lake.LakeTable.latestSnapshot(spark, t).get.constraints
+        .contains("pk_not_null"), s"$name missing pk_not_null")
+    }
+    val dimC = Pipeline.tablePath(tmp, "silver", "dim_customer")
+    val bad = lake.LakeTable.read(spark, dimC).limit(1)
+      .withColumn("customer_key",
+        org.apache.spark.sql.functions.lit(null).cast("string"))
+    val e = intercept[Exception](lake.LakeTable.append(spark, dimC, bad))
+    def msgs(x: Throwable): String =
+      if (x == null) "" else Option(x.getMessage).getOrElse("") + " | " + msgs(x.getCause)
+    assert(msgs(e).contains("CHECK constraint violated"))
   }
 
   test("partitioned facts prune on the partition column") {
