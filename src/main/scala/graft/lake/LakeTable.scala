@@ -2567,6 +2567,15 @@ object LakeTable extends org.apache.spark.internal.Logging {
         .collect().map(_.getString(0))
       if (matchedAbs.isEmpty) return snap.version
       val affectedRel = mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
+      // a cloned (foreign) file cannot take a deletion vector: vector
+      // rows key on positions relative to THIS table's data root
+      val foreignHit = affectedRel.filter(isForeignEntry)
+      if (foreignHit.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"merge-on-read DELETE on $table matched ${foreignHit.size} cloned " +
+            "(foreign) data file(s) — deletion vectors key on root-relative " +
+            "positions; use the copy-on-write delete(), or compact the clone " +
+            "to localize its files first")
       val affectedSet = affectedRel.toSet
 
       // new positions, relativized IN the plan (no driver round-trip of

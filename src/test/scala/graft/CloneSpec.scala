@@ -129,6 +129,23 @@ class CloneSpec extends SparkSpec {
     assert(dataFiles(c2).isEmpty && LakeTable.read(spark, c2).count() == 10)
   }
 
+  test("MoR delete of a still-foreign file refuses loudly; CoW path works") {
+    val d = tmpDir("clone_mor")
+    val (src, dst) = (s"$d/src", s"$d/dst")
+    LakeTable.overwrite(spark, src, spark.range(30).toDF("id"))
+    LakeTable.shallowClone(spark, src, dst)
+    val e = intercept[UnsupportedOperationException](
+      LakeTable.deleteMergeOnRead(spark, dst, col("id") === 5L))
+    assert(e.getMessage.contains("cloned") && e.getMessage.contains("copy-on-write"))
+    // CoW delete works and LOCALIZES the touched file; the now-local
+    // remainder can take a vector
+    LakeTable.delete(spark, dst, col("id") === 5L)
+    assert(LakeTable.read(spark, dst).count() == 29)
+    LakeTable.deleteMergeOnRead(spark, dst, col("id") === 6L)
+    assert(LakeTable.read(spark, dst).count() == 28)
+    assert(LakeTable.read(spark, src).count() == 30)
+  }
+
   test("SQL: CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF") {
     val d = tmpDir("clone_sql")
     val (src, dst) = (s"$d/src", s"$d/dst")

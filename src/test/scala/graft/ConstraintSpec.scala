@@ -123,6 +123,31 @@ class ConstraintSpec extends SparkSpec {
     assert(out.count() == 2 && out.filter(col("amount").isNull).count() == 1)
   }
 
+  test("a write racing ADD CONSTRAINT aborts instead of committing unvalidated rows") {
+    // drive the commit-time drift guard directly: rows staged against a
+    // snapshot WITHOUT the constraint must not land on one WITH it
+    val m = LakeTable.getClass.getDeclaredMethods
+      .find(_.getName == "checkConstraintsStable")
+      .getOrElse(fail("checkConstraintsStable not found"))
+    m.setAccessible(true)
+    def snapWith(cks: Map[String, String]): LakeTable.Snapshot =
+      LakeTable.Snapshot(1L, 0L, "APPEND",
+        org.apache.spark.sql.types.StructType(Nil), Nil, Nil, constraints = cks)
+    def invoke(stage: Map[String, String], commit: Map[String, String]): Unit =
+      try m.invoke(LakeTable, "t", Some(snapWith(stage)), Some(snapWith(commit)))
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    // unchanged / dropped constraints: fine (the write over-checked)
+    invoke(Map("a" -> "x > 0"), Map("a" -> "x > 0"))
+    invoke(Map("a" -> "x > 0"), Map.empty)
+    // added or CHANGED since staging: abort loudly
+    val e1 = intercept[LakeTable.ConcurrentCommitException](
+      invoke(Map.empty, Map("a" -> "x > 0")))
+    assert(e1.getMessage.contains("ADD CONSTRAINT"))
+    val e2 = intercept[LakeTable.ConcurrentCommitException](
+      invoke(Map("a" -> "x > 0"), Map("a" -> "x > 1")))
+    assert(e2.getMessage.contains("a"))
+  }
+
   test("streaming sink enforces constraints per micro-batch commit") {
     val t = tmpTable("cks_stream")
     LakeTable.overwrite(spark, t, Seq((1L, 5.0)).toDF("id", "amount"))
