@@ -67,6 +67,7 @@ object SparkEntry {
     "corpus_filter"        -> ((s, d) => TextAnalysis.corpusFilter(s, d)),
     "source_mix"           -> ((s, d) => TextAnalysis.sourceMix(s, d)),
     "bpe_train"            -> ((s, d) => Bpe.bpeTrain(s, d)),
+    "bpe_encode"           -> ((s, d) => Bpe.bpeEncode(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
     "ngram_jaccard"        -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_clusters"       -> ((s, d) => Dedup.dedupClusters(s, d)),

@@ -34,7 +34,18 @@ object Bpe {
     * implementation exactly; no SQL oracle (iterative rewriting is not
     * expressible in portable SQL) → rows-only driver check by design.
     */
-  def bpeTrain(spark: SparkSession, dir: String, numMerges: Int = 8): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String, numMerges: Int = 8): DataFrame =
+    trainWithVocab(spark, dir, numMerges) match { case (merges, vocab) =>
+      vocab.unpersist(blocking = false); merges
+    }
+
+  /** The training loop, also returning the final (word, cnt, syms)
+    * vocabulary — PERSISTED; the caller releases it. [[bpeEncode]]
+    * leans on it: encoding the corpus means encoding the DISTINCT
+    * WORDS once and joining, never re-merging per occurrence.
+    */
+  private def trainWithVocab(spark: SparkSession, dir: String,
+                             numMerges: Int): (DataFrame, DataFrame) = {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(lower(col("text")))).as("word"))
@@ -42,7 +53,7 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       // '.' does not match \n, but words come from a \s+ split so they
       // cannot contain one; append the end-of-word marker symbol
-      .select(col("cnt"),
+      .select(col("word"), col("cnt"),
         expr("array_append(regexp_extract_all(word, '.', 0), '</w>')").as("syms"))
 
     var vocab = base.persist(StorageLevel.MEMORY_AND_DISK)
@@ -81,7 +92,7 @@ object Bpe {
               when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l) && x === lit(r),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
                 .otherwise(concat(acc, array(x))))
-          val next = vocab.select(col("cnt"), rewritten.as("syms"))
+          val next = vocab.select(col("word"), col("cnt"), rewritten.as("syms"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           next.count() // materialize before dropping the predecessor
           vocab.unpersist()
@@ -89,7 +100,48 @@ object Bpe {
           rank += 1
         }
       }
-    } finally vocab.unpersist()
-    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+    } catch { case e: Throwable => vocab.unpersist(); throw e }
+    (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count"), vocab)
   }
+
+  /** Apply the trained merges to the corpus: per-document token counts
+    * under the learned BPE vocabulary, with the compression ratio
+    * against raw character+marker symbols. The scale pattern is
+    * encode-the-vocab, join-the-corpus: the k merge rewrites run over
+    * the DISTINCT words (Heaps-bounded — the same rows the training
+    * loop already materialized), and the corpus pays one explode +
+    * word-join + per-doc rollup, never a per-occurrence merge loop.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, numMerges: Int = 8): DataFrame = {
+    val (_, vocab) = trainWithVocab(spark, dir, numMerges)
+    // the returned LAZY plan leans on the persisted vocabulary — it
+    // must outlive this call; the next invocation retires it (the
+    // bounded one-outstanding-cache discipline Dedup uses)
+    val old = liveVocab.put("bpeEncode", vocab)
+    if (old != null) {
+      try {
+        if (old.queryExecution.analyzed.canonicalized !=
+            vocab.queryExecution.analyzed.canonicalized)
+          old.unpersist(blocking = false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val wordLen = vocab.select(col("word"),
+      expr("size(regexp_extract_all(word, '.', 0)) + 1").as("raw_syms"),
+      size(col("syms")).as("bpe_syms"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(lower(col("text")))).as("word"))
+      .filter(col("word") =!= "")
+      .join(wordLen, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("raw_syms")).as("n_raw_syms"),
+        sum(col("bpe_syms")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_raw_syms"), col("n_bpe_tokens"),
+        graft.functions.Money.rnd(
+          col("n_bpe_tokens").cast("double") / col("n_raw_syms").cast("double"), 4)
+          .as("compression"))
+  }
+
+  private val liveVocab =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 }

@@ -108,6 +108,43 @@ class CorpusOpsSpec extends SparkSpec {
     out.result()
   }
 
+  test("bpe_encode applies the learned merges: per-doc counts match a reference encode") {
+    def chars(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+    val words = docs.flatMap(r => ws(r.getString(1).toLowerCase).filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val merges = refBpe(words, 8)
+    // encode each distinct word by replaying the merges in rank order
+    val encoded: Map[String, Int] = words.keys.map { w =>
+      var syms = chars(w) :+ "</w>"
+      merges.foreach { case (_, l, r, m, _) =>
+        syms = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ m else acc :+ x
+        }
+      }
+      w -> syms.length
+    }.toMap
+    val got = Bpe.bpeEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    docs.foreach { d =>
+      val (id, text) = (d.getLong(0), d.getString(1))
+      val ws0 = ws(text.toLowerCase).filter(_.nonEmpty)
+      if (ws0.isEmpty) assert(!got.contains(id))
+      else {
+        val row = got(id)
+        val nRaw = ws0.map(w => chars(w).length + 1L).sum
+        val nBpe = ws0.map(w => encoded(w).toLong).sum
+        assert(row.getAs[Long]("n_words") == ws0.length.toLong, s"doc $id n_words")
+        assert(row.getAs[Long]("n_raw_syms") == nRaw, s"doc $id n_raw_syms")
+        assert(row.getAs[Long]("n_bpe_tokens") == nBpe, s"doc $id n_bpe_tokens")
+        assert(math.abs(row.getAs[Double]("compression") - nBpe.toDouble / nRaw) < 1e-3,
+          s"doc $id compression")
+        assert(row.getAs[Long]("n_bpe_tokens") <= nRaw, s"doc $id: merges never grow")
+      }
+    }
+  }
+
   test("bpe_train reproduces reference BPE merges exactly") {
     val words = Tables.documents(spark, sf).select("text").collect()
       .flatMap(r => ws(r.getString(0).toLowerCase).filter(_.nonEmpty))
