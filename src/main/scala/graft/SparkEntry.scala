@@ -66,6 +66,7 @@ object SparkEntry {
     "dup_spans"            -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "corpus_filter"        -> ((s, d) => TextAnalysis.corpusFilter(s, d)),
     "source_mix"           -> ((s, d) => TextAnalysis.sourceMix(s, d)),
+    "corpus_stats"         -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     "bpe_train"            -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode"           -> ((s, d) => Bpe.bpeEncode(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -585,6 +586,19 @@ object SparkEntry {
            round(sqrt(CAST(n_tokens AS DOUBLE)) / g.sum_w * 1000000.0
                  / CAST(n_tokens AS DOUBLE), 4) AS epochs
          FROM s CROSS JOIN g""",
+    "corpus_stats" ->
+      """WITH t AS (SELECT source,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS mean_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens,
+           min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+         FROM t GROUP BY 1""",
     "semantic_dedup" ->
       """WITH RECURSIVE
          ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -427,6 +427,35 @@ object TextAnalysis {
           .as("epochs"))
   }
 
+  /** Corpus profile per source — the dataset-card table every corpus
+    * release ships: document counts, token totals, and the exact
+    * token-length distribution (mean / p50 / p90 / p99 / min / max).
+    * One scan, one partial-agg shuffle to the per-source rollup; the
+    * percentiles use Spark's exact interpolated `percentile`, which is
+    * value-identical to DuckDB's `quantile_cont` (the proven
+    * events_stats pattern). At 100 TB the exact percentile's
+    * per-group value buffer is the scale limit — the sketch path
+    * (approx_percentile) mirrors events_approx and is the documented
+    * swap; the group count here is #sources, so exact holds far.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        rnd(sum(col("n_tokens")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("mean_tokens"),
+        rnd(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+        rnd(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"),
+        rnd(expr("percentile(n_tokens, 0.99)"), 4).as("p99_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+
   /** Deterministic stratified sampling: each source stratum keeps a
     * fixed rate (25/50/75/100% cycling by source index), decided by a
     * content-independent md5 bucket of the doc key — the same rows

@@ -75,6 +75,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(rows.values.map(_.getAs[Double]("mix_weight")).sum - 1.0) < 1e-4)
   }
 
+  test("corpus_stats distribution is coherent and totals tie to token_count") {
+    val rows = TextAnalysis.corpusStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mn, p50, p90, p99, mx) = (r.getAs[Long]("min_tokens").toDouble,
+        r.getAs[Double]("p50_tokens"), r.getAs[Double]("p90_tokens"),
+        r.getAs[Double]("p99_tokens"), r.getAs[Long]("max_tokens").toDouble)
+      assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx,
+        s"${r.getAs[String]("source")}: quantiles out of order")
+      assert(math.abs(r.getAs[Double]("mean_tokens") -
+        r.getAs[Long]("total_tokens").toDouble / r.getAs[Long]("n_docs")) < 1e-3)
+    }
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val totalToks = rows.map(_.getAs[Long]("total_tokens")).sum
+    assert(totalDocs == Tables.documents(spark, sf).count())
+    assert(totalToks == TextAnalysis.tokenCount(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("bpe_tokens")).head.getLong(0))
+  }
+
   /** Reference single-node BPE (Sennrich semantics): overlapping
     * adjacent-pair counts weighted by word frequency; argmax with
     * (count desc, left, right) tie-break; greedy left-to-right

@@ -455,6 +455,25 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(e2.getMessage.contains("startingVersion"))
   }
 
+  test("OPTIMIZE ... WHERE compacts only the scoped partition") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_optw").toString + "/t"
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "dt"), partitionBy = Seq("dt"))
+    (3L to 8L).foreach(i => LakeTable.append(spark, t,
+      Seq((i, if (i % 2 == 0) "d2" else "d1")).toDF("id", "dt")))
+    def filesIn(p: String): Int = LakeTable.latestSnapshot(spark, t).get
+      .files.count(_.path.startsWith(s"dt=$p/"))
+    val (d1Before, d2Before) = (filesIn("d1"), filesIn("d2"))
+    assert(d1Before >= 3 && d2Before >= 3)
+    spark.sql(s"OPTIMIZE `$t` WHERE dt = 'd1'").collect()
+    assert(filesIn("d1") < d1Before, "scoped partition must bin-pack")
+    assert(filesIn("d2") == d2Before, "out-of-scope partition untouched")
+    assert(LakeTable.read(spark, t).count() == 8)
+  }
+
   test("maintenance SQL: OPTIMIZE / VACUUM / RESTORE / ADD|DROP CONSTRAINT") {
     import org.apache.spark.sql.functions._
     import graft.lake.LakeTable
