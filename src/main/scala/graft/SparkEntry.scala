@@ -94,7 +94,8 @@ object SparkEntry {
     // merge-on-read deletes (deletion vectors) end to end: MoR delete /
     // vector folding / CoW-over-vectors / compact reconcile, final
     // state read THROUGH active vectors vs an independent replay
-    "lake_dv"              -> ((s, d) => MaintenanceOps.lakeDv(s, d))
+    "lake_dv"              -> ((s, d) => MaintenanceOps.lakeDv(s, d)),
+    "bucket_join"          -> ((s, d) => BucketedOps.bucketJoin(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -636,6 +637,7 @@ object SparkEntry {
     "lineage" -> operators.Lineage.oracleSql,
     "incr_agg" -> operators.IncrementalOps.oracleSql,
     "lake_dml" -> operators.MaintenanceOps.oracleSql,
-    "lake_dv" -> operators.MaintenanceOps.dvOracleSql
+    "lake_dv" -> operators.MaintenanceOps.dvOracleSql,
+    "bucket_join" -> operators.BucketedOps.oracleSql
   )
 }

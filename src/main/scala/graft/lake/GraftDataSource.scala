@@ -174,8 +174,13 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
         parameters + ("graft.columnMapping" ->
           ColumnMapping.mapping(snap.schema).toSeq.sorted.mkString(","))
       else parameters
+    // a bucketed snapshot hands Spark the real BucketSpec: the scan
+    // reports HashPartitioning(bucketCols, n) — co-located joins/aggs
+    // skip their exchange, and equality filters on the bucket column
+    // prune to the matching bucket's files (see Bucketing)
+    val bucketSpec = Bucketing.spec(snap.schema).map(Bucketing.toBucketSpec)
     new GraftRelation(table, index, partitionSchema, dataSchema, fileFormat,
-      relOptions, spark)
+      relOptions, spark, bucketSpecArg = bucketSpec)
   }
 
   /** `CREATE TABLE ... USING graft` support: the session catalog stores
@@ -327,9 +332,10 @@ private[graft] class GraftRelation(
     dataSchemaArg: StructType,
     fileFormat: ParquetFileFormat,
     options: Map[String, String],
-    spark: SparkSession)
+    spark: SparkSession,
+    bucketSpecArg: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] = None)
   extends HadoopFsRelation(index, partitionSchemaArg, dataSchemaArg,
-    bucketSpec = None, fileFormat, options)(spark)
+    bucketSpec = bucketSpecArg, fileFormat, options)(spark)
   with InsertableRelation {
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {

@@ -882,7 +882,9 @@ object LakeTable extends org.apache.spark.internal.Logging {
   private def stageFiles(spark: SparkSession, table: String, df: DataFrame,
                          partitionBy: Seq[String],
                          mapping: Map[String, String] = Map.empty,
-                         checks: Map[String, String] = Map.empty): Seq[FileEntry] = {
+                         checks: Map[String, String] = Map.empty,
+                         replaceLayout: Boolean = false): Seq[FileEntry] = {
+    val snapMeta = latestSnapshot(spark, table)
     // CHECK constraints evaluate over LOGICAL names, in-flight, before
     // any physical renaming — see withChecks
     val checked = withChecks(spark, table, df, checks)
@@ -892,9 +894,31 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // for this commit's schema; identity (or empty) for unmapped tables
     val physDf = ColumnMapping.renameToPhysical(checked, mapping)
     val physParts = partitionBy.map(p => mapping.getOrElse(p, p))
+    // bucketed layout: the incoming frame's schema stamps win (a
+    // bucketed (re)creation); otherwise a layout-keeping write (append,
+    // CoW rewrite, compact) inherits the table's spec, so EVERY write
+    // path preserves "all live data files are bucket files". A
+    // layout-replacing write (overwrite) with an unstamped frame
+    // de-buckets — overwrite replaces the schema wholesale, spec
+    // included.
+    val bucketing = Bucketing.spec(df.schema).orElse(
+      if (replaceLayout) None
+      else snapMeta.flatMap(s => Bucketing.spec(s.schema)))
+    val routed = bucketing match {
+      case Some(sp) =>
+        val bcols = sp.bucketCols.map(c => col(mapping.getOrElse(c, c)))
+        // HashPartitioning: partition id = pmod(murmur3(bucketCols), n)
+        // — the exact function FileSourceScanExec assumes of bucket
+        // files, so the staged task id IS the bucket id
+        val rp = physDf.repartition(sp.numBuckets, bcols: _*)
+        if (sp.sortCols.isEmpty) rp
+        else rp.sortWithinPartitions(
+          (physParts ++ sp.sortCols.map(c => mapping.getOrElse(c, c))).map(col): _*)
+      case None => physDf
+    }
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
-    val writer = physDf.write.mode("overwrite")
+    val writer = routed.write.mode("overwrite")
     try (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
       .parquet(staging.toString)
     catch {
@@ -924,7 +948,20 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // store); the files are independent, so the wall cost drops to
     // ceil(files / threads) round trips
     val entries =
-      try stageParallel(staged.toSeq) { case (rel, src) =>
+      try stageParallel(staged.toSeq) { case (rel0, src) =>
+        // bucketed commit: the staged name's task id (= bucket id under
+        // the repartition above) moves into Spark's bucket-file naming,
+        // `_NNNNN` before the extension — what BucketingUtils parses
+        val rel = bucketing match {
+          case Some(_) =>
+            val slash = rel0.lastIndexOf('/')
+            val (dir, name) = rel0.splitAt(slash + 1)
+            val tid = Bucketing.taskIdOf(name).getOrElse(
+              throw new IllegalStateException(
+                s"staged file $name carries no task id — cannot assign its bucket"))
+            dir + Bucketing.bucketedName(name, tid)
+          case None => rel0
+        }
         val dest = new Path(dataPath(table), rel)
         f.mkdirs(dest.getParent)
         if (!f.rename(src, dest))
@@ -939,7 +976,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // just-moved, page-cache-warm files once, distributed. Flags are
     // logical names; the staged files (and the probe-side stats path)
     // carry physical names, so translate through this write's mapping.
-    val flagged = latestSnapshot(spark, table)
+    val flagged = snapMeta
       .map(s => BloomIndex.flaggedColumns(s.schema)).getOrElse(Nil)
     if (flagged.isEmpty || entries.isEmpty) entries
     else {
@@ -1546,7 +1583,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // metadata, not data) — the replacement rows must satisfy them
     val prev0 = latestSnapshot(spark, table)
     val newFiles = stageFiles(spark, table, df, partitionBy,
-      checks = prev0.map(_.constraints).getOrElse(Map.empty))
+      checks = prev0.map(_.constraints).getOrElse(Map.empty), replaceLayout = true)
     retryCommit(spark, table, "OVERWRITE") { prev =>
       checkConstraintsStable(table, prev0, prev)
       // reset delta: carries the complete new file list, so it is its
@@ -1554,6 +1591,42 @@ object LakeTable extends org.apache.spark.internal.Logging {
       CommitSpec(df.schema, partitionBy, newFiles, newFiles, Nil, reset = true,
         txnUpdate = txn.toMap)
     }
+  }
+
+  /** (Re)create the table hash-bucketed on `bucketCols` into
+    * `numBuckets` buckets (optionally sorted by `sortCols` within each
+    * bucket) — see [[Bucketing]]. Every later write preserves the
+    * layout; a plain [[overwrite]] drops it.
+    */
+  def overwriteBucketed(spark: SparkSession, table: String, df0: DataFrame,
+                        numBuckets: Int, bucketCols: Seq[String],
+                        sortCols: Seq[String] = Nil,
+                        partitionBy: Seq[String] = Nil,
+                        txn: Option[(String, Long)] = None): Long = {
+    val overlap = bucketCols.intersect(partitionBy)
+    require(overlap.isEmpty,
+      s"bucket column(s) ${overlap.mkString(", ")} are partition columns — a " +
+        "partition value is constant per file; bucket on a non-partition key")
+    val stamped = Bucketing.stampDf(ColumnMapping.sanitize(df0),
+      numBuckets, bucketCols, sortCols)
+    overwrite(spark, table, stamped, partitionBy, txn)
+  }
+
+  /** Commit-loop guard: the bucket layout the staged files were
+    * written under must still be the table's layout at commit time — a
+    * racing bucketed/unbucketed overwrite otherwise slips differently-
+    * partitioned files into a spec-carrying snapshot, silently
+    * breaking the co-location the scan claims.
+    */
+  private def checkBucketingStable(table: String, stagePrev: Option[Snapshot],
+                                   commitPrev: Option[Snapshot]): Unit = {
+    val staged = stagePrev.flatMap(s => Bucketing.spec(s.schema))
+    val now = commitPrev.flatMap(s => Bucketing.spec(s.schema))
+    if (staged != now)
+      throw new ConcurrentCommitException(
+        s"bucket layout of $table changed while this write was staging " +
+          s"($staged -> $now) — re-run so the files are routed under the " +
+          "current layout")
   }
 
   /** Append rows; new columns merge into the snapshot schema (old files
@@ -1572,6 +1645,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     retryCommit(spark, table, "APPEND") { prev =>
       checkMappingStable(table, prev0, prev, df.schema, mapping)
       checkConstraintsStable(table, prev0, prev)
+      checkBucketingStable(table, prev0, prev)
       val schema = prev.map(p => mergeSchemas(p.schema, incoming)).getOrElse(incoming)
       CommitSpec(schema, prev.map(_.partitionColumns).getOrElse(parts),
         prev.map(_.files).getOrElse(Nil) ++ newFiles, newFiles, Nil, reset = false)
@@ -1617,6 +1691,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       }
       checkMappingStable(table, prev0, prev, df.schema, mapping)
       checkConstraintsStable(table, prev0, prev)
+      checkBucketingStable(table, prev0, prev)
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
         System.currentTimeMillis(), "STREAMING APPEND",
         prev.map(p => mergeSchemas(p.schema, incoming)).getOrElse(incoming),
@@ -1648,7 +1723,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       if (partitionBy.nonEmpty) partitionBy
       else prev0.map(_.partitionColumns).getOrElse(Nil)
     val newFiles = stageFiles(spark, table, df, parts,
-      checks = prev0.map(_.constraints).getOrElse(Map.empty))
+      checks = prev0.map(_.constraints).getOrElse(Map.empty), replaceLayout = true)
     val f = fs(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -2746,6 +2821,14 @@ object LakeTable extends org.apache.spark.internal.Logging {
         "must fit one long) — and curve locality degrades past a few anyway")
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    // a bucketed table's clustering IS its bucket layout; a sort/Z-order
+    // compact would be silently undone by the bucket re-routing in
+    // stageFiles — refuse loudly (plain compact bin-packs per bucket)
+    require(Bucketing.spec(snap.schema).isEmpty ||
+        (sortBy.isEmpty && zorderBy.isEmpty),
+      s"$table is hash-bucketed — sortBy/zorderBy clustering does not compose " +
+        "with a bucket layout; use plain compact (per-bucket bin-packing), or " +
+        "re-create the table unbucketed to cluster it")
     // validate cluster columns BEFORE any early return: a misspelled
     // column on an already-compacted scope must fail loudly, not no-op
     (sortBy ++ zorderBy).foreach { c =>
@@ -2858,6 +2941,9 @@ object LakeTable extends org.apache.spark.internal.Logging {
       "zorderBy needs at least two columns — use sortBy to cluster on one")
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    require(Bucketing.spec(snap.schema).isEmpty,
+      s"$table is hash-bucketed — sort/Z-order clustering does not compose with " +
+        "a bucket layout (stageFiles would re-route the rows by bucket)")
     (sortBy ++ zorderBy).foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"cluster column $c is not in the schema of $table")
