@@ -3235,7 +3235,27 @@ object LakeTable extends org.apache.spark.internal.Logging {
       require(idx >= 0, s"no such column on $table: '$name'")
       require(mapped.fields.length > 1,
         s"cannot drop the last column of $table")
-      CommitSpec(StructType(mapped.fields.patch(idx, Nil, 1)),
+      // a bucket column's name is load-bearing: the read relation
+      // resolves the BucketSpec against it, and every write routes rows
+      // by it — dropping it would orphan the layout claim
+      require(!Bucketing.spec(mapped).exists(_.bucketCols.exists(resolver(_, name))),
+        s"cannot drop bucket column '$name' of $table — the table's hash-bucket " +
+          "layout is keyed on it; re-create the table unbucketed (or bucketed on " +
+          "another key) first")
+      // dropping a within-bucket SORT column: existing files are sorted
+      // by the full sort-col sequence, which implies ordering only by
+      // any PREFIX of it — keep the stamps before the dropped column,
+      // strip the rest (a claim of ordering by the suffix alone would
+      // be false of the files)
+      val afterDrop = StructType(mapped.fields.patch(idx, Nil, 1))
+      val newSchema = Bucketing.spec(mapped) match {
+        case Some(sp) if sp.sortCols.exists(resolver(_, name)) =>
+          val keep = sp.sortCols.takeWhile(!resolver(_, name))
+          Bucketing.stamp(Bucketing.strip(afterDrop), sp.numBuckets,
+            sp.bucketCols, keep)
+        case _ => afterDrop
+      }
+      CommitSpec(newSchema,
         prev.partitionColumns, prev.files,
         Nil, Nil, reset = false, protocol = Protocol(2, 2))
     }

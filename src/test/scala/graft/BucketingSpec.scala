@@ -195,6 +195,68 @@ class BucketingSpec extends SparkSpec {
     assert(shuffles(got) == 1, finalPlan(got))
   }
 
+  test("hive partitioning composes with bucketing (pruning on both axes)") {
+    val t = tmpTable("bkt_part")
+    val df = left.withColumn("p", ($"seq" % 3).cast("int"))
+    LakeTable.overwriteBucketed(spark, t, df, 4, Seq("k"), partitionBy = Seq("p"))
+    LakeTable.append(spark, t, df.filter($"seq" < 0)) // empty append is a no-op commit
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.nonEmpty)
+    snap.files.foreach { e =>
+      assert(e.path.startsWith("p="), s"hive dir lost: ${e.path}")
+      assert(Bucketing.bucketIdOf(e.path.split('/').last).exists(_ < 4), e.path)
+    }
+    val agg = LakeTable.read(spark, t).filter($"p" === 1)
+      .groupBy("k").agg(max($"seq").as("m"))
+    assert(shuffles(agg) == 0, finalPlan(agg))
+    assert(rowsOf(agg) ==
+      rowsOf(df.filter($"p" === 1).groupBy("k").agg(max($"seq").as("m"))))
+  }
+
+  test("renaming the bucket column keeps the layout (column mapping)") {
+    val t = tmpTable("bkt_ren")
+    LakeTable.overwriteBucketed(spark, t, left, 4, Seq("k"))
+    LakeTable.renameColumn(spark, t, "k", "kk")
+    val spec = Bucketing.spec(LakeTable.latestSnapshot(spark, t).get.schema).get
+    assert(spec.bucketCols == Seq("kk"))
+    LakeTable.append(spark, t, left.withColumnRenamed("k", "kk").limit(500))
+    val agg = LakeTable.read(spark, t).groupBy("kk").count()
+    assert(shuffles(agg) == 0, finalPlan(agg))
+    val all = left.union(left.limit(500)).groupBy("k").count()
+      .withColumnRenamed("k", "kk")
+    assert(rowsOf(agg) == rowsOf(all))
+  }
+
+  test("mismatched bucket counts join shuffle-free via bucket coalescing") {
+    val (lt, rt) = (tmpTable("bkt_c8"), tmpTable("bkt_c4"))
+    LakeTable.overwriteBucketed(spark, lt, left, 8, Seq("k"))
+    LakeTable.overwriteBucketed(spark, rt, right, 4, Seq("k"))
+    val key = "spark.sql.bucketing.coalesceBucketsInJoin.enabled"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try noBroadcast {
+      val joined = LakeTable.read(spark, lt).hint("merge")
+        .join(LakeTable.read(spark, rt), "k").groupBy("k").count()
+      assert(shuffles(joined) == 0,
+        s"8-bucket side should coalesce onto 4:\n${finalPlan(joined)}")
+      assert(rowsOf(joined) == rowsOf(left.join(right, "k").groupBy("k").count()))
+    } finally spark.conf.set(key, prior)
+  }
+
+  test("dropping the bucket column is refused; sort stamps keep a true prefix") {
+    val t = tmpTable("bkt_drop")
+    LakeTable.overwriteBucketed(spark, t, left, 4, Seq("k"), sortCols = Seq("lv", "seq"))
+    intercept[IllegalArgumentException](LakeTable.dropColumn(spark, t, "k"))
+    // dropping the FIRST sort column leaves no truthful ordering claim
+    LakeTable.dropColumn(spark, t, "lv")
+    val spec = Bucketing.spec(LakeTable.latestSnapshot(spark, t).get.schema).get
+    assert(spec == Bucketing.Spec(4, Seq("k"), Nil))
+    // layout survives: appends still route, aggs still skip the shuffle
+    LakeTable.append(spark, t, left.drop("lv").limit(100))
+    val agg = LakeTable.read(spark, t).groupBy("k").count()
+    assert(shuffles(agg) == 0, finalPlan(agg))
+  }
+
   test("plain overwrite de-buckets; re-bucketing with a new spec wins") {
     val t = tmpTable("bkt_over")
     LakeTable.overwriteBucketed(spark, t, left, 8, Seq("k"))
