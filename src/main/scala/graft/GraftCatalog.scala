@@ -246,5 +246,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es(2).eval().asInstanceOf[Int],
       es(3).eval().asInstanceOf[Int].toLong))
     inject("char_entropy", es => CharEntropy(es.head))
+    inject("dot_i8", es => DotProductI8(es.head, es(1)))
+    inject("quantize_i8", es => QuantizeI8(es.head,
+      evalDoublesArg(es(1)), evalDoublesArg(es(2))))
   }
 }

@@ -95,7 +95,10 @@ object SparkEntry {
     // vector folding / CoW-over-vectors / compact reconcile, final
     // state read THROUGH active vectors vs an independent replay
     "lake_dv"              -> ((s, d) => MaintenanceOps.lakeDv(s, d)),
-    "bucket_join"          -> ((s, d) => BucketedOps.bucketJoin(s, d))
+    "bucket_join"          -> ((s, d) => BucketedOps.bucketJoin(s, d)),
+    // int8 scalar-quantized ANN: integer first-pass scan (8× less
+    // memory traffic) + exact re-rank; recall-gated in RecallSpec
+    "ann_quant"            -> ((s, d) => Similarity.annQuant(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -266,6 +266,83 @@ object Sketches {
   }
 
   /** Register the sketch functions for use via expr()/SQL. Idempotent. */
+  /** Int8 scalar quantization of an array<double> vector against
+    * per-dimension [lo, hi] ranges baked in as literals (sample-fitted
+    * by the caller, the IVF-quantizer/Z-order-boundary pattern):
+    * q[i] = clamp(round((x - lo[i]) / (hi[i] - lo[i]) * 255) - 128).
+    * Returns BINARY — 8 bytes/dim → 1, the memory/bandwidth story that
+    * makes a 100 TB embedding scan tractable. A degenerate dimension
+    * (hi == lo) quantizes to 0.
+    */
+  case class QuantizeI8(child: Expression, lo: Array[Double], hi: Array[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+
+    // the kernel is shared by eval and codegen (codegen calls it via
+    // the expression reference — one virtual call per ROW, loop inside)
+    def kernel(a: ArrayData): Array[Byte] = {
+      val n = math.min(a.numElements(), lo.length)
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        val range = hi(i) - lo(i)
+        val q = if (range <= 0) 0
+        else {
+          val s = math.round((a.getDouble(i) - lo(i)) / range * 255.0) - 128L
+          math.max(-128L, math.min(127L, s))
+        }
+        out(i) = q.toByte
+        i += 1
+      }
+      out
+    }
+
+    override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("quantI8", this, classOf[QuantizeI8].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): QuantizeI8 =
+      copy(child = c)
+  }
+
+  /** Integer dot product of two int8-quantized BINARY vectors — the
+    * cheap first-pass score of the quantized ANN scan (exact re-rank
+    * follows on the survivors). Pure int multiply-accumulate in a
+    * tight loop, fully inside whole-stage codegen.
+    */
+  case class DotProductI8(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[Array[Byte]]
+      val b = r.asInstanceOf[Array[Byte]]
+      val n = math.min(a.length, b.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += a(i).toLong * b(i).toLong; i += 1 }
+      java.lang.Long.valueOf(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.length, $b.length);
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (long) $a[$i] * (long) $b[$i];
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductI8 =
+      copy(l, r)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // idempotent: sessions built via GraftExtensions already carry these,
@@ -274,7 +351,7 @@ object Sketches {
     // ALL six names gate the skip — a hypothetical partial registration
     // must fall through and (re-)register everything
     val names = Seq("simhash_bits", "minhash_sig", "dot_d", "jaccard_sorted",
-      "lsh_sigs", "char_entropy")
+      "lsh_sigs", "char_entropy", "dot_i8", "quantize_i8")
     if (names.forall(n =>
         reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
       return
@@ -291,5 +368,27 @@ object Sketches {
         es(3).eval().asInstanceOf[Int].toLong), "scala_udf")
     reg.createOrReplaceTempFunction("char_entropy",
       es => CharEntropy(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_i8",
+      es => DotProductI8(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_i8",
+      es => QuantizeI8(es.head, evalDoubles(es(1)), evalDoubles(es(2))), "scala_udf")
+  }
+
+  /** Evaluate a foldable array<numeric> argument (the sample-fitted
+    * [lo]/[hi] literals of quantize_i8) to a JVM double array at
+    * resolution time. (Public alias for the extension injector.)
+    */
+  def evalDoublesArg(e: Expression): Array[Double] = evalDoubles(e)
+
+  private def evalDoubles(e: Expression): Array[Double] = {
+    val a = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements()) { i =>
+      a.get(i, e.dataType.asInstanceOf[ArrayType].elementType) match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case n: java.lang.Number => n.doubleValue()
+        case d: Decimal => d.toDouble
+      }
+    }
   }
 }

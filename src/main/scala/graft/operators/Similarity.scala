@@ -46,6 +46,60 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Int8 scalar-quantized ANN — the QUANTIZATION leg of the tier
+    * (brute-force = exactness baseline, LSH/IVF = candidate pruning,
+    * this = arithmetic/memory compression). The corpus is projected
+    * once to 1 byte/dimension against per-dimension [lo, hi] ranges
+    * fitted on the same deterministic hash sample as the IVF quantizer
+    * (no sizing pass, no global sort; out-of-range values clamp), the
+    * first-pass scan scores candidates with the integer dot product
+    * (8× less memory traffic than the double vectors — the 100 TB
+    * reason to quantize), and the top `k·rerankFactor` survivors per
+    * query are re-ranked EXACTLY on the float vectors. Recall vs
+    * [[annTopk]] is gate-asserted in RecallSpec.
+    */
+  def annQuant(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+               rerankFactor: Int = 4): DataFrame = {
+    val e = vectors(spark, dir)
+    // deterministic bounded sample (the fitQuantizer filter): a row is
+    // kept iff its id-hash lands in the lowest quarter of hash space,
+    // OR-ed with a small id floor so tiny corpora still fit
+    val thr = BigInt(Long.MinValue) + (BigDecimal(BigInt(1) << 64) * 0.25).toBigInt
+    val keep = xxhash64(col("vec_id")) < lit(thr.toLong) || col("vec_id") < lit(256L)
+    val sampled = e.filter(keep).limit(10000).select(col("v")).collect()
+    require(sampled.nonEmpty, s"annQuant: no embeddings under $dir")
+    val dim = sampled.head.getSeq[Double](0).length
+    val lo = Array.fill(dim)(Double.MaxValue)
+    val hi = Array.fill(dim)(-Double.MaxValue)
+    sampled.foreach { r =>
+      val v = r.getSeq[Double](0)
+      var i = 0
+      while (i < math.min(dim, v.length)) {
+        if (v(i) < lo(i)) lo(i) = v(i)
+        if (v(i) > hi(i)) hi(i) = v(i)
+        i += 1
+      }
+    }
+    val q8 = s"quantize_i8(v, array(${lo.mkString("D,")}D), array(${hi.mkString("D,")}D))"
+    val eq = e.withColumn("v8", expr(q8))
+    val q = eq.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("v8").as("q8"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    eq.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", expr("dot_i8(v8, q8)"))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= k * rerankFactor)
+      .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Exact cosine near-duplicate pairs, blocked by label. Identical
     * vectors within a label collapse to one representative before the
     * blocked pair join and expand afterwards (see [[annLsh]]) — the

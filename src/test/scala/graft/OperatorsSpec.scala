@@ -415,7 +415,7 @@ class EntrySpec extends SparkSpec {
 
   test("every query key has an oracle or is a documented rows-only op") {
     val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf",
-      "events_approx", "bpe_train", "bpe_encode", "dedup_incr")
+      "events_approx", "bpe_train", "bpe_encode", "dedup_incr", "ann_quant")
     assert(SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet) == rowsOnly)
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }

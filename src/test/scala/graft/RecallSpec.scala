@@ -26,6 +26,17 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"ann_ivf recall@5 $recall < 0.9")
   }
 
+  test("ann_quant recall@5 vs exact brute-force top-k") {
+    val exact = Similarity.annTopk(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.annQuant(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    recalls("ann_quant@5") = recall
+    assert(exact.nonEmpty)
+    assert(recall >= 0.9, s"ann_quant recall@5 $recall < 0.9")
+  }
+
   test("ann_lsh recall vs exact cosine pairs at the same threshold") {
     val t = 0.35
     // exact ground truth: every unordered pair at cosine >= t, brute
@@ -88,7 +99,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("recall summary line for the round log") {
-    assert(recalls.size == 4, s"expected all four recalls measured, got $recalls")
+    assert(recalls.size == 5, s"expected all five recalls measured, got $recalls")
     val json = recalls.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     info(s"RECALL $json")
