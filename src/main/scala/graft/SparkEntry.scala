@@ -98,7 +98,10 @@ object SparkEntry {
     "bucket_join"          -> ((s, d) => BucketedOps.bucketJoin(s, d)),
     // int8 scalar-quantized ANN: integer first-pass scan (8× less
     // memory traffic) + exact re-rank; recall-gated in RecallSpec
-    "ann_quant"            -> ((s, d) => Similarity.annQuant(s, d))
+    "ann_quant"            -> ((s, d) => Similarity.annQuant(s, d)),
+    // dynamic partition overwrite: the idempotent daily-reload
+    // primitive (replace exactly the touched partitions, atomically)
+    "lake_dpo"             -> ((s, d) => MaintenanceOps.lakeDpo(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -641,6 +644,7 @@ object SparkEntry {
     "incr_agg" -> operators.IncrementalOps.oracleSql,
     "lake_dml" -> operators.MaintenanceOps.oracleSql,
     "lake_dv" -> operators.MaintenanceOps.dvOracleSql,
-    "bucket_join" -> operators.BucketedOps.oracleSql
+    "bucket_join" -> operators.BucketedOps.oracleSql,
+    "lake_dpo" -> operators.MaintenanceOps.dpoOracleSql
   )
 }

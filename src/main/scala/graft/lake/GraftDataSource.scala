@@ -341,10 +341,19 @@ private[graft] class GraftRelation(
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     if (overwrite) {
       // preserve the current layout: INSERT OVERWRITE replaces rows,
-      // never the partitioning
+      // never the partitioning. Under Spark's dynamic partition
+      // overwrite conf, a partitioned table replaces ONLY the
+      // partitions the incoming rows land in — the same semantics the
+      // conf selects on stock file-source tables, but transactional.
       val parts = LakeTable.latestSnapshot(spark, tablePath)
         .map(_.partitionColumns).getOrElse(Nil)
-      LakeTable.overwrite(spark, tablePath, data, parts)
+      val dynamic = spark.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .equalsIgnoreCase("dynamic")
+      if (dynamic && parts.nonEmpty)
+        LakeTable.overwritePartitions(spark, tablePath, data)
+      else
+        LakeTable.overwrite(spark, tablePath, data, parts)
     } else {
       LakeTable.append(spark, tablePath, data)
     }

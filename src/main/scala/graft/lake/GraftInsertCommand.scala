@@ -29,10 +29,19 @@ final case class GraftInsertCommand(tablePath: String, query: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val data = org.apache.spark.sql.graft.SqlShims.ofRows(spark, query)
     if (overwrite) {
-      // INSERT OVERWRITE replaces rows, never the partition layout
+      // INSERT OVERWRITE replaces rows, never the partition layout;
+      // under Spark's dynamic partition-overwrite conf a partitioned
+      // table replaces ONLY the partitions the rows land in (the conf's
+      // own semantics on stock file sources, made transactional)
       val parts = LakeTable.latestSnapshot(spark, tablePath)
         .map(_.partitionColumns).getOrElse(Nil)
-      LakeTable.overwrite(spark, tablePath, data, parts)
+      val dynamic = spark.conf
+        .get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .equalsIgnoreCase("dynamic")
+      if (dynamic && parts.nonEmpty)
+        LakeTable.overwritePartitions(spark, tablePath, data)
+      else
+        LakeTable.overwrite(spark, tablePath, data, parts)
     } else {
       LakeTable.append(spark, tablePath, data)
     }

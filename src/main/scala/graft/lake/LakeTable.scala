@@ -1114,6 +1114,24 @@ object LakeTable extends org.apache.spark.internal.Logging {
           if (e.adds.isEmpty) emptyChanges
           else decorate(readEntries(e.adds, e.schema), Some("insert"))
         Some(deletes.unionByName(inserts, allowMissingColumns = true))
+      case None if e.operation == "OVERWRITE PARTITIONS" =>
+        // dynamic partition overwrite synthesizes like OVERWRITE, but
+        // scoped: deletes are the rows of exactly the REPLACED files
+        // (recovered from the previous snapshot so their dv state is
+        // honored), inserts are the added files' rows
+        val removedSet = e.removes.toSet
+        val deletes =
+          if (removedSet.isEmpty) emptyChanges
+          else {
+            val prev = snapshotAt(spark, table, v - 1)
+            val removed = prev.files.filter(f => removedSet.contains(f.path))
+            if (removed.isEmpty) emptyChanges
+            else decorate(readEntries(removed, prev.schema), Some("delete"))
+          }
+        val inserts =
+          if (e.adds.isEmpty) emptyChanges
+          else decorate(readEntries(e.adds, e.schema), Some("insert"))
+        Some(deletes.unionByName(inserts, allowMissingColumns = true))
       case None if e.removes.nonEmpty =>
         throw new UnsupportedOperationException(
           s"change feed of $table: version $v (${e.operation}) rewrote rows but " +
@@ -1610,6 +1628,62 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val stamped = Bucketing.stampDf(ColumnMapping.sanitize(df0),
       numBuckets, bucketCols, sortCols)
     overwrite(spark, table, stamped, partitionBy, txn)
+  }
+
+  /** Dynamic partition overwrite — atomically REPLACE exactly the hive
+    * partitions the incoming rows land in, carrying every other
+    * partition's files untouched (Spark's
+    * `partitionOverwriteMode=dynamic` / Delta partition-replaceWhere
+    * analog; also reachable from SQL: `INSERT OVERWRITE` under the
+    * dynamic conf routes here). THE idempotent daily reload at 100 TB:
+    * re-running a day's load replaces that day's partitions and
+    * nothing else — no read-modify-write, no full overwrite, commit
+    * cost O(touched partitions), never O(table). The change feed
+    * synthesizes delete-of-replaced + insert-of-new lazily from the
+    * log (like OVERWRITE), so the write itself stages no change files.
+    *
+    * ref: the reference's scheduled silver/gold rebuilds re-materialize
+    * the current slice per run (schedules/defs.yaml; silver defs.yaml
+    * trino_sql) — this is that pattern without rewriting history.
+    */
+  def overwritePartitions(spark: SparkSession, table: String, df0: DataFrame,
+                          txn: Option[(String, Long)] = None): Long = {
+    val df = ColumnMapping.sanitize(df0)
+    val prev0 = latestSnapshot(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed version at $table — create it first " +
+          "(overwrite with partitionBy)"))
+    val parts = prev0.partitionColumns
+    require(parts.nonEmpty,
+      s"$table is unpartitioned — dynamic partition overwrite needs a hive " +
+        "partition layout; use overwrite to replace the whole table")
+    val (incoming, mapping) = mappedIncoming(Some(prev0), df.schema)
+    val newFiles = stageFiles(spark, table, df, parts, mapping,
+      checks = prev0.constraints)
+    if (newFiles.isEmpty && txn.isEmpty) return prev0.version // empty load, no watermark
+    // a file's partition is its directory prefix (all segments but the
+    // file name) — written by the same hive encoder on both sides, so
+    // string equality is the partition identity
+    def prefixOf(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val touched = newFiles.map(e => prefixOf(e.path)).toSet
+    retryCommit(spark, table, "OVERWRITE PARTITIONS") { prevOpt =>
+      val prev = prevOpt.getOrElse(throw new IllegalStateException(
+        s"$table lost its log while this write was staging"))
+      checkMappingStable(table, Some(prev0), prevOpt, df.schema, mapping)
+      checkConstraintsStable(table, Some(prev0), prevOpt)
+      checkBucketingStable(table, Some(prev0), prevOpt)
+      require(prev.partitionColumns == parts,
+        s"partition layout of $table changed while this write was staging " +
+          s"(${parts.mkString(",")} -> ${prev.partitionColumns.mkString(",")})")
+      val (replaced, carried) =
+        prev.files.partition(e => touched.contains(prefixOf(e.path)))
+      CommitSpec(mergeSchemas(prev.schema, incoming), parts,
+        carried ++ newFiles, newFiles, replaced.map(_.path), reset = false,
+        txnUpdate = txn.toMap)
+    }
   }
 
   /** Commit-loop guard: the bucket layout the staged files were

@@ -110,6 +110,40 @@ object MaintenanceOps {
          AND o_orderpriority <> '5-LOW'
          AND o_orderkey % 11 <> 5"""
 
+  /** Dynamic partition overwrite end to end: a partitioned lake table
+    * gets one partition (`o_orderstatus = 'O'`) atomically REPLACED by
+    * a re-derived daily slice — fewer rows (only even order keys
+    * survive) with adjusted prices — while every other partition's
+    * files are carried untouched; the reload then re-runs to prove
+    * idempotence. The oracle replays the final state as plain SQL:
+    * a hash match proves "replace the partition, don't merge into it"
+    * semantics against an independent engine.
+    */
+  def lakeDpo(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_lakedpo").toString
+    val t = s"$work/orders_lake"
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    LakeTable.overwrite(spark, t, orders, partitionBy = Seq("o_orderstatus"))
+    val reload = orders
+      .filter(col("o_orderstatus") === "O" && col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+    LakeTable.overwritePartitions(spark, t, reload)
+    LakeTable.overwritePartitions(spark, t, reload) // idempotent re-run
+    LakeTable.read(spark, t).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"))
+  }
+
+  val dpoOracleSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_orderstatus,
+              CAST(o_totalprice AS DOUBLE) AS o_totalprice
+       FROM orders WHERE o_orderstatus <> 'O'
+       UNION ALL
+       SELECT o_orderkey, o_orderpriority, o_orderstatus,
+              CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice
+       FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0"""
+
   /** DuckDB replays the same history as one SQL expression. */
   val oracleSql: String =
     """WITH merged AS (
