@@ -48,6 +48,15 @@ import org.apache.spark.sql.types.{MetadataBuilder, StructType}
   * partition transforms for the same co-location purpose
   * (trino_iceberg_transform_component.py:33 creates Iceberg tables;
   * Iceberg's bucket transform is the Trino-side analog).
+  *
+  * The conscious write-side trade: routing with `repartition(n, ...)`
+  * caps each commit's write parallelism at `numBuckets` and yields ONE
+  * file per bucket per commit (the "optimized write" shape — stock
+  * Spark's shuffle-free bucketed write instead emits tasks×buckets
+  * small files). So pick `numBuckets` at least as large as the write
+  * parallelism a single load needs — on a 1000-executor daily load
+  * that means thousands of buckets, which is also what keeps each
+  * bucket file near the parquet sweet spot at 100 TB.
   */
 object Bucketing {
 

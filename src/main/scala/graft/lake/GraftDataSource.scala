@@ -222,18 +222,38 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val partitionBy = requestedPartitionBy
       .orElse(current.map(_.partitionColumns))
       .getOrElse(Nil)
+    // option("bucketBy", "<numBuckets>,<col>[,<col>...]") [+ option(
+    // "sortBy", "<col>[,...]")] — the writer-API route to a bucketed
+    // (re)creation (see Bucketing). Like partitionBy above, an
+    // overwrite WITHOUT the option preserves an existing bucket
+    // layout; dropping it requires the Scala API's plain overwrite.
+    val requestedBucketBy = parameters.get("bucketBy").map { s =>
+      val ps = s.split(",").map(_.trim).filter(_.nonEmpty)
+      require(ps.length >= 2 && ps.head.toIntOption.exists(_ > 0),
+        "option(\"bucketBy\") must be \"<numBuckets>,<col>[,<col>...]\", " +
+          s"got '$s'")
+      val sorts = parameters.get("sortBy")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      Bucketing.Spec(ps.head.toInt, ps.tail.toSeq, sorts)
+    }
+    val bucketBy = requestedBucketBy
+      .orElse(current.flatMap(s => Bucketing.spec(s.schema)))
+    def replace(): Unit = bucketBy match {
+      case Some(sp) => LakeTable.overwriteBucketed(spark, table, data,
+        sp.numBuckets, sp.bucketCols, sp.sortCols, partitionBy)
+      case None => LakeTable.overwrite(spark, table, data, partitionBy)
+    }
     mode match {
-      case SaveMode.Overwrite =>
-        LakeTable.overwrite(spark, table, data, partitionBy)
+      case SaveMode.Overwrite => replace()
       case SaveMode.Append =>
         if (exists) LakeTable.append(spark, table, data)
-        else LakeTable.overwrite(spark, table, data, partitionBy)
+        else replace()
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"lake table $table already exists (SaveMode.ErrorIfExists)")
-        LakeTable.overwrite(spark, table, data, partitionBy)
+        replace()
       case SaveMode.Ignore =>
-        if (!exists) LakeTable.overwrite(spark, table, data, partitionBy)
+        if (!exists) replace()
     }
     createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf")
   }

@@ -257,6 +257,24 @@ class BucketingSpec extends SparkSpec {
     assert(shuffles(agg) == 0, finalPlan(agg))
   }
 
+  test("writer API: option(bucketBy) creates the layout, overwrite preserves it") {
+    val t = tmpTable("bkt_writer")
+    left.write.format("graft").mode("overwrite")
+      .option("bucketBy", "4,k").option("sortBy", "seq").save(t)
+    val spec = Bucketing.spec(LakeTable.latestSnapshot(spark, t).get.schema).get
+    assert(spec == Bucketing.Spec(4, Seq("k"), Seq("seq")))
+    // writer overwrite WITHOUT the option keeps the layout (the
+    // partitionBy-preserving principle applied to bucketing)
+    left.limit(1000).write.format("graft").mode("overwrite").save(t)
+    val kept = Bucketing.spec(LakeTable.latestSnapshot(spark, t).get.schema)
+    assert(kept.contains(Bucketing.Spec(4, Seq("k"), Seq("seq"))))
+    val agg = LakeTable.read(spark, t).groupBy("k").count()
+    assert(shuffles(agg) == 0, finalPlan(agg))
+    intercept[IllegalArgumentException](
+      left.write.format("graft").mode("overwrite")
+        .option("bucketBy", "k,4").save(tmpTable("bkt_writer_bad")))
+  }
+
   test("plain overwrite de-buckets; re-bucketing with a new spec wins") {
     val t = tmpTable("bkt_over")
     LakeTable.overwriteBucketed(spark, t, left, 8, Seq("k"))
