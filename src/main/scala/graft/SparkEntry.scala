@@ -101,7 +101,11 @@ object SparkEntry {
     "ann_quant"            -> ((s, d) => Similarity.annQuant(s, d)),
     // dynamic partition overwrite: the idempotent daily-reload
     // primitive (replace exactly the touched partitions, atomically)
-    "lake_dpo"             -> ((s, d) => MaintenanceOps.lakeDpo(s, d))
+    "lake_dpo"             -> ((s, d) => MaintenanceOps.lakeDpo(s, d)),
+    // incremental IVF maintenance: build on half, ivfAppend the rest,
+    // probe ALL cells so the result is exact brute-force top-k — a
+    // hash-matched oracle for the index-append path itself
+    "ann_ivf_incr"         -> ((s, d) => Similarity.annIvfIncr(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -516,6 +520,19 @@ object SparkEntry {
                 CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS cluster_size
          FROM rep""",
     "ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+    // probing every cell makes the incrementally-maintained IVF index
+    // exact, so the oracle is brute-force top-k — same as ann_topk
+    "ann_ivf_incr" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
          s AS (SELECT q.q_id, e.vec_id AS neighbor_id,

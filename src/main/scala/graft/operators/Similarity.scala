@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Money.rnd
@@ -256,10 +256,11 @@ object Similarity {
     * in SimilaritySpec); everything else never leaves disk.
     */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
-                    cells: Int = 16): Unit = {
+                    cells: Int = 16, only: Option[Column] = None): Unit = {
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
-    val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v")))
+    val e = only.foldLeft(vectors(spark, dir))(_.filter(_))
+      .withColumn("features", array_to_vector(col("v")))
     val model = fitQuantizer(e, cells)
     val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
@@ -303,6 +304,60 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"),
         col("rank"), col("cell").cast("long").as("cell"))
+  }
+
+  /** Incremental IVF index maintenance: assign ONLY `newVectors`
+    * (raw embeddings schema: vec_id, label, embedding) to the index's
+    * EXISTING centroids and append them to the cell-partitioned corpus
+    * table — no re-train, no touch of any existing cell file. This is
+    * the daily loop of a growing 100 TB embedding corpus: re-running
+    * [[buildIvfIndex]] re-reads and rewrites the WHOLE corpus per day,
+    * while this pass is linear in the delta alone — the persisted
+    * centroids table IS the quantizer (assignment = argmin squared L2,
+    * computed against the broadcast k×dim centroids; no model object),
+    * and [[graft.lake.LakeTable.append]] carries the cell partitioning,
+    * so probe-side partition pruning keeps holding over the merged
+    * corpus. Coarse cells tolerate centroid staleness (they bound the
+    * probe set, not the ranking — exact cosine still re-ranks); rebuild
+    * on the rare cadence where the corpus distribution drifts.
+    * Returns the committed corpus version.
+    */
+  def ivfAppend(spark: SparkSession, indexPath: String,
+                newVectors: DataFrame): Long = {
+    Sketches.register(spark)
+    val centersDf = graft.lake.LakeTable.read(spark, s"$indexPath/centroids")
+    val e = newVectors
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm", expr("sqrt(dot_d(v, v))"))
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val assigned = e.crossJoin(broadcast(centersDf))
+      .withColumn("dist", expr(
+        "dot_d(v, v) - 2 * dot_d(v, centroid) + dot_d(centroid, centroid)"))
+      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
+    graft.lake.LakeTable.append(spark, s"$indexPath/corpus", assigned)
+  }
+
+  /** Gate query for the incremental-index path, with an EXACT oracle:
+    * build the index on the even half of the corpus, [[ivfAppend]] the
+    * odd half, then probe with `probes = cells`. Probing every cell
+    * makes the IVF result the exact brute-force top-k — identical to
+    * [[annTopk]]'s DuckDB oracle — so a hash compare proves the append
+    * lost, duplicated, and corrupted NOTHING (any missing or doubled
+    * appended vector would change some query's top-k), while the
+    * pruning behavior of the same index is asserted separately with
+    * probes < cells in the spec.
+    */
+  def annIvfIncr(spark: SparkSession, dir: String, numQueries: Int = 10,
+                 k: Int = 5, cells: Int = 16): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+    val idx = s"$work/ivf"
+    buildIvfIndex(spark, dir, idx, cells, only = Some(col("vec_id") % 2 === 0))
+    ivfAppend(spark, idx, Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 1))
+    annIvfIndexed(spark, dir, idx, numQueries, k, probes = cells)
+      .select(col("q_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** Random-hyperplane LSH ANN, multi-table. A pair is a candidate if

@@ -385,6 +385,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("ivfAppend: delta-only maintenance — append-only commit, exact merged corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    val idx = s"$tmp/ivf"
+    Similarity.buildIvfIndex(spark, sf, idx, cells = 8,
+      only = Some(col("vec_id") % 2 === 0))
+    val before = lake.LakeTable.latestSnapshot(spark, s"$idx/corpus").get
+    val v = Similarity.ivfAppend(spark, idx,
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 1))
+    val after = lake.LakeTable.latestSnapshot(spark, s"$idx/corpus").get
+    // append-only: the delta cost O(new vectors) — every pre-append
+    // file is carried by reference, none rewritten
+    assert(after.version == v && after.operation == "APPEND")
+    assert(before.filePaths.toSet.subsetOf(after.filePaths.toSet))
+    assert(after.filePaths.size > before.filePaths.size)
+    // merged corpus covers the whole embeddings table, each vector once
+    val corpus = lake.LakeTable.read(spark, s"$idx/corpus")
+    val n = Tables.embeddings(spark, sf).count()
+    assert(corpus.count() == n)
+    assert(corpus.select("vec_id").distinct().count() == n)
+    // cell partitioning survives the append: an equality probe on the
+    // merged corpus still prunes to the probed cells' partitions
+    val cells = corpus.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val probed = corpus.filter(col("cell").isin(cells.take(2).map(Integer.valueOf): _*))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(scan.selectedPartitions.partitionCount <= 2)
+    // probing EVERY cell of the incrementally-built index is exactly
+    // brute-force top-k — the ann_ivf_incr oracle identity
+    val got = Similarity.annIvfIndexed(spark, sf, idx, numQueries = 10, k = 5,
+        probes = 8)
+      .select("q_id", "neighbor_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val exact = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == exact)
+  }
+
   test("ann_lsh finds a nonempty, threshold-respecting subset of exact pairs") {
     val lsh = Similarity.annLsh(spark, sf).cache()
     assert(lsh.count() > 0)
