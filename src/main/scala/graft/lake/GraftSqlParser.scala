@@ -22,6 +22,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   RESTORE <target> [TO] VERSION AS OF <v>
   *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
+  *   DESCRIBE HISTORY <target>
+  *   DESCRIBE DETAIL <target>
   *
   * `<target>` is a path in backticks or single quotes (Delta's
   * `delta.`/path`` idiom without the prefix), or the name of a
@@ -58,6 +60,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       Some(GraftDropConstraintCommand(target, name))
     case CloneRe(dst, src, vOpt) =>
       Some(GraftCloneCommand(dst, src, Option(vOpt).map(_.toLong)))
+    case DescHistoryRe(target) =>
+      Some(GraftDescribeHistoryCommand(target))
+    case DescDetailRe(target) =>
+      Some(GraftDescribeDetailCommand(target))
     case _ => None
   }
 
@@ -100,6 +106,10 @@ private[graft] object GraftSqlParser {
   private val CloneRe =
     ("""(?is)^CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  private val DescHistoryRe =
+    ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
+  private val DescDetailRe =
+    ("""(?is)^DESC(?:RIBE)?\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
 
   /** The transaction-log path behind a maintenance target: a quoted
     * path literally, or a registered view resolved through its
@@ -179,6 +189,66 @@ private[graft] case class GraftDropConstraintCommand(target: String, name: Strin
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolveTarget(spark, target)
     Seq(Row(LakeTable.dropConstraint(spark, path, name)))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the commit log as rows, latest first; the
+  * SQL face of [[LakeTable.history]] (O(tail) past the history
+  * checkpoint, never O(commits)).
+  */
+private[graft] case class GraftDescribeHistoryCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    LakeTable.history(spark, path).collect().toSeq
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one row summarizing the head snapshot: live
+  * file/byte/row counts (rows AFTER deletion-vector filtering; null
+  * when some file predates logged row counts), outstanding dv count,
+  * layout (partition columns, bucket spec), constraint names, and the
+  * protocol stamp. Everything is read from the transaction log — no
+  * data file is opened.
+  */
+private[graft] case class GraftDescribeDetailCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp_ms", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_live_rows", LongType, nullable = true)(),
+    AttributeReference("num_dv_files", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("bucket_spec", StringType, nullable = true)(),
+    AttributeReference("constraints", StringType, nullable = true)(),
+    AttributeReference("reader_version", LongType, nullable = false)(),
+    AttributeReference("writer_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    val s = LakeTable.latestSnapshot(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    val liveRows: Any =
+      if (s.files.exists(_.liveRowCount < 0)) null
+      else s.files.map(_.liveRowCount).sum
+    val bucket = Bucketing.spec(s.schema)
+      .map(b => s"buckets=${b.numBuckets} by=${b.bucketCols.mkString(",")}" +
+        (if (b.sortCols.nonEmpty) s" sort=${b.sortCols.mkString(",")}" else ""))
+      .orNull
+    Seq(Row("graft", s.version, s.timestampMs, s.operation,
+      s.files.size.toLong, s.files.map(_.size).sum, liveRows,
+      s.files.count(_.dv.isDefined).toLong,
+      s.partitionColumns.mkString(","), bucket,
+      if (s.constraints.isEmpty) null else s.constraints.keys.toSeq.sorted.mkString(","),
+      s.protocol.reader.toLong, s.protocol.writer.toLong))
   }
 }
 

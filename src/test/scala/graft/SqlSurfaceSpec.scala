@@ -529,4 +529,52 @@ class SqlSurfaceSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](spark.sql("OPTIMIZE not_lake").collect())
     assert(e3.getMessage.contains("not_lake"))
   }
+
+  test("DESCRIBE HISTORY / DESCRIBE DETAIL read the log, not the data") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_desc").toString + "/t"
+    // one file per hive partition, so the MoR delete below leaves a
+    // dv-bearing entry (a fully-deleted file would drop outright)
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("id", "grp", "amount").repartition(1), partitionBy = Seq("grp"))
+    LakeTable.append(spark, t, Seq((4L, "b", 40.0)).toDF("id", "grp", "amount"))
+    LakeTable.deleteMergeOnRead(spark, t, col("id") === 2L)
+    spark.sql(s"ALTER TABLE `$t` ADD CONSTRAINT amt_pos CHECK (amount > 0)").collect()
+
+    val hist = spark.sql(s"DESCRIBE HISTORY `$t`").collect()
+    assert(hist.length == 4)
+    assert(hist.head.getLong(0) == 4L) // latest first
+    assert(hist.map(_.getString(2)).toSeq ==
+      Seq("ADD CONSTRAINT", "DELETE", "APPEND", "OVERWRITE"))
+    // history values agree with the snapshot they summarize
+    assert(hist(1).getLong(3) ==
+      LakeTable.snapshotAt(spark, t, 3).files.size.toLong)
+
+    val d = spark.sql(s"DESCRIBE DETAIL `$t`").head
+    assert(d.getString(0) == "graft")
+    assert(d.getLong(1) == 4L)                       // version
+    assert(d.getString(3) == "ADD CONSTRAINT")       // operation
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(d.getLong(4) == snap.files.size.toLong)   // num_files
+    assert(d.getLong(5) == snap.files.map(_.size).sum)
+    assert(d.getLong(6) == 3L)                       // live rows after dv
+    assert(d.getLong(7) == 1L)                       // one dv-bearing file
+    assert(d.getString(8) == "grp")                  // partition columns
+    assert(d.isNullAt(9))                            // no bucket spec
+    assert(d.getString(10) == "amt_pos")
+    assert(d.getLong(11) == 3L && d.getLong(12) == 4L) // protocol stamps
+
+    // a bucketed table reports its layout
+    val b = java.nio.file.Files.createTempDirectory("sql_desc_b").toString + "/b"
+    LakeTable.overwriteBucketed(spark, b,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), numBuckets = 4,
+      bucketCols = Seq("k"))
+    val db = spark.sql(s"DESCRIBE DETAIL `$b`").head
+    assert(db.getString(9) == "buckets=4 by=k")
+    // DESC abbreviation parses too
+    assert(spark.sql(s"DESC HISTORY `$b`").count() == 1)
+  }
 }
