@@ -24,6 +24,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
   *   DESCRIBE HISTORY <target>
   *   DESCRIBE DETAIL <target>
+  *   ALTER TABLE `path` ADD COLUMNS (c1 TYPE, ...)
+  *   ALTER TABLE `path` RENAME COLUMN a TO b
+  *   ALTER TABLE `path` DROP COLUMN c
+  *
+  * The column-evolution forms are intercepted for QUOTED-PATH targets
+  * only: those never parse in stock Spark, so nothing is stolen from
+  * the delegate, while catalog-table ALTERs keep flowing to Spark
+  * untouched (use the LakeTable API for registered live views).
+  * RENAME/DROP auto-enable column mapping (Protocol(2,2)) on first
+  * use, exactly like the API.
   *
   * `<target>` is a path in backticks or single quotes (Delta's
   * `delta.`/path`` idiom without the prefix), or the name of a
@@ -64,6 +74,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       Some(GraftDescribeHistoryCommand(target))
     case DescDetailRe(target) =>
       Some(GraftDescribeDetailCommand(target))
+    case AddColumnsRe(target, colsDdl) =>
+      Some(GraftAddColumnsCommand(target, colsDdl.trim))
+    case RenameColumnRe(target, oldName, newName) =>
+      Some(GraftRenameColumnCommand(target, oldName, newName))
+    case DropColumnRe(target, name) =>
+      Some(GraftDropColumnCommand(target, name))
     case _ => None
   }
 
@@ -110,6 +126,18 @@ private[graft] object GraftSqlParser {
     ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
   private val DescDetailRe =
     ("""(?is)^DESC(?:RIBE)?\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
+  // column evolution: QUOTED-PATH targets only (never valid in stock
+  // Spark), so catalog-table ALTERs still delegate
+  private val Q = "(`[^`]+`|'[^']+')"
+  private val AddColumnsRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Q +
+      """\s+ADD\s+COLUMNS?\s*\((.+)\)\s*;?\s*$""").r
+  private val RenameColumnRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Q +
+      """\s+RENAME\s+COLUMN\s+([A-Za-z0-9_]+)\s+TO\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
+  private val DropColumnRe =
+    ("""(?is)^ALTER\s+TABLE\s+""" + Q +
+      """\s+DROP\s+COLUMN\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
 
   /** The transaction-log path behind a maintenance target: a quoted
     * path literally, or a registered view resolved through its
@@ -249,6 +277,38 @@ private[graft] case class GraftDescribeDetailCommand(target: String)
       s.partitionColumns.mkString(","), bucket,
       if (s.constraints.isEmpty) null else s.constraints.keys.toSeq.sorted.mkString(","),
       s.protocol.reader.toLong, s.protocol.writer.toLong))
+  }
+}
+
+private[graft] case class GraftAddColumnsCommand(target: String, colsDdl: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(LakeTable.addColumns(spark, path, StructType.fromDDL(colsDdl))))
+  }
+}
+
+private[graft] case class GraftRenameColumnCommand(target: String,
+                                                   oldName: String,
+                                                   newName: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(LakeTable.renameColumn(spark, path, oldName, newName)))
+  }
+}
+
+private[graft] case class GraftDropColumnCommand(target: String, name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(LakeTable.dropColumn(spark, path, name)))
   }
 }
 

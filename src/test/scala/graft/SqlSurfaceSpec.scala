@@ -577,4 +577,35 @@ class SqlSurfaceSpec extends SparkSpec {
     // DESC abbreviation parses too
     assert(spark.sql(s"DESC HISTORY `$b`").count() == 1)
   }
+
+  test("column-evolution SQL: ADD COLUMNS / RENAME COLUMN / DROP COLUMN on a path") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_coldl").toString + "/t"
+    LakeTable.overwrite(spark, t, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount"))
+
+    spark.sql(s"ALTER TABLE `$t` ADD COLUMNS (note STRING, score INT)").collect()
+    val s1 = LakeTable.latestSnapshot(spark, t).get
+    assert(s1.schema.fieldNames.toSeq == Seq("id", "amount", "note", "score"))
+    // metadata-only: old files read the new columns as null
+    assert(LakeTable.read(spark, t).filter(col("note").isNull).count() == 2)
+
+    spark.sql(s"ALTER TABLE `$t` RENAME COLUMN amount TO amt").collect()
+    assert(LakeTable.read(spark, t).select("amt").as[Double].collect().sorted
+      .sameElements(Array(10.0, 20.0)))
+
+    spark.sql(s"ALTER TABLE `$t` DROP COLUMN score").collect()
+    assert(LakeTable.latestSnapshot(spark, t).get.schema.fieldNames.toSeq ==
+      Seq("id", "amt", "note"))
+    // dropped-then-re-added name reads null, never the old bytes
+    spark.sql(s"ALTER TABLE `$t` ADD COLUMNS (score INT)").collect()
+    assert(LakeTable.read(spark, t).filter(col("score").isNotNull).count() == 0)
+
+    // catalog-table ALTER still parses through the delegate (identifier
+    // target — our intercept is quoted-path only)
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE some_missing_table ADD COLUMNS (x INT)"))
+    assert(!e.getMessage.contains("graft lake table"))
+  }
 }
