@@ -35,6 +35,9 @@ object SparkEntry {
     "events_approx"        -> ((s, d) => Events.eventsApprox(s, d)),
     "sessionize"           -> ((s, d) => Events.sessionize(s, d)),
     "asof_join"            -> ((s, d) => Events.asofJoin(s, d)),
+    // bin-bucketed range join: equi-join on (user, time-bin) + residual
+    // BETWEEN — never a broadcast nested loop
+    "range_join"           -> ((s, d) => Events.rangeJoin(s, d)),
     // silver conforming transforms
     "dim_customer"         -> ((s, d) => Conform.dimCustomer(s, d)),
     "dim_part"             -> ((s, d) => Conform.dimPart(s, d)),
@@ -210,6 +213,18 @@ object SparkEntry {
            p.ts_ms AS purchase_ts_ms, v.event_id AS view_event_id,
            v.ts_ms AS view_ts_ms, p.ts_ms - v.ts_ms AS gap_ms
          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_ms >= v.ts_ms""",
+    "range_join" ->
+      """WITH v AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events WHERE event_type='view'),
+         p AS (SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+               FROM events WHERE event_type='purchase')
+         SELECT p.event_id AS purchase_event_id, p.user_id,
+           p.ts_ms AS purchase_ts_ms,
+           CAST(count(v.ts_ms) AS BIGINT) AS views_in_window,
+           min(p.ts_ms - v.ts_ms) AS nearest_gap_ms
+         FROM p LEFT JOIN v ON v.user_id = p.user_id
+           AND v.ts_ms BETWEEN p.ts_ms - 3600000 AND p.ts_ms
+         GROUP BY 1, 2, 3""",
     "dim_customer" ->
       """SELECT md5(CAST(c_custkey AS VARCHAR)) AS customer_key, c_custkey, c_name,
          c_name || ' / ' || c_mktsegment AS customer_label, c_mktsegment, c_acctbal,

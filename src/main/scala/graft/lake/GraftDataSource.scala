@@ -9,6 +9,26 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 object GraftDataSource {
+  /** Timestamp-as-of parsing shared by the read option and the SQL
+    * RESTORE route: epoch millis, `yyyy-MM-dd`, or
+    * `yyyy-MM-dd HH:mm:ss[.S]` (UTC — deterministic across sessions).
+    */
+  private[lake] def parseTimestampMs(v: String): Long =
+    v.toLongOption.getOrElse {
+      val t = v.trim
+      try {
+        val local =
+          if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+          else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"timestampAsOf must be epoch millis, 'yyyy-MM-dd', or " +
+              s"'yyyy-MM-dd HH:mm:ss' (UTC), got '$v'")
+      }
+    }
+
   /** Deep-nullable copy of a schema (StructType.asNullable is
     * private[spark]): read schemas must be nullable like every
     * user-specified file-source schema, or the vectorized parquet
@@ -75,20 +95,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     * resolved to the newest version committed at or before it.
     */
   private def parseTimestampMs(v: String): Long =
-    v.toLongOption.getOrElse {
-      val t = v.trim
-      try {
-        val local =
-          if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
-          else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-        local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-      } catch {
-        case _: java.time.format.DateTimeParseException =>
-          throw new IllegalArgumentException(
-            s"timestampAsOf must be epoch millis, 'yyyy-MM-dd', or " +
-              s"'yyyy-MM-dd HH:mm:ss' (UTC), got '$v'")
-      }
-    }
+    GraftDataSource.parseTimestampMs(v)
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

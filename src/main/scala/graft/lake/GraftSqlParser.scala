@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *            [ZORDER BY (c1, c2, ...)] | [SORT BY (c1, ...)]
   *   VACUUM <target> [RETAIN <n> VERSIONS] [DRY RUN]
   *   RESTORE <target> [TO] VERSION AS OF <v>
+  *   RESTORE <target> [TO] TIMESTAMP AS OF '<ts>'
   *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
   *   DESCRIBE HISTORY <target>
@@ -64,6 +65,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         Option(retainOpt).map(_.toInt).getOrElse(2), dryOpt != null))
     case RestoreRe(target, v) =>
       Some(GraftRestoreCommand(target, v.toLong))
+    case RestoreTsRe(target, ts) =>
+      Some(GraftRestoreTimestampCommand(target,
+        if (ts.startsWith("'")) ts.substring(1, ts.length - 1) else ts))
     case AddConstraintRe(target, name, expr) =>
       Some(GraftAddConstraintCommand(target, name, expr.trim))
     case DropConstraintRe(target, name) =>
@@ -112,6 +116,10 @@ private[graft] object GraftSqlParser {
       """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val RestoreRe =
     ("""(?is)^RESTORE\s+""" + T + """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  // ts operand: quoted 'yyyy-MM-dd[ HH:mm:ss]' or bare epoch millis
+  private val RestoreTsRe =
+    ("""(?is)^RESTORE\s+""" + T +
+      """\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+('[^']+'|\d+)\s*;?\s*$""").r
   private val AddConstraintRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + T +
       """\s+ADD\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -196,6 +204,23 @@ private[graft] case class GraftRestoreCommand(target: String, version: Long)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolveTarget(spark, target)
     Seq(Row(LakeTable.restore(spark, path, version)))
+  }
+}
+
+/** `RESTORE t TO TIMESTAMP AS OF '<ts>'` — resolved to the newest
+  * version committed at or before the timestamp (writer wall clocks,
+  * same semantics as `option("timestampAsOf", ...)` reads), then a
+  * plain version restore.
+  */
+private[graft] case class GraftRestoreTimestampCommand(target: String, ts: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    val tsMs = GraftDataSource.parseTimestampMs(ts)
+    val v = LakeTable.versionAtTimestamp(spark, path, tsMs)
+    Seq(Row(LakeTable.restore(spark, path, v)))
   }
 }
 

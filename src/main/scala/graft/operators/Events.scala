@@ -136,4 +136,45 @@ object Events {
         col("view_ts_ms"),
         (col("ts_ms") - col("view_ts_ms")).as("gap_ms"))
   }
+
+  /** Range join: each purchase joined to ALL same-user views in the
+    * preceding `windowMs` (inclusive both ends), aggregated to a
+    * per-purchase count + nearest gap.
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinDf(Tables.events(spark, dir))
+
+  /** Bin-bucketed range join. A naive `ON user AND v.ts BETWEEN p.ts-w
+    * AND p.ts` plans as BroadcastNestedLoopJoin — O(left × right) per
+    * user and a driver OOM at scale. Instead each view is keyed by its
+    * time bin (`ts div w` — integer division, no float boundary risk)
+    * and each purchase probes the ≤2 bins its window can overlap
+    * (exploded, deduped), so the join is a plain shuffled EQUI-join on
+    * (user_id, bin) with the BETWEEN as residual condition — Catalyst
+    * extracts the equi keys and plans SortMergeJoin (spec-asserted).
+    * Each (purchase, view) pair meets exactly once: a view has ONE
+    * bin and the purchase probes distinct bins. The range predicate
+    * rides IN the join condition (not a post-filter) so LEFT-join
+    * semantics hold: zero-view purchases keep one null row and count
+    * to 0. Work is proportional to pairs sharing a (user, bin) —
+    * shuffle-on-key, skew bounded by events per user per window.
+    */
+  def rangeJoinDf(ev: DataFrame, windowMs: Long = 3600000L): DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_millis(col("ts")).as("v_ts"))
+      .withColumn("v_bin", expr(s"v_ts div ${windowMs}L"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        unix_millis(col("ts")).as("purchase_ts_ms"))
+      .withColumn("p_bin", explode(array_distinct(array(
+        expr(s"(purchase_ts_ms - ${windowMs}L) div ${windowMs}L"),
+        expr(s"purchase_ts_ms div ${windowMs}L")))))
+    val joined = p.join(v,
+      col("user_id") === col("v_user") && col("p_bin") === col("v_bin") &&
+        col("v_ts") >= col("purchase_ts_ms") - windowMs &&
+        col("v_ts") <= col("purchase_ts_ms"), "left")
+    joined.groupBy(col("purchase_event_id"), col("user_id"), col("purchase_ts_ms"))
+      .agg(count(col("v_ts")).as("views_in_window"),
+        min(col("purchase_ts_ms") - col("v_ts")).as("nearest_gap_ms"))
+  }
 }

@@ -44,6 +44,38 @@ class EventsSpec extends SparkSpec {
     assert(totalEvents == Tables.events(spark, sf).count())
     assert(df.filter(col("session_end_ms") < col("session_start_ms")).count() == 0)
   }
+
+  test("range join: binned equi-join equals the naive inequality join, no BNLJ") {
+    val df = Events.rangeJoin(spark, sf)
+    val got = df.collect().map(_.toSeq).toSet
+    // the binned plan is a shuffled equi-join — a broadcast nested
+    // loop here would be the O(n·m)-per-user plan the binning avoids.
+    // Executed first so AQE's final plan is what we inspect.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), // equi-keys extracted either way
+      s"no equi-join in plan:\n$plan")
+    // exact equality with the naive formulation (small SF only)
+    val ev = Tables.events(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_millis(col("ts")).as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        unix_millis(col("ts")).as("purchase_ts_ms"))
+    val naive = p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") >= col("purchase_ts_ms") - 3600000L &&
+          col("v_ts") <= col("purchase_ts_ms"), "left")
+      .groupBy("purchase_event_id", "user_id", "purchase_ts_ms")
+      .agg(count(col("v_ts")).as("views_in_window"),
+        min(col("purchase_ts_ms") - col("v_ts")).as("nearest_gap_ms"))
+      .collect().map(_.toSeq).toSet
+    assert(got == naive)
+    // every purchase appears exactly once (zero-view purchases kept)
+    assert(got.size ==
+      ev.filter(col("event_type") === "purchase").count())
+  }
 }
 
 class ApproxSpec extends SparkSpec {

@@ -608,4 +608,19 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("ALTER TABLE some_missing_table ADD COLUMNS (x INT)"))
     assert(!e.getMessage.contains("graft lake table"))
   }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves like the timestampAsOf read option") {
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_rts").toString + "/t"
+    LakeTable.overwrite(spark, t, Seq((1L, 1.0)).toDF("id", "x"))
+    val ts1 = LakeTable.latestSnapshot(spark, t).get.timestampMs
+    Thread.sleep(20)
+    LakeTable.append(spark, t, Seq((2L, 2.0)).toDF("id", "x"))
+    assert(LakeTable.read(spark, t).count() == 2)
+    // restore to the instant right after v1's commit → back to 1 row
+    val v = spark.sql(s"RESTORE `$t` TO TIMESTAMP AS OF ${ts1 + 1}").head.getLong(0)
+    assert(v == 3L)
+    assert(LakeTable.read(spark, t).count() == 1)
+  }
 }
