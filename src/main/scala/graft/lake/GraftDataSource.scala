@@ -262,6 +262,11 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       case SaveMode.Ignore =>
         if (!exists) replace()
     }
+    // option("autoCompact", "true"): bin-pack the partitions this write
+    // touched once they accumulate enough small files (see
+    // LakeTable.autoCompact) — a no-op commit-wise below threshold
+    if (parameters.get("autoCompact").exists(_.equalsIgnoreCase("true")))
+      LakeTable.autoCompact(spark, table)
     createRelation(sqlContext, parameters - "versionAsOf" - "timestampAsOf")
   }
 
@@ -285,7 +290,8 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
       if (partitionColumns.nonEmpty) partitionColumns
       else parameters.get("partitionBy")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
-    new GraftSink(sqlContext.sparkSession, pathOf(parameters), parts, outputMode)
+    new GraftSink(sqlContext.sparkSession, pathOf(parameters), parts, outputMode,
+      autoCompact = parameters.get("autoCompact").exists(_.equalsIgnoreCase("true")))
   }
 
   /** `readStream.format("graft")`: tail the transaction log, versions

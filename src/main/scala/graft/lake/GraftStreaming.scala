@@ -32,7 +32,8 @@ import org.apache.spark.sql.types.{StructField, StructType}
   */
 private[lake] class GraftSink(spark: SparkSession, path: String,
                               partitionColumns: Seq[String],
-                              outputMode: OutputMode)
+                              outputMode: OutputMode,
+                              autoCompact: Boolean = false)
     extends Sink with Logging {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -55,6 +56,12 @@ private[lake] class GraftSink(spark: SparkSession, path: String,
     if (committed.isEmpty)
       logInfo(s"graft sink: batch $batchId of query $queryId already in the log at " +
         s"$path — replay skipped")
+    // per-micro-batch commits are THE small-file generator: bin-pack the
+    // just-touched partitions once they cross the threshold (no-op
+    // otherwise; a replayed batch triggers nothing). The streaming
+    // SOURCE delivers rows before the COMPACT version and skips it as
+    // a byte-level rewrite, so downstream readers are unaffected.
+    else if (autoCompact) LakeTable.autoCompact(session, path)
   }
 
   override def toString: String = s"GraftSink[$path]"

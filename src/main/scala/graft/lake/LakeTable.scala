@@ -2885,7 +2885,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
               sortBy: Seq[String] = Nil,
               partitionFilter: Option[Column] = None,
               zorderBy: Seq[String] = Nil,
-              targetFileBytes: Long = 128L << 20): Long = {
+              targetFileBytes: Long = 128L << 20,
+              dirScope: Option[Set[String]] = None): Long = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "pass sortBy OR zorderBy, not both")
     require(zorderBy.isEmpty || zorderBy.size >= 2,
@@ -2913,11 +2914,17 @@ object LakeTable extends org.apache.spark.internal.Logging {
     }
     val f = fs(spark, table)
     val base = dataPath(table)
-    val inScope: FileEntry => Boolean = partitionFilter match {
+    val inFilter: FileEntry => Boolean = partitionFilter match {
       case None => _ => true
       case Some(c) =>
         val scope = resolvePartitionFilter(spark, snap, c, "compact")
         e => scope.fileInScope(e.path)
+    }
+    // dirScope (autoCompact's touched-partition set) composes with the
+    // predicate filter: both must admit the file
+    val inScope: FileEntry => Boolean = dirScope match {
+      case None => inFilter
+      case Some(ds) => e => inFilter(e) && ds.contains(parentDirOf(e.path))
     }
     // sizes come from the log; a legacy entry (pre-stats log) costs one
     // stat — never a listing. A file with an outstanding deletion
@@ -2973,6 +2980,55 @@ object LakeTable extends org.apache.spark.internal.Logging {
     if (!tryCommit(spark, table, next, newFiles, small.map(_.path), prev = Some(snap)))
       throw new ConcurrentCommitException(s"COMPACT on $table lost the commit race")
     next.version
+  }
+
+  /** The hive partition directory of a table-relative file path ("" on
+    * an unpartitioned table).
+    */
+  private def parentDirOf(p: String): String = p.lastIndexOf('/') match {
+    case -1 => ""
+    case i  => p.substring(0, i)
+  }
+
+  /** Post-write auto-compaction (the Delta autoCompact idea): bin-pack
+    * ONLY the hive partitions the LATEST commit touched, and only once
+    * at least `minSmallFiles` in-scope files sit below
+    * `smallFileBytes`. Trickle appends and per-micro-batch streaming
+    * commits are THE small-file generators at 100 TB; this keeps each
+    * hot partition's file count bounded without ever looking at — let
+    * alone rewriting — the cold 99% of the table: the scope comes from
+    * the last log entry's added paths (O(1 commit) metadata), the
+    * decision from logged sizes, and the rewrite from a dir-scoped
+    * [[compact]]. Below threshold it commits NOTHING (no empty COMPACT
+    * versions from every write). Wired to
+    * `option("autoCompact", "true")` on both the batch writer and the
+    * streaming sink. Returns the COMPACT version, or None when below
+    * threshold / nothing to do.
+    */
+  def autoCompact(spark: SparkSession, table: String,
+                  smallFileBytes: Long = 32L << 20,
+                  minSmallFiles: Int = 8,
+                  targetFileBytes: Long = 128L << 20): Option[Long] = {
+    val snapOpt = latestSnapshot(spark, table)
+    if (snapOpt.isEmpty) return None
+    val snap = snapOpt.get
+    val entry = logEntryAt(spark, table, snap.version)
+    val touched = entry.full.map(_.map(_.path)).getOrElse(entry.adds.map(_.path))
+    if (touched.isEmpty) return None
+    val dirs = touched.map(parentDirOf).toSet
+    val f = fs(spark, table)
+    val base = dataPath(table)
+    val smallInScope = snap.files.count { e =>
+      dirs.contains(parentDirOf(e.path)) &&
+        (if (e.size >= 0) e.size
+         else f.getFileStatus(entryPath(base, e.path)).getLen) < smallFileBytes
+    }
+    if (smallInScope < minSmallFiles) None
+    else {
+      val v = compact(spark, table, smallFileBytes = smallFileBytes,
+        targetFileBytes = targetFileBytes, dirScope = Some(dirs))
+      if (v == snap.version) None else Some(v)
+    }
   }
 
   /** Reserved txn-ledger key recording the last clustering commit for

@@ -53,6 +53,28 @@ class GraftStreamSpec extends SparkSpec {
     assert(snap.txns.nonEmpty)
   }
 
+  test("sink autoCompact bounds the file count under per-batch trickle commits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("graft_sink_ac"); val table = s"$dir/t"; val ckpt = s"$dir/ckpt"
+    val ms = MemoryStream[Int]
+    val q = ms.toDF().select(col("value").as("n"))
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("autoCompact", "true")
+      .start(table)
+    // 12 one-row micro-batches: without auto-compaction the table ends
+    // at 12 files; with it, each threshold crossing bin-packs
+    (1 to 12).foreach { i => ms.addData(i); q.processAllAvailable() }
+    q.stop()
+    val snap = LakeTable.latestSnapshot(spark, table).get
+    assert(LakeTable.read(spark, table).count() == 12)
+    assert(LakeTable.read(spark, table).agg(countDistinct("n")).head.getLong(0) == 12)
+    assert(snap.files.size < 12, s"expected compaction, got ${snap.files.size} files")
+    assert(LakeTable.history(spark, table).collect()
+      .exists(_.getString(2) == "COMPACT"))
+  }
+
   test("appendStream is idempotent per (queryId, batchId) and drops the replay's staged files") {
     import spark.implicits._
     val table = s"${tmp("graft_txn")}/t"

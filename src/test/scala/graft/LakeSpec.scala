@@ -28,6 +28,38 @@ class LakeSpec extends SparkSpec {
     assert(hist.map(_.getString(2)).toSet == Set("OVERWRITE"))
   }
 
+  test("autoCompact bin-packs only the touched partitions, only past the threshold") {
+    val t = tmpTable("lake_ac")
+    def part(dt: String, id: Long) = Seq((id, dt)).toDF("id", "dt")
+    LakeTable.overwrite(spark, t,
+      part("d1", 0L).unionByName(part("d2", 100L)).repartition(1),
+      partitionBy = Seq("dt"))
+    val d2File = LakeTable.latestSnapshot(spark, t).get
+      .filePaths.filter(_.startsWith("dt=d2")).head
+    // trickle 1-row appends to d1 through the writer option
+    (1L to 6L).foreach { i =>
+      part("d1", i).write.format("graft").mode("append")
+        .option("autoCompact", "true").save(t)
+      // below threshold (d1 files: 1 seed + i appends < 8): no COMPACT
+      assert(LakeTable.latestSnapshot(spark, t).get.operation == "APPEND")
+    }
+    part("d1", 7L).write.format("graft").mode("append")
+      .option("autoCompact", "true").save(t)
+    // 8th small file in dt=d1 crossed the threshold: auto-compacted
+    val s = LakeTable.latestSnapshot(spark, t).get
+    assert(s.operation == "COMPACT")
+    assert(s.filePaths.count(_.startsWith("dt=d1")) == 1)
+    // the untouched partition's file was never rewritten
+    assert(s.filePaths.filter(_.startsWith("dt=d2")) == Seq(d2File))
+    assert(LakeTable.read(spark, t).count() == 9)
+    // next small append is below threshold again — no compaction storm
+    part("d1", 8L).write.format("graft").mode("append")
+      .option("autoCompact", "true").save(t)
+    assert(LakeTable.latestSnapshot(spark, t).get.operation == "APPEND")
+    // API-level: explicit call below threshold commits nothing
+    assert(LakeTable.autoCompact(spark, t).isEmpty)
+  }
+
   test("append adds rows and merges new columns (old rows read null)") {
     val t = tmpTable("lake_ap")
     LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
