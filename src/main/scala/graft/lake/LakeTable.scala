@@ -2975,12 +2975,54 @@ object LakeTable extends org.apache.spark.internal.Logging {
       } else packed.coalesce(targetTasks)
     val newFiles = stageFiles(spark, table, rows, snap.partitionColumns,
       ColumnMapping.mapping(snap.schema))
-    val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
+    compactBeforeCommitHook()
+    // Rebase-on-race: a COMPACT is value-preserving surgery on a FIXED
+    // file set, so losing the commit race to a concurrent APPEND (the
+    // nightly-OPTIMIZE-under-continuous-ingest case) must not discard
+    // the whole rewrite. As long as the newer head still carries every
+    // rewritten entry UNCHANGED (same path, size, stats, and crucially
+    // the same dv — a concurrent MoR delete disqualifies) and neither
+    // schema nor partitioning moved (schema equality covers the bucket
+    // spec and column mapping, which live in field metadata), the same
+    // staged files re-commit on top of the new head: its files minus
+    // the rewritten set plus the rewrite, its txns (concurrent
+    // streaming watermarks survive). Anything else — a racing DELETE/
+    // UPDATE/COMPACT that touched the set, a schema change — refuses
+    // loudly, and the bound keeps a pathological commit storm finite.
+    val rewrittenSet = small.toSet
+    var prevSnap = snap
+    var next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
       snap.schema, snap.partitionColumns, big ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, small.map(_.path), prev = Some(snap)))
-      throw new ConcurrentCommitException(s"COMPACT on $table lost the commit race")
+    var attempts = 0
+    while (!tryCommit(spark, table, next, newFiles, small.map(_.path),
+        prev = Some(prevSnap))) {
+      attempts += 1
+      val newer = latestSnapshot(spark, table).getOrElse(
+        throw new ConcurrentCommitException(
+          s"COMPACT on $table: log disappeared during the commit race"))
+      val canRebase = attempts <= 5 &&
+        newer.schema == snap.schema &&
+        newer.partitionColumns == snap.partitionColumns &&
+        rewrittenSet.subsetOf(newer.files.toSet)
+      if (!canRebase)
+        throw new ConcurrentCommitException(
+          s"COMPACT on $table lost the commit race and cannot rebase — a " +
+            "concurrent commit changed the schema, the partitioning, or the " +
+            "files being rewritten; re-run")
+      prevSnap = newer
+      next = Snapshot(newer.version + 1, System.currentTimeMillis(), "COMPACT",
+        newer.schema, newer.partitionColumns,
+        newer.files.filterNot(rewrittenSet.contains) ++ newFiles,
+        txns = newer.txns)
+    }
     next.version
   }
+
+  /** Test seam: invoked after a compact stages its rewrite, before the
+    * commit loop — lets a spec interleave a concurrent commit
+    * deterministically.
+    */
+  @volatile private[graft] var compactBeforeCommitHook: () => Unit = () => ()
 
   /** The hive partition directory of a table-relative file path ("" on
     * an unpartitioned table).
@@ -3127,12 +3169,43 @@ object LakeTable extends org.apache.spark.internal.Logging {
       }
     val newFiles = stageFiles(spark, table, rows, snap.partitionColumns,
       ColumnMapping.mapping(snap.schema))
-    val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
+    compactBeforeCommitHook()
+    // same rebase-on-race as [[compact]]: value-preserving rewrite of a
+    // fixed set, so a concurrent APPEND re-bases instead of discarding
+    // the clustering work. The WATERMARK, however, must keep meaning
+    // "every file in that version's snapshot is clustered" — the
+    // rebased commit's snapshot contains the racer's unclustered file,
+    // so on rebase the watermark stays at the PRE-RACE base version:
+    // the next incremental pass re-sorts this pass's output plus the
+    // racer (work bounded by the race window, not the table) and only
+    // THEN advances the watermark over a clean snapshot.
+    val rewrittenSet = tail.toSet
+    var prevSnap = snap
+    var next = Snapshot(snap.version + 1, System.currentTimeMillis(), "COMPACT",
       snap.schema, snap.partitionColumns, carried ++ newFiles,
       txns = snap.txns + (key -> (snap.version + 1)))
-    if (!tryCommit(spark, table, next, newFiles, tail.map(_.path), prev = Some(snap)))
-      throw new ConcurrentCommitException(
-        s"incremental recluster on $table lost the commit race")
+    var attempts = 0
+    while (!tryCommit(spark, table, next, newFiles, tail.map(_.path),
+        prev = Some(prevSnap))) {
+      attempts += 1
+      val newer = latestSnapshot(spark, table).getOrElse(
+        throw new ConcurrentCommitException(
+          s"incremental recluster on $table: log disappeared during the race"))
+      val canRebase = attempts <= 5 &&
+        newer.schema == snap.schema &&
+        newer.partitionColumns == snap.partitionColumns &&
+        rewrittenSet.subsetOf(newer.files.toSet)
+      if (!canRebase)
+        throw new ConcurrentCommitException(
+          s"incremental recluster on $table lost the commit race and cannot " +
+            "rebase — a concurrent commit changed the schema, the " +
+            "partitioning, or the files being reclustered; re-run")
+      prevSnap = newer
+      next = Snapshot(newer.version + 1, System.currentTimeMillis(), "COMPACT",
+        newer.schema, newer.partitionColumns,
+        newer.files.filterNot(rewrittenSet.contains) ++ newFiles,
+        txns = newer.txns + (key -> snap.version))
+    }
     next.version
   }
 

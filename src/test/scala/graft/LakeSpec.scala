@@ -408,6 +408,45 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.read(spark, t).count() == 1)
   }
 
+  test("COMPACT rebases onto a concurrent append; refuses when the rewrite set changed") {
+    val t = tmpTable("lake_crb")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    (2L to 5L).foreach(i =>
+      LakeTable.append(spark, t, Seq((i, s"r$i")).toDF("id", "s")))
+    // interleave an append between compact's staging and its commit —
+    // the nightly-OPTIMIZE-during-ingest race, made deterministic
+    LakeTable.compactBeforeCommitHook = () => {
+      LakeTable.compactBeforeCommitHook = () => ()
+      LakeTable.append(spark, t, Seq((99L, "zz")).toDF("id", "s"))
+    }
+    val v = try LakeTable.compact(spark, t, smallFileBytes = 1L << 30)
+            finally LakeTable.compactBeforeCommitHook = () => ()
+    val s = LakeTable.latestSnapshot(spark, t).get
+    assert(s.version == v && v == 7L) // 1 ow + 4 appends + racer + compact
+    assert(s.operation == "COMPACT")
+    // nothing lost on either side: the racer's row AND the packed rows
+    assert(LakeTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      (Set((1L, "a"), (99L, "zz")) ++ (2L to 5L).map(i => (i, s"r$i"))))
+    // the racer's file is carried by reference next to the packed file
+    val racerAdd = LakeTable.history(spark, t).collect()
+    assert(racerAdd.map(_.getString(2)).toSeq.take(2) == Seq("COMPACT", "APPEND"))
+
+    // a racer that REWRITES a file in the compact's set (CoW delete)
+    // disqualifies the rebase: refuse loudly, table stays consistent
+    LakeTable.compactBeforeCommitHook = () => {
+      LakeTable.compactBeforeCommitHook = () => ()
+      LakeTable.delete(spark, t, col("id") === 2L)
+    }
+    val e = try intercept[LakeTable.ConcurrentCommitException](
+        LakeTable.compact(spark, t, smallFileBytes = 1L << 30))
+      finally LakeTable.compactBeforeCommitHook = () => ()
+    assert(e.getMessage.contains("cannot rebase"))
+    // the racer's delete stands; no half-applied compact
+    assert(LakeTable.read(spark, t).filter(col("id") === 2L).count() == 0)
+    assert(LakeTable.read(spark, t).count() == 5)
+    assert(LakeTable.latestSnapshot(spark, t).get.operation == "DELETE")
+  }
+
   test("concurrent appends all land via optimistic retry; versions contiguous") {
     val t = tmpTable("lake_capp")
     LakeTable.overwrite(spark, t, Seq((0L, "x")).toDF("id", "s"))

@@ -69,6 +69,31 @@ class ReclusterSpec extends SparkSpec {
     assert(LakeTable.reclusterIncremental(spark, t, sortBy = Seq("id")) == v4)
   }
 
+  test("tail recluster rebases onto a concurrent append; racer joins the next tail") {
+    val t = tmpTable("recluster_rb")
+    LakeTable.overwrite(spark, t, rows(0, 40).repartition(4))
+    // racer lands between the recluster's staging and its commit
+    LakeTable.compactBeforeCommitHook = () => {
+      LakeTable.compactBeforeCommitHook = () => ()
+      LakeTable.append(spark, t, rows(40, 50).repartition(1))
+    }
+    val v = try LakeTable.reclusterIncremental(spark, t, sortBy = Seq("id"))
+            finally LakeTable.compactBeforeCommitHook = () => ()
+    val s = LakeTable.latestSnapshot(spark, t).get
+    assert(s.version == v && s.operation == "COMPACT")
+    // nothing lost on either side
+    assert(LakeTable.read(spark, t).count() == 50)
+    // the rebased watermark stays at the pre-race base (its snapshot is
+    // the last one whose files are all clustered), so the NEXT pass
+    // re-sorts this pass's output plus the racer's file — bounded by
+    // the race window — and advances the watermark over a clean head
+    val v2 = LakeTable.reclusterIncremental(spark, t, sortBy = Seq("id"))
+    assert(v2 == v + 1)
+    assert(LakeTable.read(spark, t).count() == 50)
+    // and after that, the table is fully clustered: no-op
+    assert(LakeTable.reclusterIncremental(spark, t, sortBy = Seq("id")) == v2)
+  }
+
   test("tail recluster reconciles deletion vectors and applies them") {
     val t = tmpTable("recluster_dv")
     LakeTable.overwrite(spark, t, rows(0, 2000).repartition(2, col("id")))
