@@ -253,8 +253,31 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     mode match {
       case SaveMode.Overwrite => replace()
       case SaveMode.Append =>
-        if (exists) LakeTable.append(spark, table, data)
-        else replace()
+        // option("txnAppId", id) + option("txnVersion", n): idempotent
+        // batch appends through the snapshot's txn ledger (the batch
+        // face of the streaming sink's exactly-once watermark) — a
+        // retried job re-running the same (appId, version) commits
+        // nothing, so "write then maybe-crash then rerun" is safe
+        val txn = for {
+          app <- parameters.get("txnAppId")
+          v   <- parameters.get("txnVersion")
+        } yield (app, v.toLong)
+        (txn, exists) match {
+          case (Some((app, v)), true) =>
+            LakeTable.appendStream(spark, table, data, app, v,
+              operation = "APPEND")
+          case (Some((app, v)), false) =>
+            // first write creates the table in ONE commit carrying both
+            // the data and the ledger stamp — no crash window between
+            // create and stamp for a re-run to duplicate through
+            require(bucketBy.isEmpty,
+              "txnAppId/txnVersion with bucketBy on a not-yet-existing " +
+                "table is unsupported — create the bucketed table first")
+            LakeTable.overwriteStream(spark, table, data, app, v,
+              partitionBy, operation = "OVERWRITE")
+          case (None, true)  => LakeTable.append(spark, table, data)
+          case (None, false) => replace()
+        }
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"lake table $table already exists (SaveMode.ErrorIfExists)")

@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *
   *   OPTIMIZE <target> [WHERE <partition predicate>]
   *            [ZORDER BY (c1, c2, ...)] | [SORT BY (c1, ...)]
-  *   VACUUM <target> [RETAIN <n> VERSIONS] [DRY RUN]
+  *   VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS] [DRY RUN]
+  *   SHOW PARTITIONS `path`
   *   RESTORE <target> [TO] VERSION AS OF <v>
   *   RESTORE <target> [TO] TIMESTAMP AS OF '<ts>'
   *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -60,9 +61,14 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       val where = Option(whereOpt).map(_.trim).filter(_.nonEmpty)
       Some(GraftOptimizeCommand(target, where,
         if (zorder) Nil else cols, if (zorder) cols else Nil))
-    case VacuumRe(target, retainOpt, dryOpt) =>
+    case VacuumRe(target, retainOpt, unitOpt, dryOpt) =>
+      val hours = Option(unitOpt).exists(_.equalsIgnoreCase("HOURS"))
       Some(GraftVacuumCommand(target,
-        Option(retainOpt).map(_.toInt).getOrElse(2), dryOpt != null))
+        if (hours) 2 else Option(retainOpt).map(_.toInt).getOrElse(2),
+        dryOpt != null,
+        retainMs = if (hours) Some(retainOpt.toLong * 3600L * 1000L) else None))
+    case ShowPartitionsRe(target) =>
+      Some(GraftShowPartitionsCommand(target))
     case RestoreRe(target, v) =>
       Some(GraftRestoreCommand(target, v.toLong))
     case RestoreTsRe(target, ts) =>
@@ -113,7 +119,11 @@ private[graft] object GraftSqlParser {
       """(?:\s+WHERE\s+(.+?))?(?:\s+(ZORDER|SORT)\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^VACUUM\s+""" + T +
-      """(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+      """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  // quoted-path only: SHOW PARTITIONS <identifier> is valid stock
+  // Spark for catalog tables — never steal it
+  private val ShowPartitionsRe =
+    """(?is)^SHOW\s+PARTITIONS\s+(`[^`]+`|'[^']+')\s*;?\s*$""".r
   private val RestoreRe =
     ("""(?is)^RESTORE\s+""" + T + """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   // ts operand: quoted 'yyyy-MM-dd[ HH:mm:ss]' or bare epoch millis
@@ -186,14 +196,44 @@ private[graft] case class GraftOptimizeCommand(target: String,
 }
 
 private[graft] case class GraftVacuumCommand(target: String, retain: Int,
-                                             dryRun: Boolean)
+                                             dryRun: Boolean,
+                                             retainMs: Option[Long] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("files_reclaimed", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolveTarget(spark, target)
     Seq(Row(LakeTable.vacuum(spark, path, retainVersions = retain,
-      dryRun = dryRun).toLong))
+      dryRun = dryRun, retainMs = retainMs).toLong))
+  }
+}
+
+/** `SHOW PARTITIONS \`path\`` — the head snapshot's hive partitions
+  * with live file/row/byte counts, straight from the log (no listing,
+  * no data read). Quoted-path targets only: the identifier form is
+  * stock Spark's for catalog tables.
+  */
+private[graft] case class GraftShowPartitionsCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_live_rows", LongType, nullable = true)(),
+    AttributeReference("size_bytes", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    val s = LakeTable.latestSnapshot(spark, path)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
+    require(s.partitionColumns.nonEmpty,
+      s"$path is not partitioned — SHOW PARTITIONS needs a hive layout")
+    s.files.groupBy(e => e.path.lastIndexOf('/') match {
+      case -1 => ""
+      case i  => e.path.substring(0, i)
+    }).toSeq.sortBy(_._1).map { case (dir, es) =>
+      val rows: Any =
+        if (es.exists(_.liveRowCount < 0)) null else es.map(_.liveRowCount).sum
+      Row(dir, es.size.toLong, rows, es.map(_.size).sum)
+    }
   }
 }
 

@@ -1743,7 +1743,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     */
   def appendStream(spark: SparkSession, table: String, df0: DataFrame,
                    queryId: String, batchId: Long,
-                   partitionByIfNew: Seq[String] = Nil): Option[Long] = {
+                   partitionByIfNew: Seq[String] = Nil,
+                   operation: String = "STREAMING APPEND"): Option[Long] = {
     val df = ColumnMapping.sanitize(df0)
     def alreadyCommitted(s: Option[Snapshot]): Boolean =
       s.exists(_.txns.get(queryId).exists(_ >= batchId))
@@ -1767,7 +1768,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       checkConstraintsStable(table, prev0, prev)
       checkBucketingStable(table, prev0, prev)
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
-        System.currentTimeMillis(), "STREAMING APPEND",
+        System.currentTimeMillis(), operation,
         prev.map(p => mergeSchemas(p.schema, incoming)).getOrElse(incoming),
         prev.map(_.partitionColumns).getOrElse(parts),
         prev.map(_.files).getOrElse(Nil) ++ newFiles,
@@ -1787,7 +1788,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     */
   def overwriteStream(spark: SparkSession, table: String, df0: DataFrame,
                       queryId: String, batchId: Long,
-                      partitionBy: Seq[String] = Nil): Option[Long] = {
+                      partitionBy: Seq[String] = Nil,
+                      operation: String = "STREAMING OVERWRITE"): Option[Long] = {
     val df = ColumnMapping.sanitize(df0) // replaces the mapping like overwrite
     def alreadyCommitted(s: Option[Snapshot]): Boolean =
       s.exists(_.txns.get(queryId).exists(_ >= batchId))
@@ -1810,7 +1812,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       }
       checkConstraintsStable(table, prev0, prev)
       val snap = Snapshot(prev.map(_.version).getOrElse(0L) + 1,
-        System.currentTimeMillis(), "STREAMING OVERWRITE",
+        System.currentTimeMillis(), operation,
         df.schema, parts, newFiles,
         txns = prev.map(_.txns).getOrElse(Map.empty) + (queryId -> batchId))
       if (tryCommit(spark, table, snap, newFiles, Nil, reset = true, prev = prev))
@@ -3628,14 +3630,35 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * (change-data files, aged checkpoints, orphan manifest segments,
     * staging dirs) run on unscoped passes, which a maintenance
     * schedule should still include periodically.
+    *
+    * `retainMs` switches retention from count-based to TIME-based
+    * ("keep 7 days of time travel", `VACUUM t RETAIN 168 HOURS`):
+    * every version committed inside the window survives, the newest
+    * always survives, and `retainVersions` is ignored.
     */
   def vacuum(spark: SparkSession, table: String, retainVersions: Int = 2,
              graceMs: Long = 15L * 60 * 1000, dryRun: Boolean = false,
-             partitionFilter: Option[Column] = None): Int = {
+             partitionFilter: Option[Column] = None,
+             retainMs: Option[Long] = None): Int = {
     val f = fs(spark, table)
     val vs = versionsFast(spark, table)
     if (vs.isEmpty) return 0
-    val retainedSnaps = vs.takeRight(math.max(1, retainVersions))
+    // `retainMs` switches retention from count-based to TIME-based
+    // (the production norm: "keep 7 days of time travel"): every
+    // version committed inside the window survives, the newest always
+    // survives, and timestamps come from the history checkpoint —
+    // O(tail), not O(commits)
+    def retainedVersions(vsX: Seq[Long]): Seq[Long] = retainMs match {
+      case None => vsX.takeRight(math.max(1, retainVersions))
+      case Some(ms) =>
+        val cutoff = System.currentTimeMillis() - math.max(0L, ms)
+        val byV = readCheckpoint(f, table)
+          .map(_._2.map(e => e.version -> e).toMap).getOrElse(Map.empty)
+        val kept = vsX.filter(v => byV.get(v).map(_.timestampMs)
+          .getOrElse(snapshotAt(spark, table, v).timestampMs) >= cutoff)
+        if (kept.isEmpty) vsX.takeRight(1) else kept
+    }
+    val retainedSnaps = retainedVersions(vs)
       .map(v => snapshotAt(spark, table, v))
     val retained = retainedSnaps.flatMap(_.filePaths).toSet
     val cutoffMs = System.currentTimeMillis() - math.max(0L, graceMs)
@@ -3658,7 +3681,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       val vsNow = versionsFast(spark, table)
       if (vsNow == vs) paths
       else {
-        val retainedNow = vsNow.takeRight(math.max(1, retainVersions))
+        val retainedNow = retainedVersions(vsNow)
           .flatMap(v => snapshotAt(spark, table, v).filePaths).toSet
         paths.filterNot(p => retainedNow.contains(relativize(dp, p)))
       }
@@ -3726,7 +3749,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // retained versions recorded (the feed stays readable over the
     // same window time travel works), sweep the rest once old enough
     // — including orphans from aborted DML commits
-    val retainedCdc = vs.takeRight(math.max(1, retainVersions))
+    val retainedCdc = retainedVersions(vs)
       .flatMap(v => scala.util.Try(logEntryAt(spark, table, v)).toOption)
       .flatMap(_.cdc.getOrElse(Nil)).toSet
     val cdp = changeDataPath(table)
@@ -3783,7 +3806,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // vacuum stays zero-listing on the log.
     val cpVersions = (checkpointInterval to vs.max by checkpointInterval)
       .filter(v => f.exists(snapshotCheckpointFile(table, v)))
-    val oldestRetained = vs.takeRight(math.max(1, retainVersions)).min
+    val oldestRetained = retainedVersions(vs).min
     val keepFloor = cpVersions.filter(_ <= oldestRetained).lastOption.getOrElse(Long.MinValue)
     val (cpDrop0, cpKeep) = cpVersions.partition(_ < keepFloor)
     val cpDrop = cpDrop0.filter { v =>

@@ -408,6 +408,46 @@ class LakeSpec extends SparkSpec {
     assert(LakeTable.read(spark, t).count() == 1)
   }
 
+  test("txnAppId/txnVersion make batch appends idempotent across re-runs") {
+    val t = tmpTable("lake_txn")
+    def write(app: String, v: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "s").write.format("graft").mode("append")
+        .option("txnAppId", app).option("txnVersion", v.toString).save(t)
+    write("job1", 1L, Seq((1L, "a"))) // creates: ONE commit carries data + stamp
+    write("job1", 1L, Seq((1L, "a"))) // crash-retry replay: no-op
+    assert(LakeTable.read(spark, t).count() == 1)
+    assert(LakeTable.versions(spark, t) == Seq(1L))
+    write("job1", 2L, Seq((2L, "b")))
+    write("job1", 2L, Seq((2L, "b"))) // replay again: no-op
+    assert(LakeTable.read(spark, t).count() == 2)
+    assert(LakeTable.versions(spark, t) == Seq(1L, 2L))
+    // an older version re-surfacing (zombie retry) commits nothing
+    write("job1", 1L, Seq((9L, "x")))
+    assert(LakeTable.read(spark, t).count() == 2)
+    // a different app's ledger is independent
+    write("job2", 1L, Seq((3L, "c")))
+    assert(LakeTable.read(spark, t).count() == 3)
+    assert(LakeTable.latestSnapshot(spark, t).get.txns ==
+      Map("job1" -> 2L, "job2" -> 1L))
+  }
+
+  test("time-based vacuum retention: RETAIN n HOURS keeps the window, not a count") {
+    val t = tmpTable("lake_vts")
+    LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    LakeTable.overwrite(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    LakeTable.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    // a wide window protects everything
+    assert(LakeTable.vacuum(spark, t, graceMs = 0, dryRun = true,
+      retainMs = Some(24L * 3600 * 1000)) == 0)
+    // a zero-width window keeps only the newest version: v1's file
+    // (superseded by the v2 overwrite) is sweepable
+    val swept = LakeTable.vacuum(spark, t, graceMs = 0, dryRun = true,
+      retainMs = Some(0L))
+    assert(swept >= 1, s"expected v1's file sweepable, got $swept")
+    // dry run touched nothing; newest stays fully readable either way
+    assert(LakeTable.read(spark, t).count() == 2)
+  }
+
   test("COMPACT rebases onto a concurrent append; refuses when the rewrite set changed") {
     val t = tmpTable("lake_crb")
     LakeTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "s"))

@@ -578,6 +578,37 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(s"DESC HISTORY `$b`").count() == 1)
   }
 
+  test("SHOW PARTITIONS and VACUUM RETAIN HOURS parse and read the log") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_showp").toString + "/t"
+    LakeTable.overwrite(spark, t,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp").repartition(1),
+      partitionBy = Seq("grp"))
+    LakeTable.append(spark, t, Seq((4L, "a")).toDF("id", "grp"))
+    val parts = spark.sql(s"SHOW PARTITIONS `$t`").collect()
+    assert(parts.map(_.getString(0)).toSeq == Seq("grp=a", "grp=b"))
+    val a = parts.find(_.getString(0) == "grp=a").get
+    assert(a.getLong(1) == 2L)  // seed file + appended file
+    assert(a.getLong(2) == 3L)  // live rows
+    val b = parts.find(_.getString(0) == "grp=b").get
+    assert(b.getLong(1) == 1L && b.getLong(2) == 1L)
+    // live rows drop through a MoR delete without rewriting files
+    LakeTable.deleteMergeOnRead(spark, t, col("id") === 2L)
+    assert(spark.sql(s"SHOW PARTITIONS `$t`").collect()
+      .find(_.getString(0) == "grp=a").get.getLong(2) == 2L)
+    // unpartitioned target refuses with a clear message
+    val u = java.nio.file.Files.createTempDirectory("sql_showp_u").toString + "/u"
+    LakeTable.overwrite(spark, u, Seq((1L, 1.0)).toDF("id", "x"))
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"SHOW PARTITIONS `$u`").collect())
+    assert(e.getMessage.contains("not partitioned"))
+    // time-based vacuum parses through SQL; wide window sweeps nothing
+    assert(spark.sql(s"VACUUM `$t` RETAIN 168 HOURS DRY RUN").head.getLong(0) == 0L)
+    assert(LakeTable.read(spark, t).count() == 3)
+  }
+
   test("column-evolution SQL: ADD COLUMNS / RENAME COLUMN / DROP COLUMN on a path") {
     import org.apache.spark.sql.functions._
     import graft.lake.LakeTable
