@@ -87,6 +87,8 @@ object SparkEntry {
     "ann_ivf"              -> ((s, d) => Similarity.annIvf(s, d)),
     // multimodal plumbing
     "mm_features"          -> ((s, d) => Multimodal.mmFeatures(s, d)),
+    // frame sampling: 1 doc -> k frame rows, zero-shuffle explode
+    "mm_frames"            -> ((s, d) => Multimodal.mmFrames(s, d)),
     // lineage metadata (ref column-lineage)
     "lineage"              -> ((s, d) => Lineage.lineage(s, d)),
     // lake + change feed + incremental maintenance, end to end
@@ -672,6 +674,15 @@ object SparkEntry {
          64 + CAST(octet_length(encode(text)) AS BIGINT) % 640 AS fake_width,
          1 + CAST(octet_length(encode(text)) AS BIGINT) % 30 AS fake_frames
          FROM documents""",
+    "mm_frames" ->
+      """WITH n AS (SELECT doc_id, text,
+             CAST(ceil(length(text) / 256.0) AS BIGINT) AS nf FROM documents),
+         f AS (SELECT doc_id, text, unnest(range(0, nf, 4)) AS frame_idx
+               FROM n WHERE nf > 0)
+         SELECT doc_id, frame_idx,
+           CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_len,
+           md5(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_hash
+         FROM f""",
     "lineage" -> operators.Lineage.oracleSql,
     "incr_agg" -> operators.IncrementalOps.oracleSql,
     "lake_dml" -> operators.MaintenanceOps.oracleSql,

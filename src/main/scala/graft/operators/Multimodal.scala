@@ -30,6 +30,33 @@ object Multimodal {
       .as[MMRecord]
   }
 
+  /** Frame sampling: every `stride`-th fixed-size window of each
+    * document becomes one frame row with a per-frame feature — the
+    * 1-row→k-rows explode shape of video frame extraction (decode,
+    * sample every Nth frame, embed each). The decode/embed stubs are
+    * deterministic (window slice + md5 — a real pipeline plugs its
+    * decoder into [[mmFeatures]]'s mapPartitions batch instead); the
+    * PLAN is the part that matters at 100 TB: a pure
+    * projection+generate, whole-stage codegen'd, ZERO shuffles — frame
+    * explosion multiplies rows ~25× here, and doing it without a
+    * single exchange is what keeps it linear.
+    */
+  def mmFrames(spark: SparkSession, dir: String, frameChars: Int = 256,
+               stride: Int = 4): DataFrame = {
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("nf",
+        ceil(length(col("text")) / lit(frameChars.toDouble)).cast("long"))
+      .filter(col("nf") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), col("nf") - 1, lit(stride.toLong))))
+      .withColumn("frame",
+        expr(s"substring(text, cast(frame_idx * $frameChars + 1 as int), $frameChars)"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame").cast("binary")).as("frame_hash"))
+  }
+
   /** Feature extraction over payload batches. Each partition processes
     * its records as one batch — the place a real decoder would be
     * initialized once per partition and fed the batch.

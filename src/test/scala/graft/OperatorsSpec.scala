@@ -478,6 +478,30 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class MultimodalSpec extends SparkSpec {
+  test("mm_frames: zero-shuffle explode; per-doc frame counts check out") {
+    val df = Multimodal.mmFrames(spark, sf)
+    // projection + generate only — frame explosion must not shuffle
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in plan:\n$plan")
+    assert(plan.contains("Generate"), s"no explode in plan:\n$plan")
+    val got = df.groupBy("doc_id").count()
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        ceil(length(col("text")) / 256.0).cast("long").as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), ceil(col("nf") / 4.0).cast("long").as("n"))
+    assert(got.join(expected, "doc_id")
+      .filter(col("count") =!= col("n")).count() == 0)
+    // a full frame is 256 chars; only a doc's LAST sampled frame may be
+    // shorter
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    assert(df.withColumn("max_idx", max(col("frame_idx")).over(w))
+      .filter(col("frame_len") =!= 256 && col("frame_idx") =!= col("max_idx"))
+      .count() == 0)
+  }
+}
+
 class EntrySpec extends SparkSpec {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
