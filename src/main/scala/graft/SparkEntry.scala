@@ -107,6 +107,9 @@ object SparkEntry {
     // dynamic partition overwrite: the idempotent daily-reload
     // primitive (replace exactly the touched partitions, atomically)
     "lake_dpo"             -> ((s, d) => MaintenanceOps.lakeDpo(s, d)),
+    // hidden partitioning: generated p_day=day(ts), raw-ts predicates
+    // prune partitions the query never names (Iceberg transforms)
+    "lake_hidden"          -> ((s, d) => MaintenanceOps.lakeHidden(s, d)),
     // incremental IVF maintenance: build on half, ivfAppend the rest,
     // probe ALL cells so the result is exact brute-force top-k — a
     // hash-matched oracle for the index-append path itself
@@ -688,6 +691,7 @@ object SparkEntry {
     "lake_dml" -> operators.MaintenanceOps.oracleSql,
     "lake_dv" -> operators.MaintenanceOps.dvOracleSql,
     "bucket_join" -> operators.BucketedOps.oracleSql,
-    "lake_dpo" -> operators.MaintenanceOps.dpoOracleSql
+    "lake_dpo" -> operators.MaintenanceOps.dpoOracleSql,
+    "lake_hidden" -> operators.MaintenanceOps.hiddenOracleSql
   )
 }

@@ -245,10 +245,37 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     }
     val bucketBy = requestedBucketBy
       .orElse(current.flatMap(s => Bucketing.spec(s.schema)))
-    def replace(): Unit = bucketBy match {
-      case Some(sp) => LakeTable.overwriteBucketed(spark, table, data,
+    // option("generatedPartition", "p_day=day(event_ts)[;p2=...]") —
+    // the writer-API route to hidden partitioning (see
+    // GeneratedColumns). Like partitionBy/bucketBy above, an overwrite
+    // WITHOUT the option preserves an existing generated layout;
+    // dropping it requires the Scala API's plain overwrite.
+    val GenSpecRe = """([^=;()]+)=([A-Za-z_]+)\(([^()]+)\)""".r
+    val requestedGens = parameters.get("generatedPartition").map { s =>
+      s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map {
+        case GenSpecRe(tgt, tf, src) =>
+          GeneratedColumns.Spec(tgt.trim, tf.trim, src.trim)
+        case bad => throw new IllegalArgumentException(
+          "option(\"generatedPartition\") must be " +
+            s"\"<target>=<transform>(<source>)[;...]\", got '$bad'")
+      }
+    }
+    val gens = requestedGens
+      .orElse(current.map(s => GeneratedColumns.specs(s.schema)).filter(_.nonEmpty))
+      .getOrElse(Nil)
+    def replace(): Unit = (bucketBy, gens) match {
+      case (Some(_), g) if g.nonEmpty => throw new IllegalArgumentException(
+        "bucketBy and generatedPartition cannot be combined in one writer call; " +
+          "create the generated layout first, then append")
+      case (Some(sp), _) => LakeTable.overwriteBucketed(spark, table, data,
         sp.numBuckets, sp.bucketCols, sp.sortCols, partitionBy)
-      case None => LakeTable.overwrite(spark, table, data, partitionBy)
+      case (None, g) if g.nonEmpty =>
+        // an inherited layout re-derives the same targets; partitionBy
+        // resolved from the current table already names them — strip so
+        // overwriteGenerated can re-append
+        LakeTable.overwriteGenerated(spark, table, data, g,
+          partitionBy.filterNot(g.map(_.target).contains))
+      case (None, _) => LakeTable.overwrite(spark, table, data, partitionBy)
     }
     mode match {
       case SaveMode.Overwrite => replace()

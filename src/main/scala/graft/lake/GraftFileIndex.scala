@@ -183,14 +183,28 @@ final class GraftFileIndex(spark: SparkSession, val tablePath: String,
     PartitionPaths.valuesOf(rel, partitionSchema,
       Option(spark.sessionState.conf.sessionLocalTimeZone))
 
+  // generated partition columns whose SOURCE is a data column: data
+  // predicates on the source synthesize partition predicates on the
+  // target (hidden partitioning — see GeneratedColumns)
+  private val genSpecs: Seq[GeneratedColumns.Spec] =
+    GeneratedColumns.specs(initialSnapshot.schema).filter(s =>
+      partitionSchema.fieldNames.contains(s.target) &&
+        !initialSnapshot.partitionColumns.contains(s.source))
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val (parts, _) = resolve()
     val resolver = spark.sessionState.conf.resolver
+    // hidden partitioning: a filter on the raw source column implies a
+    // partition predicate on its generated transform — synthesized
+    // pruning runs on DISTINCT PARTITION TUPLES, upstream of (and far
+    // cheaper than) the per-file bounds pass below
+    val allPartFilters = partitionFilters ++
+      GeneratedColumns.synthesize(dataFilters, genSpecs, partitionSchema, resolver)
     val pruned =
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) parts
+      if (allPartFilters.isEmpty || partitionSchema.isEmpty) parts
       else {
-        val bound = Predicate.createInterpreted(partitionFilters.reduce(And).transform {
+        val bound = Predicate.createInterpreted(allPartFilters.reduce(And).transform {
           case a: AttributeReference =>
             val i = partitionSchema.fields.indexWhere(f => resolver(f.name, a.name))
             BoundReference(i, partitionSchema.fields(i).dataType, nullable = true)

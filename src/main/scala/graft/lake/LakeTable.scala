@@ -894,6 +894,27 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // for this commit's schema; identity (or empty) for unmapped tables
     val physDf = ColumnMapping.renameToPhysical(checked, mapping)
     val physParts = partitionBy.map(p => mapping.getOrElse(p, p))
+    // generated partition columns: re-derive from the source on EVERY
+    // write path (the transform is a pure function, so recomputation is
+    // idempotent) — appends, streaming appends, CoW rewrites, dynamic
+    // partition overwrite and compaction all preserve "stored value ==
+    // transform(source)". A creation frame's own stamps win; a
+    // layout-keeping write inherits the table's; a layout-replacing
+    // overwrite without stamps de-generates, like de-bucketing.
+    val genSpecs = {
+      val own = GeneratedColumns.specs(df.schema)
+      if (own.nonEmpty) own
+      else if (replaceLayout) Nil
+      else snapMeta.map(s => GeneratedColumns.specs(s.schema)).getOrElse(Nil)
+    }
+    val gened =
+      if (genSpecs.isEmpty) physDf
+      else {
+        val snapMapping = snapMeta.map(s => ColumnMapping.mapping(s.schema))
+          .getOrElse(Map.empty[String, String])
+        GeneratedColumns.derive(physDf, genSpecs,
+          n => mapping.getOrElse(n, snapMapping.getOrElse(n, n)))
+      }
     // bucketed layout: the incoming frame's schema stamps win (a
     // bucketed (re)creation); otherwise a layout-keeping write (append,
     // CoW rewrite, compact) inherits the table's spec, so EVERY write
@@ -910,11 +931,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
         // HashPartitioning: partition id = pmod(murmur3(bucketCols), n)
         // — the exact function FileSourceScanExec assumes of bucket
         // files, so the staged task id IS the bucket id
-        val rp = physDf.repartition(sp.numBuckets, bcols: _*)
+        val rp = gened.repartition(sp.numBuckets, bcols: _*)
         if (sp.sortCols.isEmpty) rp
         else rp.sortWithinPartitions(
           (physParts ++ sp.sortCols.map(c => mapping.getOrElse(c, c))).map(col): _*)
-      case None => physDf
+      case None => gened
     }
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
@@ -940,7 +961,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     }
     // partition column values live in the dir path, not the file — only
     // data columns have footer stats (physical names: the files' own)
-    val dataSchema = StructType(physDf.schema.filterNot(fl => physParts.contains(fl.name)))
+    val dataSchema = StructType(gened.schema.filterNot(fl => physParts.contains(fl.name)))
     val conf = spark.sessionState.newHadoopConf()
     // move + stat + footer-read PER FILE, fanned out on a bounded pool:
     // serially this is the driver-side commit bottleneck once a write
@@ -1409,8 +1430,14 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val pSchema = GraftDataSource.asNullable(
       StructType(snap.partitionColumns.map(snap.schema(_))))
     val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
-    val (pConds, rest) = conds.partition(c =>
+    val (pConds0, rest) = conds.partition(c =>
       PartitionPaths.evaluableOnPartitions(Seq(c), pSchema, resolver))
+    // hidden partitioning: data predicates on a generated column's
+    // source imply partition predicates on the transform target
+    val gens = GeneratedColumns.specs(snap.schema).filter(s =>
+      snap.partitionColumns.contains(s.target) &&
+        !snap.partitionColumns.contains(s.source))
+    val pConds = pConds0 ++ GeneratedColumns.synthesize(rest, gens, pSchema, resolver)
     val pPred = if (pConds.isEmpty) None
       else Some(PartitionPaths.bind(pConds, pSchema, resolver))
     val nameMap = ColumnMapping.mapping(snap.schema)
@@ -1628,6 +1655,28 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val stamped = Bucketing.stampDf(ColumnMapping.sanitize(df0),
       numBuckets, bucketCols, sortCols)
     overwrite(spark, table, stamped, partitionBy, txn)
+  }
+
+  /** (Re)create the table hidden-partitioned by generated columns —
+    * see [[GeneratedColumns]]. Each spec `(target, transform, source)`
+    * adds a derived partition column (`p_day = day(event_ts)`, UTC
+    * semantics) that every later write re-derives automatically and
+    * every read prunes by from predicates on the RAW source column.
+    * `partitionBy` names additional IDENTITY partition columns; the
+    * generated targets are appended after them in the layout. A plain
+    * [[overwrite]] drops the generated layout, like de-bucketing.
+    */
+  def overwriteGenerated(spark: SparkSession, table: String, df0: DataFrame,
+                         gens: Seq[GeneratedColumns.Spec],
+                         partitionBy: Seq[String] = Nil,
+                         txn: Option[(String, Long)] = None): Long = {
+    val clean = ColumnMapping.sanitize(df0)
+    val stampedSchema = GeneratedColumns.stamp(clean.schema, gens)
+    val withCols = GeneratedColumns.derive(clean, gens, identity)
+    // re-alias so the frame's schema carries the stamps into the commit
+    val stamped = withCols.select(stampedSchema.fields.map(f =>
+      withCols(f.name).as(f.name, f.metadata)).toIndexedSeq: _*)
+    overwrite(spark, table, stamped, partitionBy ++ gens.map(_.target), txn)
   }
 
   /** Dynamic partition overwrite — atomically REPLACE exactly the hive

@@ -144,6 +144,54 @@ object MaintenanceOps {
               CAST(o_totalprice * 1.1 AS DOUBLE) AS o_totalprice
        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0"""
 
+  /** Hidden partitioning end to end (Iceberg partition-transform
+    * analog — see [[graft.lake.GeneratedColumns]]; ref: the
+    * reference's Iceberg tables, trino_iceberg_transform_component
+    * .py:33,116-123): events land in a table partitioned by the
+    * GENERATED `p_day = day(ts)` — the creation write derives it, the
+    * second write proves a plain append INHERITS the layout and
+    * derives it too — and the gated query then filters a three-day
+    * window on the RAW timestamp, never mentioning `p_day`; the read
+    * prunes to those days' partitions (spec-proven with the stats cap
+    * removing min/max from the picture). Grouping by the stored
+    * `p_day` puts the derived values themselves under the hash
+    * compare: DuckDB recomputes the UTC day independently with
+    * `CAST(ts AS DATE)`, so a single mis-derived partition value
+    * breaks the match.
+    */
+  def lakeHidden(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_lakehid").toString
+    val t = s"$work/events_lake"
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val key = col("event_id")
+    LakeTable.overwriteGenerated(spark, t, ev.filter(key % 2 === 0),
+      Seq(graft.lake.GeneratedColumns.Spec("p_day", "day", "ts")))
+    LakeTable.append(spark, t, ev.filter(key % 2 === 1))
+    // three UTC days starting the day after the first — boundaries
+    // derived from the data so the window exists at every SF
+    val d0 = LakeTable.read(spark, t).agg(min(col("p_day"))).head().getDate(0)
+      .toLocalDate
+    val loUs = d0.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000L
+    val hiUs = loUs + 3L * graft.lake.GeneratedColumns.MicrosPerDay - 1L
+    LakeTable.read(spark, t)
+      .filter(col("ts") >= timestamp_micros(lit(loUs)) &&
+        col("ts") <= timestamp_micros(lit(hiUs)))
+      .groupBy(col("event_type"), col("p_day"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Money.msum(col("value")).as("sum_value"))
+  }
+
+  /** DuckDB recomputes the UTC day and the window independently. */
+  val hiddenOracleSql: String =
+    """WITH b AS (SELECT CAST(min(ts) AS DATE) + 1 AS lo FROM events)
+       SELECT event_type, CAST(ts AS DATE) AS p_day, count(*) AS n,
+              CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_value
+       FROM events, b
+       WHERE CAST(ts AS DATE) >= b.lo AND CAST(ts AS DATE) <= b.lo + 2
+       GROUP BY 1,2"""
+
   /** DuckDB replays the same history as one SQL expression. */
   val oracleSql: String =
     """WITH merged AS (
