@@ -3458,7 +3458,18 @@ object LakeTable extends org.apache.spark.internal.Logging {
       require(!clash, s"column '$newName' already exists on $table")
       val fields = mapped.fields.clone()
       fields(idx) = fields(idx).copy(name = newName)
-      CommitSpec(StructType(fields), prev.partitionColumns, prev.files,
+      // a generated column's spec references its SOURCE by logical
+      // name — follow the rename so derivation keeps working
+      val renamed = fields.map { f =>
+        if (f.metadata.contains(GeneratedColumns.SourceKey) &&
+            resolver(f.metadata.getString(GeneratedColumns.SourceKey), oldName)) {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(GeneratedColumns.SourceKey, newName)
+          f.copy(metadata = mb.build())
+        } else f
+      }
+      CommitSpec(StructType(renamed), prev.partitionColumns, prev.files,
         Nil, Nil, reset = false, protocol = Protocol(2, 2))
     }
   }
@@ -3496,6 +3507,13 @@ object LakeTable extends org.apache.spark.internal.Logging {
         s"cannot drop bucket column '$name' of $table — the table's hash-bucket " +
           "layout is keyed on it; re-create the table unbucketed (or bucketed on " +
           "another key) first")
+      // a generated partition column derives from its SOURCE on every
+      // write — dropping the source would orphan the layout
+      GeneratedColumns.specs(mapped).find(sp => resolver(sp.source, name)).foreach(sp =>
+        throw new IllegalArgumentException(
+          s"cannot drop column '$name' of $table — generated partition column " +
+            s"'${sp.target}' derives from it (${sp.transform}); re-create the " +
+            "table without the generated layout first"))
       // dropping a within-bucket SORT column: existing files are sorted
       // by the full sort-col sequence, which implies ordering only by
       // any PREFIX of it — keep the stamps before the dropped column,

@@ -222,6 +222,24 @@ class GeneratedColumnsSpec extends SparkSpec {
     }
   }
 
+  test("column evolution: dropping a generated source refuses; renaming it follows the spec") {
+    val t = tmpTable("evol")
+    LakeTable.overwriteGenerated(spark, t, eventsDf, Seq(Spec("p_day", "day", "ts")))
+    val e = intercept[IllegalArgumentException] {
+      LakeTable.dropColumn(spark, t, "ts")
+    }
+    assert(e.getMessage.contains("p_day"))
+    LakeTable.renameColumn(spark, t, "ts", "event_ts")
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(GeneratedColumns.specs(snap.schema) == Seq(Spec("p_day", "day", "event_ts")))
+    // an append through the renamed schema still derives correctly
+    LakeTable.append(spark, t,
+      eventsDf.limit(50).withColumnRenamed("ts", "event_ts"))
+    val drift = LakeTable.read(spark, t).filter(
+      $"p_day" =!= to_date($"event_ts")) // UTC session: to_date == day()
+    assert(drift.count() == 0)
+  }
+
   test("MoR path prunes too: deleteMergeOnRead over a generated table, read stays day-scoped and correct") {
     val t = tmpTable("mor")
     LakeTable.overwriteGenerated(spark, t, eventsDf, Seq(Spec("p_day", "day", "ts")))
