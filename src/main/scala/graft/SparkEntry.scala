@@ -26,6 +26,9 @@ object SparkEntry {
     "q5_region_revenue"    -> ((s, d) => Relational.q5RegionRevenue(s, d)),
     "topn_per_group"       -> ((s, d) => Relational.topnPerGroup(s, d)),
     "rollup_sales"         -> ((s, d) => Relational.rollupSales(s, d)),
+    // salted replicated join: hot/low-cardinality key spread over 8
+    // shuffle partitions per key, result identical to the plain join
+    "skew_join"            -> ((s, d) => Relational.skewJoin(s, d)),
     "customer_segments"    -> ((s, d) => Relational.customerSegments(s, d)),
     "events_pivot"         -> ((s, d) => Relational.eventsPivot(s, d)),
     // event analytics
@@ -160,6 +163,11 @@ object SparkEntry {
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_price,
          count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "skew_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1,2""",
     "customer_segments" ->
       """WITH buyers AS (SELECT DISTINCT o_custkey AS id FROM orders),
          purchasers AS (SELECT DISTINCT user_id AS id FROM events WHERE event_type='purchase')

@@ -152,6 +152,28 @@ object Relational {
         count(lit(1)).as("cnt"))
   }
 
+  /** Revenue mix per market segment × event type — deliberately run as
+    * a SALTED replicated join ([[graft.functions.Skew.saltedJoin]]):
+    * the event stream's user key is low-cardinality relative to the
+    * cluster's task count (~150 distinct users here; at 100 TB, think
+    * "tenant id" or "country"), so a plain shuffle join keys at most
+    * |users| tasks and the hottest user's whole event history lands in
+    * ONE task. Salting by 8 spreads every user over 8 shuffle
+    * partitions; the dim side pays ×8 replication of 150 rows —
+    * nothing. Result is bit-identical to the plain join (spec-pinned);
+    * the DuckDB oracle replays it as the plain join.
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type"), col("value"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("long").as("user_id"), col("c_mktsegment"))
+    graft.functions.Skew.saltedJoin(ev, cust, Seq("user_id"), salt = 8)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), msum(col("value")).as("sum_value"))
+  }
+
   /** Native single-level rollup (Expand ×3 of the fact) — kept only as
     * the equality baseline for RelationalPlanSpec.
     */

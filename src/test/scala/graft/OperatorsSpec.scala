@@ -478,6 +478,47 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSeq.sorted
+  }
+
+  test("saltedJoin: identical to plain join, hot key spreads, _salt in join keys") {
+    // 90% of rows share one key — the straggler shape
+    val big = (0L until 5000L).map(i =>
+      (if (i % 10 < 9) 7L else i % 97, s"v$i", i)).toDF("k", "pay", "seq")
+    val small = (0L until 97L).map(i => (i, s"dim$i")).toDF("k", "d")
+    val salted = graft.functions.Skew.saltedJoin(big, small, Seq("k"), salt = 8)
+    assert(rowsOf(salted) == rowsOf(big.join(small, Seq("k"))))
+    // the hot key's rows really spread across many salt values
+    val spread = big.filter($"k" === 7L)
+      .select(pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread >= 6, s"hot key spread over only $spread of 8 salts")
+    // and the join itself is keyed on (k, _salt) — visible in the plan
+    salted.collect()
+    assert(salted.queryExecution.executedPlan.toString.contains("_salt"))
+    intercept[IllegalArgumentException] {
+      graft.functions.Skew.saltedJoin(big.withColumn("_salt", lit(1L)), small, Seq("k"))
+    }
+  }
+
+  test("skew_join gate equals the unsalted formulation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"), col("value"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long").as("user_id"), col("c_mktsegment"))
+    val plain = ev.join(cust, Seq("user_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Money.msum(col("value")).as("sum_value"))
+    assert(rowsOf(Relational.skewJoin(spark, sf)) == rowsOf(plain))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   test("mm_frames: zero-shuffle explode; per-doc frame counts check out") {
     val df = Multimodal.mmFrames(spark, sf)
