@@ -20,6 +20,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark still DEFAULTS parquet timestamps to legacy INT96, whose
+      // footer min/max graft's stats collection (ParquetStats) cannot
+      // trust — with INT96 no lake-written timestamp column gets logged
+      // bounds, so time-range file skipping and whole-file retention
+      // proofs silently degrade to full candidacy. INT64 micros is the
+      // modern representation every engine reads.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -113,6 +113,9 @@ object SparkEntry {
     // hidden partitioning: generated p_day=day(ts), raw-ts predicates
     // prune partitions the query never names (Iceberg transforms)
     "lake_hidden"          -> ((s, d) => MaintenanceOps.lakeHidden(s, d)),
+    // metadata-only retention delete: interior days leave by log edit
+    // (zero reads), only the boundary day rewrites
+    "lake_retention"       -> ((s, d) => MaintenanceOps.lakeRetention(s, d)),
     // incremental IVF maintenance: build on half, ivfAppend the rest,
     // probe ALL cells so the result is exact brute-force top-k — a
     // hash-matched oracle for the index-append path itself
@@ -700,6 +703,7 @@ object SparkEntry {
     "lake_dv" -> operators.MaintenanceOps.dvOracleSql,
     "bucket_join" -> operators.BucketedOps.oracleSql,
     "lake_dpo" -> operators.MaintenanceOps.dpoOracleSql,
-    "lake_hidden" -> operators.MaintenanceOps.hiddenOracleSql
+    "lake_hidden" -> operators.MaintenanceOps.hiddenOracleSql,
+    "lake_retention" -> operators.MaintenanceOps.retentionOracleSql
   )
 }

@@ -155,4 +155,107 @@ private[lake] object DataSkipping {
       case _ => false
     }
   }
+
+  // -------------------------------------------------- whole-file proofs
+
+  /** A known INCLUSIVE value interval for a column of one file, derived
+    * from something other than footer stats — the hive partition value
+    * (constant per file: min = max = value), or the source-column range
+    * a generated-transform partition value implies
+    * ([[GeneratedColumns.sourceBounds]]). Values are Catalyst-internal
+    * (Long micros for TIMESTAMP, Int days for DATE, …) and NON-NULL for
+    * every row of the file by construction.
+    */
+  final case class KnownBounds(dt: DataType, min: Any, max: Any)
+
+  /** true iff EVERY live row of the file provably satisfies ALL the
+    * conjuncts — the dual of [[skip]], and the gate for metadata-only
+    * file drops (a retention `DELETE WHERE ts < cutoff` removes interior
+    * files from the log without reading them).
+    *
+    * Soundness mirrors [[skip]], flipped: may return true ONLY when no
+    * row can evaluate any conjunct to false-or-null. So every
+    * comparison additionally demands `nullCount == 0` (a null row
+    * evaluates to null = not deleted = must survive), float/double stay
+    * excluded from range proofs (NaN), and the logged bounds being
+    * OUTER approximations (truncated string bounds widen outward, per
+    * [[ParquetStats]]) keeps "true range ⊆ predicate region" sound.
+    * Deletion-vector rows need no care: bounds cover all physical rows,
+    * a superset of the live ones.
+    */
+  def proveAllRows(filters: Seq[Expression], schema: StructType, resolver: Resolver,
+                   entry: LakeTable.FileEntry,
+                   known: Map[String, KnownBounds] = Map.empty): Boolean = {
+    if (entry.rowCount == 0L) return true
+    filters.nonEmpty && filters.forall(f => proveTrue(f, schema, resolver, entry, known))
+  }
+
+  private def proveTrue(e: Expression, schema: StructType, resolver: Resolver,
+                        entry: LakeTable.FileEntry,
+                        known: Map[String, KnownBounds]): Boolean = {
+    /** candidate bounds for `a`: the known interval (null-free by
+      * construction), and the footer stats — either proving suffices
+      */
+    def cands(a: AttributeReference): Seq[Bounds] = {
+      val k = known.collectFirst { case (n, kb) if resolver(n, a.name) =>
+        Bounds(kb.dt, Some(kb.min), Some(kb.max), Some(0L), entry.rowCount) }
+      val s = boundsOf(schema, resolver, entry, a.name)
+      (k.toSeq ++ s.toSeq).filter(b => rangeProvable(b.dt))
+    }
+    /** all rows non-null AND `holds(cmp(pick(bounds), lit))` */
+    def allRange(a: AttributeReference, v: Any,
+                 pick: Bounds => Option[Any], holds: Int => Boolean): Boolean =
+      v != null && cands(a).exists { b =>
+        b.nullCount.contains(0L) &&
+          (for { bd <- pick(b); l <- litDomain(b.dt, v) } yield holds(cmp(bd, l)))
+            .getOrElse(false)
+      }
+    /** all rows non-null and constant-equal to `v` */
+    def allEq(a: AttributeReference, v: Any): Boolean =
+      v != null && cands(a).exists { b =>
+        b.nullCount.contains(0L) &&
+          (for { mn <- b.min; mx <- b.max; l <- litDomain(b.dt, v) }
+            yield cmp(mn, l) == 0 && cmp(mx, l) == 0).getOrElse(false)
+      }
+    e match {
+      case And(l, r) => proveTrue(l, schema, resolver, entry, known) &&
+        proveTrue(r, schema, resolver, entry, known)
+      case Or(l, r) => proveTrue(l, schema, resolver, entry, known) ||
+        proveTrue(r, schema, resolver, entry, known)
+      case Literal(true, BooleanType) => true
+
+      case EqualTo(a: AttributeReference, Literal(v, _)) => allEq(a, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => allEq(a, v)
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) => allEq(a, v)
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) => allEq(a, v)
+
+      // col < v for ALL rows: max < v (mirrored forms flip)
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        allRange(a, v, _.max, _ < 0)
+      case LessThan(Literal(v, _), a: AttributeReference) =>
+        allRange(a, v, _.min, _ > 0)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        allRange(a, v, _.max, _ <= 0)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        allRange(a, v, _.min, _ >= 0)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        allRange(a, v, _.min, _ > 0)
+      case GreaterThan(Literal(v, _), a: AttributeReference) =>
+        allRange(a, v, _.max, _ < 0)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        allRange(a, v, _.min, _ >= 0)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        allRange(a, v, _.max, _ <= 0)
+
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        // a constant column whose value is one of the list
+        vs.exists { case Literal(v, _) => allEq(a, v) }
+
+      case IsNotNull(a: AttributeReference) =>
+        cands(a).exists(_.nullCount.contains(0L)) ||
+          boundsOf(schema, resolver, entry, a.name).exists(_.nullCount.contains(0L))
+
+      case _ => false
+    }
+  }
 }

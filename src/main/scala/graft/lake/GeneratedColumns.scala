@@ -207,6 +207,48 @@ object GeneratedColumns {
     }
   }
 
+  /** The INCLUSIVE Catalyst-internal source-column interval implied by
+    * one partition value of the TARGET — the reverse direction of
+    * [[synthesize]]: every row in partition `pv` has its source inside
+    * this interval (by the transform's floor semantics), which is what
+    * lets whole-file proofs ([[DataSkipping.proveAllRows]]) treat the
+    * partition value as virtual min/max stats for the source. None for
+    * null partition values or type surprises.
+    */
+  def sourceBounds(transform: String, srcType: DataType,
+                   pv: Any): Option[(Any, Any)] = {
+    if (pv == null) return None
+    def dayRange(d0: Long, d1: Long): Option[(Any, Any)] = srcType match {
+      case DateType => Some((d0.toInt, d1.toInt))
+      case TimestampType => Some((d0 * MicrosPerDay, (d1 + 1) * MicrosPerDay - 1))
+      case _ => None
+    }
+    transform match {
+      case "identity" => Some((pv, pv))
+      case "hour" => (srcType, pv) match {
+        case (TimestampType, us: Long) => Some((us, us + MicrosPerHour - 1))
+        case _ => None
+      }
+      case "day" => pv match {
+        case d: Int => dayRange(d.toLong, d.toLong)
+        case _ => None
+      }
+      case "month" => pv match {
+        case d: Int =>
+          val d0 = LocalDate.ofEpochDay(d.toLong)
+          dayRange(d.toLong, d0.plusMonths(1).toEpochDay - 1)
+        case _ => None
+      }
+      case "year" => pv match {
+        case y: Int =>
+          val d0 = LocalDate.of(y, 1, 1)
+          dayRange(d0.toEpochDay, LocalDate.of(y + 1, 1, 1).toEpochDay - 1)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   /** Partition predicates implied by data predicates on generated
     * columns' SOURCES. Sound by monotonicity (see object doc): every
     * synthesized conjunct is implied by its origin, so adding them to

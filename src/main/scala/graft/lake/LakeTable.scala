@@ -157,8 +157,20 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * version-≤3 writer would append unvalidated rows, silently breaking
     * the invariant readers rely on. Only tables that ADD a constraint
     * get stamped writer 4.
+    *
+    * Reader version 4 = metadata-only file drops (`removedFull` on a
+    * DELETE entry): a file every live row of which provably matched the
+    * predicate is removed from the snapshot WITHOUT being read, so its
+    * delete rows are not in the commit's recorded change data — the
+    * change feed synthesizes them lazily from the previous snapshot. A
+    * version-≤3 reader reads SNAPSHOTS of such a table correctly (the
+    * file list is complete), but would silently UNDER-REPORT the change
+    * feed of the dropping commit; feed soundness wins over snapshot
+    * availability for stale clients, so the whole table gates. Only
+    * tables where a delete actually drops a file by metadata get
+    * stamped reader 4.
     */
-  val MaxReaderVersion = 3
+  val MaxReaderVersion = 4
   val MaxWriterVersion = 4
 
   final class ProtocolVersionException(msg: String) extends RuntimeException(msg)
@@ -181,7 +193,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * `_change_data/`) — row-level pre/post images a DML commit records
     * for the change feed.
     */
-  private[lake] final case class LogEntry(
+  private[graft] final case class LogEntry(
       version: Long, timestampMs: Long, operation: String,
       schema: StructType, partitionColumns: Seq[String],
       txns: Map[String, Long],
@@ -189,7 +201,12 @@ object LakeTable extends org.apache.spark.internal.Logging {
       adds: Seq[FileEntry], removes: Seq[String], reset: Boolean,
       cdc: Option[Seq[String]],
       protocol: Protocol,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // removed with NO change-data coverage because every live row was
+      // provably deleted (metadata-only retention drop): the change
+      // feed synthesizes their rows as deletes lazily from the previous
+      // snapshot. Always a subset of `removes`.
+      removedFull: Seq[String] = Nil)
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
@@ -257,7 +274,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     */
   private def renderDelta(s: Snapshot, adds: Seq[FileEntry],
                           removes: Seq[String], reset: Boolean,
-                          cdc: Option[Seq[String]]): String = {
+                          cdc: Option[Seq[String]],
+                          removedFull: Seq[String] = Nil): String = {
     val fields = commonFields(s.version, s.timestampMs, s.operation, s.schema,
       s.partitionColumns, s.txns, s.protocol, s.constraints) ++
       List("adds" -> JArray(adds.map(renderFile).toList)) ++
@@ -267,7 +285,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
        else Nil) ++
       // "cdc" present (possibly empty) ⇔ this commit RECORDED its
       // changes; absent ⇔ changes must be synthesized or are unknowable
-      cdc.map(c => "cdc" -> (JArray(c.map(JString(_)).toList): JValue)).toList
+      cdc.map(c => "cdc" -> (JArray(c.map(JString(_)).toList): JValue)).toList ++
+      // metadata-only drops: removed files whose delete rows the feed
+      // synthesizes lazily (reader ≥ 4 — see Protocol doc)
+      (if (removedFull.isEmpty) Nil
+       else List("rfull" -> JArray(removedFull.map(JString(_)).toList)))
     JsonMethods.compact(JsonMethods.render(JObject(fields)))
   }
 
@@ -363,6 +385,10 @@ object LakeTable extends org.apache.spark.internal.Logging {
       constraints = (j \ "cks") match {
         case JObject(fields) => fields.map { case (n, e) => n -> jStr(e) }.toMap
         case _               => Map.empty
+      },
+      removedFull = (j \ "rfull") match {
+        case JArray(entries) => entries.map(jStr)
+        case _               => Seq.empty
       })
   }
 
@@ -373,7 +399,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
   }
 
   /** The log entry of one committed version (delta or legacy full). */
-  private[lake] def logEntryAt(spark: SparkSession, table: String, version: Long): LogEntry = {
+  private[graft] def logEntryAt(spark: SparkSession, table: String, version: Long): LogEntry = {
     val f = fs(spark, table)
     val p = versionFile(table, version)
     if (!f.exists(p))
@@ -777,7 +803,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
                               reset: Boolean = false,
                               cdc: Option[Seq[String]] = None,
                               prev: Option[Snapshot] = None,
-                              constraintsUpdate: Option[Map[String, String]] = None): Boolean = {
+                              constraintsUpdate: Option[Map[String, String]] = None,
+                              removedFull: Seq[String] = Nil): Boolean = {
     // writer gate: refuse to commit over a log that demands a newer
     // writer (the invariants it encodes are unknown to this client);
     // the stamp is monotonic — a commit never downgrades the table's
@@ -805,7 +832,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     if (f.exists(target)) return false // fast path only; atomicity is in the publish
     val tmp = new Path(logPath(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(renderDelta(stamped, adds, removes, reset, cdc).getBytes("UTF-8"))
+    try out.write(renderDelta(stamped, adds, removes, reset, cdc, removedFull)
+      .getBytes("UTF-8"))
     finally out.close()
     val won = publishIfAbsent(f, tmp, target)
     if (won) {
@@ -1105,15 +1133,31 @@ object LakeTable extends org.apache.spark.internal.Logging {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         GraftDataSource.asNullable(e.schema)).withColumn(ChangeTypeCol, lit("insert"))
         .filter(lit(false)), None)
+    // metadata-only drops (removedFull): the dropping commit recorded
+    // no change rows for these files (reading them would defeat the
+    // drop); synthesize their rows as deletes from the previous
+    // snapshot's entries — dv state honored — and union with whatever
+    // the commit DID record
+    def removedFullDeletes: Option[DataFrame] =
+      if (e.removedFull.isEmpty) None
+      else {
+        val rset = e.removedFull.toSet
+        val prev = snapshotAt(spark, table, v - 1)
+        val removed = prev.files.filter(f => rset.contains(f.path))
+        if (removed.isEmpty) None
+        else Some(decorate(readEntries(removed, prev.schema), Some("delete")))
+      }
     if (e.operation == "COMPACT") None
     else if (e.cdc.exists(_.nonEmpty)) {
       // recorded change files carry the table columns + _change_type
-      Some(decorate(spark.read.parquet(
-        e.cdc.get.map(rel => new Path(table, rel).toString): _*), None))
+      val recorded = decorate(spark.read.parquet(
+        e.cdc.get.map(rel => new Path(table, rel).toString): _*), None)
+      Some(removedFullDeletes.fold(recorded)(d =>
+        recorded.unionByName(d, allowMissingColumns = true)))
     } else if (e.cdc.isDefined) {
       // recorded, and genuinely empty (e.g. a conditional merge where
       // no clause fired) — a real empty change set, not a legacy gap
-      Some(emptyChanges)
+      Some(removedFullDeletes.getOrElse(emptyChanges))
     } else e.full match {
       case Some(_) =>
         throw new UnsupportedOperationException(
@@ -1412,9 +1456,23 @@ object LakeTable extends org.apache.spark.internal.Logging {
         GraftDataSource.asNullable(schema))
       empty.filter(condition).queryExecution.analyzed.collect {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => split(f.condition)
-      }.flatten
+      }.flatten.map(foldConstants)
     } catch { case scala.util.control.NonFatal(_) => Nil }
   }
+
+  /** Fold foldable subtrees to Literals — the analyzed plan (which
+    * [[resolvedConjuncts]] reads; the OPTIMIZED plan of an empty
+    * relation eliminates the filter altogether) leaves computed
+    * constants like `timestamp_micros(1700000000L)` as calls, which no
+    * bounds proof pattern-matches. Evaluation is safe: foldable implies
+    * deterministic and input-free.
+    */
+  private def foldConstants(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    e.transformUp {
+      case f if f.foldable && !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(f.eval(null), f.dataType)
+    }
 
   /** The snapshot's entries pruned driver-side by the resolved
     * conjuncts: hive partition-value evaluation for conjuncts touching
@@ -2667,42 +2725,115 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * any concurrent change could contain rows this delete's scan never
     * saw, and a silent rebase would resurrect or miss them.
     */
+  /** Copy-on-write DELETE with a METADATA-ONLY fast path: a file every
+    * live row of which provably matches the predicate is dropped from
+    * the snapshot WITHOUT being read or rewritten
+    * ([[DataSkipping.proveAllRows]] over the logged min/max bounds, the
+    * hive partition values, and the source ranges generated-transform
+    * partition values imply) — so a retention delete
+    * (`ts < cutoff` on a day-partitioned 100 TB fact) costs O(boundary
+    * partition): interior days leave by log edit, only the files
+    * STRADDLING the cutoff are scanned and rewritten. The dropped
+    * files' delete rows are not recorded as change data (that would
+    * mean reading them); the commit marks them `removedFull` and the
+    * change feed synthesizes their rows lazily from the previous
+    * snapshot (reader protocol 4 — see [[Protocol]]).
+    */
   def delete(spark: SparkSession, table: String, condition: Column): Long = {
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    val conds = resolvedConjuncts(spark, snap.schema, condition)
 
-    // detection through the registered source, pinned to this snapshot:
-    // the pushed predicate prunes at FILE level against the logged
-    // bounds (DataSkipping), so a selective predicate's detection scan
-    // reads only the files it could possibly match — not the table
-    // (detectionScan swaps in the dv-aware composition when vectors
-    // are outstanding)
-    val matchedAbs = detectionScan(spark, table, snap,
-      resolvedConjuncts(spark, snap.schema, condition), scope = Some(condition))
-      .select(col("__file")).distinct()
-      .collect().map(_.getString(0))
-    if (matchedAbs.isEmpty) return snap.version
+    // ---- metadata pass: whole-file drops, before ANY data I/O.
+    // resolvedConjuncts's AND equals `condition` exactly when
+    // resolution succeeds (it is the analyzed filter's conjunct split);
+    // empty means unresolvable — no proofs, everything scans.
+    val dropped: Seq[String] =
+      if (conds.isEmpty) Nil
+      else {
+        val resolver = spark.sessionState.conf.resolver
+        val pSchema = GraftDataSource.asNullable(
+          StructType(snap.partitionColumns.map(snap.schema(_))))
+        val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+        val nameMap = ColumnMapping.mapping(snap.schema)
+        val physSchema = ColumnMapping.physicalSchema(snap.schema)
+        val physConds =
+          if (ColumnMapping.needsTranslation(snap.schema))
+            conds.map(ColumnMapping.physicalizeExpr(_, nameMap))
+          else conds
+        val gens = GeneratedColumns.specs(snap.schema)
+          .filter(s => snap.partitionColumns.contains(s.target))
+        snap.files.filter { e =>
+          val row = PartitionPaths.valuesOf(e.path, pSchema, tz)
+          val known = scala.collection.mutable.Map.empty[String, DataSkipping.KnownBounds]
+          // hive partition values: constant per file (partition column
+          // names are never renamed, so logical == physical)
+          pSchema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (!row.isNullAt(i))
+              known(f.name) =
+                DataSkipping.KnownBounds(f.dataType, row.get(i, f.dataType), row.get(i, f.dataType))
+          }
+          // generated transforms: the partition value bounds the SOURCE
+          gens.foreach { sp =>
+            val i = pSchema.fieldIndex(sp.target)
+            if (!row.isNullAt(i)) {
+              snap.schema.find(_.name == sp.source).foreach { sf =>
+                GeneratedColumns.sourceBounds(sp.transform, sf.dataType,
+                    row.get(i, pSchema(sp.target).dataType)).foreach { case (lo, hi) =>
+                  known(nameMap.getOrElse(sp.source, sp.source)) =
+                    DataSkipping.KnownBounds(sf.dataType, lo, hi)
+                }
+              }
+            }
+          }
+          DataSkipping.proveAllRows(physConds, physSchema, resolver, e, known.toMap)
+        }.map(_.path)
+      }
+    val droppedSet = dropped.toSet
+
+    // ---- detection over the REMAINING candidates only (driver-side
+    // pruned by partitions + bounds + bloom) — the dropped files are
+    // never opened; that is the point
+    val remaining = snap.files.filterNot(e => droppedSet.contains(e.path))
+    val cand = prunedEntries(spark, table, snap.copy(files = remaining), conds)
+    val matchedAbs =
+      if (cand.isEmpty) Array.empty[String]
+      else morScan(spark, table, snap, cand, keepPos = true)
+        .withColumnRenamed(FilePathCol, "__file").drop(RowPosCol)
+        .filter(condition)
+        .select(col("__file")).distinct()
+        .collect().map(_.getString(0))
+    if (matchedAbs.isEmpty && dropped.isEmpty) return snap.version
 
     // same URI-decode + qualify discipline as merge: a matched file
     // that cannot be mapped under the data root is a hard error
-    val affectedRel = mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
-    val matchedSet = affectedRel.toSet
-    val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
+    val affectedRel =
+      if (matchedAbs.isEmpty) Seq.empty[String]
+      else mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
+    val removedAll = affectedRel ++ dropped
+    val removedSet = removedAll.toSet
+    val carried = snap.files.filterNot(e => removedSet.contains(e.path))
 
-    val affectedDf = readDataFilesLive(spark, table, snap, affectedRel)
-    val kept = affectedDf.filter(!coalesce(condition, lit(false)))
-    val newFiles = stageFiles(spark, table, kept, snap.partitionColumns,
-      ColumnMapping.mapping(snap.schema))
-    // change feed: the removed rows, recorded at commit time — the
-    // only moment they are knowable
-    val cdcFiles = stageChangeFiles(spark, table,
-      affectedDf.filter(coalesce(condition, lit(false)))
-        .withColumn(ChangeTypeCol, lit("delete")))
+    // CoW rewrite + recorded change rows for the PARTIALLY matched
+    // files only; the dropped files' deletes ride as removedFull
+    val (newFiles, cdcFiles) =
+      if (affectedRel.isEmpty) (Seq.empty[FileEntry], Seq.empty[String])
+      else {
+        val affectedDf = readDataFilesLive(spark, table, snap, affectedRel)
+        val kept = affectedDf.filter(!coalesce(condition, lit(false)))
+        val nf = stageFiles(spark, table, kept, snap.partitionColumns,
+          ColumnMapping.mapping(snap.schema))
+        val cf = stageChangeFiles(spark, table,
+          affectedDf.filter(coalesce(condition, lit(false)))
+            .withColumn(ChangeTypeCol, lit("delete")))
+        (nf, cf)
+      }
 
     val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
-      snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = Some(cdcFiles),
-        prev = Some(snap)))
+      snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns,
+      protocol = if (dropped.nonEmpty) Protocol(4, 1) else Protocol(1, 1))
+    if (!tryCommit(spark, table, next, newFiles, removedAll, cdc = Some(cdcFiles),
+        prev = Some(snap), removedFull = dropped))
       throw new ConcurrentCommitException(
         s"DELETE on $table lost the commit race — re-run (a concurrent commit may " +
           "contain rows this delete never scanned)")

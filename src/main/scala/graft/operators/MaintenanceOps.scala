@@ -183,6 +183,45 @@ object MaintenanceOps {
         graft.functions.Money.msum(col("value")).as("sum_value"))
   }
 
+  /** Retention delete end to end: a generated day-partitioned events
+    * table gets `DELETE WHERE ts < cutoff` with the cutoff mid-day —
+    * the interior days leave by METADATA (no read, no rewrite;
+    * RetentionDeleteSpec proves zero data-file opens with the counting
+    * FS), only the boundary day's files rewrite, and the final state —
+    * including the derived `p_day` values — is hash-compared against
+    * DuckDB replaying the delete as a plain filter. The canonical
+    * 100 TB shape: a daily retention sweep on a day-partitioned fact
+    * costs O(one boundary partition), never O(table).
+    */
+  def lakeRetention(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_lakeret").toString
+    val t = s"$work/events_lake"
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    LakeTable.overwriteGenerated(spark, t, ev,
+      Seq(graft.lake.GeneratedColumns.Spec("p_day", "day", "ts")))
+    val d0 = LakeTable.read(spark, t).agg(min(col("p_day"))).head().getDate(0)
+      .toLocalDate
+    // mid-day cutoff two days in: interior days drop by metadata, the
+    // boundary day rewrites
+    val cutoffUs = d0.plusDays(2).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli * 1000L + 12L * 3600L * 1000000L
+    LakeTable.delete(spark, t, col("ts") < timestamp_micros(lit(cutoffUs)))
+    LakeTable.read(spark, t).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      col("value").cast("double").as("value"), col("p_day"))
+  }
+
+  /** DuckDB replays the retention delete as a plain filter and
+    * recomputes the UTC day independently.
+    */
+  val retentionOracleSql: String =
+    """WITH b AS (SELECT CAST(CAST(min(ts) AS DATE) + 2 AS TIMESTAMP)
+                    + INTERVAL 12 HOUR AS cutoff FROM events)
+       SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value,
+              CAST(ts AS DATE) AS p_day
+       FROM events, b WHERE ts >= b.cutoff"""
+
   /** DuckDB recomputes the UTC day and the window independently. */
   val hiddenOracleSql: String =
     """WITH b AS (SELECT CAST(min(ts) AS DATE) + 1 AS lo FROM events)

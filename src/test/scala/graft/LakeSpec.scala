@@ -110,9 +110,9 @@ class LakeSpec extends SparkSpec {
     val racing = LakeTable.latestSnapshot(spark, t).get.copy(version = 2L, operation = "RACER")
     val m = tryCommitHandle
     assert(m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
-      java.lang.Boolean.FALSE, None, None, None).asInstanceOf[Boolean])
+      java.lang.Boolean.FALSE, None, None, None, Nil).asInstanceOf[Boolean])
     assert(!m.invoke(LakeTable, spark, t, racing, Seq.empty, Seq.empty,
-      java.lang.Boolean.FALSE, None, None, None).asInstanceOf[Boolean],
+      java.lang.Boolean.FALSE, None, None, None, Nil).asInstanceOf[Boolean],
       "second commit of the same version must lose")
     // a normal writer lands after the racer without clobbering it
     val v = LakeTable.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
@@ -279,7 +279,7 @@ class LakeSpec extends SparkSpec {
       classOf[org.apache.spark.sql.SparkSession], classOf[String],
       classOf[LakeTable.Snapshot], classOf[Seq[_]], classOf[Seq[_]],
       java.lang.Boolean.TYPE, classOf[Option[_]], classOf[Option[_]],
-      classOf[Option[_]])
+      classOf[Option[_]], classOf[Seq[_]])
     m.setAccessible(true)
     m
   }
@@ -304,7 +304,7 @@ class LakeSpec extends SparkSpec {
             val snap = base.copy(version = v, operation = s"W$i")
             start.await()
             if (m.invoke(LakeTable, spark, t, snap, Seq.empty, Seq.empty,
-                java.lang.Boolean.FALSE, None, None, None).asInstanceOf[Boolean])
+                java.lang.Boolean.FALSE, None, None, None, Nil).asInstanceOf[Boolean])
               wins.add(s"W$i")
           }
         })
@@ -389,7 +389,7 @@ class LakeSpec extends SparkSpec {
             val snap = base.copy(version = v, operation = s"W$i")
             start.await()
             if (m.invoke(LakeTable, spark, t, snap, Seq.empty, Seq.empty,
-                java.lang.Boolean.FALSE, None, None, None).asInstanceOf[Boolean])
+                java.lang.Boolean.FALSE, None, None, None, Nil).asInstanceOf[Boolean])
               wins.add(s"W$i")
           }
         })
@@ -517,7 +517,7 @@ class LakeSpec extends SparkSpec {
     // ~50 metadata-only commits (same file list, bumped version)
     (2L to 50L).foreach { v =>
       assert(m.invoke(LakeTable, spark, t, base.copy(version = v), Seq.empty, Seq.empty,
-        java.lang.Boolean.FALSE, None, None, None).asInstanceOf[Boolean])
+        java.lang.Boolean.FALSE, None, None, None, Nil).asInstanceOf[Boolean])
     }
     val hint = java.nio.file.Paths.get(s"$t/_graft_log/_latest_hint")
     assert(new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim == "50")
