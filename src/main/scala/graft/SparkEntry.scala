@@ -96,6 +96,9 @@ object SparkEntry {
     "lineage"              -> ((s, d) => Lineage.lineage(s, d)),
     // lake + change feed + incremental maintenance, end to end
     "incr_agg"             -> ((s, d) => IncrementalOps.incrAgg(s, d)),
+    // incremental distinct counts: HLL sketch partials appended per
+    // refresh from the feed, unioned at read — never a rescan
+    "incr_distinct"        -> ((s, d) => IncrementalOps.incrDistinct(s, d)),
     // full maintenance surface (merge/delete/update/compact/restore)
     // vs an independent engine's replay
     "lake_dml"             -> ((s, d) => MaintenanceOps.lakeDml(s, d)),

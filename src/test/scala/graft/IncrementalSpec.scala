@@ -270,4 +270,41 @@ class IncrementalSpec extends SparkSpec {
       Incremental.refreshAgg(spark, src, tgt, Seq("grp"), Map("grp" -> col("qty")))
     }.getMessage.contains("collide"))
   }
+
+  test("refreshSketch: merged partials equal the one-shot sketch, bounded vs exact; replay no-op; deletes refuse") {
+    val src = tmpTable("sk_src")
+    val tgt = tmpTable("sk_tgt")
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
+    LakeTable.overwrite(spark, src, ev.filter($"event_id" % 2 === 0))
+    Incremental.refreshSketch(spark, src, tgt, Seq("event_type"), "user_id")
+    LakeTable.append(spark, src, ev.filter($"event_id" % 2 =!= 0))
+    val v2 = Incremental.refreshSketch(spark, src, tgt, Seq("event_type"), "user_id")
+    val est = Incremental.sketchEstimate(spark, tgt, Seq("event_type"), "approx_users")
+    // union associativity: two merged partials == one sketch over all
+    val oneShot = ev.groupBy($"event_type")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("one_shot"),
+        countDistinct($"user_id").as("exact"),
+        count(lit(1)).as("exact_rows"))
+    val joined = est.join(oneShot, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (approx, one, exact) =
+        (r.getAs[Long]("approx_users"), r.getAs[Long]("one_shot"), r.getAs[Long]("exact"))
+      assert(approx == one, s"merge broke associativity: $approx vs $one")
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"estimate $approx off exact $exact by >5%")
+      assert(r.getAs[Long]("n_rows") == r.getAs[Long]("exact_rows"))
+      assert(r.getAs[Long]("n_partials") == 2L)
+    }
+    // replay: already at the watermark — appends nothing
+    val rows = LakeTable.read(spark, tgt).count()
+    assert(Incremental.refreshSketch(spark, src, tgt, Seq("event_type"), "user_id") == v2)
+    assert(LakeTable.read(spark, tgt).count() == rows)
+    // a deleting source refuses loudly (sketches are insert-only)
+    LakeTable.delete(spark, src, $"event_id" === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Incremental.refreshSketch(spark, src, tgt, Seq("event_type"), "user_id")
+    }
+    assert(e.getMessage.contains("insert-only"))
+  }
 }
