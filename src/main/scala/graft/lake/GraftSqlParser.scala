@@ -322,6 +322,7 @@ private[graft] case class GraftDescribeDetailCommand(target: String)
     AttributeReference("num_dv_files", LongType, nullable = false)(),
     AttributeReference("partition_columns", StringType, nullable = false)(),
     AttributeReference("bucket_spec", StringType, nullable = true)(),
+    AttributeReference("generated_columns", StringType, nullable = true)(),
     AttributeReference("constraints", StringType, nullable = true)(),
     AttributeReference("reader_version", LongType, nullable = false)(),
     AttributeReference("writer_version", LongType, nullable = false)())
@@ -336,10 +337,14 @@ private[graft] case class GraftDescribeDetailCommand(target: String)
       .map(b => s"buckets=${b.numBuckets} by=${b.bucketCols.mkString(",")}" +
         (if (b.sortCols.nonEmpty) s" sort=${b.sortCols.mkString(",")}" else ""))
       .orNull
+    val gens = GeneratedColumns.specs(s.schema) match {
+      case Nil => null
+      case sp => sp.map(g => s"${g.target}=${g.transform}(${g.source})").mkString(",")
+    }
     Seq(Row("graft", s.version, s.timestampMs, s.operation,
       s.files.size.toLong, s.files.map(_.size).sum, liveRows,
       s.files.count(_.dv.isDefined).toLong,
-      s.partitionColumns.mkString(","), bucket,
+      s.partitionColumns.mkString(","), bucket, gens,
       if (s.constraints.isEmpty) null else s.constraints.keys.toSeq.sorted.mkString(","),
       s.protocol.reader.toLong, s.protocol.writer.toLong))
   }

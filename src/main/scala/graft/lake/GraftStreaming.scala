@@ -121,9 +121,19 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
     .getOrElse(throw new IllegalArgumentException(
       s"cannot stream from $table: no committed version"))
 
-  /** Exclusive lower bound derived from the INCLUSIVE user option. */
-  private val startingVersion: Option[Long] =
-    options.get("startingVersion").map { raw =>
+  /** Exclusive lower bound derived from the INCLUSIVE user option.
+    * `startingTimestamp` (Delta's option, same semantics) resolves to
+    * the first commit AT OR AFTER the given instant — epoch millis,
+    * `yyyy-MM-dd`, or `yyyy-MM-dd HH:mm:ss` UTC, like `timestampAsOf`;
+    * a timestamp before the first commit starts from version 1, one
+    * after the latest delivers only future commits. O(tail) through the
+    * history checkpoint, exactly like time travel.
+    */
+  private val startingVersion: Option[Long] = {
+    if (options.contains("startingVersion") && options.contains("startingTimestamp"))
+      throw new IllegalArgumentException(
+        "startingVersion and startingTimestamp are mutually exclusive")
+    val byVersion = options.get("startingVersion").map { raw =>
       val v = raw.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"startingVersion must be a version number, got '$raw'"))
       val latest = initialSnapshot.version
@@ -135,6 +145,20 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
             "stream's first delivered commit is the given version.")
       v - 1
     }
+    byVersion.orElse(options.get("startingTimestamp").map { raw =>
+      val tsMs = GraftDataSource.parseTimestampMs(raw)
+      // greatest version committed at or before tsMs; the stream starts
+      // AFTER it — unless that commit is exactly at tsMs (inclusive)
+      try {
+        val v = LakeTable.versionAtTimestamp(spark, table, tsMs)
+        val exact = LakeTable.logEntryAt(spark, table, v).timestampMs == tsMs
+        if (exact) v - 1 else v
+      } catch {
+        // every commit is later than tsMs: deliver from the beginning
+        case _: IllegalArgumentException => 0L
+      }
+    })
+  }
 
   /** With `readChangeFeed`: table columns + the Delta-convention
     * change columns; the batch is every row-level change of the tailed
@@ -285,7 +309,12 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
           val e = LakeTable.logEntryAt(spark, table, v)
           checkSchemaPinned(v, e.schema, e.partitionColumns)
           val (addsNow, removedNow): (Seq[String], Boolean) = e.full match {
-            case None => (e.adds.map(_.path), e.reset || e.removes.nonEmpty)
+            // the CREATION commit (version 1) is reset-flagged but has
+            // no predecessor to remove from — it is morally an append
+            // of the initial data, and Delta's "timestamp precedes all
+            // commits ⇒ start from the earliest version" contract
+            // depends on it being deliverable
+            case None => (e.adds.map(_.path), (e.reset && v > 1) || e.removes.nonEmpty)
             case Some(fullFiles) =>
               val prev = LakeTable.snapshotAt(spark, table, v - 1).filePaths.toSet
               val paths = fullFiles.map(_.path)

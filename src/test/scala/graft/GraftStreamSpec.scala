@@ -204,6 +204,43 @@ class GraftStreamSpec extends SparkSpec {
       (101L to 115L).toSet)
   }
 
+  test("readStream startingTimestamp resolves to the first commit at or after the instant") {
+    import spark.implicits._
+    val dir = tmp("graft_source_st"); val table = s"$dir/t"
+    LakeTable.overwrite(spark, table, (1L to 100L).toDF("id")) // v1: history
+    val tsAfterV1 = LakeTable.logEntryAt(spark, table, 1L).timestampMs + 1
+    Thread.sleep(5)
+    LakeTable.append(spark, table, (101L to 110L).toDF("id"))  // v2: delivered
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", tsAfterV1.toString).load(table)
+      .writeStream.format("memory").queryName("graft_st")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("graft_st").select("id").as[Long].collect().toSet ==
+      (101L to 110L).toSet)
+    // a timestamp before the first commit delivers everything
+    val q2 = spark.readStream.format("graft")
+      .option("startingTimestamp", "2000-01-01").load(table)
+      .writeStream.format("memory").queryName("graft_st2")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("graft_st2").count() == 110)
+    // mutually exclusive with startingVersion
+    val e = intercept[Throwable] {
+      val q3 = spark.readStream.format("graft")
+        .option("startingVersion", 1).option("startingTimestamp", "2000-01-01")
+        .load(table)
+        .writeStream.format("memory").queryName("graft_st3")
+        .option("checkpointLocation", s"$dir/ckpt3").start()
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(y => Option(y.getMessage).toSeq ++ messages(y.getCause))
+    assert(messages(e).exists(_.contains("mutually exclusive")))
+  }
+
   test("maxVersionsPerTrigger paces a catch-up into bounded batches") {
     import spark.implicits._
     val dir = tmp("graft_paced"); val table = s"$dir/t"

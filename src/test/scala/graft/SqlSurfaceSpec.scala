@@ -564,8 +564,9 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(d.getLong(7) == 1L)                       // one dv-bearing file
     assert(d.getString(8) == "grp")                  // partition columns
     assert(d.isNullAt(9))                            // no bucket spec
-    assert(d.getString(10) == "amt_pos")
-    assert(d.getLong(11) == 3L && d.getLong(12) == 4L) // protocol stamps
+    assert(d.isNullAt(10))                           // no generated columns
+    assert(d.getString(11) == "amt_pos")
+    assert(d.getLong(12) == 3L && d.getLong(13) == 4L) // protocol stamps
 
     // a bucketed table reports its layout
     val b = java.nio.file.Files.createTempDirectory("sql_desc_b").toString + "/b"
@@ -574,6 +575,16 @@ class SqlSurfaceSpec extends SparkSpec {
       bucketCols = Seq("k"))
     val db = spark.sql(s"DESCRIBE DETAIL `$b`").head
     assert(db.getString(9) == "buckets=4 by=k")
+
+    // a generated (hidden-partitioned) table reports its transforms
+    val g = java.nio.file.Files.createTempDirectory("sql_desc_g").toString + "/g"
+    LakeTable.overwriteGenerated(spark, g,
+      Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")))
+        .toDF("id", "ts"),
+      Seq(graft.lake.GeneratedColumns.Spec("p_day", "day", "ts")))
+    val dg = spark.sql(s"DESCRIBE DETAIL `$g`").head
+    assert(dg.getString(8) == "p_day")
+    assert(dg.getString(10) == "p_day=day(ts)")
     // DESC abbreviation parses too
     assert(spark.sql(s"DESC HISTORY `$b`").count() == 1)
   }
