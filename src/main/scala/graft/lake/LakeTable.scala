@@ -2829,15 +2829,63 @@ object LakeTable extends org.apache.spark.internal.Logging {
         (nf, cf)
       }
 
-    val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
-      snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns,
-      protocol = if (dropped.nonEmpty) Protocol(4, 1) else Protocol(1, 1))
-    if (!tryCommit(spark, table, next, newFiles, removedAll, cdc = Some(cdcFiles),
-        prev = Some(snap), removedFull = dropped))
-      throw new ConcurrentCommitException(
-        s"DELETE on $table lost the commit race — re-run (a concurrent commit may " +
-          "contain rows this delete never scanned)")
-    next.version
+    // Commit, rebasing onto concurrent commits when PROVABLY safe —
+    // the continuous-ingest-vs-nightly-retention race. A rebase is
+    // sound iff (a) schema/layout/constraints are unchanged, (b) every
+    // file this delete removes is still present UNCHANGED in the new
+    // head (FileEntry equality — a racing MoR delete's dv on one of
+    // our files disqualifies: kept rows and change images were
+    // computed under the old vector state), and (c) none of the
+    // winners' ADDED files can contain a matching row — proven by the
+    // same driver-side pruning a detection scan uses (partition
+    // values, transform bounds, logged min/max, bloom); a fresh
+    // append of ts >> cutoff proves disjoint by its stats, anything
+    // unprovable refuses loudly (Delta's AddFile-vs-predicate
+    // conflict rule).
+    deleteBeforeCommitHook()
+    var cur = snap
+    var attempt = 0
+    while (true) {
+      val next = Snapshot(cur.version + 1, System.currentTimeMillis(), "DELETE",
+        cur.schema, cur.partitionColumns,
+        cur.files.filterNot(e => removedSet.contains(e.path)) ++ newFiles,
+        txns = cur.txns,
+        protocol = if (dropped.nonEmpty) Protocol(4, 1) else Protocol(1, 1))
+      if (tryCommit(spark, table, next, newFiles, removedAll, cdc = Some(cdcFiles),
+          prev = Some(cur), removedFull = dropped))
+        return next.version
+      attempt += 1
+      if (attempt >= maxRetries)
+        throw new ConcurrentCommitException(
+          s"DELETE on $table lost $maxRetries commit races — re-run")
+      val newest = latestSnapshot(spark, table).getOrElse(
+        throw new IllegalStateException(s"log of $table disappeared mid-commit"))
+      def refuse(why: String): Nothing = throw new ConcurrentCommitException(
+        s"DELETE on $table lost the commit race to v${newest.version} and $why — " +
+          "cannot rebase safely, re-run (a concurrent commit may contain rows " +
+          "this delete never scanned)")
+      if (newest.schema != cur.schema || newest.partitionColumns != cur.partitionColumns)
+        refuse("the winner changed the schema or partition layout")
+      if (newest.constraints != cur.constraints)
+        refuse("the winner changed the CHECK constraints")
+      val curByPath = cur.files.iterator.map(e => e.path -> e).toMap
+      val newestByPath = newest.files.iterator.map(e => e.path -> e).toMap
+      removedAll.foreach { p =>
+        if (!newestByPath.get(p).contains(curByPath(p)))
+          refuse(s"the winner rewrote, vectored or removed $p, a file this " +
+            "delete read")
+      }
+      val winnersAdds = newest.files.filterNot(e => curByPath.get(e.path).contains(e))
+      if (conds.isEmpty && winnersAdds.nonEmpty)
+        refuse("the predicate did not resolve for a disjointness proof")
+      val mightMatch = prunedEntries(spark, table,
+        newest.copy(files = winnersAdds), conds)
+      if (mightMatch.nonEmpty)
+        refuse(s"the winner added file(s) the predicate cannot be proven to miss " +
+          s"(e.g. ${mightMatch.head.path})")
+      cur = newest
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Stage `df` (columns `p` = data-file-relative path, `pos` = row
@@ -3205,6 +3253,12 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * deterministically.
     */
   @volatile private[graft] var compactBeforeCommitHook: () => Unit = () => ()
+
+  /** Test seam: invoked after a DELETE stages its rewrite and change
+    * data, before its commit loop — lets a spec interleave a
+    * concurrent commit deterministically.
+    */
+  @volatile private[graft] var deleteBeforeCommitHook: () => Unit = () => ()
 
   /** The hive partition directory of a table-relative file path ("" on
     * an unpartitioned table).

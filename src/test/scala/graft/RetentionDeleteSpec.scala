@@ -164,6 +164,57 @@ class RetentionDeleteSpec extends SparkSpec {
     assert(got == expState)
   }
 
+  test("delete-vs-append race: rebases when winners' adds provably miss the predicate, refuses otherwise") {
+    def build(tag: String): (String, Long) = {
+      val t = java.nio.file.Files.createTempDirectory(s"ret_race_$tag").toString + "/t"
+      LakeTable.overwriteGenerated(spark, t, eventsDf, Seq(Spec("p_day", "day", "ts")))
+      val days = LakeTable.read(spark, t).select($"p_day").distinct()
+        .collect().map(_.getDate(0).toLocalDate).sorted
+      (t, utcMidnightUs(days(2)))
+    }
+    // 1. racing append of FUTURE rows (ts >= cutoff): stats prove the
+    // predicate misses them — the delete rebases and carries them
+    val (t1, cut1) = build("ok")
+    val future = eventsDf.filter($"ts" >= timestamp_micros(lit(cut1)))
+      .withColumn("event_id", $"event_id" + 1000000L)
+    val nFuture = future.count()
+    LakeTable.deleteBeforeCommitHook = () => {
+      LakeTable.deleteBeforeCommitHook = () => ()
+      LakeTable.append(spark, t1, future)
+    }
+    val v = try LakeTable.delete(spark, t1, $"ts" < timestamp_micros(lit(cut1)))
+      finally { LakeTable.deleteBeforeCommitHook = () => () }
+    assert(LakeTable.logEntryAt(spark, t1, v).removedFull.nonEmpty)
+    val exp1 = eventsDf.filter($"ts" >= timestamp_micros(lit(cut1))).count() + nFuture
+    assert(LakeTable.read(spark, t1).count() == exp1)
+
+    // 2. racing append of rows the predicate MATCHES: refuse loudly
+    val (t2, cut2) = build("bad")
+    val old = eventsDf.filter($"ts" < timestamp_micros(lit(cut2)))
+      .withColumn("event_id", $"event_id" + 2000000L)
+    LakeTable.deleteBeforeCommitHook = () => {
+      LakeTable.deleteBeforeCommitHook = () => ()
+      LakeTable.append(spark, t2, old)
+    }
+    val e2 = try intercept[LakeTable.ConcurrentCommitException] {
+      LakeTable.delete(spark, t2, $"ts" < timestamp_micros(lit(cut2)))
+    } finally { LakeTable.deleteBeforeCommitHook = () => () }
+    assert(e2.getMessage.contains("cannot be proven to miss"))
+
+    // 3. racing MoR delete vectoring a file this delete read: refuse
+    val (t3, cut3) = build("dv")
+    val victim = eventsDf.filter($"ts" < timestamp_micros(lit(cut3)))
+      .select($"event_id").as[Long].head()
+    LakeTable.deleteBeforeCommitHook = () => {
+      LakeTable.deleteBeforeCommitHook = () => ()
+      LakeTable.deleteMergeOnRead(spark, t3, $"event_id" === victim)
+    }
+    val e3 = try intercept[LakeTable.ConcurrentCommitException] {
+      LakeTable.delete(spark, t3, $"ts" < timestamp_micros(lit(cut3)))
+    } finally { LakeTable.deleteBeforeCommitHook = () => () }
+    assert(e3.getMessage.contains("rewrote, vectored or removed"))
+  }
+
   test("proveAllRows soundness corners: nulls block, Or branches, restore sees through") {
     // stats-based whole-file proof on an UNPARTITIONED table
     installCfs()
