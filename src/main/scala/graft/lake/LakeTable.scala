@@ -2812,7 +2812,6 @@ object LakeTable extends org.apache.spark.internal.Logging {
       else mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
     val removedAll = affectedRel ++ dropped
     val removedSet = removedAll.toSet
-    val carried = snap.files.filterNot(e => removedSet.contains(e.path))
 
     // CoW rewrite + recorded change rows for the PARTIALLY matched
     // files only; the dropped files' deletes ride as removedFull
@@ -2843,27 +2842,52 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // unprovable refuses loudly (Delta's AddFile-vs-predicate
     // conflict rule).
     deleteBeforeCommitHook()
-    var cur = snap
+    commitPredicateRewrite(spark, table, snap, "DELETE", newFiles, removedAll,
+      conds, cdcFiles, removedFull = dropped)
+  }
+
+  /** Commit loop for predicate-scoped copy-on-write rewrites (DELETE /
+    * UPDATE): replace `removedAll` with `newFiles` on top of the base
+    * snapshot, REBASING onto concurrent commits when provably safe —
+    * the continuous-ingest-vs-maintenance-DML race. A rebase is sound
+    * iff (a) schema/layout/constraints are unchanged, (b) every file
+    * this rewrite removes is still present UNCHANGED in the new head
+    * (FileEntry equality — a racing MoR vector on one of our files
+    * disqualifies: kept rows and change images were computed under the
+    * old vector state), and (c) none of the winners' ADDED files can
+    * contain a row matching `conds` — proven by the same driver-side
+    * pruning a detection scan uses (partition values, transform
+    * bounds, logged min/max, bloom); a fresh append of future data
+    * proves disjoint by its stats, anything unprovable refuses loudly
+    * (Delta's AddFile-vs-predicate conflict rule).
+    */
+  private def commitPredicateRewrite(spark: SparkSession, table: String,
+      base: Snapshot, op: String, newFiles: Seq[FileEntry],
+      removedAll: Seq[String],
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      cdcFiles: Seq[String], removedFull: Seq[String] = Nil): Long = {
+    val removedSet = removedAll.toSet
+    var cur = base
     var attempt = 0
     while (true) {
-      val next = Snapshot(cur.version + 1, System.currentTimeMillis(), "DELETE",
+      val next = Snapshot(cur.version + 1, System.currentTimeMillis(), op,
         cur.schema, cur.partitionColumns,
         cur.files.filterNot(e => removedSet.contains(e.path)) ++ newFiles,
         txns = cur.txns,
-        protocol = if (dropped.nonEmpty) Protocol(4, 1) else Protocol(1, 1))
+        protocol = if (removedFull.nonEmpty) Protocol(4, 1) else Protocol(1, 1))
       if (tryCommit(spark, table, next, newFiles, removedAll, cdc = Some(cdcFiles),
-          prev = Some(cur), removedFull = dropped))
+          prev = Some(cur), removedFull = removedFull))
         return next.version
       attempt += 1
       if (attempt >= maxRetries)
         throw new ConcurrentCommitException(
-          s"DELETE on $table lost $maxRetries commit races — re-run")
+          s"$op on $table lost $maxRetries commit races — re-run")
       val newest = latestSnapshot(spark, table).getOrElse(
         throw new IllegalStateException(s"log of $table disappeared mid-commit"))
       def refuse(why: String): Nothing = throw new ConcurrentCommitException(
-        s"DELETE on $table lost the commit race to v${newest.version} and $why — " +
+        s"$op on $table lost the commit race to v${newest.version} and $why — " +
           "cannot rebase safely, re-run (a concurrent commit may contain rows " +
-          "this delete never scanned)")
+          s"this ${op.toLowerCase} never scanned)")
       if (newest.schema != cur.schema || newest.partitionColumns != cur.partitionColumns)
         refuse("the winner changed the schema or partition layout")
       if (newest.constraints != cur.constraints)
@@ -2873,7 +2897,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       removedAll.foreach { p =>
         if (!newestByPath.get(p).contains(curByPath(p)))
           refuse(s"the winner rewrote, vectored or removed $p, a file this " +
-            "delete read")
+            s"${op.toLowerCase} read")
       }
       val winnersAdds = newest.files.filterNot(e => curByPath.get(e.path).contains(e))
       if (conds.isEmpty && winnersAdds.nonEmpty)
@@ -3034,9 +3058,6 @@ object LakeTable extends org.apache.spark.internal.Logging {
     if (matchedAbs.isEmpty) return snap.version
 
     val affectedRel = mapMatchedRel(spark, table, matchedAbs, "UPDATE", snap)
-    val matchedSet = affectedRel.toSet
-    val carried = snap.files.filterNot(e => matchedSet.contains(e.path))
-
     val setByName = set.toMap
     val hit = coalesce(condition, lit(false))
     val affectedDf = readDataFilesLive(spark, table, snap, affectedRel)
@@ -3063,14 +3084,9 @@ object LakeTable extends org.apache.spark.internal.Logging {
         .unionByName(hitRows.select(applied: _*)
           .withColumn(ChangeTypeCol, lit("update_postimage"))))
 
-    val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "UPDATE",
-      snap.schema, snap.partitionColumns, carried ++ newFiles, txns = snap.txns)
-    if (!tryCommit(spark, table, next, newFiles, affectedRel, cdc = Some(cdcFiles),
-        prev = Some(snap)))
-      throw new ConcurrentCommitException(
-        s"UPDATE on $table lost the commit race — re-run (a concurrent commit may " +
-          "contain rows this update never scanned)")
-    next.version
+    updateBeforeCommitHook()
+    commitPredicateRewrite(spark, table, snap, "UPDATE", newFiles, affectedRel,
+      resolvedConjuncts(spark, snap.schema, condition), cdcFiles)
   }
 
   // --------------------------------------------------------------- compact
@@ -3259,6 +3275,9 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * concurrent commit deterministically.
     */
   @volatile private[graft] var deleteBeforeCommitHook: () => Unit = () => ()
+
+  /** Test seam: the UPDATE counterpart of [[deleteBeforeCommitHook]]. */
+  @volatile private[graft] var updateBeforeCommitHook: () => Unit = () => ()
 
   /** The hive partition directory of a table-relative file path ("" on
     * an unpartitioned table).

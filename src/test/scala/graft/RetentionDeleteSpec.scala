@@ -213,6 +213,25 @@ class RetentionDeleteSpec extends SparkSpec {
       LakeTable.delete(spark, t3, $"ts" < timestamp_micros(lit(cut3)))
     } finally { LakeTable.deleteBeforeCommitHook = () => () }
     assert(e3.getMessage.contains("rewrote, vectored or removed"))
+
+    // 4. UPDATE goes through the same rebase: racing future append is
+    // carried, and the update result is exactly the sequential one
+    val (t4, cut4) = build("upd")
+    val future4 = eventsDf.filter($"ts" >= timestamp_micros(lit(cut4)))
+      .withColumn("event_id", $"event_id" + 3000000L)
+    LakeTable.deleteBeforeCommitHook = () => () // not the update's seam
+    LakeTable.updateBeforeCommitHook = () => {
+      LakeTable.updateBeforeCommitHook = () => ()
+      LakeTable.append(spark, t4, future4)
+    }
+    try LakeTable.update(spark, t4, Seq("value" -> lit(0.0)),
+      $"ts" < timestamp_micros(lit(cut4)))
+    finally { LakeTable.updateBeforeCommitHook = () => () }
+    val got4 = LakeTable.read(spark, t4)
+      .filter($"ts" < timestamp_micros(lit(cut4)) && $"value" =!= 0.0).count()
+    assert(got4 == 0, "update must have zeroed every pre-cutoff row")
+    assert(LakeTable.read(spark, t4).count() ==
+      eventsDf.count() + future4.count())
   }
 
   test("proveAllRows soundness corners: nulls block, Or branches, restore sees through") {
