@@ -2744,51 +2744,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val conds = resolvedConjuncts(spark, snap.schema, condition)
 
-    // ---- metadata pass: whole-file drops, before ANY data I/O.
-    // resolvedConjuncts's AND equals `condition` exactly when
-    // resolution succeeds (it is the analyzed filter's conjunct split);
-    // empty means unresolvable — no proofs, everything scans.
-    val dropped: Seq[String] =
-      if (conds.isEmpty) Nil
-      else {
-        val resolver = spark.sessionState.conf.resolver
-        val pSchema = GraftDataSource.asNullable(
-          StructType(snap.partitionColumns.map(snap.schema(_))))
-        val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
-        val nameMap = ColumnMapping.mapping(snap.schema)
-        val physSchema = ColumnMapping.physicalSchema(snap.schema)
-        val physConds =
-          if (ColumnMapping.needsTranslation(snap.schema))
-            conds.map(ColumnMapping.physicalizeExpr(_, nameMap))
-          else conds
-        val gens = GeneratedColumns.specs(snap.schema)
-          .filter(s => snap.partitionColumns.contains(s.target))
-        snap.files.filter { e =>
-          val row = PartitionPaths.valuesOf(e.path, pSchema, tz)
-          val known = scala.collection.mutable.Map.empty[String, DataSkipping.KnownBounds]
-          // hive partition values: constant per file (partition column
-          // names are never renamed, so logical == physical)
-          pSchema.fields.zipWithIndex.foreach { case (f, i) =>
-            if (!row.isNullAt(i))
-              known(f.name) =
-                DataSkipping.KnownBounds(f.dataType, row.get(i, f.dataType), row.get(i, f.dataType))
-          }
-          // generated transforms: the partition value bounds the SOURCE
-          gens.foreach { sp =>
-            val i = pSchema.fieldIndex(sp.target)
-            if (!row.isNullAt(i)) {
-              snap.schema.find(_.name == sp.source).foreach { sf =>
-                GeneratedColumns.sourceBounds(sp.transform, sf.dataType,
-                    row.get(i, pSchema(sp.target).dataType)).foreach { case (lo, hi) =>
-                  known(nameMap.getOrElse(sp.source, sp.source)) =
-                    DataSkipping.KnownBounds(sf.dataType, lo, hi)
-                }
-              }
-            }
-          }
-          DataSkipping.proveAllRows(physConds, physSchema, resolver, e, known.toMap)
-        }.map(_.path)
-      }
+    // ---- metadata pass: whole-file drops, before ANY data I/O
+    val dropped = provablyCoveredFiles(spark, snap, conds)
     val droppedSet = dropped.toSet
 
     // ---- detection over the REMAINING candidates only (driver-side
@@ -2844,6 +2801,55 @@ object LakeTable extends org.apache.spark.internal.Logging {
     deleteBeforeCommitHook()
     commitPredicateRewrite(spark, table, snap, "DELETE", newFiles, removedAll,
       conds, cdcFiles, removedFull = dropped)
+  }
+
+  /** The metadata pass behind retention deletes: files of `snap` whose
+    * every row PROVABLY satisfies the conjuncts
+    * ([[DataSkipping.proveAllRows]]) given the logged footer stats,
+    * the file's hive partition values (constant per file — partition
+    * columns are never renamed, so logical == physical), and the
+    * source intervals generated-transform partition values imply
+    * ([[GeneratedColumns.sourceBounds]]). `conds`'s AND must equal the
+    * caller's predicate exactly (resolvedConjuncts guarantees it when
+    * non-empty; empty proves nothing).
+    */
+  private def provablyCoveredFiles(spark: SparkSession, snap: Snapshot,
+      conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Seq[String] = {
+    if (conds.isEmpty) return Nil
+    val resolver = spark.sessionState.conf.resolver
+    val pSchema = GraftDataSource.asNullable(
+      StructType(snap.partitionColumns.map(snap.schema(_))))
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    val nameMap = ColumnMapping.mapping(snap.schema)
+    val physSchema = ColumnMapping.physicalSchema(snap.schema)
+    val physConds =
+      if (ColumnMapping.needsTranslation(snap.schema))
+        conds.map(ColumnMapping.physicalizeExpr(_, nameMap))
+      else conds
+    val gens = GeneratedColumns.specs(snap.schema)
+      .filter(s => snap.partitionColumns.contains(s.target))
+    snap.files.filter { e =>
+      val row = PartitionPaths.valuesOf(e.path, pSchema, tz)
+      val known = scala.collection.mutable.Map.empty[String, DataSkipping.KnownBounds]
+      pSchema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (!row.isNullAt(i))
+          known(f.name) =
+            DataSkipping.KnownBounds(f.dataType, row.get(i, f.dataType), row.get(i, f.dataType))
+      }
+      gens.foreach { sp =>
+        val i = pSchema.fieldIndex(sp.target)
+        if (!row.isNullAt(i)) {
+          snap.schema.find(_.name == sp.source).foreach { sf =>
+            GeneratedColumns.sourceBounds(sp.transform, sf.dataType,
+                row.get(i, pSchema(sp.target).dataType)).foreach { case (lo, hi) =>
+              known(nameMap.getOrElse(sp.source, sp.source)) =
+                DataSkipping.KnownBounds(sf.dataType, lo, hi)
+            }
+          }
+        }
+      }
+      DataSkipping.proveAllRows(physConds, physSchema, resolver, e, known.toMap)
+    }.map(_.path)
   }
 
   /** Commit loop for predicate-scoped copy-on-write rewrites (DELETE /
@@ -2956,8 +2962,15 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val conds = resolvedConjuncts(spark, snap.schema, condition)
-    val candidates = prunedEntries(spark, table, snap, conds)
-    if (candidates.isEmpty) return snap.version
+    // metadata pass, shared with CoW delete: a provably-covered file
+    // needs no vector AND no read — it leaves by log edit, its delete
+    // rows ride removedFull for lazy feed synthesis. A MoR retention
+    // sweep therefore vectors only the boundary files.
+    val dropped = provablyCoveredFiles(spark, snap, conds)
+    val droppedSet = dropped.toSet
+    val remaining = snap.files.filterNot(e => droppedSet.contains(e.path))
+    val candidates = prunedEntries(spark, table, snap.copy(files = remaining), conds)
+    if (candidates.isEmpty && dropped.isEmpty) return snap.version
 
     // one detection scan, three consumers (positions, per-file counts,
     // change-feed preimages): persist so they agree and the scan runs
@@ -2968,8 +2981,10 @@ object LakeTable extends org.apache.spark.internal.Logging {
     try {
       val matchedAbs = matched.select(col(FilePathCol)).distinct()
         .collect().map(_.getString(0))
-      if (matchedAbs.isEmpty) return snap.version
-      val affectedRel = mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
+      if (matchedAbs.isEmpty && dropped.isEmpty) return snap.version
+      val affectedRel =
+        if (matchedAbs.isEmpty) Seq.empty[String]
+        else mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
       // a cloned (foreign) file cannot take a deletion vector: vector
       // rows key on positions relative to THIS table's data root
       val foreignHit = affectedRel.filter(isForeignEntry)
@@ -2981,46 +2996,54 @@ object LakeTable extends org.apache.spark.internal.Logging {
             "to localize its files first")
       val affectedSet = affectedRel.toSet
 
-      // new positions, relativized IN the plan (no driver round-trip of
-      // row-level data); a file outside the data root fails loudly
-      val prefix = qualifiedDataPrefix(spark, table) + "/"
-      val relCol = when(col(FilePathCol).startsWith(prefix),
-        col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
-        .otherwise(raise_error(concat(
-          lit(s"DELETE on $table matched a file outside the data root: "),
-          col(FilePathCol))))
-      val newRows = matched.select(relCol.as("p"), col(RowPosCol).as("pos"))
+      // vectors + recorded change rows only for the PARTIALLY matched
+      // files; a dropped file's deletes ride as removedFull
+      val (updated, cdcFiles): (Seq[FileEntry], Seq[String]) =
+        if (affectedRel.isEmpty) (Seq.empty, Seq.empty)
+        else {
+          // new positions, relativized IN the plan (no driver
+          // round-trip of row-level data); a file outside the data
+          // root fails loudly
+          val prefix = qualifiedDataPrefix(spark, table) + "/"
+          val relCol = when(col(FilePathCol).startsWith(prefix),
+            col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
+            .otherwise(raise_error(concat(
+              lit(s"DELETE on $table matched a file outside the data root: "),
+              col(FilePathCol))))
+          val newRows = matched.select(relCol.as("p"), col(RowPosCol).as("pos"))
 
-      // fold in the affected files' existing vectors, so each rewritten
-      // entry's single dv reference is its COMPLETE deleted set
-      val withOldDv = candidates.filter(e => affectedSet(e.path) && e.dv.isDefined)
-      val allRows =
-        if (withOldDv.isEmpty) newRows
-        else newRows.unionByName(dvRows(spark, table, withOldDv)
-          .filter(col("p").isInCollection(withOldDv.map(_.path))))
-      val dvDir = stageDeleteVector(spark, table, allRows,
-        math.max(1, math.min(32, affectedRel.size)))
+          // fold in the affected files' existing vectors, so each
+          // rewritten entry's single dv reference is its COMPLETE
+          // deleted set
+          val withOldDv = candidates.filter(e => affectedSet(e.path) && e.dv.isDefined)
+          val allRows =
+            if (withOldDv.isEmpty) newRows
+            else newRows.unionByName(dvRows(spark, table, withOldDv)
+              .filter(col("p").isInCollection(withOldDv.map(_.path))))
+          val dvDir = stageDeleteVector(spark, table, allRows,
+            math.max(1, math.min(32, affectedRel.size)))
 
-      val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-      val carried = snap.files.filterNot(e => affectedSet.contains(e.path))
-      val updated = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-        val card = cardByFile.getOrElse(e.path, 0L)
-        // fully-deleted file: drop the entry outright (vacuum reclaims
-        // the bytes once the version ages out)
-        if (e.rowCount >= 0 && card >= e.rowCount) None
-        else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
-      }
+          val upd = remaining.filter(e => affectedSet.contains(e.path)).flatMap { e =>
+            val card = cardByFile.getOrElse(e.path, 0L)
+            // fully-deleted file: drop the entry outright (vacuum
+            // reclaims the bytes once the version ages out)
+            if (e.rowCount >= 0 && card >= e.rowCount) None
+            else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
+          }
+          val cdc = stageChangeFiles(spark, table,
+            matched.drop(FilePathCol, RowPosCol).withColumn(ChangeTypeCol, lit("delete")))
+          (upd, cdc)
+        }
 
-      val cdcFiles = stageChangeFiles(spark, table,
-        matched.drop(FilePathCol, RowPosCol).withColumn(ChangeTypeCol, lit("delete")))
-
+      val carried = remaining.filterNot(e => affectedSet.contains(e.path))
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "DELETE",
         snap.schema, snap.partitionColumns, carried ++ updated, txns = snap.txns,
-        protocol = Protocol(3, 3))
-      if (!tryCommit(spark, table, next, updated, affectedRel, cdc = Some(cdcFiles),
-          prev = Some(snap)))
+        protocol = Protocol(if (dropped.nonEmpty) 4 else 3, 3))
+      if (!tryCommit(spark, table, next, updated, affectedRel ++ dropped,
+          cdc = Some(cdcFiles), prev = Some(snap), removedFull = dropped))
         throw new ConcurrentCommitException(
           s"merge-on-read DELETE on $table lost the commit race — re-run (a " +
             "concurrent commit may contain rows this delete never scanned)")

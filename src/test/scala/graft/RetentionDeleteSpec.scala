@@ -164,6 +164,40 @@ class RetentionDeleteSpec extends SparkSpec {
     assert(got == expState)
   }
 
+  test("MoR retention: interior days drop by metadata with NO vector and no read; boundary gets vectors") {
+    installCfs()
+    val t = cfsTable("morret")
+    LakeTable.overwriteGenerated(spark, t, eventsDf, Seq(Spec("p_day", "day", "ts")))
+    val days = LakeTable.read(spark, t).select($"p_day").distinct()
+      .collect().map(_.getDate(0).toLocalDate).sorted
+    val boundary = days(2)
+    val cutoffUs = utcMidnightUs(boundary) + GeneratedColumns.MicrosPerDay / 2
+
+    CountingFileSystem.reset()
+    val v = LakeTable.deleteMergeOnRead(spark, t, $"ts" < timestamp_micros(lit(cutoffUs)))
+    // interior days never read, never vectored — gone from the snapshot
+    assert(dataOpens().forall(_.contains(s"p_day=$boundary")),
+      s"MoR retention read interior files: ${dataOpens()}")
+    val entry = LakeTable.logEntryAt(spark, t, v)
+    assert(entry.removedFull.nonEmpty)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.protocol.reader == 4)
+    // the boundary day's surviving files carry vectors; no other file does
+    snap.files.filter(_.dv.isDefined).foreach(e =>
+      assert(e.path.contains(s"p_day=$boundary"), e.path))
+    assert(snap.files.exists(e => e.path.contains(s"p_day=$boundary") && e.dv.isDefined))
+    // state + feed both exact
+    val exp = eventsDf.filter($"ts" >= timestamp_micros(lit(cutoffUs)))
+    assert(LakeTable.read(spark, t).drop("p_day").orderBy("event_id").collect().toSeq ==
+      exp.orderBy("event_id").collect().toSeq)
+    val feedDeleted = LakeTable.changes(spark, t, v, v)
+      .filter(col(LakeTable.ChangeTypeCol) === "delete")
+      .select($"event_id").as[Long].collect().toSet
+    assert(feedDeleted ==
+      eventsDf.filter($"ts" < timestamp_micros(lit(cutoffUs)))
+        .select($"event_id").as[Long].collect().toSet)
+  }
+
   test("delete-vs-append race: rebases when winners' adds provably miss the predicate, refuses otherwise") {
     def build(tag: String): (String, Long) = {
       val t = java.nio.file.Files.createTempDirectory(s"ret_race_$tag").toString + "/t"
