@@ -71,6 +71,21 @@ object GeneratedColumns {
 
   val transforms: Set[String] = Set("identity", "hour", "day", "month", "year")
 
+  /** Iceberg's `truncate[W]` numeric transform: `truncN` floors an
+    * integral source to a multiple of N (`trunc1000(id)` buckets ids
+    * into aligned ranges) — monotonic, so range predicates map like
+    * the time transforms.
+    */
+  private val TruncRe = """trunc(\d+)""".r
+
+  def truncWidth(transform: String): Option[Long] = transform match {
+    case TruncRe(n) => n.toLongOption.filter(_ > 0)
+    case _ => None
+  }
+
+  def validTransform(t: String): Boolean =
+    transforms.contains(t) || truncWidth(t).isDefined
+
   /** The table's generated-column specs, if its schema declares any. */
   def specs(schema: StructType): Seq[Spec] =
     schema.fields.filter(_.metadata.contains(TransformKey)).map { f =>
@@ -83,6 +98,7 @@ object GeneratedColumns {
     case "hour"     => TimestampType
     case "day" | "month" => DateType
     case "year"     => IntegerType
+    case t if truncWidth(t).isDefined => LongType
     case other => throw new IllegalArgumentException(s"unknown transform '$other'")
   }
 
@@ -90,6 +106,8 @@ object GeneratedColumns {
     case "identity" => true
     case "hour"     => src == TimestampType
     case "day" | "month" | "year" => src == TimestampType || src == DateType
+    case t if truncWidth(t).isDefined =>
+      src == ByteType || src == ShortType || src == IntegerType || src == LongType
     case _          => false
   }
 
@@ -124,6 +142,9 @@ object GeneratedColumns {
       case "day"   => expr(dayDate)
       case "month" => expr(s"trunc($dayDate, 'MONTH')")
       case "year"  => expr(s"year($dayDate)")
+      case t if truncWidth(t).isDefined =>
+        val n = truncWidth(t).get
+        expr(s"(CAST($c AS BIGINT) - pmod(CAST($c AS BIGINT), ${n}L))")
       case other => throw new IllegalArgumentException(s"unknown transform '$other'")
     }
   }
@@ -137,8 +158,9 @@ object GeneratedColumns {
     require(gens.map(_.target).distinct.size == gens.size,
       s"duplicate generated column names in ${gens.map(_.target).mkString(", ")}")
     gens.foreach { sp =>
-      require(transforms.contains(sp.transform),
-        s"unknown transform '${sp.transform}' — supported: ${transforms.toSeq.sorted.mkString(", ")}")
+      require(validTransform(sp.transform),
+        s"unknown transform '${sp.transform}' — supported: " +
+          s"${transforms.toSeq.sorted.mkString(", ")}, trunc<N>")
       require(!schema.fieldNames.contains(sp.target),
         s"generated column '${sp.target}' already exists in the schema")
       val src = schema.fields.find(_.name == sp.source).getOrElse(
@@ -203,6 +225,14 @@ object GeneratedColumns {
         Literal(LocalDate.ofEpochDay(d).withDayOfMonth(1).toEpochDay.toInt, DateType)
       }
       case "year" => epochDays.map(d => Literal(LocalDate.ofEpochDay(d).getYear, IntegerType))
+      case t if truncWidth(t).isDefined =>
+        val n = truncWidth(t).get
+        lit.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val v = lit.value.asInstanceOf[Number].longValue
+            Some(Literal(v - Math.floorMod(v, n), LongType))
+          case _ => None
+        }
       case _ => None
     }
   }
@@ -245,6 +275,13 @@ object GeneratedColumns {
           dayRange(d0.toEpochDay, LocalDate.of(y + 1, 1, 1).toEpochDay - 1)
         case _ => None
       }
+      case t if truncWidth(t).isDefined =>
+        (srcType, pv) match {
+          case (ByteType | ShortType | IntegerType | LongType, v: Long) =>
+            try Some((v, Math.addExact(v, truncWidth(t).get - 1)))
+            catch { case _: ArithmeticException => None }
+          case _ => None
+        }
       case _ => None
     }
   }

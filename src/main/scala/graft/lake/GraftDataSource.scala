@@ -250,7 +250,7 @@ class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // GeneratedColumns). Like partitionBy/bucketBy above, an overwrite
     // WITHOUT the option preserves an existing generated layout;
     // dropping it requires the Scala API's plain overwrite.
-    val GenSpecRe = """([^=;()]+)=([A-Za-z_]+)\(([^()]+)\)""".r
+    val GenSpecRe = """([^=;()]+)=([A-Za-z_0-9]+)\(([^()]+)\)""".r
     val requestedGens = parameters.get("generatedPartition").map { s =>
       s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map {
         case GenSpecRe(tgt, tf, src) =>

@@ -222,6 +222,38 @@ class GeneratedColumnsSpec extends SparkSpec {
     }
   }
 
+  test("truncN transform: derive == literal math, range pruning, retention drop on id ranges") {
+    // write/read agreement incl. negatives
+    val vals = Seq(-2001L, -1L, 0L, 999L, 1000L, 123456L)
+    val df = vals.toDF("id")
+      .select($"id", GeneratedColumns.genColumn("trunc1000", "id", LongType).as("b"))
+    df.collect().foreach { r =>
+      val expect = GeneratedColumns
+        .evalTransform("trunc1000", Literal(r.getLong(0), LongType)).get.value
+      assert(r.getLong(1) == expect, s"trunc1000(${r.getLong(0)})")
+    }
+    // end to end: id-range partitioned lake, equality probe prunes,
+    // retention delete on an aligned id cutoff drops by metadata
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val local = java.nio.file.Files.createTempDirectory("gen_trunc").toString + "/t"
+    val t = "cfs:" + local
+    val rows = (0L until 5000L).map(i => (i, s"v$i")).toDF("id", "s")
+    LakeTable.overwriteGenerated(spark, t, rows, Seq(Spec("p_bkt", "trunc1000", "id")))
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.map(_.path.split('/').head).distinct.size == 5)
+    CountingFileSystem.reset()
+    assert(LakeTable.read(spark, t).filter($"id" === 3456L).count() == 1)
+    val opened = CountingFileSystem.openedUnder("/data/")
+      .filter(_.endsWith(".parquet")).distinct
+    assert(opened.forall(_.contains("p_bkt=3000")), s"opened: $opened")
+    CountingFileSystem.reset()
+    val v = LakeTable.delete(spark, t, $"id" < 2000L)
+    assert(CountingFileSystem.openedUnder("/data/")
+      .filter(_.endsWith(".parquet")).isEmpty, "aligned id retention must not read")
+    assert(LakeTable.logEntryAt(spark, t, v).removedFull.nonEmpty)
+    assert(LakeTable.read(spark, t).count() == 3000)
+  }
+
   test("column evolution: dropping a generated source refuses; renaming it follows the spec") {
     val t = tmpTable("evol")
     LakeTable.overwriteGenerated(spark, t, eventsDf, Seq(Spec("p_day", "day", "ts")))
