@@ -99,6 +99,9 @@ object SparkEntry {
     // incremental distinct counts: HLL sketch partials appended per
     // refresh from the feed, unioned at read — never a rescan
     "incr_distinct"        -> ((s, d) => IncrementalOps.incrDistinct(s, d)),
+    // incremental heavy hitters: Count-Min partials + candidates per
+    // refresh, merged-sketch estimates at read
+    "incr_topk"            -> ((s, d) => IncrementalOps.incrTopk(s, d)),
     // full maintenance surface (merge/delete/update/compact/restore)
     // vs an independent engine's replay
     "lake_dml"             -> ((s, d) => MaintenanceOps.lakeDml(s, d)),

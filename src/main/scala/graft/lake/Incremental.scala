@@ -245,4 +245,83 @@ object Incremental {
       .agg(expr("hll_sketch_estimate(hll_union_agg(sketch, true))").as(estimateAs),
         sum(col("n")).as("n_rows"),
         count(lit(1)).as("n_partials"))
+
+  private def hhWatermarkId(source: String): String =
+    "graft-hh:" + new Path(source).toUri.getPath
+
+  /** Incremental HEAVY HITTERS via mergeable Count-Min sketches: each
+    * refresh appends (a) ONE serialized CMS over the batch's terms
+    * (Spark's builtin `count_min_sketch` — codegen'd, one pass) and
+    * (b) the batch's exact top `candidatesPerBatch` terms; the
+    * [[heavyHitters]] read merges the sketches
+    * ([[graft.functions.CmsAgg]] — counter addition, order-free) and
+    * estimates every accumulated candidate against the merged sketch.
+    * Cost per refresh is one pass over the NEW rows; read cost is
+    * O(partials + candidates). CMS never under-counts, so a true heavy
+    * hitter that surfaced in ANY batch's candidates ranks correctly at
+    * read time; a term below every batch's top-M can be missed —
+    * choose M well above k (the classic candidate-set trade; the spec
+    * pins top-k exactness on the test corpus and over-estimation ≤
+    * eps·N). Insert-only + exactly-once like [[refreshSketch]].
+    *
+    * `terms` must evaluate to ARRAY<STRING> over the source rows.
+    */
+  def refreshHeavyHitters(spark: SparkSession, source: String, target: String,
+                          terms: Column, eps: Double = 1e-4,
+                          confidence: Double = 0.99, seed: Int = 42,
+                          candidatesPerBatch: Int = 100): Long = {
+    val srcSnap = LakeTable.latestSnapshot(spark, source)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at source $source"))
+    val qid = hhWatermarkId(source)
+    val tgtSnap = LakeTable.latestSnapshot(spark, target)
+    val done = tgtSnap.flatMap(_.txns.get(qid)).getOrElse(0L)
+    if (done >= srcSnap.version) return tgtSnap.get.version
+    val rows =
+      if (done == 0L) LakeTable.read(spark, source, asOf = Some(srcSnap.version))
+      else {
+        val feed = LakeTable.changes(spark, source, done + 1, srcSnap.version)
+        val nonInsert = feed
+          .filter(col(LakeTable.ChangeTypeCol) =!= "insert").limit(1).count()
+        require(nonInsert == 0L,
+          s"refreshHeavyHitters source $source fed a non-insert change in " +
+            s"(${done + 1}, ${srcSnap.version}] — sketches are insert-only " +
+            "summaries; rebuild instead of folding a delete")
+        feed
+      }
+    val batchTerms = rows.select(explode(terms).as("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val cmsRow = batchTerms
+      .agg(expr(s"count_min_sketch(term, ${eps}d, ${confidence}d, $seed)").as("cms"))
+      .select(lit("cms").as("kind"), lit(null).cast("string").as("term"),
+        lit(null).cast("long").as("n"), col("cms"),
+        lit(srcSnap.version).as("through_version"))
+    val candRows = batchTerms.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(candidatesPerBatch)
+      .select(lit("cand").as("kind"), col("term"), col("n"),
+        lit(null).cast("binary").as("cms"),
+        lit(srcSnap.version).as("through_version"))
+    val partial = cmsRow.unionByName(candRows)
+    (if (tgtSnap.isEmpty)
+       LakeTable.overwriteStream(spark, target, partial, qid, srcSnap.version,
+         operation = "HH REFRESH")
+         .getOrElse(LakeTable.latestVersion(spark, target).getOrElse(0L))
+     else
+       LakeTable.appendStream(spark, target, partial, qid, srcSnap.version,
+         operation = "HH REFRESH").getOrElse(tgtSnap.get.version))
+  }
+
+  /** Top-k terms from an accumulated heavy-hitters table: merge the
+    * sketch partials, estimate every distinct candidate, rank.
+    */
+  def heavyHitters(spark: SparkSession, target: String, k: Int): org.apache.spark.sql.DataFrame = {
+    graft.functions.CmsAgg.register(spark)
+    val t = LakeTable.read(spark, target)
+    val merged = t.filter(col("kind") === "cms")
+      .agg(expr("cms_union_agg(cms)").as("cms"))
+    val cands = t.filter(col("kind") === "cand").select("term").distinct()
+    cands.crossJoin(broadcast(merged))
+      .select(col("term"), expr("cms_estimate(cms, term)").as("est"))
+      .orderBy(col("est").desc, col("term")).limit(k)
+  }
 }

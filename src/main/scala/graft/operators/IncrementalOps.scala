@@ -64,6 +64,27 @@ object IncrementalOps {
     * and within 5% of exact countDistinct, and proves replay is a
     * no-op and a deleting source refuses.
     */
+  /** Incremental heavy hitters ([[Incremental.refreshHeavyHitters]]):
+    * the documents corpus lands in two batches, each refresh appends
+    * one Count-Min partial + the batch's candidate terms, and the
+    * final top-20 comes from merged-sketch estimates — term frequency
+    * without rescanning the corpus. No SQL oracle (sketch binaries);
+    * HeavyHitterSpec pins the result EQUAL to the exact top-k on this
+    * corpus and the estimates within eps·N above truth.
+    */
+  def incrTopk(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_incrtk").toString
+    val src = s"$work/docs_lake"
+    val tgt = s"$work/term_sketches"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val terms = graft.functions.TextFns.tokens(lower(col("text")))
+    LakeTable.overwrite(spark, src, docs.filter(col("doc_id") % 2 === 0))
+    Incremental.refreshHeavyHitters(spark, src, tgt, terms)
+    LakeTable.append(spark, src, docs.filter(col("doc_id") % 2 =!= 0))
+    Incremental.refreshHeavyHitters(spark, src, tgt, terms)
+    Incremental.heavyHitters(spark, tgt, k = 20)
+  }
+
   def incrDistinct(spark: SparkSession, dir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft_incrd").toString
     val src = s"$work/events_lake"

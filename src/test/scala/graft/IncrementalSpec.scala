@@ -271,6 +271,47 @@ class IncrementalSpec extends SparkSpec {
     }.getMessage.contains("collide"))
   }
 
+  test("refreshHeavyHitters: incremental top-k equals exact on this corpus, never under-counts, replay no-op") {
+    val src = tmpTable("hh_src")
+    val tgt = tmpTable("hh_tgt")
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val terms = graft.functions.TextFns.tokens(lower($"text"))
+    LakeTable.overwrite(spark, src, docs.filter($"doc_id" % 2 === 0))
+    Incremental.refreshHeavyHitters(spark, src, tgt, terms)
+    LakeTable.append(spark, src, docs.filter($"doc_id" % 2 =!= 0))
+    val v2 = Incremental.refreshHeavyHitters(spark, src, tgt, terms)
+
+    val exact = docs.select(explode(terms).as("term"))
+      .filter($"term" =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val totalN = exact.agg(sum($"n")).head().getLong(0)
+    val exactTop = exact.orderBy($"n".desc, $"term").limit(20)
+      .select("term").as[String].collect().toSeq
+
+    val hh = Incremental.heavyHitters(spark, tgt, k = 20)
+    val got = hh.collect().map(r => r.getString(0) -> r.getLong(1))
+    // identical top-k set AND order on this corpus (eps·N slack is far
+    // below the gaps between top terms)
+    assert(got.map(_._1).toSeq == exactTop,
+      s"got ${got.map(_._1).toSeq}\nexact $exactTop")
+    // CMS property: estimates never under-count, over-count <= eps·N
+    val truth = exact.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (term, est) =>
+      val t = truth(term)
+      assert(est >= t, s"$term under-counted: $est < $t")
+      assert(est - t <= math.ceil(1e-4 * totalN).toLong + 1, s"$term over by ${est - t}")
+    }
+    // replay no-op
+    val rows = LakeTable.read(spark, tgt).count()
+    assert(Incremental.refreshHeavyHitters(spark, src, tgt, terms) == v2)
+    assert(LakeTable.read(spark, tgt).count() == rows)
+    // a deleting source refuses
+    LakeTable.delete(spark, src, $"doc_id" === 0L)
+    assert(intercept[IllegalArgumentException] {
+      Incremental.refreshHeavyHitters(spark, src, tgt, terms)
+    }.getMessage.contains("insert-only"))
+  }
+
   test("refreshSketch: merged partials equal the one-shot sketch, bounded vs exact; replay no-op; deletes refuse") {
     val src = tmpTable("sk_src")
     val tgt = tmpTable("sk_tgt")
