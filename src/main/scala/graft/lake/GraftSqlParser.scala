@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *
   *   OPTIMIZE <target> [WHERE <partition predicate>]
   *            [ZORDER BY (c1, c2, ...)] | [SORT BY (c1, ...)]
+  *   REORG TABLE <target> [WHERE <partition predicate>] APPLY (PURGE)
   *   VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS] [DRY RUN]
   *   SHOW PARTITIONS `path`
   *   RESTORE <target> [TO] VERSION AS OF <v>
@@ -67,6 +68,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         if (hours) 2 else Option(retainOpt).map(_.toInt).getOrElse(2),
         dryOpt != null,
         retainMs = if (hours) Some(retainOpt.toLong * 3600L * 1000L) else None))
+    case ReorgRe(target, whereOpt) =>
+      Some(GraftReorgPurgeCommand(target,
+        Option(whereOpt).map(_.trim).filter(_.nonEmpty)))
     case ShowPartitionsRe(target) =>
       Some(GraftShowPartitionsCommand(target))
     case RestoreRe(target, v) =>
@@ -117,6 +121,11 @@ private[graft] object GraftSqlParser {
   private val OptimizeRe =
     ("""(?is)^OPTIMIZE\s+""" + T +
       """(?:\s+WHERE\s+(.+?))?(?:\s+(ZORDER|SORT)\s+BY\s*\(([^)]+)\))?\s*;?\s*$""").r
+  // Delta's REORG TABLE t APPLY (PURGE): rewrite ONLY the files
+  // carrying outstanding deletion vectors
+  private val ReorgRe =
+    ("""(?is)^REORG\s+TABLE\s+""" + T +
+      """(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^VACUUM\s+""" + T +
       """(?:\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS))?(\s+DRY\s+RUN)?\s*;?\s*$""").r
@@ -192,6 +201,18 @@ private[graft] case class GraftOptimizeCommand(target: String,
       smallFileBytes = if (sortBy.nonEmpty || zorderBy.nonEmpty) Long.MaxValue
                        else 32L << 20)
     Seq(Row(v))
+  }
+}
+
+private[graft] case class GraftReorgPurgeCommand(target: String,
+                                                 where: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(LakeTable.reorgPurge(spark, path,
+      where.map(org.apache.spark.sql.functions.expr))))
   }
 }
 

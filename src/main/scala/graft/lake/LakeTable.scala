@@ -3149,6 +3149,17 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * carry over by reference. The predicate must reference only
     * partition columns.
     */
+  /** `REORG TABLE … APPLY (PURGE)` (Delta's name): rewrite ONLY the
+    * files carrying outstanding deletion vectors — no bin-packing of
+    * small files, no clustering — so readers stop paying the MoR
+    * anti-join and vacuum can reclaim the vectors, without touching
+    * anything else. A zero-byte small-file threshold makes [[compact]]
+    * select exactly the dv-carrying set (it always pulls those in).
+    */
+  def reorgPurge(spark: SparkSession, table: String,
+                 partitionFilter: Option[Column] = None): Long =
+    compact(spark, table, smallFileBytes = 0L, partitionFilter = partitionFilter)
+
   def compact(spark: SparkSession, table: String,
               smallFileBytes: Long = 32L << 20,
               sortBy: Seq[String] = Nil,

@@ -589,6 +589,28 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(s"DESC HISTORY `$b`").count() == 1)
   }
 
+  test("REORG TABLE APPLY (PURGE) rewrites exactly the dv-carrying files") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_reorg").toString + "/t"
+    // two files; vector only one of them
+    LakeTable.overwrite(spark, t, (0L until 100L).map(i => (i, s"a$i")).toDF("id", "s"))
+    LakeTable.append(spark, t, (100L until 200L).map(i => (i, s"b$i")).toDF("id", "s"))
+    LakeTable.deleteMergeOnRead(spark, t, $"id" === 5L)
+    val before = LakeTable.latestSnapshot(spark, t).get
+    assert(before.files.count(_.dv.isDefined) == 1)
+    val untouched = before.files.filter(_.dv.isEmpty).map(_.path).toSet
+    val v = spark.sql(s"REORG TABLE `$t` APPLY (PURGE)").head.getLong(0)
+    val after = LakeTable.snapshotAt(spark, t, v)
+    assert(after.files.forall(_.dv.isEmpty), "purge must clear every vector")
+    // the dv-free file was NOT rewritten (carried by reference)
+    assert(untouched.subsetOf(after.files.map(_.path).toSet))
+    assert(LakeTable.read(spark, t).count() == 199)
+    // nothing to purge → no-op version
+    assert(spark.sql(s"REORG TABLE `$t` APPLY (PURGE)").head.getLong(0) == v)
+  }
+
   test("SHOW PARTITIONS and VACUUM RETAIN HOURS parse and read the log") {
     import org.apache.spark.sql.functions._
     import graft.lake.LakeTable
