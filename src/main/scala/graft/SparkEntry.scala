@@ -102,6 +102,9 @@ object SparkEntry {
     // incremental heavy hitters: Count-Min partials + candidates per
     // refresh, merged-sketch estimates at read
     "incr_topk"            -> ((s, d) => IncrementalOps.incrTopk(s, d)),
+    // incremental quantiles: mergeable Greenwald-Khanna partials per
+    // refresh, rank error <= eps*n at read
+    "incr_quantiles"       -> ((s, d) => IncrementalOps.incrQuantiles(s, d)),
     // full maintenance surface (merge/delete/update/compact/restore)
     // vs an independent engine's replay
     "lake_dml"             -> ((s, d) => MaintenanceOps.lakeDml(s, d)),

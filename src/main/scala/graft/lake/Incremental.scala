@@ -246,6 +246,71 @@ object Incremental {
         sum(col("n")).as("n_rows"),
         count(lit(1)).as("n_partials"))
 
+  private def gkWatermarkId(source: String): String =
+    "graft-gk:" + new Path(source).toUri.getPath
+
+  /** Incremental QUANTILE maintenance via mergeable Greenwald-Khanna
+    * summaries ([[graft.functions.QuantileAgg]]): each refresh appends
+    * one GK partial per group over the batch's values; reads merge the
+    * partials and query percentiles with rank error ≤ eps·count —
+    * per-batch cost where exact `percentile` re-sorts the world per
+    * refresh. Insert-only + exactly-once like [[refreshSketch]] (a
+    * quantile summary cannot un-see a deleted value).
+    */
+  def refreshQuantiles(spark: SparkSession, source: String, target: String,
+                       groupBy: Seq[String], valueCol: String,
+                       eps: Double = 0.01): Long = {
+    require(groupBy.nonEmpty, "refreshQuantiles needs at least one group column")
+    graft.functions.QuantileAgg.register(spark)
+    val srcSnap = LakeTable.latestSnapshot(spark, source)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at source $source"))
+    val qid = gkWatermarkId(source)
+    val tgtSnap = LakeTable.latestSnapshot(spark, target)
+    val done = tgtSnap.flatMap(_.txns.get(qid)).getOrElse(0L)
+    if (done >= srcSnap.version) return tgtSnap.get.version
+    val rows =
+      if (done == 0L) LakeTable.read(spark, source, asOf = Some(srcSnap.version))
+      else {
+        val feed = LakeTable.changes(spark, source, done + 1, srcSnap.version)
+        val nonInsert = feed
+          .filter(col(LakeTable.ChangeTypeCol) =!= "insert").limit(1).count()
+        require(nonInsert == 0L,
+          s"refreshQuantiles source $source fed a non-insert change in " +
+            s"(${done + 1}, ${srcSnap.version}] — quantile summaries are " +
+            "insert-only; rebuild instead of folding a delete")
+        feed
+      }
+    val partial = rows
+      .groupBy(groupBy.map(col).toIndexedSeq: _*)
+      .agg(expr(s"gk_sketch_agg(CAST(`$valueCol` AS DOUBLE), ${eps}d)").as("gk"),
+        count(col(valueCol)).as("n"))
+      .withColumn("through_version", lit(srcSnap.version))
+    (if (tgtSnap.isEmpty)
+       LakeTable.overwriteStream(spark, target, partial, qid, srcSnap.version,
+         operation = "GK REFRESH")
+         .getOrElse(LakeTable.latestVersion(spark, target).getOrElse(0L))
+     else
+       LakeTable.appendStream(spark, target, partial, qid, srcSnap.version,
+         operation = "GK REFRESH").getOrElse(tgtSnap.get.version))
+  }
+
+  /** Percentile estimates from an accumulated GK-sketch table: merge
+    * the partials per group, query each requested quantile.
+    */
+  def quantileEstimate(spark: SparkSession, target: String,
+                       groupBy: Seq[String],
+                       quantiles: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    graft.functions.QuantileAgg.register(spark)
+    val merged = LakeTable.read(spark, target)
+      .groupBy(groupBy.map(col).toIndexedSeq: _*)
+      .agg(expr("gk_union_agg(gk)").as("gk"), sum(col("n")).as("n_rows"))
+    merged.select((groupBy.map(col) ++
+      quantiles.map { case (name, q) =>
+        expr(s"gk_quantile(gk, ${q}d)").as(name) } :+
+      col("n_rows")).toIndexedSeq: _*)
+  }
+
   private def hhWatermarkId(source: String): String =
     "graft-hh:" + new Path(source).toUri.getPath
 

@@ -53,6 +53,27 @@ object IncrementalOps {
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_price
        FROM orders WHERE o_orderkey % 10 <> 7 GROUP BY 1"""
 
+  /** Incremental quantiles ([[Incremental.refreshQuantiles]]): per-type
+    * event-value percentiles maintained as mergeable Greenwald-Khanna
+    * partials — two batches, two appended partials per type, final
+    * p50/p90/p99 from the merged summary. No SQL oracle (summary
+    * binaries); the spec pins each estimate inside the exact
+    * [q−eps, q+eps] percentile envelope.
+    */
+  def incrQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_incrq").toString
+    val src = s"$work/events_lake"
+    val tgt = s"$work/value_sketches"
+    val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
+    LakeTable.overwrite(spark, src, ev.filter(col("event_id") % 2 === 0))
+    Incremental.refreshQuantiles(spark, src, tgt, Seq("event_type"), "value")
+    LakeTable.append(spark, src, ev.filter(col("event_id") % 2 =!= 0))
+    Incremental.refreshQuantiles(spark, src, tgt, Seq("event_type"), "value")
+    Incremental.quantileEstimate(spark, tgt, Seq("event_type"),
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy(col("event_type"))
+  }
+
   /** Incremental DISTINCT maintenance via mergeable HLL sketch partials
     * ([[Incremental.refreshSketch]]): an append-only events lake lands
     * in two batches, each refresh appends one sketch partial per

@@ -271,6 +271,52 @@ class IncrementalSpec extends SparkSpec {
     }.getMessage.contains("collide"))
   }
 
+  test("refreshQuantiles: merged GK estimates sit inside the exact [q-eps, q+eps] envelope; replay no-op; deletes refuse") {
+    val src = tmpTable("gk_src")
+    val tgt = tmpTable("gk_tgt")
+    val eps = 0.01
+    val ev = Tables.events(spark, sf).select("event_id", "event_type", "value")
+    LakeTable.overwrite(spark, src, ev.filter($"event_id" % 2 === 0))
+    Incremental.refreshQuantiles(spark, src, tgt, Seq("event_type"), "value", eps)
+    LakeTable.append(spark, src, ev.filter($"event_id" % 2 =!= 0))
+    val v2 = Incremental.refreshQuantiles(spark, src, tgt, Seq("event_type"), "value", eps)
+
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val est = Incremental.quantileEstimate(spark, tgt, Seq("event_type"), qs)
+    // GK guarantee: rank error <= eps*n per summary, and MERGING adds
+    // error budgets (two batch partials + query slack) — test the
+    // conservative envelope at q +- 3*eps, clamped to [0, 1]
+    def lo(q: Double) = math.max(0.0, q - 3 * eps)
+    def hi(q: Double) = math.min(1.0, q + 3 * eps)
+    val envelope = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("exact_n"),
+      expr(s"percentile(value, ${lo(0.5)})").as("p50_lo"),
+      expr(s"percentile(value, ${hi(0.5)})").as("p50_hi"),
+      expr(s"percentile(value, ${lo(0.9)})").as("p90_lo"),
+      expr(s"percentile(value, ${hi(0.9)})").as("p90_hi"),
+      expr(s"percentile(value, ${lo(0.99)})").as("p99_lo"),
+      expr(s"percentile(value, ${hi(0.99)})").as("p99_hi"))
+    val joined = est.join(envelope, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      qs.foreach { case (name, _) =>
+        val v = r.getAs[Double](name)
+        val (lo, hi) = (r.getAs[Double](s"${name}_lo"), r.getAs[Double](s"${name}_hi"))
+        assert(v >= lo && v <= hi,
+          s"${r.getString(0)}.$name estimate $v outside exact envelope [$lo, $hi]")
+      }
+      assert(r.getAs[Long]("n_rows") == r.getAs[Long]("exact_n"))
+    }
+    // replay no-op; deletes refuse
+    val rows = LakeTable.read(spark, tgt).count()
+    assert(Incremental.refreshQuantiles(spark, src, tgt, Seq("event_type"), "value", eps) == v2)
+    assert(LakeTable.read(spark, tgt).count() == rows)
+    LakeTable.delete(spark, src, $"event_id" === 0L)
+    assert(intercept[IllegalArgumentException] {
+      Incremental.refreshQuantiles(spark, src, tgt, Seq("event_type"), "value", eps)
+    }.getMessage.contains("insert-only"))
+  }
+
   test("refreshHeavyHitters: incremental top-k equals exact on this corpus, never under-counts, replay no-op") {
     val src = tmpTable("hh_src")
     val tgt = tmpTable("hh_tgt")
