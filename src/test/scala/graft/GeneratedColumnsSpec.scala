@@ -272,6 +272,19 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(drift.count() == 0)
   }
 
+  test("z-order compact composes with hidden partitioning: layout, values and pruning survive") {
+    val t = tmpTable("zg")
+    LakeTable.overwriteGenerated(spark, t, eventsDf, Seq(Spec("p_day", "day", "ts")))
+    LakeTable.compact(spark, t, smallFileBytes = 1L << 30,
+      zorderBy = Seq("user_id", "value"))
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(GeneratedColumns.specs(snap.schema) == Seq(Spec("p_day", "day", "ts")))
+    assert(snap.files.forall(_.path.contains("p_day=")))
+    val drift = LakeTable.read(spark, t).filter($"p_day" =!= to_date($"ts"))
+    assert(drift.count() == 0)
+    assert(LakeTable.read(spark, t).count() == eventsDf.count())
+  }
+
   test("MoR path prunes too: deleteMergeOnRead over a generated table, read stays day-scoped and correct") {
     val t = tmpTable("mor")
     LakeTable.overwriteGenerated(spark, t, eventsDf, Seq(Spec("p_day", "day", "ts")))
