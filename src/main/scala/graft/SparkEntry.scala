@@ -73,6 +73,7 @@ object SparkEntry {
     "corpus_filter"        -> ((s, d) => TextAnalysis.corpusFilter(s, d)),
     "source_mix"           -> ((s, d) => TextAnalysis.sourceMix(s, d)),
     "corpus_stats"         -> ((s, d) => TextAnalysis.corpusStats(s, d)),
+    "perplexity_filter"    -> ((s, d) => TextAnalysis.perplexityFilter(s, d)),
     "bpe_train"            -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode"           -> ((s, d) => Bpe.bpeEncode(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -663,6 +664,29 @@ object SparkEntry {
            round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens,
            min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
          FROM t GROUP BY 1""",
+    "perplexity_filter" ->
+      """WITH d AS (SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         bi AS (SELECT doc_id, lang,
+             CASE WHEN i = 1 THEN '<s>' ELSE w[i - 1] END AS w1, w[i] AS w2
+           FROM d, UNNEST(range(1, len(w) + 1)) AS u(i)),
+         c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi WHERE lang = 'en' GROUP BY 1, 2),
+         c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+         vv AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bi WHERE lang = 'en'),
+         terms AS (SELECT b.doc_id, b.lang,
+             CAST(-ln((CAST(COALESCE(c12.c12, 0) AS DOUBLE) + 1.0)
+                      / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + vv.v)) AS DECIMAL(38,18)) AS nll
+           FROM bi b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+                     LEFT JOIN c1 ON b.w1 = c1.w1
+                     CROSS JOIN vv),
+         agg AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(nll) AS DOUBLE) / count(*), 5) AS avg_nll
+           FROM terms GROUP BY 1, 2)
+         SELECT doc_id, lang, n_bigrams, avg_nll,
+           round(exp(avg_nll), 4) AS ppl,
+           CAST(ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS BIGINT) AS ppl_bucket
+         FROM agg""",
     "semantic_dedup" ->
       """WITH RECURSIVE
          ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

@@ -456,6 +456,71 @@ object TextAnalysis {
         min(col("n_tokens")).as("min_tokens"),
         max(col("n_tokens")).as("max_tokens"))
 
+  /** CCNet-style perplexity filtering: train an add-one-smoothed word
+    * bigram language model on the trusted reference slice (the `en`
+    * documents — the stand-in for CCNet's Wikipedia LM), score EVERY
+    * document by average negative log-likelihood per bigram, and
+    * bucket each language's docs into head/middle/tail perplexity
+    * tertiles (the CCNet quality split).
+    *
+    * Scale posture: the LM is vocabulary-bounded — `c12` has at most
+    * |V|² rows regardless of corpus size, so both count tables
+    * broadcast, and scoring is one explode + broadcast joins + ONE
+    * groupBy(doc_id) shuffle. Training is a partial-agg shuffle on
+    * bigram keys (map-side combine collapses to |V|² per partition).
+    * Nothing here is O(corpus) on the driver.
+    *
+    * Cross-engine parity: per-bigram NLL terms are doubles (identical
+    * IEEE inputs to `ln` in both engines) accumulated in
+    * DECIMAL(38,18) so the per-doc sum is exact and order-free; the
+    * average is rounded to 5 decimals BEFORE the tertile window, so
+    * bucket boundaries are decided on identical values with a doc_id
+    * tie-break.
+    *
+    * The tertile ntile window sorts each language within one task —
+    * fine for the per-doc AGGREGATE (one row per doc), but at 100 TB
+    * with billions of docs per language the production variant swaps
+    * ntile for percentile cutoffs computed per lang and joined back
+    * broadcast (CCNet itself buckets against precomputed cutoffs);
+    * ntile is kept here because it is the bit-portable exact split the
+    * oracle can replay.
+    */
+  def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      filter(TextFns.tokens(lower(col("text"))), x => x =!= "").as("w"))
+    // Bigram rows with a BOS context for the first token: (w1, w2) for
+    // i = 1..n where w1 = '<s>' at i = 1. element_at is guarded by the
+    // sequence bound so ANSI mode never sees an OOB index.
+    val bi = docs
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(w)),
+          |  i -> struct(IF(i = 1, '<s>', element_at(w, i - 1)) AS w1,
+          |              element_at(w, i) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val train = bi.filter(col("lang") === "en")
+    val c12 = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = train.agg(count_distinct(col("w2")).cast("double").as("v"))
+    val p = (coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") + col("v"))
+    val scored = bi
+      .join(broadcast(c12), Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("lang"),
+        (-log(p)).cast("decimal(38,18)").as("nll"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        rnd(sum(col("nll")).cast("double") / count(lit(1)).cast("double"), 5)
+          .as("avg_nll"))
+    val tertile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
+    scored.select(col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
+      rnd(exp(col("avg_nll")), 4).as("ppl"),
+      ntile(3).over(tertile).cast("long").as("ppl_bucket"))
+  }
+
   /** Deterministic stratified sampling: each source stratum keeps a
     * fixed rate (25/50/75/100% cycling by source index), decided by a
     * content-independent md5 bucket of the doc key — the same rows

@@ -176,4 +176,46 @@ class CorpusOpsSpec extends SparkSpec {
       s"merge tables differ:\n got      ${got.toSeq}\n expected $expected")
     assert(got.nonEmpty && got.length == 8)
   }
+
+  test("perplexity_filter matches an in-memory bigram-LM replay") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), ws(r.getString(2).toLowerCase).filter(_.nonEmpty)))
+    // Train: add-one-smoothed bigram counts over the en slice, BOS context.
+    def bigrams(w: Array[String]): Seq[(String, String)] =
+      w.indices.map(i => (if (i == 0) "<s>" else w(i - 1), w(i)))
+    val train = docs.filter(_._2 == "en").flatMap(d => bigrams(d._3))
+    val c12 = train.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = train.map(_._2).distinct.length.toDouble
+    def round5(x: Double): Double = math.floor(x * 1e5 + 0.5) / 1e5
+    val expect = docs.map { case (id, lang, w) =>
+      val terms = bigrams(w).map { b =>
+        -math.log((c12.getOrElse(b, 0L) + 1.0) / (c1.getOrElse(b._1, 0L) + v))
+      }
+      (id, lang, terms.length.toLong, round5(terms.sum / terms.length))
+    }.map(t => t._1 -> t).toMap
+    val got = TextAnalysis.perplexityFilter(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (id, lang, n, nll) = (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))
+      val (_, eLang, eN, eNll) = expect(id)
+      assert(lang == eLang && n == eN, s"doc $id shape")
+      assert(math.abs(nll - eNll) < 1e-6, s"doc $id avg_nll got $nll want $eNll")
+      assert(math.abs(r.getAs[Double]("ppl") - math.exp(nll)) < 1e-3, s"doc $id ppl")
+    }
+    // Tertiles: per lang, buckets are 1..3, balanced to within one doc,
+    // and non-decreasing along the (avg_nll, doc_id) order.
+    got.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(r => (r.getAs[Double]("avg_nll"), r.getAs[Long]("doc_id")))
+      val buckets = sorted.map(_.getAs[Long]("ppl_bucket"))
+      assert(buckets.forall(b => b >= 1 && b <= 3), s"$lang bucket range")
+      assert(buckets.sameElements(buckets.sorted), s"$lang buckets monotone in nll")
+      val sizes = buckets.groupBy(identity).view.mapValues(_.length).toMap
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang ntile balance: $sizes")
+    }
+    // (No cross-language perplexity assertion: the synthetic corpus
+    // draws every language from ONE shared vocabulary, so an en-trained
+    // LM has no systematic preference to test here.)
+  }
 }
