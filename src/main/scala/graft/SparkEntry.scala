@@ -126,6 +126,10 @@ object SparkEntry {
     // metadata-only retention delete: interior days leave by log edit
     // (zero reads), only the boundary day rewrites
     "lake_retention"       -> ((s, d) => MaintenanceOps.lakeRetention(s, d)),
+
+    // Write-audit-publish: branch, mutate + audit invisibly, publish
+    // atomically with a concurrent source append merged in
+    "lake_wap"             -> ((s, d) => MaintenanceOps.lakeWap(s, d)),
     // incremental IVF maintenance: build on half, ivfAppend the rest,
     // probe ALL cells so the result is exact brute-force top-k — a
     // hash-matched oracle for the index-append path itself
@@ -737,6 +741,7 @@ object SparkEntry {
     "bucket_join" -> operators.BucketedOps.oracleSql,
     "lake_dpo" -> operators.MaintenanceOps.dpoOracleSql,
     "lake_hidden" -> operators.MaintenanceOps.hiddenOracleSql,
-    "lake_retention" -> operators.MaintenanceOps.retentionOracleSql
+    "lake_retention" -> operators.MaintenanceOps.retentionOracleSql,
+    "lake_wap" -> operators.MaintenanceOps.wapOracleSql
   )
 }

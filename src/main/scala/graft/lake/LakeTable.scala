@@ -1179,8 +1179,9 @@ object LakeTable extends org.apache.spark.internal.Logging {
           if (e.adds.isEmpty) emptyChanges
           else decorate(readEntries(e.adds, e.schema), Some("insert"))
         Some(deletes.unionByName(inserts, allowMissingColumns = true))
-      case None if e.operation == "OVERWRITE PARTITIONS" =>
-        // dynamic partition overwrite synthesizes like OVERWRITE, but
+      case None if e.operation == "OVERWRITE PARTITIONS" || e.operation == "PUBLISH" =>
+        // dynamic partition overwrite — and a WAP branch PUBLISH, which
+        // has the same commit shape — synthesize like OVERWRITE, but
         // scoped: deletes are the rows of exactly the REPLACED files
         // (recovered from the previous snapshot so their dv state is
         // honored), inserts are the added files' rows
@@ -3837,6 +3838,158 @@ object LakeTable extends org.apache.spark.internal.Logging {
         constraintsUpdate = Some(snap.constraints)))
       throw new ConcurrentCommitException(s"CLONE into $dst lost the commit race")
     1L
+  }
+
+  /** Write-audit-publish PUBLISH (Iceberg's audit-branch /
+    * `wap.branch` workflow; ref: the reference gates silver
+    * materialization on quality checks before consumers see it,
+    * trino_iceberg_transform_component.py:192-206 — WAP is that gate
+    * made transactional): fast-forward the audited changes of a
+    * [[shallowClone]] branch back onto its source table as ONE atomic
+    * commit. The workflow: clone `src` → `branch` (zero-copy
+    * metadata), run any writes/DML on the branch, audit the BRANCH
+    * (quality checks, row counts, eyeballs) while `src` readers still
+    * see only pre-branch data, then `publish` — or simply delete the
+    * branch directory to abandon.
+    *
+    * The published commit is the branch's net file delta replayed on
+    * the CURRENT source head: files the branch rewrote or deleted are
+    * removed, files the branch wrote are added, and everything the
+    * branch did NOT touch rides at the source's current state — so
+    * concurrent appends to `src` merge in (they land in files the
+    * branch never saw). Conflict rule (the file-level discipline
+    * shared with DML rebase): the branch's WRITE-SET must be stable —
+    * every file the branch rewrote/deleted must still sit in the
+    * source head bit-identical (same size/rowCount, no vectors) —
+    * and the source's schema, partition layout and CHECK constraints
+    * must be unchanged since the fork (branch writes were only
+    * audited against the fork-time contract). Anything else refuses
+    * loudly; re-branch and re-audit.
+    *
+    * With `copy = true` (default) the branch's new data files are
+    * copied into the source's data root under their branch-relative
+    * paths — O(branch delta) bytes, never O(table) — so the branch
+    * directory is disposable after publish. With `copy = false` the
+    * commit references the branch's files in place (zero bytes
+    * moved), inheriting the shallow-clone lifetime caveat: the branch
+    * dir must outlive the source's references (compact localizes).
+    *
+    * Branch schema evolution (ADD/RENAME COLUMN…) and constraint
+    * additions publish through: the commit carries the branch-head
+    * schema/constraints (source files read missing columns as null,
+    * the existing column-evolution discipline). Active deletion
+    * vectors on the branch are refused — `reorgPurge` the branch
+    * first (vector rows key on branch-relative paths).
+    *
+    * The change feed synthesizes PUBLISH like a partition overwrite:
+    * removed files' rows as deletes, added files' rows as inserts —
+    * file-granular, lazy, no extra bytes at commit time. Returns the
+    * published version (the unchanged head when the branch made no
+    * changes).
+    */
+  def publish(spark: SparkSession, src: String, branch: String,
+              copy: Boolean = true): Long = {
+    val head = latestSnapshot(spark, branch).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $branch"))
+    val fork = snapshotAt(spark, branch, 1L)
+    require(fork.operation == "CLONE",
+      s"$branch is not a WAP branch: its v1 is '${fork.operation}', expected a " +
+        "shallow clone of the publish target")
+    require(head.partitionColumns == fork.partitionColumns,
+      s"cannot publish $branch: the branch changed the partition layout " +
+        s"(${fork.partitionColumns.mkString(",")} -> ${head.partitionColumns.mkString(",")})")
+    require(head.files.forall(e => e.dv.forall(_.cardinality == 0)),
+      s"cannot publish $branch: the branch head carries active deletion vectors " +
+        "(vector rows key on branch-relative paths) — REORG TABLE ... APPLY " +
+        "(PURGE) the branch first")
+    val f = fs(spark, src)
+    val srcPrefix = qualifiedDataPrefix(spark, src) + "/"
+    fork.files.foreach(e => require(e.path.startsWith(srcPrefix),
+      s"$branch is not a branch of $src: its fork snapshot references ${e.path}, " +
+        s"outside $src's data root"))
+    val (refs, local) = head.files.partition(e => isForeignEntry(e.path))
+    refs.find(!_.path.startsWith(srcPrefix)).foreach(e =>
+      throw new IllegalArgumentException(
+        s"cannot publish $branch onto $src: branch head references ${e.path} " +
+          "from a THIRD table (clone of a clone?) — compact the branch to " +
+          "localize foreign files first"))
+    val carriedRels = refs.map(_.path.stripPrefix(srcPrefix)).toSet
+    val removedByBranch = fork.files
+      .map(e => e.copy(path = e.path.stripPrefix(srcPrefix)))
+      .filterNot(e => carriedRels.contains(e.path))
+    // Stage the branch's own files: copy into the source data root
+    // (same relative path, so hive partition dirs survive for pruning)
+    // or reference them in place. Bloom sidecars are advisory and
+    // branch-local — dropped, rebuilt on the next rewrite.
+    val adds: Seq[FileEntry] =
+      if (local.isEmpty) Nil
+      else if (copy) {
+        val bf = fs(spark, branch)
+        val bRoot = dataPath(branch)
+        val conf = spark.sparkContext.hadoopConfiguration
+        stageParallel(local) { e =>
+          val from = entryPath(bRoot, e.path)
+          val to = entryPath(dataPath(src), e.path)
+          if (f.exists(to))
+            throw new IllegalStateException(
+              s"publish target $to already exists — was $branch already published?")
+          f.mkdirs(to.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(bf, from, f, to, false, conf))
+            throw new IllegalStateException(s"could not copy $from to $to")
+          e.copy(dv = None, bloom = None)
+        }
+      } else {
+        val bPrefix = qualifiedDataPrefix(spark, branch) + "/"
+        local.map(e => e.copy(path = bPrefix + e.path, dv = None, bloom = None))
+      }
+    if (adds.isEmpty && removedByBranch.isEmpty)
+      return latestVersion(spark, src).getOrElse(
+        throw new IllegalStateException(s"source $src has no committed versions"))
+    val removedSet = removedByBranch.map(_.path).toSet
+    var cur = latestSnapshot(spark, src).getOrElse(
+      throw new IllegalStateException(s"source $src has no committed versions"))
+    var attempt = 0
+    while (true) {
+      def refuse(why: String): Nothing = throw new ConcurrentCommitException(
+        s"PUBLISH of $branch onto $src cannot fast-forward: $why — re-branch " +
+          "from the current head and re-audit")
+      if (cur.schema != fork.schema)
+        refuse("the source schema changed since the branch forked")
+      if (cur.partitionColumns != fork.partitionColumns)
+        refuse("the source partition layout changed since the branch forked")
+      if (cur.constraints != fork.constraints)
+        refuse("the source CHECK constraints changed since the branch forked " +
+          "(branch writes were never audited against them)")
+      val curByPath = cur.files.iterator.map(e => e.path -> e).toMap
+      removedByBranch.foreach { e =>
+        curByPath.get(e.path) match {
+          case None =>
+            refuse(s"the source no longer contains ${e.path}, a file the branch " +
+              "rewrote or deleted")
+          case Some(c) =>
+            if (c.size != e.size || c.rowCount != e.rowCount ||
+                c.dv.exists(_.cardinality > 0))
+              refuse(s"the source rewrote or vectored ${e.path}, a file the " +
+                "branch rewrote or deleted")
+        }
+      }
+      adds.find(a => curByPath.contains(a.path)).foreach(a =>
+        refuse(s"the source independently added a file named ${a.path}"))
+      val next = Snapshot(cur.version + 1, System.currentTimeMillis(), "PUBLISH",
+        head.schema, head.partitionColumns,
+        cur.files.filterNot(e => removedSet.contains(e.path)) ++ adds,
+        txns = cur.txns, protocol = head.protocol, constraints = head.constraints)
+      if (tryCommit(spark, src, next, adds, removedByBranch.map(_.path),
+          prev = Some(cur), constraintsUpdate = Some(head.constraints)))
+        return next.version
+      attempt += 1
+      if (attempt >= maxRetries)
+        throw new ConcurrentCommitException(
+          s"PUBLISH of $branch onto $src lost $maxRetries commit races — re-run")
+      cur = latestSnapshot(spark, src).getOrElse(
+        throw new IllegalStateException(s"log of $src disappeared mid-commit"))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def restore(spark: SparkSession, table: String, version: Long): Long = {

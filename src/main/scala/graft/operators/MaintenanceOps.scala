@@ -245,4 +245,57 @@ object MaintenanceOps {
                         ELSE p END AS DOUBLE) AS o_totalprice
        FROM merged
        WHERE o_orderkey % 7 <> 3"""
+
+  /** Write-audit-publish end to end (Iceberg audit-branch analog; ref
+    * gates silver materialization on quality checks,
+    * trino_iceberg_transform_component.py:192-206): a partitioned lake
+    * table forks a zero-copy branch, the branch takes a derived append
+    * and a copy-on-write delete, the SOURCE takes a concurrent append
+    * during the audit window (its files are disjoint from the branch's
+    * write-set, so publish must merge it in, not clobber it), the
+    * branch passes a quality audit, and `publish` lands the whole
+    * delta as one atomic commit. The final state is hash-checked:
+    * DuckDB replays the merged history as plain SQL.
+    */
+  def lakeWap(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_lakewap").toString
+    val t = s"$work/orders_lake"
+    val b = s"$work/orders_audit"
+    val key = col("o_orderkey")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+    LakeTable.overwrite(spark, t, orders.filter(key % 3 === 0),
+      partitionBy = Seq("o_orderstatus"))
+    LakeTable.shallowClone(spark, t, b)
+    // branch: a re-derived daily slice lands, then a correction delete
+    LakeTable.append(spark, b, orders.filter(key % 3 === 2)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+    LakeTable.delete(spark, b, key % 9 === 0)
+    // meanwhile the source moves on — an independent append the
+    // publish must carry through untouched
+    LakeTable.append(spark, t, orders.filter(key % 3 === 1))
+    // audit the BRANCH before anyone else can see its rows
+    val bad = LakeTable.read(spark, b)
+      .filter(col("o_orderkey").isNull || col("o_totalprice") < 0).count()
+    require(bad == 0, s"audit failed: $bad bad rows — branch abandoned, not published")
+    LakeTable.publish(spark, t, b)
+
+    LakeTable.read(spark, t).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"))
+  }
+
+  /** DuckDB replay of [[lakeWap]]: the branch's delete (key%9=0) can
+    * only hit the fork slice (key%3=0, since 9|k implies 3|k), the
+    * branch append is the key%3=2 slice with adjusted prices, and the
+    * source's concurrent append (key%3=1) rides through untouched.
+    */
+  val wapOracleSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_orderstatus,
+              CAST(CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice + 500.0
+                        ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+       FROM orders
+       WHERE o_orderkey % 3 IN (1, 2)
+          OR (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)"""
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+import graft.lake.LakeTable.ConcurrentCommitException
+
+/** Write-audit-publish: a shallow-clone branch takes writes and DML
+  * invisibly to the source, and `publish` fast-forwards the audited
+  * net delta back as one atomic commit — or refuses when the source
+  * moved under the branch's write-set.
+  */
+class WapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(t: String): Set[(Long, String, Double)] =
+    LakeTable.read(spark, t).select("id", "grp", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  private def freshSrc(d: String): String = {
+    val src = s"$d/src"
+    LakeTable.overwrite(spark, src,
+      spark.range(100).select(col("id"), (col("id") % 5).cast("string").as("grp"),
+        (col("id") * 1.5).as("v")),
+      partitionBy = Seq("grp"))
+    src
+  }
+
+  test("publish fast-forwards branch writes and DML; audit is invisible to the source") {
+    val d = tmpDir("wap_basic")
+    val src = freshSrc(d)
+    val branch = s"$d/branch"
+    val before = rows(src)
+
+    LakeTable.shallowClone(spark, src, branch)
+    LakeTable.append(spark, branch,
+      Seq((200L, "0", 9.0), (201L, "1", 10.5)).toDF("id", "grp", "v"))
+    LakeTable.delete(spark, branch, col("id") % 10 === 3) // CoW rewrite of foreign files
+
+    // audit window: the branch sees the delta, the source does not
+    assert(rows(src) == before, "source must be unchanged while the branch is audited")
+    val audited = rows(branch)
+    assert(audited.exists(_._1 == 200L) && !audited.exists(_._1 == 13L))
+
+    val v = LakeTable.publish(spark, src, branch)
+    assert(rows(src) == audited, "published source must equal the audited branch")
+    assert(LakeTable.history(spark, src).filter(col("operation") === "PUBLISH").count() == 1)
+
+    // copy=true makes the branch disposable: delete it wholesale, source still reads
+    val f = new org.apache.hadoop.fs.Path(branch)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.delete(new org.apache.hadoop.fs.Path(branch), true)
+    assert(rows(src) == audited, "published source must not reference branch files")
+
+    // change feed of the PUBLISH version: deletes only for rewritten
+    // files' rows, inserts cover the appended rows
+    val feed = LakeTable.changes(spark, src, v, v)
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().toSet
+    val del = feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet
+    assert(Set(200L, 201L).subsetOf(ins))
+    assert(Seq(3L, 13L, 23L).forall(del.contains), s"rewritten files' old rows: $del")
+    assert(ins.intersect(Set(3L, 13L, 23L)).isEmpty, "deleted rows must not be re-inserted")
+  }
+
+  test("concurrent source appends merge into the publish (disjoint write-sets)") {
+    val d = tmpDir("wap_merge")
+    val src = freshSrc(d)
+    val branch = s"$d/branch"
+    LakeTable.shallowClone(spark, src, branch)
+    LakeTable.append(spark, branch, Seq((300L, "2", 1.0)).toDF("id", "grp", "v"))
+    // the source moves on while the branch is audited — append only
+    LakeTable.append(spark, src, Seq((400L, "4", 2.0)).toDF("id", "grp", "v"))
+
+    LakeTable.publish(spark, src, branch)
+    val got = rows(src)
+    assert(got.exists(_._1 == 300L), "branch append published")
+    assert(got.exists(_._1 == 400L), "concurrent source append preserved")
+    assert(got.size == 102)
+  }
+
+  test("publish refuses when the source rewrote a file the branch also rewrote") {
+    val d = tmpDir("wap_conflict")
+    val src = freshSrc(d)
+    val branch = s"$d/branch"
+    LakeTable.shallowClone(spark, src, branch)
+    // branch rewrites grp=1 files; source independently rewrites them too
+    LakeTable.delete(spark, branch, col("id") === 11L)
+    LakeTable.update(spark, src, Seq("v" -> (col("v") * 10)), col("id") === 21L)
+    val before = rows(src)
+    val err = intercept[ConcurrentCommitException](LakeTable.publish(spark, src, branch))
+    assert(err.getMessage.contains("rewrote"), err.getMessage)
+    assert(rows(src) == before, "failed publish must leave the source untouched")
+  }
+
+  test("publish refuses when source constraints changed since the fork") {
+    val d = tmpDir("wap_constraint")
+    val src = freshSrc(d)
+    val branch = s"$d/branch"
+    LakeTable.shallowClone(spark, src, branch)
+    LakeTable.append(spark, branch, Seq((500L, "0", -1.0)).toDF("id", "grp", "v"))
+    LakeTable.addConstraint(spark, src, "v_nonneg", "v >= 0")
+    val err = intercept[ConcurrentCommitException](LakeTable.publish(spark, src, branch))
+    assert(err.getMessage.contains("constraints"), err.getMessage)
+  }
+
+  test("zero-copy publish references branch files in place; no-op branch is a no-op") {
+    val d = tmpDir("wap_zero")
+    val src = freshSrc(d)
+    val branch = s"$d/branch"
+    LakeTable.shallowClone(spark, src, branch)
+    val v0 = LakeTable.history(spark, src).agg(max("version")).head.getLong(0)
+    // untouched branch publishes as a no-op: head unchanged
+    assert(LakeTable.publish(spark, src, branch) == v0)
+
+    LakeTable.append(spark, branch, Seq((600L, "3", 4.0)).toDF("id", "grp", "v"))
+    LakeTable.publish(spark, src, branch, copy = false)
+    val snap = LakeTable.latestSnapshot(spark, src).get
+    val foreign = snap.files.filter(e => e.path.contains("/branch/"))
+    assert(foreign.nonEmpty, "zero-copy publish must reference branch files")
+    assert(rows(src).exists(_._1 == 600L))
+  }
+
+  test("branch schema evolution publishes through; source files read nulls") {
+    val d = tmpDir("wap_schema")
+    val src = freshSrc(d)
+    val branch = s"$d/branch"
+    LakeTable.shallowClone(spark, src, branch)
+    LakeTable.addColumns(spark, branch,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType))))
+    LakeTable.append(spark, branch,
+      Seq((700L, "1", 5.0, "audited")).toDF("id", "grp", "v", "note"))
+    LakeTable.publish(spark, src, branch)
+    val out = LakeTable.read(spark, src)
+    assert(out.columns.contains("note"))
+    assert(out.filter(col("note") === "audited").count() == 1)
+    assert(out.filter(col("note").isNull).count() == 100)
+  }
+}
