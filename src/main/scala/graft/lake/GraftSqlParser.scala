@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   REORG TABLE <target> [WHERE <partition predicate>] APPLY (PURGE)
   *   VACUUM <target> [RETAIN <n> VERSIONS | RETAIN <n> HOURS] [DRY RUN]
   *   SHOW PARTITIONS `path`
+  *   PUBLISH TABLE <branch> TO <target> [NO COPY]
   *   RESTORE <target> [TO] VERSION AS OF <v>
   *   RESTORE <target> [TO] TIMESTAMP AS OF '<ts>'
   *   ALTER TABLE <target> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -84,6 +85,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       Some(GraftDropConstraintCommand(target, name))
     case CloneRe(dst, src, vOpt) =>
       Some(GraftCloneCommand(dst, src, Option(vOpt).map(_.toLong)))
+    case PublishRe(branch, target, noCopy) =>
+      Some(GraftPublishCommand(branch, target, copy = noCopy == null))
     case DescHistoryRe(target) =>
       Some(GraftDescribeHistoryCommand(target))
     case DescDetailRe(target) =>
@@ -149,6 +152,12 @@ private[graft] object GraftSqlParser {
   private val CloneRe =
     ("""(?is)^CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
       """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+  // write-audit-publish: land a shallow-clone branch's delta on its
+  // source; NO COPY publishes zero-copy foreign references instead of
+  // localizing the branch's files
+  private val PublishRe =
+    ("""(?is)^PUBLISH\s+TABLE\s+""" + T + """\s+TO\s+""" + T +
+      """(\s+NO\s+COPY)?\s*;?\s*$""").r
   private val DescHistoryRe =
     ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
   private val DescDetailRe =
@@ -400,6 +409,18 @@ private[graft] case class GraftDropColumnCommand(target: String, name: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolveTarget(spark, target)
     Seq(Row(LakeTable.dropColumn(spark, path, name)))
+  }
+}
+
+private[graft] case class GraftPublishCommand(branch: String, target: String,
+                                              copy: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val branchPath = GraftSqlParser.resolveTarget(spark, branch)
+    val srcPath = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(LakeTable.publish(spark, srcPath, branchPath, copy)))
   }
 }
 

@@ -687,4 +687,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(v == 3L)
     assert(LakeTable.read(spark, t).count() == 1)
   }
+
+  test("PUBLISH TABLE lands a branch's audited delta from pure SQL") {
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sql_wap").toString
+    val (src, br) = (s"$d/src", s"$d/branch")
+    LakeTable.overwrite(spark, src, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    spark.sql(s"CREATE TABLE `$br` SHALLOW CLONE `$src`").collect()
+    LakeTable.append(spark, br, Seq((3L, 30.0)).toDF("id", "x"))
+    val v = spark.sql(s"PUBLISH TABLE `$br` TO `$src`").head.getLong(0)
+    assert(v == 2L)
+    assert(LakeTable.read(spark, src).count() == 3)
+    // NO COPY variant: zero-copy foreign references
+    LakeTable.append(spark, br, Seq((4L, 40.0)).toDF("id", "x"))
+    val e = intercept[Exception](
+      spark.sql(s"PUBLISH TABLE `$br` TO `$src`").collect())
+    assert(e.getMessage.contains("already exists") ||
+      e.getMessage.contains("already contains"),
+      s"re-publishing the same branch files must refuse: ${e.getMessage}")
+  }
 }
