@@ -124,6 +124,35 @@ class WapSpec extends SparkSpec {
     assert(rows(src).exists(_._1 == 600L))
   }
 
+  test("publish is O(branch delta): zero source data files opened, copies only the delta") {
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val d = tmpDir("wap_odelta").toString
+    val (src, branch) = (s"cfs:$d/src", s"cfs:$d/branch")
+    LakeTable.overwrite(spark, src,
+      spark.range(1000).select(col("id"), (col("id") % 5).cast("string").as("grp"),
+        (col("id") * 1.5).as("v")),
+      partitionBy = Seq("grp"))
+    LakeTable.shallowClone(spark, src, branch)
+    LakeTable.append(spark, branch, Seq((2000L, "1", 7.0)).toDF("id", "grp", "v"))
+    val localFiles = LakeTable.latestSnapshot(spark, branch).get.files
+      .count(e => !e.path.contains(":"))
+
+    CountingFileSystem.reset()
+    LakeTable.publish(spark, src, branch)
+    val srcOpens = CountingFileSystem.openedUnder(s"$d/src/data/")
+      .filter(_.endsWith(".parquet"))
+    assert(srcOpens.isEmpty,
+      s"publish must not read source data files, opened: $srcOpens")
+    val branchOpens = CountingFileSystem.openedUnder(s"$d/branch/data/")
+      .filter(_.endsWith(".parquet")).distinct
+    assert(branchOpens.size == localFiles,
+      s"publish must copy exactly the branch's own files: $branchOpens")
+    val srcCreates = CountingFileSystem.createdUnder(s"$d/src/data/")
+      .filter(_.endsWith(".parquet")).distinct
+    assert(srcCreates.size == localFiles,
+      s"publish must create exactly the delta under the source: $srcCreates")
+  }
+
   test("branch schema evolution publishes through; source files read nulls") {
     val d = tmpDir("wap_schema")
     val src = freshSrc(d)
