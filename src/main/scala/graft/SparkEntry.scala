@@ -74,6 +74,7 @@ object SparkEntry {
     "source_mix"           -> ((s, d) => TextAnalysis.sourceMix(s, d)),
     "corpus_stats"         -> ((s, d) => TextAnalysis.corpusStats(s, d)),
     "perplexity_filter"    -> ((s, d) => TextAnalysis.perplexityFilter(s, d)),
+    "doc_shuffle"          -> ((s, d) => TextAnalysis.docShuffle(s, d)),
     "bpe_train"            -> ((s, d) => Bpe.bpeTrain(s, d)),
     "bpe_encode"           -> ((s, d) => Bpe.bpeEncode(s, d)),
     "dedup_exact"          -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -691,6 +692,16 @@ object SparkEntry {
            round(exp(avg_nll), 4) AS ppl,
            CAST(ntile(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS BIGINT) AS ppl_bucket
          FROM agg""",
+    "doc_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+             (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256 +
+              ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 8 AS shard,
+             md5('epoch-1:' || CAST(doc_id AS VARCHAR)) AS order_hash
+           FROM documents)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, order_hash,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY order_hash, doc_id)
+                AS BIGINT) AS pos_in_shard
+         FROM h""",
     "semantic_dedup" ->
       """WITH RECURSIVE
          ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,

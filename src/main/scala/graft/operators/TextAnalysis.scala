@@ -521,6 +521,31 @@ object TextAnalysis {
       ntile(3).over(tertile).cast("long").as("ppl_bucket"))
   }
 
+  /** Deterministic training-order shuffle: every epoch's dataloader
+    * must see the corpus in a reproducible pseudo-random order, split
+    * across shards. Each doc hashes to a shard (md5 bucket — row-local)
+    * and gets its position within the shard by ordering on a second,
+    * epoch-salted hash. The window partitions BY SHARD, so ranking
+    * parallelizes across shards and no global sort exists at any
+    * scale — exactly a sharded dataloader's contract (shards are
+    * independent streams; only intra-shard order matters). One
+    * hash-partition exchange, shard-local sorts.
+    */
+  def docShuffle(spark: SparkSession, dir: String, shards: Int = 8,
+                 epoch: Int = 1): DataFrame = {
+    val shardHash = md5(col("doc_id").cast("string").cast("binary"))
+    val shard = (ascii(substring(shardHash, 1, 1)) * 256 +
+      ascii(substring(shardHash, 2, 1))) % shards
+    val orderHash = md5(concat(lit(s"epoch-$epoch:"),
+      col("doc_id").cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("order_hash"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), shard.cast("long").as("shard"),
+        orderHash.as("order_hash"))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+  }
+
   /** Deterministic stratified sampling: each source stratum keeps a
     * fixed rate (25/50/75/100% cycling by source index), decided by a
     * content-independent md5 bucket of the doc key — the same rows

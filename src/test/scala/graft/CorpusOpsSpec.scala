@@ -218,4 +218,31 @@ class CorpusOpsSpec extends SparkSpec {
     // draws every language from ONE shared vocabulary, so an en-trained
     // LM has no systematic preference to test here.)
   }
+
+  test("doc_shuffle: deterministic, contiguous per-shard positions, epoch reshuffles") {
+    val a = TextAnalysis.docShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos_in_shard")))
+    val b = TextAnalysis.docShuffle(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos_in_shard")))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)), "re-run must be identical")
+    val n = Tables.documents(spark, sf).count()
+    assert(a.length == n)
+    // positions are 1..size within each shard, no gaps or dupes
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length.toLong),
+        s"shard $s positions not contiguous")
+    }
+    // a different epoch keeps shard assignment (hash of doc_id only)
+    // but permutes intra-shard order
+    val e2 = TextAnalysis.docShuffle(spark, sf, epoch = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("pos_in_shard")))
+    val shardOf = a.map(t => t._1 -> t._2).toMap
+    assert(e2.forall(t => shardOf(t._1) == t._2), "shards must not move across epochs")
+    val posA = a.map(t => t._1 -> t._3).toMap
+    assert(e2.count(t => posA(t._1) != t._3) > e2.length / 2,
+      "epoch salt must permute the order")
+  }
 }
