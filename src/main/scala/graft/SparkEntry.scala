@@ -101,6 +101,10 @@ object SparkEntry {
     // incremental distinct counts: HLL sketch partials appended per
     // refresh from the feed, unioned at read — never a rescan
     "incr_distinct"        -> ((s, d) => IncrementalOps.incrDistinct(s, d)),
+
+    // Incremental JOIN view: two-sided change feeds scope a pinned
+    // recompute of only the affected keys, merged exactly-once
+    "incr_join"            -> ((s, d) => IncrementalOps.incrJoin(s, d)),
     // incremental heavy hitters: Count-Min partials + candidates per
     // refresh, merged-sketch estimates at read
     "incr_topk"            -> ((s, d) => IncrementalOps.incrTopk(s, d)),
@@ -752,6 +756,7 @@ object SparkEntry {
     "bucket_join" -> operators.BucketedOps.oracleSql,
     "lake_dpo" -> operators.MaintenanceOps.dpoOracleSql,
     "lake_hidden" -> operators.MaintenanceOps.hiddenOracleSql,
+    "incr_join" -> operators.IncrementalOps.joinOracleSql,
     "lake_retention" -> operators.MaintenanceOps.retentionOracleSql,
     "lake_wap" -> operators.MaintenanceOps.wapOracleSql
   )

@@ -389,4 +389,146 @@ object Incremental {
       .select(col("term"), expr("cms_estimate(cms, term)").as("est"))
       .orderBy(col("est").desc, col("term")).limit(k)
   }
+
+  // ------------------------------------------------------------------
+  // incremental equi-join view maintenance
+
+  private def joinWatermarkId(side: String, source: String): String =
+    s"graft-incr-join-$side:" + new Path(source).toUri.getPath
+
+  /** Incremental maintenance of a many-to-one equi-JOIN view (the
+    * silver fact-⋈-dim enrichment every reference transform runs,
+    * silver defs.yaml:113/149/183, re-run there as full CREATE TABLE
+    * AS on a schedule): `target` holds `left ⋈ right` keyed by the
+    * left-side primary key, and each refresh brings it to the sources'
+    * latest versions for the COST OF THE CHANGE.
+    *
+    * Discipline: scoped recompute, not delta folding. The change feeds
+    * are used ONLY to find the AFFECTED view keys — left-feed rows name
+    * their keys directly; right-feed rows name the join-key values
+    * whose dependents must re-derive (pre- and post-images both appear,
+    * so a key change invalidates both sides), probed into the left
+    * table as a pushed predicate (file-skipping on logged bounds) or a
+    * semi-join past 10k keys. The affected rows then RECOMPUTE against
+    * the latest pinned snapshots and MERGE in: present keys update,
+    * new keys insert, keys that no longer produce a row (left delete,
+    * or an inner join losing its match) delete via tombstones. Because
+    * the refresh is state-based — feeds scope it, snapshots define it —
+    * it is idempotent and insensitive to feed ordering, and updates/
+    * deletes on EITHER side are handled exactly, which pure delta
+    * folding only achieves with multiset multiplicities.
+    *
+    * Contracts: `leftPk` unique and non-null in `left` (the view key);
+    * `right` key-unique on its join columns (many-to-one — checked on
+    * the initial build, and every refresh's merge re-checks the touched
+    * subset); right-side non-key columns must not collide with left
+    * column names. `joinType` is `inner` or `left` (late-arriving or
+    * retired dims flip matches to/from null). Exactly-once: the merge
+    * commits BOTH source watermarks atomically with the data, so a
+    * replayed refresh is a no-op.
+    */
+  def refreshJoin(spark: SparkSession, left: String, right: String,
+                  target: String, leftPk: Seq[String],
+                  joinKeys: Seq[(String, String)],
+                  joinType: String = "inner"): Long = {
+    require(leftPk.nonEmpty && joinKeys.nonEmpty,
+      "refreshJoin needs a left primary key and at least one join-key pair")
+    require(Set("inner", "left", "left_outer").contains(joinType),
+      s"refreshJoin supports inner/left joins, got $joinType")
+    val lSnap = LakeTable.latestSnapshot(spark, left).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at left $left"))
+    val rSnap = LakeTable.latestSnapshot(spark, right).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at right $right"))
+    val (widL, widR) = (joinWatermarkId("left", left), joinWatermarkId("right", right))
+    val tgt = LakeTable.latestSnapshot(spark, target)
+    val doneL = tgt.flatMap(_.txns.get(widL)).getOrElse(0L)
+    val doneR = tgt.flatMap(_.txns.get(widR)).getOrElse(0L)
+    if (doneL >= lSnap.version && doneR >= rSnap.version) return tgt.get.version
+
+    val rKeys = joinKeys.map(_._2)
+    val lNow = LakeTable.read(spark, left, asOf = Some(lSnap.version))
+    val rNow = LakeTable.read(spark, right, asOf = Some(rSnap.version))
+    val clash = (rNow.columns.toSet -- rKeys).intersect(lNow.columns.toSet)
+    require(clash.isEmpty,
+      s"right-side column(s) collide with left names: ${clash.mkString(", ")}")
+    val viewCols = lNow.columns ++ rNow.columns.filterNot(rKeys.contains)
+
+    def view(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val cond = joinKeys.map { case (lc, rc) => l(lc) === rNow(rc) }.reduce(_ && _)
+      l.join(rNow, cond, joinType)
+        .select(l.columns.map(l(_)).toIndexedSeq ++
+          rNow.columns.filterNot(rKeys.contains).map(rNow(_)): _*)
+    }
+    def requirePkClean(df: org.apache.spark.sql.DataFrame): Unit =
+      require(df.filter(leftPk.map(col(_).isNull).reduce(_ || _)).limit(1).count() == 0L,
+        s"refreshJoin left key(s) (${leftPk.mkString(", ")}) contain nulls")
+
+    if (tgt.isEmpty) {
+      require(rNow.groupBy(rKeys.map(col).toIndexedSeq: _*).count()
+          .filter(col("count") > 1).limit(1).count() == 0L,
+        s"right side $right is not key-unique on (${rKeys.mkString(", ")}) — " +
+          "refreshJoin maintains a many-to-one view")
+      requirePkClean(lNow)
+      LakeTable.overwrite(spark, target, view(lNow),
+        txn = Some(widL -> lSnap.version), extraTxns = Map(widR -> rSnap.version))
+    } else {
+      // affected view keys: named by the left feed, or referencing a
+      // right key the right feed touched
+      val fromL =
+        if (lSnap.version > doneL)
+          Some(LakeTable.changes(spark, left, doneL + 1, lSnap.version)
+            .select(leftPk.map(col).toIndexedSeq: _*).distinct())
+        else None
+      val fromR =
+        if (rSnap.version > doneR) {
+          val touchedR = LakeTable.changes(spark, right, doneR + 1, rSnap.version)
+            .select(rKeys.map(col).toIndexedSeq: _*).distinct()
+          val cond = joinKeys.map { case (lc, rc) => lNow(lc) === touchedR(rc) }
+            .reduce(_ && _)
+          Some(lNow.join(touchedR, cond, "left_semi")
+            .select(leftPk.map(col).toIndexedSeq: _*).distinct())
+        } else None
+      val touched = (fromL.toSeq ++ fromR.toSeq).reduce(_ unionByName _).distinct()
+      requirePkClean(touched)
+      // restrict the left scan to the touched keys: a literal IN
+      // predicate pushes into file skipping while the set is small
+      // (single-column keys take ONE In expression — never a deep OR
+      // chain, which overflows the converter stack at PK cardinality;
+      // composite keys cap far lower), a (checkpointed — `touched`
+      // derives from lNow, so the semi-join would otherwise self-join)
+      // semi-join past that
+      val litCap = if (leftPk.size == 1) 10000 else 64
+      val tuples = touched.limit(litCap + 1).collect()
+      val lTouched =
+        if (tuples.isEmpty) lNow.filter(lit(false))
+        else if (tuples.length > litCap)
+          lNow.join(touched.localCheckpoint(), leftPk, "left_semi")
+        else if (leftPk.size == 1)
+          lNow.filter(col(leftPk.head).isin(tuples.map(_.get(0)).toIndexedSeq: _*))
+        else lNow.filter(tuples.map { r =>
+          leftPk.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _))
+      val marker = "_graft_drop"
+      val replacement = view(lTouched)
+      val repl = replacement.withColumn(marker, lit(false))
+      // tombstones: touched keys producing no view row anymore
+      val tomb = touched
+        .join(replacement.select(leftPk.map(col).toIndexedSeq: _*), leftPk, "left_anti")
+        .select(replacement.schema.fields.map(f =>
+          (if (leftPk.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+        .withColumn(marker, lit(true))
+      LakeTable.mergeRows(spark, target, repl.unionByName(tomb), leftPk,
+        matched = Seq(
+          LakeTable.MatchedDelete(Some(col(s"s.$marker"))),
+          LakeTable.MatchedUpdate(None,
+            viewCols.filterNot(leftPk.contains)
+              .map(n => n -> col(s"s.$n")).toMap)),
+        notMatchedInsert = Seq(
+          (Some(!col(s"s.$marker")), viewCols.map(n => n -> col(s"s.$n")).toMap)),
+        txn = Some(widL -> lSnap.version),
+        extraTxns = Map(widR -> rSnap.version))
+    }
+  }
 }

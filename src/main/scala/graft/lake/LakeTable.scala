@@ -1676,7 +1676,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     */
   def overwrite(spark: SparkSession, table: String, df0: DataFrame,
                 partitionBy: Seq[String] = Nil,
-                txn: Option[(String, Long)] = None): Long = {
+                txn: Option[(String, Long)] = None,
+                extraTxns: Map[String, Long] = Map.empty): Long = {
     // overwrite replaces the schema wholesale, so it replaces the
     // column mapping too: sanitize strips any metadata the frame
     // carried from a mapped source, and the files are written with the
@@ -1693,7 +1694,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       // reset delta: carries the complete new file list, so it is its
       // own reconstruction base — an overwrite's delta IS full-state
       CommitSpec(df.schema, partitionBy, newFiles, newFiles, Nil, reset = true,
-        txnUpdate = txn.toMap)
+        txnUpdate = txn.toMap ++ extraTxns)
     }
   }
 
@@ -2330,14 +2331,19 @@ object LakeTable extends org.apache.spark.internal.Logging {
                 notMatchedInsert: Seq[(Option[Column], Map[String, Column])] = Nil,
                 notMatchedBySource: Seq[MatchedClause] = Nil,
                 scopeToUpdatePartitions: Boolean = false,
-                txn: Option[(String, Long)] = None): Long = {
+                txn: Option[(String, Long)] = None,
+                extraTxns: Map[String, Long] = Map.empty): Long = {
     require(matched.nonEmpty || notMatchedInsert.nonEmpty || notMatchedBySource.nonEmpty,
       "mergeRows needs at least one matched, insert, or not-matched-by-source clause")
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
-    // application watermark already at or past this version: the work
-    // was committed by a previous (possibly crashed-and-replayed) run
-    if (txn.exists { case (appId, v) => snap.txns.get(appId).exists(_ >= v) })
+    // application watermark(s) already at or past these versions: the
+    // work was committed by a previous (possibly crashed-and-replayed)
+    // run. With several watermarks (e.g. a two-source incremental
+    // join), ALL must be current — one stale source means real work.
+    val allTxns = txn.toMap ++ extraTxns
+    if (allTxns.nonEmpty &&
+        allTxns.forall { case (appId, v) => snap.txns.get(appId).exists(_ >= v) })
       return snap.version
     val assignedCols = (matched ++ notMatchedBySource)
       .collect { case MatchedUpdate(_, set) => set.keys }.flatten ++
@@ -2360,7 +2366,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // computed once barring executor loss.
     val src = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try mergeRowsOn(spark, table, snap, src, keys, matched, notMatchedInsert,
-      notMatchedBySource, scopeToUpdatePartitions, txn)
+      notMatchedBySource, scopeToUpdatePartitions, txn.toMap ++ extraTxns)
     finally src.unpersist(blocking = false)
   }
 
@@ -2371,7 +2377,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
                           notMatchedInsert: Seq[(Option[Column], Map[String, Column])],
                           notMatchedBySource: Seq[MatchedClause],
                           scopeToUpdatePartitions: Boolean,
-                          txn: Option[(String, Long)]): Long = {
+                          txnUpdate: Map[String, Long]): Long = {
     // SQL MERGE cardinality: a target row matching two source rows is
     // an error, never a silent duplicate — with equality keys that can
     // only come from duplicate source keys
@@ -2432,7 +2438,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
         insertRows.withColumn(ChangeTypeCol, lit("insert")))
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
         snap.schema, snap.partitionColumns, snap.files ++ newFiles,
-        txns = snap.txns ++ txn.toMap)
+        txns = snap.txns ++ txnUpdate)
       if (!tryCommit(spark, table, next, newFiles, Nil, cdc = Some(cdcFiles),
           prev = Some(snap))) {
         val f = fs(spark, table)
@@ -2549,7 +2555,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       .reduce(_ unionByName _)
     val cdcFiles = stageChangeFiles(spark, table, cdcAll)
     commitRewrite(spark, table, snap, "MERGE", _ => snap.schema,
-      newFiles, affectedRel, scoped, cdc = Some(cdcFiles), txnUpdate = txn.toMap)
+      newFiles, affectedRel, scoped, cdc = Some(cdcFiles), txnUpdate = txnUpdate)
   }
 
   /** A user partition predicate resolved against a snapshot's partition

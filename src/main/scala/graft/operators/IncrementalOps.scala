@@ -53,6 +53,54 @@ object IncrementalOps {
        CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_price
        FROM orders WHERE o_orderkey % 10 <> 7 GROUP BY 1"""
 
+  /** End-to-end incremental JOIN view ([[Incremental.refreshJoin]]):
+    * an orders⋈customer enrichment view (the reference's fact-to-dim
+    * silver transforms, silver defs.yaml:149 — re-run there as full
+    * CREATE TABLE AS) maintained for the cost of the change across a
+    * two-sided history: left append, right UPDATE (every dependent
+    * fact re-derives), right DELETE (inner join drops its facts), and
+    * a left delete. The final view must equal a plain join of the
+    * final states — exactly what the DuckDB oracle replays.
+    */
+  def incrJoin(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_incrj").toString
+    val l = s"$work/orders_lake"
+    val r = s"$work/customer_lake"
+    val tgt = s"$work/orders_enriched"
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    def refresh(): Long = Incremental.refreshJoin(spark, l, r, tgt,
+      Seq("o_orderkey"), Seq("o_custkey" -> "c_custkey"))
+
+    LakeTable.overwrite(spark, l, orders.filter(col("o_orderkey") % 2 === 0))
+    LakeTable.overwrite(spark, r, customer)
+    refresh() // initial build
+    LakeTable.append(spark, l, orders.filter(col("o_orderkey") % 2 =!= 0))
+    refresh() // left append: only the new keys compute
+    LakeTable.update(spark, r, Seq("c_mktsegment" -> lit("VIP")),
+      col("c_custkey") % 10 === 1)
+    refresh() // dim update: dependents re-derive
+    LakeTable.delete(spark, r, col("c_custkey") % 17 === 3)
+    refresh() // dim retirement: inner join drops its facts
+    LakeTable.delete(spark, l, col("o_orderkey") % 10 === 7)
+    refresh() // fact delete: tombstones
+
+    LakeTable.read(spark, tgt).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("double").as("o_totalprice"),
+      col("c_name"), col("c_mktsegment"))
+  }
+
+  val joinOracleSql: String =
+    """SELECT o.o_orderkey, o.o_custkey,
+              CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, c.c_name,
+              CASE WHEN c.c_custkey % 10 = 1 THEN 'VIP'
+                   ELSE c.c_mktsegment END AS c_mktsegment
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_orderkey % 10 <> 7 AND c.c_custkey % 17 <> 3"""
+
   /** Incremental quantiles ([[Incremental.refreshQuantiles]]): per-type
     * event-value percentiles maintained as mergeable Greenwald-Khanna
     * partials — two batches, two appended partials per type, final
