@@ -245,4 +245,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(e2.count(t => posA(t._1) != t._3) > e2.length / 2,
       "epoch salt must permute the order")
   }
+
+  test("decontaminate_fuzzy matches an in-memory per-eval-item Jaccard replay") {
+    val got = TextAnalysis.decontaminateFuzzy(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val w = ws(t)
+      if (w.length < 5) Set.empty
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val evalSets = docs.filter(_._1 < 25).map { case (id, t) => id -> shingles(t) }
+    val corpus = docs.filter(_._1 >= 25)
+    assert(got.size == corpus.size)
+    corpus.foreach { case (id, t) =>
+      val sh = shingles(t)
+      val row = got(id)
+      assert(row.getAs[Long]("n_shingles") == sh.size, s"doc $id n_shingles")
+      val cands = evalSets.toSeq.map { case (eid, es) =>
+        val inter = (sh & es).size
+        val jac = if (inter == 0) 0.0
+          else inter.toDouble / (sh.size + es.size - inter)
+        (eid, inter, jac)
+      }.filter(_._2 > 0)
+      if (cands.isEmpty) {
+        assert(row.isNullAt(row.fieldIndex("best_eval")), s"doc $id best_eval null")
+        assert(row.getAs[Long]("n_shared") == 0 &&
+          row.getAs[Double]("jaccard") == 0.0 && !row.getAs[Boolean]("contaminated"))
+      } else {
+        val (eid, inter, jac) = cands.minBy { case (e, _, j) => (-j, e) }
+        assert(row.getAs[Long]("best_eval") == eid, s"doc $id argmax eval")
+        assert(row.getAs[Long]("n_shared") == inter, s"doc $id n_shared")
+        // same half-away-from-zero rounding as Money.rnd (jac >= 0 here)
+        val a = jac * 1e4; val f = math.floor(a)
+        val expected = (if (a - f >= 0.5) f + 1.0 else f) / 1e4
+        assert(row.getAs[Double]("jaccard") == expected, s"doc $id jaccard")
+        assert(row.getAs[Boolean]("contaminated") == (jac >= 0.2), s"doc $id verdict")
+      }
+    }
+    // sanity: the synthetic corpus actually exercises the overlap path
+    assert(got.values.count(_.getAs[Long]("n_shared") > 0) > 0, "no overlap at all")
+  }
 }
