@@ -64,6 +64,7 @@ object SparkEntry {
     "dataset_split"        -> ((s, d) => TextAnalysis.datasetSplit(s, d)),
     "seq_pack"             -> ((s, d) => TextAnalysis.seqPack(s, d)),
     "decontaminate"        -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "decontaminate_fuzzy"  -> ((s, d) => TextAnalysis.decontaminateFuzzy(s, d)),
     "stratified_sample"    -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "rep_ngrams"           -> ((s, d) => TextAnalysis.repNgrams(s, d)),
     "char_entropy"         -> ((s, d) => TextAnalysis.charEntropy(s, d)),
@@ -135,6 +136,7 @@ object SparkEntry {
     // Write-audit-publish: branch, mutate + audit invisibly, publish
     // atomically with a concurrent source append merged in
     "lake_wap"             -> ((s, d) => MaintenanceOps.lakeWap(s, d)),
+    "lake_txn"             -> ((s, d) => MaintenanceOps.lakeTxn(s, d)),
     // incremental IVF maintenance: build on half, ivfAppend the rest,
     // probe ALL cells so the result is exact brute-force top-k — a
     // hash-matched oracle for the index-append path itself
@@ -480,6 +482,32 @@ object SparkEntry {
            CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
            COALESCE(h.n_shared, 0) > 0 AS contaminated
          FROM corpus c LEFT JOIN hits h USING (doc_id)""",
+    "decontaminate_fuzzy" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+         s AS (SELECT doc_id,
+             CASE WHEN len(w) >= 5 THEN list_distinct(list_transform(range(1, len(w) - 3),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+             ELSE [] END AS sh
+           FROM t),
+         bench AS (SELECT doc_id AS eval_id, len(sh) AS n_eval, unnest(sh) AS s
+                   FROM s WHERE doc_id < 25),
+         corpus AS (SELECT doc_id, len(sh) AS n_shingles, sh FROM s WHERE doc_id >= 25),
+         ex AS (SELECT doc_id, n_shingles, unnest(sh) AS s FROM corpus),
+         pairs AS (SELECT ex.doc_id, ex.n_shingles, b.eval_id, b.n_eval,
+                          count(*) AS inter
+                   FROM ex JOIN bench b USING (s) GROUP BY 1, 2, 3, 4),
+         j AS (SELECT doc_id, eval_id, inter,
+                 CAST(inter AS DOUBLE) / (n_shingles + n_eval - inter) AS jac,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY CAST(inter AS DOUBLE) / (n_shingles + n_eval - inter) DESC,
+                            eval_id) AS rn
+               FROM pairs)
+         SELECT c.doc_id, CAST(c.n_shingles AS BIGINT) AS n_shingles,
+           CAST(j.eval_id AS BIGINT) AS best_eval,
+           CAST(COALESCE(j.inter, 0) AS BIGINT) AS n_shared,
+           round(COALESCE(j.jac, 0.0), 4) AS jaccard,
+           COALESCE(j.jac, 0.0) >= 0.2 AS contaminated
+         FROM corpus c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (doc_id)""",
     "char_entropy" ->
       """WITH c AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
          f AS (SELECT doc_id, ch, count(*) AS cnt FROM c GROUP BY 1, 2),
@@ -758,6 +786,7 @@ object SparkEntry {
     "lake_hidden" -> operators.MaintenanceOps.hiddenOracleSql,
     "incr_join" -> operators.IncrementalOps.joinOracleSql,
     "lake_retention" -> operators.MaintenanceOps.retentionOracleSql,
-    "lake_wap" -> operators.MaintenanceOps.wapOracleSql
+    "lake_wap" -> operators.MaintenanceOps.wapOracleSql,
+    "lake_txn" -> operators.MaintenanceOps.txnOracleSql
   )
 }

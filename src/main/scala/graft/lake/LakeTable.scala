@@ -890,7 +890,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
   /** Atomically publish the fully-written `tmp` as `target` iff `target`
     * does not exist, via the scheme's registered [[CommitPublisher]].
     */
-  private def publishIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean = {
+  private[lake] def publishIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean = {
     val won = publisherFor(f).publishIfAbsent(f, tmp, target)
     // link path: tmp still exists either way; rename path: only on loss.
     try f.delete(tmp, false) catch { case _: java.io.IOException => () }
@@ -3892,9 +3892,22 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * file-granular, lazy, no extra bytes at commit time. Returns the
     * published version (the unchanged head when the branch made no
     * changes).
+    *
+    * `txn = (appId, ver)` makes the publish IDEMPOTENT (the batch-write
+    * txn-watermark protocol): if the source already carries `appId` at
+    * `>= ver` the call returns the current head untouched — a replay
+    * after a crash (or a coordinator retry, see [[GraftTxn]]) cannot
+    * double-apply the delta. The stamp rides in the PUBLISH snapshot's
+    * `txns` map, so the guard survives restarts and is checked under
+    * the same commit race the delta is.
     */
   def publish(spark: SparkSession, src: String, branch: String,
-              copy: Boolean = true): Long = {
+              copy: Boolean = true, txn: Option[(String, Long)] = None): Long = {
+    txn.foreach { case (appId, ver) =>
+      latestSnapshot(spark, src).foreach { s =>
+        if (s.txns.get(appId).exists(_ >= ver)) return s.version
+      }
+    }
     val head = latestSnapshot(spark, branch).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $branch"))
     val fork = snapshotAt(spark, branch, 1L)
@@ -3936,19 +3949,33 @@ object LakeTable extends org.apache.spark.internal.Logging {
         stageParallel(local) { e =>
           val from = entryPath(bRoot, e.path)
           val to = entryPath(dataPath(src), e.path)
-          if (f.exists(to))
-            throw new IllegalStateException(
-              s"publish target $to already exists — was $branch already published?")
-          f.mkdirs(to.getParent)
-          if (!org.apache.hadoop.fs.FileUtil.copy(bf, from, f, to, false, conf))
-            throw new IllegalStateException(s"could not copy $from to $to")
+          val existing = if (f.exists(to)) Some(f.getFileStatus(to)) else None
+          existing match {
+            case Some(st) if st.getLen == e.size =>
+              // crash-recovery replay: this exact branch file (names embed
+              // the write job's UUID) was already copied by an earlier
+              // attempt that died before its commit landed — reuse it
+              ()
+            case Some(_) =>
+              throw new IllegalStateException(
+                s"publish target $to already exists with a DIFFERENT size — " +
+                  s"was $branch already published, or did another writer claim " +
+                  "the path?")
+            case None =>
+              f.mkdirs(to.getParent)
+              if (!org.apache.hadoop.fs.FileUtil.copy(bf, from, f, to, false, conf))
+                throw new IllegalStateException(s"could not copy $from to $to")
+          }
           e.copy(dv = None, bloom = None)
         }
       } else {
         val bPrefix = qualifiedDataPrefix(spark, branch) + "/"
         local.map(e => e.copy(path = bPrefix + e.path, dv = None, bloom = None))
       }
-    if (adds.isEmpty && removedByBranch.isEmpty)
+    // A no-delta branch publishes as the unchanged head — except under a
+    // txn stamp, where an (empty) commit must still land the watermark so
+    // coordinator recovery can tell "published, no delta" from "never ran"
+    if (adds.isEmpty && removedByBranch.isEmpty && txn.isEmpty)
       return latestVersion(spark, src).getOrElse(
         throw new IllegalStateException(s"source $src has no committed versions"))
     val removedSet = removedByBranch.map(_.path).toSet
@@ -3981,10 +4008,16 @@ object LakeTable extends org.apache.spark.internal.Logging {
       }
       adds.find(a => curByPath.contains(a.path)).foreach(a =>
         refuse(s"the source independently added a file named ${a.path}"))
+      // replay guard re-checked under the commit race: a competing
+      // coordinator may have landed the same txn while we validated
+      txn.foreach { case (appId, ver) =>
+        if (cur.txns.get(appId).exists(_ >= ver)) return cur.version
+      }
       val next = Snapshot(cur.version + 1, System.currentTimeMillis(), "PUBLISH",
         head.schema, head.partitionColumns,
         cur.files.filterNot(e => removedSet.contains(e.path)) ++ adds,
-        txns = cur.txns, protocol = head.protocol, constraints = head.constraints)
+        txns = cur.txns ++ txn.map { case (a, v) => a -> v },
+        protocol = head.protocol, constraints = head.constraints)
       if (tryCommit(spark, src, next, adds, removedByBranch.map(_.path),
           prev = Some(cur), constraintsUpdate = Some(head.constraints)))
         return next.version

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.lake.LakeTable
+import graft.lake.{GraftTxn, LakeTable}
 
 /** Cross-engine maintenance check (ref behavior: every reference
   * transform materializes an Iceberg table that Trino then reads back,
@@ -298,4 +298,68 @@ object MaintenanceOps {
        FROM orders
        WHERE o_orderkey % 3 IN (1, 2)
           OR (o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0)"""
+
+  /** Coordinated multi-table publish end to end ([[graft.lake.GraftTxn]];
+    * ref: gold defs.yaml materializes several Iceberg assets per run and
+    * leans on orchestrator retries for partial failure — this makes the
+    * retry SAFE): a fact and a dim table move together — the txn's fact
+    * branch takes a price-adjusted append, its dim branch a CoW delete,
+    * the fact SOURCE takes a concurrent append during the audit window
+    * (publish must merge it, not clobber it), and the commit itself is
+    * exercised through the crash path: the fact branch's publish lands
+    * first as a "dead coordinator" would leave it, then `commit` claims
+    * the journal and rolls forward — the replayed fact publish must
+    * no-op on its txn watermark, the dim publish must land. A final
+    * `recover` proves full idempotence before the joined cross-table
+    * state is hash-checked against DuckDB's replay.
+    */
+  def lakeTxn(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_laketxn").toString
+    val fact = s"$work/orders_lake"
+    val dim = s"$work/customer_lake"
+    val key = col("o_orderkey")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+
+    LakeTable.overwrite(spark, fact, orders.filter(key % 3 === 0))
+    LakeTable.overwrite(spark, dim, customer)
+
+    val txn = GraftTxn.begin(spark, Seq(fact, dim), s"$work/txns", id = "gate")
+    LakeTable.append(spark, txn.branch(fact), orders.filter(key % 3 === 2)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+    LakeTable.delete(spark, txn.branch(dim), col("c_custkey") % 10 === 0)
+    // the fact source moves on during the audit window
+    LakeTable.append(spark, fact, orders.filter(key % 3 === 1))
+
+    // crash path: the coordinator "died" after the fact publish landed…
+    LakeTable.publish(spark, fact, txn.branch(fact), txn = Some("graft-txn:gate" -> 1L))
+    // …and the retried commit rolls the plan forward (fact no-ops on its
+    // watermark — exactly one PUBLISH may exist — the dim publish lands)
+    val versions = GraftTxn.commit(spark, txn)
+    val replayed = GraftTxn.recover(spark, s"$work/txns", "gate")
+    require(replayed == versions, "recover() after completion must be a no-op")
+    val factPubs = LakeTable.history(spark, fact)
+      .filter(col("operation") === "PUBLISH").count()
+    require(factPubs == 1, s"txn watermark failed: $factPubs fact publishes")
+
+    LakeTable.read(spark, fact).as("o")
+      .join(LakeTable.read(spark, dim).as("c"),
+        col("o.o_custkey") === col("c.c_custkey"))
+      .select(col("o.o_orderkey").as("o_orderkey"),
+        col("o.o_custkey").as("o_custkey"), col("c.c_name").as("c_name"),
+        col("o.o_totalprice").cast("double").as("o_totalprice"))
+  }
+
+  /** DuckDB replay of [[lakeTxn]]: all three fact slices end up present
+    * (init %3=0, source append %3=1, branch append %3=2 with +500), the
+    * dim lost every custkey%10=0 row, and the join drops their orders.
+    */
+  val txnOracleSql: String =
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name,
+              CAST(CASE WHEN o.o_orderkey % 3 = 2 THEN o.o_totalprice + 500.0
+                        ELSE o.o_totalprice END AS DOUBLE) AS o_totalprice
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_custkey % 10 <> 0"""
 }
