@@ -131,6 +131,39 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(e4.getMessage.contains("null"))
   }
 
+  test("a touched set past the literal cap takes the checkpointed semi-join path") {
+    // composite left pk: the literal cap is 64, so ~100 touched keys
+    // force the semi-join restriction (the path a 10k+-key single-col
+    // delta takes at scale) — result must still equal the full join
+    val d = tmp("ij_semijoin")
+    val (l, r, t) = (s"$d/l", s"$d/r", s"$d/t")
+    val cf = spark.range(300).select(
+      (col("id") / 30).cast("long").as("f_a"), (col("id") % 30).as("f_b"),
+      (col("id") % 10).as("f_cust"), (col("id") * 2.5).as("f_amt"))
+    LakeTable.overwrite(spark, l, cf)
+    LakeTable.overwrite(spark, r, dims(10))
+    def refreshC(): Long = Incremental.refreshJoin(spark, l, r, t,
+      Seq("f_a", "f_b"), Seq("f_cust" -> "c_id"))
+    refreshC()
+
+    // one dim touch cascades to 30 facts (under cap): IN-chain path
+    LakeTable.update(spark, r, Seq("c_seg" -> lit("warm")), col("c_id") === 2L)
+    refreshC()
+    // four dim touches cascade to 120 facts (> 64 cap): semi-join path
+    LakeTable.update(spark, r, Seq("c_seg" -> lit("hot")), col("c_id") < 4L)
+    refreshC()
+
+    val got = LakeTable.read(spark, t)
+      .select("f_a", "f_b", "f_cust", "f_amt", "c_name", "c_seg")
+      .as[(Long, Long, Long, Double, String, String)].collect().toSet
+    val want = LakeTable.read(spark, l).join(LakeTable.read(spark, r),
+        col("f_cust") === col("c_id"))
+      .select("f_a", "f_b", "f_cust", "f_amt", "c_name", "c_seg")
+      .as[(Long, Long, Long, Double, String, String)].collect().toSet
+    assert(got == want, "semi-join path must equal the full join")
+    assert(got.count(_._6 == "hot") == 120, "all 120 dependents re-derived")
+  }
+
   test("a delta refresh reads only affected left files (counting FS proof)") {
     CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
     val d = tmp("ij_prune")
