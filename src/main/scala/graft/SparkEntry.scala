@@ -140,7 +140,10 @@ object SparkEntry {
     // incremental IVF maintenance: build on half, ivfAppend the rest,
     // probe ALL cells so the result is exact brute-force top-k — a
     // hash-matched oracle for the index-append path itself
-    "ann_ivf_incr"         -> ((s, d) => Similarity.annIvfIncr(s, d))
+    "ann_ivf_incr"         -> ((s, d) => Similarity.annIvfIncr(s, d)),
+    // SCD Type-2 dimension: three observation batches fold into a
+    // versioned interval table, one atomic merge per batch
+    "scd2_dim"             -> ((s, d) => Scd2Ops.scd2Dim(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -787,6 +790,7 @@ object SparkEntry {
     "incr_join" -> operators.IncrementalOps.joinOracleSql,
     "lake_retention" -> operators.MaintenanceOps.retentionOracleSql,
     "lake_wap" -> operators.MaintenanceOps.wapOracleSql,
-    "lake_txn" -> operators.MaintenanceOps.txnOracleSql
+    "lake_txn" -> operators.MaintenanceOps.txnOracleSql,
+    "scd2_dim" -> operators.Scd2Ops.oracleSql
   )
 }

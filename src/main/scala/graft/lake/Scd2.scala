@@ -1,0 +1,130 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** SCD Type-2 dimension maintenance over a graft lake table — the
+  * canonical silver-dim pattern for the reference's conformed
+  * dimensions (ref: silver defs.yaml dim_* transforms, which re-derive
+  * the dimension from scratch each run; this keeps FULL history and
+  * applies only the change).
+  *
+  * The dimension carries one row per (business key, version interval):
+  * `valid_from` (the effective version that opened the row), `valid_to`
+  * (the effective version that closed it; NULL while open) and
+  * `is_current`. [[applyBatch]] folds one observation batch in as ONE
+  * atomic MERGE commit, keyed on (business key, valid_from) — that
+  * composite uniquely names a version row, so the classic two-action
+  * staging (close the open row + insert its successor) is a plain
+  * key-unique upsert, never a multi-statement transaction:
+  *
+  *   - a batch key whose attributes differ from its open row stages a
+  *     CLOSE (same (key, valid_from) → replaced with valid_to =
+  *     effective, is_current = false) and an OPEN ((key, effective) is
+  *     new → inserted);
+  *   - an unseen key stages only the OPEN;
+  *   - an unchanged key stages nothing — re-delivering the same
+  *     observations is a no-op (no commit, no version).
+  *
+  * Scale posture: the open-row read is a pushed `is_current` filter —
+  * files holding only closed history have max(is_current) = false in
+  * the logged bounds and skip entirely, so the probe scans the open
+  * slice, not the table's accumulated history. The batch⋈open join
+  * broadcasts the (small) batch, its result is batch-sized and
+  * persisted once for the change/new/monotonicity splits, and the
+  * MERGE rewrite touches only the files holding a staged
+  * (key, valid_from) — O(change), never O(history).
+  *
+  * Out-of-order protection: `effective` must be strictly greater than
+  * the valid_from of every open row the batch touches; a late batch
+  * refuses loudly instead of silently rewriting history backwards.
+  */
+object Scd2 {
+
+  val ValidFromCol = "valid_from"
+  val ValidToCol = "valid_to"
+  val CurrentCol = "is_current"
+  private val Bookkeeping = Seq(ValidFromCol, ValidToCol, CurrentCol)
+
+  /** Fold one observation batch (one row per business key — duplicate
+    * keys fail MERGE's cardinality check) into the dimension at
+    * `table`, effective at version `effective`. Returns the committed
+    * lake version (the current one when the batch changes nothing).
+    * The first batch creates the table with every key open.
+    */
+  def applyBatch(spark: SparkSession, table: String, batch0: DataFrame,
+                 keys: Seq[String], attrs: Seq[String], effective: Long): Long = {
+    require(keys.nonEmpty && attrs.nonEmpty,
+      "scd2 needs at least one business-key column and one tracked attribute")
+    val clash = (keys ++ attrs).filter(Bookkeeping.contains)
+    require(clash.isEmpty,
+      s"scd2 reserves column(s) ${clash.mkString(", ")} for interval bookkeeping")
+    val cols = keys ++ attrs
+    val batch = batch0.select(cols.map(col): _*)
+    def opened(df: DataFrame): DataFrame = df
+      .withColumn(ValidFromCol, lit(effective))
+      .withColumn(ValidToCol, lit(null).cast("long"))
+      .withColumn(CurrentCol, lit(true))
+
+    val snap = LakeTable.latestSnapshot(spark, table)
+    if (snap.isEmpty) return LakeTable.overwrite(spark, table, opened(batch))
+
+    // open slice pinned to one snapshot: the pushed is_current filter
+    // skips files whose logged bounds hold only closed history
+    val open = LakeTable.read(spark, table, asOf = Some(snap.get.version))
+      .filter(col(CurrentCol))
+      .select((cols :+ ValidFromCol).map(col): _*)
+      .withColumn("__matched", lit(true))
+
+    val keyCond = keys.map(k => col(s"b.$k") === col(s"o.$k")).reduce(_ && _)
+    val joined = batch.alias("b").join(open.alias("o"), keyCond, "left_outer")
+      .select(cols.map(c => col(s"b.$c").as(c)) ++
+        attrs.map(a => col(s"o.$a").as(s"__cur_$a")) ++
+        Seq(col(s"o.$ValidFromCol").as("__cur_from"), col("__matched")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one observation per key: a duplicate would stage two open rows
+      // at the same (key, effective) and the unconditional merge is an
+      // upsert with no cardinality guard — it would land BOTH silently
+      val dup = joined.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        s"scd2 batch has duplicate values of key (${keys.mkString(", ")}) — " +
+          "deliver one observation per business key per batch")
+      val differs = attrs.map(a => !(col(a) <=> col(s"__cur_$a"))).reduce(_ || _)
+      val changed = joined.filter(col("__matched") && differs)
+      val fresh = joined.filter(col("__matched").isNull)
+
+      // refuse a batch arriving behind a version it would overwrite:
+      // closing an open row with valid_to <= its valid_from would
+      // corrupt the interval order for every later reader
+      Option(changed.agg(max(col("__cur_from"))).head().get(0)).foreach { m =>
+        require(m.asInstanceOf[Long] < effective,
+          s"scd2 batch effective=$effective is not past the open rows it touches " +
+            s"(max open valid_from = $m) — apply batches in effective order")
+      }
+
+      val closes = changed.select(
+        keys.map(col) ++ attrs.map(a => col(s"__cur_$a").as(a)) ++ Seq(
+          col("__cur_from").as(ValidFromCol),
+          lit(effective).as(ValidToCol),
+          lit(false).as(CurrentCol)): _*)
+      val opens = opened(
+        changed.select(cols.map(col): _*).unionByName(fresh.select(cols.map(col): _*)))
+      val staged = closes.unionByName(opens)
+      if (staged.isEmpty) snap.get.version
+      else LakeTable.merge(spark, table, staged, keys :+ ValidFromCol)
+    } finally joined.unpersist(blocking = false)
+  }
+
+  /** The dimension as of effective version `at` — every row whose
+    * interval covers it. Time travel in EFFECTIVE time (what did the
+    * dim say about version 2?), orthogonal to the lake log's commit
+    * time travel (what had we committed at version 2?).
+    */
+  def snapshotAt(spark: SparkSession, table: String, at: Long): DataFrame =
+    LakeTable.read(spark, table)
+      .filter(col(ValidFromCol) <= at &&
+        (col(ValidToCol).isNull || col(ValidToCol) > at))
+}

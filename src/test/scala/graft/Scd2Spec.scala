@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.lake.{LakeTable, Scd2}
+
+/** SCD Type-2 maintenance: the interval table always equals an
+  * independent replay of the observation history, each changing batch
+  * is exactly one commit, and the rewrite stays file-granular.
+  */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private type Obs = (Long, String, Long) // (k, status, score)
+  private type Row6 = (Long, String, Long, Long, Option[Long], Boolean)
+
+  private def batchDf(rows: Seq[Obs]): DataFrame =
+    rows.toDF("k", "status", "score")
+
+  private def applyB(t: String, eff: Long, rows: Seq[Obs]): Long =
+    Scd2.applyBatch(spark, t, batchDf(rows), Seq("k"), Seq("status", "score"), eff)
+
+  private def state(t: String): Set[Row6] =
+    LakeTable.read(spark, t)
+      .select("k", "status", "score", "valid_from", "valid_to", "is_current")
+      .as[Row6].collect().toSet
+
+  /** In-memory replay: consecutive-change compression per key, each
+    * change row closed by the next change's effective version.
+    */
+  private def replay(batches: Seq[(Long, Seq[Obs])]): Set[Row6] =
+    batches.flatMap { case (eff, rows) => rows.map(r => (r._1, eff, r._2, r._3)) }
+      .groupBy(_._1).flatMap { case (k, obs) =>
+        val changes = obs.sortBy(_._2)
+          .foldLeft(List.empty[(Long, String, Long)]) {
+            case (acc, (_, eff, st, sc)) =>
+              if (acc.headOption.exists(h => h._2 == st && h._3 == sc)) acc
+              else (eff, st, sc) :: acc
+          }.reverse
+        changes.zip(changes.drop(1).map(c => Option(c._1)) :+ None).map {
+          case ((eff, st, sc), next) => (k, st, sc, eff, next, next.isEmpty)
+        }
+      }.toSet
+
+  private val history: Seq[(Long, Seq[Obs])] = Seq(
+    1L -> Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "b", 5L)),
+    2L -> Seq((1L, "a", 10L), (2L, "b", 10L), (4L, "c", 1L)),
+    3L -> Seq((3L, "b", 7L), (2L, "b", 10L)),
+    4L -> Seq((1L, "z", 0L)))
+
+  test("a batched history lands as the replayed interval table") {
+    val t = s"${tmp("scd2_hist")}/dim"
+    history.foreach { case (eff, rows) => applyB(t, eff, rows) }
+    assert(state(t) == replay(history))
+    // every key has exactly one open row
+    val open = state(t).filter(_._6)
+    assert(open.map(_._1) == Set(1L, 2L, 3L, 4L))
+    assert(open.forall(_._5.isEmpty), "open rows carry no valid_to")
+  }
+
+  test("each changing batch is one commit; an unchanged batch is none") {
+    val t = s"${tmp("scd2_noop")}/dim"
+    applyB(t, 1L, history.head._2)
+    val v1 = LakeTable.latestSnapshot(spark, t).get.version
+    val v2 = applyB(t, 2L, history(1)._2) // changes + a new key
+    assert(v2 == v1 + 1, "one atomic MERGE commit per changing batch")
+    val v3 = applyB(t, 3L, history(1)._2) // identical observations again
+    assert(v3 == v2, "unchanged batch returns the current version")
+    assert(LakeTable.latestSnapshot(spark, t).get.version == v2,
+      "unchanged batch writes no commit at all")
+  }
+
+  test("a late batch refuses instead of rewriting history backwards") {
+    val t = s"${tmp("scd2_late")}/dim"
+    applyB(t, 5L, Seq((1L, "a", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      applyB(t, 5L, Seq((1L, "b", 1L))) // same effective, changed attrs
+    }
+    assert(e.getMessage.contains("effective"))
+    val e2 = intercept[IllegalArgumentException] {
+      applyB(t, 4L, Seq((1L, "c", 1L))) // behind the open row
+    }
+    assert(e2.getMessage.contains("effective"))
+    assert(state(t) == Set((1L, "a", 1L, 5L, None, true)), "history untouched")
+  }
+
+  test("duplicate business keys in one batch fail loudly") {
+    val t = s"${tmp("scd2_dup")}/dim"
+    applyB(t, 1L, Seq((1L, "a", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      applyB(t, 2L, Seq((1L, "x", 1L), (1L, "y", 2L)))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("snapshotAt answers a point-in-time dimension question") {
+    val t = s"${tmp("scd2_pit")}/dim"
+    history.foreach { case (eff, rows) => applyB(t, eff, rows) }
+    val full = replay(history)
+    for (at <- 1L to 4L) {
+      val want = full.filter(r => r._4 <= at && r._5.forall(_ > at))
+        .map(r => (r._1, r._2, r._3))
+      val got = Scd2.snapshotAt(spark, t, at)
+        .select("k", "status", "score").as[Obs].collect().toSet
+      assert(got == want, s"dimension as of effective version $at")
+    }
+  }
+
+  test("a one-key change rewrites only the file holding its open row") {
+    val t = s"${tmp("scd2_files")}/dim"
+    val b1 = spark.range(40).select(col("id").as("k"), lit("a").as("status"),
+      col("id").as("score")).repartition(4, col("k"))
+    Scd2.applyBatch(spark, t, b1, Seq("k"), Seq("status", "score"), 1L)
+    val before = LakeTable.latestSnapshot(spark, t).get.files.map(_.path).toSet
+    assert(before.size == 4, "layout under test: four data files")
+    applyB(t, 2L, Seq((7L, "b", 7L)))
+    val after = LakeTable.latestSnapshot(spark, t).get.files.map(_.path).toSet
+    assert((before -- after).size == 1,
+      "exactly the matched key's file is rewritten — O(change), not O(table)")
+  }
+
+  test("the change feed of a batch is close pre/post images plus inserts") {
+    val t = s"${tmp("scd2_cdc")}/dim"
+    applyB(t, 1L, Seq((1L, "a", 1L), (2L, "b", 2L)))
+    val v = applyB(t, 2L, Seq((1L, "a2", 1L), (3L, "c", 3L)))
+    val byType = LakeTable.changes(spark, t, v, v)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    // key 1 closes (pre+post of its v1 row) and reopens; key 3 inserts.
+    // The reopened row and the fresh key are both MERGE inserts.
+    assert(byType == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "insert" -> 2L), s"got $byType")
+  }
+}
