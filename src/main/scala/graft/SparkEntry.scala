@@ -143,7 +143,10 @@ object SparkEntry {
     "ann_ivf_incr"         -> ((s, d) => Similarity.annIvfIncr(s, d)),
     // SCD Type-2 dimension: three observation batches fold into a
     // versioned interval table, one atomic merge per batch
-    "scd2_dim"             -> ((s, d) => Scd2Ops.scd2Dim(s, d))
+    "scd2_dim"             -> ((s, d) => Scd2Ops.scd2Dim(s, d)),
+    // CDC-driven SCD2: the source lake's change feed maintains the
+    // dimension, effective at source commit versions, exactly-once
+    "scd2_cdc"             -> ((s, d) => Scd2Ops.scd2Cdc(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -791,6 +794,7 @@ object SparkEntry {
     "lake_retention" -> operators.MaintenanceOps.retentionOracleSql,
     "lake_wap" -> operators.MaintenanceOps.wapOracleSql,
     "lake_txn" -> operators.MaintenanceOps.txnOracleSql,
-    "scd2_dim" -> operators.Scd2Ops.oracleSql
+    "scd2_dim" -> operators.Scd2Ops.oracleSql,
+    "scd2_cdc" -> operators.Scd2Ops.cdcOracleSql
   )
 }

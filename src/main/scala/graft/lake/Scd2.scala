@@ -127,4 +127,106 @@ object Scd2 {
     LakeTable.read(spark, table)
       .filter(col(ValidFromCol) <= at &&
         (col(ValidToCol).isNull || col(ValidToCol) > at))
+
+  /** CDC-driven SCD2: fold the change feed of lake table `source`
+    * (expected key-unique per commit — a dim source, not a fact) into
+    * the dimension at `dim`. Effective versions are the SOURCE's commit
+    * versions, so the dimension's intervals read as source-log
+    * provenance: valid_from = the commit that produced the attributes,
+    * and [[snapshotAt]] answers "what did the source say as of its
+    * version v". Per key, the LAST change in the unprocessed range is
+    * the observation (batch CDC apply — intermediate states within the
+    * range collapse); a commit that deletes and reinserts a key counts
+    * as an update. A DELETE retires the key: its open row closes at the
+    * deleting version with no successor.
+    *
+    * Exactly-once: the application watermark (`appId` → source head
+    * version) rides the SAME commit as the data via the merge's txn
+    * stamp (or the initial overwrite's), so a crashed-and-replayed
+    * applyFeed is a no-op, never a double close. A feed range that
+    * changes nothing commits nothing — the watermark intentionally
+    * stays behind (re-scanning an empty range is cheap and idempotent).
+    */
+  def applyFeed(spark: SparkSession, source: String, dim: String,
+                keys: Seq[String], attrs: Seq[String],
+                appId0: Option[String] = None): Long = {
+    require(keys.nonEmpty && attrs.nonEmpty,
+      "scd2 needs at least one business-key column and one tracked attribute")
+    val clash = (keys ++ attrs).filter(Bookkeeping.contains)
+    require(clash.isEmpty,
+      s"scd2 reserves column(s) ${clash.mkString(", ")} for interval bookkeeping")
+    val appId = appId0.getOrElse(s"scd2:$source")
+    val head = LakeTable.latestSnapshot(spark, source)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $source"))
+      .version
+    val dimSnap = LakeTable.latestSnapshot(spark, dim)
+    val wm = dimSnap.flatMap(_.txns.get(appId))
+    if (wm.exists(_ >= head)) return dimSnap.get.version
+    val startV = wm.map(_ + 1).getOrElse(1L)
+    val cols = keys ++ attrs
+
+    // last change per key wins; on a same-commit tie (overwrite's
+    // delete+reinsert) the non-delete row is the key's final state
+    val feed = LakeTable.changes(spark, source, startV, head)
+      .filter(col(LakeTable.ChangeTypeCol) =!= "update_preimage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(LakeTable.CommitVersionCol).desc,
+        (col(LakeTable.ChangeTypeCol) === "delete").asc)
+    val obs = feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col) ++ Seq(col(LakeTable.ChangeTypeCol).as("__ct"),
+        col(LakeTable.CommitVersionCol).as("__v")): _*)
+
+    if (dimSnap.isEmpty) {
+      val first = obs.filter(col("__ct") =!= "delete")
+        .select(cols.map(col) :+ col("__v").as(ValidFromCol): _*)
+        .withColumn(ValidToCol, lit(null).cast("long"))
+        .withColumn(CurrentCol, lit(true))
+      return LakeTable.overwrite(spark, dim, first, txn = Some(appId -> head))
+    }
+
+    val open = LakeTable.read(spark, dim, asOf = Some(dimSnap.get.version))
+      .filter(col(CurrentCol))
+      .select((cols :+ ValidFromCol).map(col): _*)
+      .withColumn("__matched", lit(true))
+    val keyCond = keys.map(k => col(s"b.$k") === col(s"o.$k")).reduce(_ && _)
+    val joined = obs.alias("b").join(open.alias("o"), keyCond, "left_outer")
+      .select(cols.map(c => col(s"b.$c").as(c)) ++
+        attrs.map(a => col(s"o.$a").as(s"__cur_$a")) ++
+        Seq(col("b.__ct").as("__ct"), col("b.__v").as("__v"),
+          col(s"o.$ValidFromCol").as("__cur_from"), col("__matched")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val differs = attrs.map(a => !(col(a) <=> col(s"__cur_$a"))).reduce(_ || _)
+      val isDel = col("__ct") === "delete"
+      val closes0 = joined.filter(col("__matched") && (isDel || differs))
+      val opens0 = joined.filter(!isDel && (col("__matched").isNull || differs))
+      val bad = closes0.filter(col("__cur_from") >= col("__v")).limit(1).count()
+      require(bad == 0L,
+        s"scd2 feed from $source would close open rows at or before their " +
+          "valid_from — the dimension holds effectives past this feed range " +
+          "(was it maintained by a different source or by newer applyBatch calls?)")
+
+      // one staged row per action, keyed (business key, valid_from):
+      // a close names the open row it replaces, an open is a fresh key
+      val closes = closes0.select(cols.map(col) ++ Seq(
+        col("__cur_from").as(ValidFromCol), col("__v").as("__to"),
+        lit(false).as("__open")): _*)
+      val opens = opens0.select(cols.map(col) ++ Seq(
+        col("__v").as(ValidFromCol), lit(null).cast("long").as("__to"),
+        lit(true).as("__open")): _*)
+      val staged = closes.unionByName(opens)
+      if (staged.isEmpty) dimSnap.get.version
+      else LakeTable.mergeRows(spark, dim, staged, keys :+ ValidFromCol,
+        matched = Seq(LakeTable.MatchedUpdate(Some(!col("s.__open")), Map(
+          ValidToCol -> col("s.__to"), CurrentCol -> lit(false)))),
+        notMatchedInsert = Seq((Some(col("s.__open")),
+          (cols.map(c => c -> col(s"s.$c")) ++ Seq(
+            ValidFromCol -> col(s"s.$ValidFromCol"),
+            ValidToCol -> lit(null).cast("long"),
+            CurrentCol -> lit(true))).toMap)),
+        txn = Some(appId -> head))
+    } finally joined.unpersist(blocking = false)
+  }
 }

@@ -52,6 +52,64 @@ object Scd2Ops {
       .select("c_key", "status", "priority", "valid_from", "valid_to", "is_current")
   }
 
+  /** CDC-driven SCD2 end to end: a customer lake goes through
+    * overwrite → two UPDATEs → DELETE, and [[Scd2.applyFeed]] folds the
+    * change feed into the dimension twice (initial build, then the
+    * three DML commits in one application). Effective versions are the
+    * SOURCE's commit versions; the two updates land within one feed
+    * range, so a key touched by both collapses to its final state (the
+    * intermediate never becomes an interval — batch CDC semantics) and
+    * the delete retires its key. The oracle replays the scripted DML
+    * per key class.
+    */
+  def scd2Cdc(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_scd2cdc").toString
+    val src = s"$work/customer_lake"
+    val dim = s"$work/customer_dim"
+    val customer = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    def feed(): Long = Scd2.applyFeed(spark, src, dim,
+      keys = Seq("c_custkey"), attrs = Seq("c_mktsegment", "c_acctbal"))
+
+    LakeTable.overwrite(spark, src, customer) // v1
+    feed() // initial build: every key opens at valid_from = 1
+    LakeTable.update(spark, src, Seq("c_mktsegment" -> lit("VIP")),
+      col("c_custkey") % 10 === 1) // v2
+    LakeTable.update(spark, src, Seq("c_acctbal" -> (col("c_acctbal") + 100)),
+      col("c_custkey") % 7 === 3) // v3
+    LakeTable.delete(spark, src, col("c_custkey") % 17 === 5) // v4
+    feed() // folds v2..v4: last change per key wins
+
+    LakeTable.read(spark, dim).select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal").cast("double").as("c_acctbal"),
+      col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  /** Replay of the scripted DML per key class: deleted keys keep one
+    * closed original row; updated survivors close at their LAST update
+    * and reopen with the composed attributes; untouched keys stay open.
+    */
+  val cdcOracleSql: String =
+    """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+           c_custkey % 17 = 5 AS del, c_custkey % 7 = 3 AS u3,
+           c_custkey % 10 = 1 AS u2
+         FROM customer),
+       orig AS (SELECT k, seg, CAST(bal AS DOUBLE) AS bal,
+           CAST(1 AS BIGINT) AS valid_from,
+           CAST(CASE WHEN del THEN 4 WHEN u3 THEN 3 WHEN u2 THEN 2 END AS BIGINT) AS valid_to,
+           NOT (del OR u3 OR u2) AS is_current
+         FROM t),
+       succ AS (SELECT k,
+           CASE WHEN u2 THEN 'VIP' ELSE seg END AS seg,
+           CAST(CASE WHEN u3 THEN bal + 100 ELSE bal END AS DOUBLE) AS bal,
+           CAST(CASE WHEN u3 THEN 3 ELSE 2 END AS BIGINT) AS valid_from,
+           CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+         FROM t WHERE NOT del AND (u3 OR u2))
+       SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
+              valid_from, valid_to, is_current FROM orig
+       UNION ALL
+       SELECT k, seg, bal, valid_from, valid_to, is_current FROM succ"""
+
   /** Independent replay: per-batch observation pick, consecutive-change
     * compression per key, intervals from lead() over the change rows.
     */

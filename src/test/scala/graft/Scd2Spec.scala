@@ -122,6 +122,48 @@ class Scd2Spec extends SparkSpec {
       "exactly the matched key's file is rewritten — O(change), not O(table)")
   }
 
+  test("applyFeed folds a source DML history; the watermark makes replay a no-op") {
+    val d = tmp("scd2_feed")
+    val (src, dim) = (s"$d/src", s"$d/dim")
+    def feed(): Long =
+      Scd2.applyFeed(spark, src, dim, Seq("k"), Seq("status", "score"))
+    LakeTable.overwrite(spark, src, batchDf(Seq((1L, "a", 1L), (2L, "b", 2L)))) // v1
+    feed()
+    assert(state(dim) == Set[Row6](
+      (1L, "a", 1L, 1L, None, true), (2L, "b", 2L, 1L, None, true)))
+
+    LakeTable.update(spark, src, Seq("status" -> lit("a2")), col("k") === 1) // v2
+    LakeTable.delete(spark, src, col("k") === 2)                             // v3
+    LakeTable.append(spark, src, batchDf(Seq((3L, "c", 3L))))                // v4
+    val v = feed()
+    assert(state(dim) == Set[Row6](
+      (1L, "a", 1L, 1L, Some(2L), false), (1L, "a2", 1L, 2L, None, true),
+      (2L, "b", 2L, 1L, Some(3L), false), // retired: closed, no successor
+      (3L, "c", 3L, 4L, None, true)))
+    assert(feed() == v, "replay returns the same version")
+    assert(LakeTable.latestSnapshot(spark, dim).get.version == v,
+      "replay commits nothing — the txn watermark already covers the range")
+
+    // a retired key reinserted later reopens at the reinserting version
+    LakeTable.append(spark, src, batchDf(Seq((2L, "b9", 9L))))               // v5
+    feed()
+    assert(state(dim).filter(_._1 == 2L) == Set[Row6](
+      (2L, "b", 2L, 1L, Some(3L), false), (2L, "b9", 9L, 5L, None, true)))
+  }
+
+  test("intermediate states inside one feed range collapse (batch CDC)") {
+    val d = tmp("scd2_collapse")
+    val (src, dim) = (s"$d/src", s"$d/dim")
+    LakeTable.overwrite(spark, src, batchDf(Seq((1L, "x", 1L))))          // v1
+    Scd2.applyFeed(spark, src, dim, Seq("k"), Seq("status", "score"))
+    LakeTable.update(spark, src, Seq("status" -> lit("y")), col("k") === 1) // v2
+    LakeTable.update(spark, src, Seq("status" -> lit("z")), col("k") === 1) // v3
+    Scd2.applyFeed(spark, src, dim, Seq("k"), Seq("status", "score"))
+    assert(state(dim) == Set[Row6](
+      (1L, "x", 1L, 1L, Some(3L), false), (1L, "z", 1L, 3L, None, true)),
+      "the v2 state never becomes an interval — last change in range wins")
+  }
+
   test("the change feed of a batch is close pre/post images plus inserts") {
     val t = s"${tmp("scd2_cdc")}/dim"
     applyB(t, 1L, Seq((1L, "a", 1L), (2L, "b", 2L)))
