@@ -146,7 +146,10 @@ object SparkEntry {
     "scd2_dim"             -> ((s, d) => Scd2Ops.scd2Dim(s, d)),
     // CDC-driven SCD2: the source lake's change feed maintains the
     // dimension, effective at source commit versions, exactly-once
-    "scd2_cdc"             -> ((s, d) => Scd2Ops.scd2Cdc(s, d))
+    "scd2_cdc"             -> ((s, d) => Scd2Ops.scd2Cdc(s, d)),
+    // point-in-time enrichment: each fact joins the dim row covering
+    // the fact's own effective version — no future leakage
+    "scd2_join"            -> ((s, d) => Scd2Ops.scd2Join(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -795,6 +798,7 @@ object SparkEntry {
     "lake_wap" -> operators.MaintenanceOps.wapOracleSql,
     "lake_txn" -> operators.MaintenanceOps.txnOracleSql,
     "scd2_dim" -> operators.Scd2Ops.oracleSql,
-    "scd2_cdc" -> operators.Scd2Ops.cdcOracleSql
+    "scd2_cdc" -> operators.Scd2Ops.cdcOracleSql,
+    "scd2_join" -> operators.Scd2Ops.joinOracleSql
   )
 }

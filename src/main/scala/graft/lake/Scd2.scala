@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -127,6 +127,30 @@ object Scd2 {
     LakeTable.read(spark, table)
       .filter(col(ValidFromCol) <= at &&
         (col(ValidToCol).isNull || col(ValidToCol) > at))
+
+  /** Point-in-time enrichment — the consumption side of SCD2: each
+    * fact row joins the dimension row whose interval covers the fact's
+    * OWN effective version (`at`), so a fact never sees attributes from
+    * its future (no leakage) or its past (no staleness). `keys` maps
+    * fact key column → dimension key column. The plan is an EQUI-join
+    * on the business key with the interval riding as a residual
+    * predicate — SortMergeJoin / broadcast-hash by key cardinality,
+    * never a nested loop; SCD2 intervals per key are non-overlapping,
+    * so each fact matches at most one dim row and the join preserves
+    * fact cardinality.
+    */
+  def joinAsOf(facts: DataFrame, dim: DataFrame,
+               keys: Seq[(String, String)], at: Column,
+               joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "joinAsOf needs at least one key pair")
+    val d = dim.alias("d")
+    val f = facts.alias("f")
+    val keyCond = keys.map { case (fk, dk) => col(s"f.$fk") === col(s"d.$dk") }
+      .reduce(_ && _)
+    val cover = col(s"d.$ValidFromCol") <= at &&
+      (col(s"d.$ValidToCol").isNull || col(s"d.$ValidToCol") > at)
+    f.join(d, keyCond && cover, joinType)
+  }
 
   /** CDC-driven SCD2: fold the change feed of lake table `source`
     * (expected key-unique per commit — a dim source, not a fact) into

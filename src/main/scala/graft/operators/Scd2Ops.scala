@@ -22,7 +22,16 @@ object Scd2Ops {
   private val Cut1 = "1994-01-01"
   private val Cut2 = "1996-01-01"
 
-  def scd2Dim(spark: SparkSession, dir: String): DataFrame = {
+  /** The effective batch index of an order date (1/2/3 by the cuts). */
+  private def batchOf(d: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(d < lit(Cut1).cast("timestamp"), lit(1L))
+      .when(d < lit(Cut2).cast("timestamp"), lit(2L))
+      .otherwise(lit(3L))
+
+  /** Build the customer-status dimension from three orders-derived
+    * observation batches; returns the dim's lake path.
+    */
+  private def buildDim(spark: SparkSession, dir: String): String = {
     val work = java.nio.file.Files.createTempDirectory("graft_scd2").toString
     val dim = s"$work/customer_status_dim"
     val orders = Tables.orders(spark, dir)
@@ -48,8 +57,28 @@ object Scd2Ops {
       Scd2.applyBatch(spark, dim, observed(b),
         keys = Seq("c_key"), attrs = Seq("status", "priority"), effective = eff)
     }
-    LakeTable.read(spark, dim)
+    dim
+  }
+
+  def scd2Dim(spark: SparkSession, dir: String): DataFrame =
+    LakeTable.read(spark, buildDim(spark, dir))
       .select("c_key", "status", "priority", "valid_from", "valid_to", "is_current")
+
+  /** Point-in-time enrichment ([[Scd2.joinAsOf]]): every order joins
+    * the dimension row covering the order's OWN batch — an order from
+    * batch 1 sees batch-1 attributes even after the key changed in
+    * batch 3 (no future leakage), which a plain join to the latest dim
+    * state gets wrong. Equi-join on the key with the interval as a
+    * residual; fact cardinality preserved (intervals don't overlap).
+    */
+  def scd2Join(spark: SparkSession, dir: String): DataFrame = {
+    val dim = buildDim(spark, dir)
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        batchOf(col("o_orderdate")).as("at_version"))
+    Scd2.joinAsOf(facts, LakeTable.read(spark, dim),
+        keys = Seq("o_custkey" -> "c_key"), at = col("at_version"))
+      .select("o_orderkey", "o_custkey", "at_version", "status", "priority")
   }
 
   /** CDC-driven SCD2 end to end: a customer lake goes through
@@ -110,11 +139,12 @@ object Scd2Ops {
        UNION ALL
        SELECT k, seg, bal, valid_from, valid_to, is_current FROM succ"""
 
-  /** Independent replay: per-batch observation pick, consecutive-change
-    * compression per key, intervals from lead() over the change rows.
+  /** Shared replay CTEs: per-batch observation pick + consecutive-
+    * change compression per key (the change rows the intervals derive
+    * from).
     */
-  val oracleSql: String =
-    s"""WITH ob AS (
+  private val dimCte: String =
+    s"""ob AS (
          SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate, o_orderkey,
            CASE WHEN o_orderdate < TIMESTAMP '$Cut1' THEN 1
                 WHEN o_orderdate < TIMESTAMP '$Cut2' THEN 2 ELSE 3 END AS b
@@ -130,9 +160,32 @@ object Scd2Ops {
          FROM pick WINDOW w AS (PARTITION BY c_key ORDER BY b)),
        chg AS (
          SELECT c_key, status, priority, b FROM seq
-         WHERE ps IS NULL OR status <> ps OR priority <> pp)
+         WHERE ps IS NULL OR status <> ps OR priority <> pp)"""
+
+  /** Independent replay: intervals from lead() over the change rows. */
+  val oracleSql: String =
+    s"""WITH $dimCte
        SELECT c_key, status, priority, CAST(b AS BIGINT) AS valid_from,
          CAST(lead(b) OVER (PARTITION BY c_key ORDER BY b) AS BIGINT) AS valid_to,
          lead(b) OVER (PARTITION BY c_key ORDER BY b) IS NULL AS is_current
        FROM chg"""
+
+  /** The replayed dimension joined back to every order at the order's
+    * own batch — the point-in-time enrichment ground truth.
+    */
+  val joinOracleSql: String =
+    s"""WITH $dimCte,
+       dim AS (
+         SELECT c_key, status, priority, b AS valid_from,
+           lead(b) OVER (PARTITION BY c_key ORDER BY b) AS valid_to
+         FROM chg),
+       f AS (
+         SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderdate < TIMESTAMP '$Cut1' THEN 1
+                WHEN o_orderdate < TIMESTAMP '$Cut2' THEN 2 ELSE 3 END AS b
+         FROM orders)
+       SELECT f.o_orderkey, f.o_custkey, CAST(f.b AS BIGINT) AS at_version,
+         d.status, d.priority
+       FROM f JOIN dim d ON f.o_custkey = d.c_key
+         AND d.valid_from <= f.b AND (d.valid_to IS NULL OR d.valid_to > f.b)"""
 }

@@ -122,6 +122,25 @@ class Scd2Spec extends SparkSpec {
       "exactly the matched key's file is rewritten — O(change), not O(table)")
   }
 
+  test("joinAsOf enriches each fact at its own effective version, equi-planned") {
+    val t = s"${tmp("scd2_join")}/dim"
+    history.foreach { case (eff, rows) => applyB(t, eff, rows) }
+    val dim = LakeTable.read(spark, t)
+    // key 1: (a,10) over [1,4), (z,0) from 4; key 3: (b,5) [1,3), (b,7) from 3
+    val facts = Seq((100L, 1L, 1L), (101L, 1L, 3L), (102L, 1L, 4L), (103L, 3L, 3L))
+      .toDF("f_id", "k", "at")
+    val q = Scd2.joinAsOf(facts, dim, Seq("k" -> "k"), col("at"))
+    val got = q.select("f_id", "status", "score")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((100L, "a", 10L), (101L, "a", 10L),
+      (102L, "z", 0L), (103L, "b", 7L)),
+      "each fact sees the interval covering its OWN version — no future leakage")
+    assert(got.size == 4, "fact cardinality preserved: intervals never overlap")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "interval rides as a residual on the key equi-join, never a nested loop")
+  }
+
   test("applyFeed folds a source DML history; the watermark makes replay a no-op") {
     val d = tmp("scd2_feed")
     val (src, dim) = (s"$d/src", s"$d/dim")
