@@ -253,4 +253,28 @@ object Scd2 {
         txn = Some(appId -> head))
     } finally joined.unpersist(blocking = false)
   }
+
+  /** Continuous SCD2: a change-feed stream on `source` triggers
+    * [[applyFeed]] per micro-batch. The stream is a COMMIT-DRIVEN
+    * SCHEDULER, nothing more — applyFeed re-reads the feed from its own
+    * txn watermark, so exactly-once holds independently of the
+    * checkpoint: a restart from a fresh (or deleted) checkpoint replays
+    * the source history into no-op applications instead of double
+    * closes. Delta's foreachBatch-merge pattern has the same shape; the
+    * difference is that the idempotence token lives in the TARGET's
+    * commit, not the engine's offset log.
+    */
+  def streamInto(spark: SparkSession, source: String, dim: String,
+                 keys: Seq[String], attrs: Seq[String], checkpoint: String,
+                 appId0: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(source)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        applyFeed(spark, source, dim, keys, attrs, appId0); ()
+      }
+      .start()
 }

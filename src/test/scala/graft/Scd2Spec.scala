@@ -170,6 +170,30 @@ class Scd2Spec extends SparkSpec {
       (2L, "b", 2L, 1L, Some(3L), false), (2L, "b9", 9L, 5L, None, true)))
   }
 
+  test("streamInto maintains the dim continuously; a fresh checkpoint replays as no-ops") {
+    val d = tmp("scd2_stream")
+    val (src, dim) = (s"$d/src", s"$d/dim")
+    LakeTable.overwrite(spark, src, batchDf(Seq((1L, "a", 1L), (2L, "b", 2L))))
+    val q = Scd2.streamInto(spark, src, dim, Seq("k"), Seq("status", "score"), s"$d/cp")
+    try {
+      q.processAllAvailable()
+      assert(state(dim) == Set[Row6](
+        (1L, "a", 1L, 1L, None, true), (2L, "b", 2L, 1L, None, true)))
+      LakeTable.update(spark, src, Seq("status" -> lit("a2")), col("k") === 1) // v2
+      q.processAllAvailable()
+      assert(state(dim) == Set[Row6](
+        (1L, "a", 1L, 1L, Some(2L), false), (1L, "a2", 1L, 2L, None, true),
+        (2L, "b", 2L, 1L, None, true)))
+    } finally q.stop()
+    val vDone = LakeTable.latestSnapshot(spark, dim).get.version
+    // restart from a FRESH checkpoint: the dim's txn watermark, not the
+    // stream's offset log, carries exactly-once — full replay changes nothing
+    val q2 = Scd2.streamInto(spark, src, dim, Seq("k"), Seq("status", "score"), s"$d/cp2")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(LakeTable.latestSnapshot(spark, dim).get.version == vDone,
+      "checkpoint-independent replay commits nothing")
+  }
+
   test("intermediate states inside one feed range collapse (batch CDC)") {
     val d = tmp("scd2_collapse")
     val (src, dim) = (s"$d/src", s"$d/dim")
