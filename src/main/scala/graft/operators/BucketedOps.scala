@@ -22,7 +22,7 @@ import graft.lake.LakeTable
 object BucketedOps {
 
   def bucketJoin(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val work = Work.dir("graft_bucket")
     val ot = s"$work/orders_bkt"
     val lt = s"$work/lineitem_bkt"
     LakeTable.overwriteBucketed(spark, ot,

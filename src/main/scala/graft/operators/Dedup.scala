@@ -487,8 +487,7 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     val (c1, c2) = (n * 8 / 10, n * 9 / 10)
-    val work = java.nio.file.Files.createTempDirectory("graft_mh_idx")
-    work.toFile.deleteOnExit()
+    val work = Work.dir("graft_mh_idx")
     val table = s"$work/minhash_index"
     buildMinhashIndex(spark, docs.filter(col("doc_id") < c1), table)
     appendToMinhashIndex(spark, docs.filter(col("doc_id") >= c1 && col("doc_id") < c2), table)

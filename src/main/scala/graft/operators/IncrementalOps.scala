@@ -24,7 +24,7 @@ import graft.lake.{Incremental, LakeTable}
 object IncrementalOps {
 
   def incrAgg(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val work = Work.dir("graft_incr")
     val src = s"$work/orders_lake"
     val tgt = s"$work/orders_by_priority"
     val orders = Tables.orders(spark, dir)
@@ -63,7 +63,7 @@ object IncrementalOps {
     * final states — exactly what the DuckDB oracle replays.
     */
   def incrJoin(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_incrj").toString
+    val work = Work.dir("graft_incrj")
     val l = s"$work/orders_lake"
     val r = s"$work/customer_lake"
     val tgt = s"$work/orders_enriched"
@@ -109,7 +109,7 @@ object IncrementalOps {
     * [q−eps, q+eps] percentile envelope.
     */
   def incrQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_incrq").toString
+    val work = Work.dir("graft_incrq")
     val src = s"$work/events_lake"
     val tgt = s"$work/value_sketches"
     val ev = Tables.events(spark, dir).select("event_id", "event_type", "value")
@@ -142,7 +142,7 @@ object IncrementalOps {
     * corpus and the estimates within eps·N above truth.
     */
   def incrTopk(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_incrtk").toString
+    val work = Work.dir("graft_incrtk")
     val src = s"$work/docs_lake"
     val tgt = s"$work/term_sketches"
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
@@ -155,7 +155,7 @@ object IncrementalOps {
   }
 
   def incrDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_incrd").toString
+    val work = Work.dir("graft_incrd")
     val src = s"$work/events_lake"
     val tgt = s"$work/user_sketches"
     val ev = Tables.events(spark, dir).select("event_id", "user_id", "event_type")

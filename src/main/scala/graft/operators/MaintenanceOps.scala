@@ -20,7 +20,7 @@ import graft.lake.{GraftTxn, LakeTable}
 object MaintenanceOps {
 
   def lakeDml(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_lakedml").toString
+    val work = Work.dir("graft_lakedml")
     val t = s"$work/orders_lake"
     val key = col("o_orderkey")
     val orders = Tables.orders(spark, dir)
@@ -67,7 +67,7 @@ object MaintenanceOps {
     * history as plain SQL over the same input parquet.
     */
   def lakeDv(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_lakedv").toString
+    val work = Work.dir("graft_lakedv")
     val t = s"$work/orders_lake"
     val key = col("o_orderkey")
     val orders = Tables.orders(spark, dir)
@@ -120,7 +120,7 @@ object MaintenanceOps {
     * semantics against an independent engine.
     */
   def lakeDpo(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_lakedpo").toString
+    val work = Work.dir("graft_lakedpo")
     val t = s"$work/orders_lake"
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
@@ -160,7 +160,7 @@ object MaintenanceOps {
     * breaks the match.
     */
   def lakeHidden(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_lakehid").toString
+    val work = Work.dir("graft_lakehid")
     val t = s"$work/events_lake"
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "event_type", "value", "ts")
@@ -194,7 +194,7 @@ object MaintenanceOps {
     * costs O(one boundary partition), never O(table).
     */
   def lakeRetention(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_lakeret").toString
+    val work = Work.dir("graft_lakeret")
     val t = s"$work/events_lake"
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "event_type", "value", "ts")
@@ -258,7 +258,7 @@ object MaintenanceOps {
     * DuckDB replays the merged history as plain SQL.
     */
   def lakeWap(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_lakewap").toString
+    val work = Work.dir("graft_lakewap")
     val t = s"$work/orders_lake"
     val b = s"$work/orders_audit"
     val key = col("o_orderkey")
@@ -314,7 +314,7 @@ object MaintenanceOps {
     * state is hash-checked against DuckDB's replay.
     */
   def lakeTxn(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_laketxn").toString
+    val work = Work.dir("graft_laketxn")
     val fact = s"$work/orders_lake"
     val dim = s"$work/customer_lake"
     val key = col("o_orderkey")

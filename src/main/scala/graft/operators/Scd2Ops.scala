@@ -32,7 +32,7 @@ object Scd2Ops {
     * observation batches; returns the dim's lake path.
     */
   private def buildDim(spark: SparkSession, dir: String): String = {
-    val work = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    val work = Work.dir("graft_scd2")
     val dim = s"$work/customer_status_dim"
     val orders = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate")
@@ -92,7 +92,7 @@ object Scd2Ops {
     * per key class.
     */
   def scd2Cdc(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_scd2cdc").toString
+    val work = Work.dir("graft_scd2cdc")
     val src = s"$work/customer_lake"
     val dim = s"$work/customer_dim"
     val customer = Tables.customer(spark, dir)

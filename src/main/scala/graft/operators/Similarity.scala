@@ -352,7 +352,7 @@ object Similarity {
     */
   def annIvfIncr(spark: SparkSession, dir: String, numQueries: Int = 10,
                  k: Int = 5, cells: Int = 16): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_ivf_incr").toString
+    val work = Work.dir("graft_ivf_incr")
     val idx = s"$work/ivf"
     buildIvfIndex(spark, dir, idx, cells, only = Some(col("vec_id") % 2 === 0))
     ivfAppend(spark, idx, Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 1))
