@@ -4339,4 +4339,53 @@ object LakeTable extends org.apache.spark.internal.Logging {
     }
     deleted
   }
+
+  /** Log-vs-filesystem integrity audit (Delta's FSCK role): verify that
+    * every file a snapshot references — data files, deletion-vector
+    * dirs, bloom sidecars — is present and sized as the log recorded,
+    * WITHOUT opening any of them (stat-only, O(referenced files)
+    * metadata). The check an operator runs after an incident (an
+    * over-eager external cleanup, a partial restore from backup, a
+    * mis-scoped recursive delete) before trusting reads or letting
+    * vacuum loose. Returns one row per problem, empty when healthy:
+    * (path, component, issue). A missing deletion vector is flagged as
+    * resurrection risk — the data file would read with its deleted rows
+    * back; a missing bloom is advisory (skipping quietly degrades).
+    */
+  def fsck(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(latestVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table")))
+    val snap = snapshotAt(spark, table, v)
+    val f = fs(spark, table)
+    val droot = dataPath(table)
+    val issues = Seq.newBuilder[(String, String, String)]
+    snap.files.foreach { e =>
+      val p = if (isForeignEntry(e.path)) new Path(e.path) else new Path(droot, e.path)
+      (try Some(f.getFileStatus(p))
+       catch { case _: java.io.FileNotFoundException => None }) match {
+        case None => issues += ((e.path, "data", "missing"))
+        case Some(st) if e.size >= 0 && st.getLen != e.size =>
+          issues += ((e.path, "data",
+            s"size mismatch: logged ${e.size} bytes, found ${st.getLen}"))
+        case _ => ()
+      }
+    }
+    // sidecars are shared per commit (one vector dir / bloom json can
+    // serve many file entries) — report each missing one ONCE, with the
+    // blast radius aggregated over its referencing entries
+    snap.files.flatMap(e => e.dv.map(dv => (dv.path, dv.cardinality)))
+      .groupBy(_._1).foreach { case (p, refs) =>
+        if (!f.exists(new Path(table, p)))
+          issues += ((p, "delete_vector",
+            s"missing: ${refs.size} data file(s) would resurrect " +
+              s"${refs.map(_._2).sum} deleted rows"))
+      }
+    snap.files.flatMap(_.bloom).groupBy(identity).foreach { case (b, refs) =>
+      if (!f.exists(new Path(table, b)))
+        issues += ((b, "bloom", s"missing sidecar referenced by ${refs.size} " +
+          "file entries (advisory: bloom skipping degrades)"))
+    }
+    import spark.implicits._
+    issues.result().toDF("path", "component", "issue")
+  }
 }
