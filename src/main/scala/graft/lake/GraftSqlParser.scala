@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   ALTER TABLE <target> DROP CONSTRAINT <name>
   *   DESCRIBE HISTORY <target>
   *   DESCRIBE DETAIL <target>
+  *   FSCK TABLE <target> [VERSION AS OF <v>]
   *   ALTER TABLE `path` ADD COLUMNS (c1 TYPE, ...)
   *   ALTER TABLE `path` RENAME COLUMN a TO b
   *   ALTER TABLE `path` DROP COLUMN c
@@ -91,6 +92,8 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       Some(GraftDescribeHistoryCommand(target))
     case DescDetailRe(target) =>
       Some(GraftDescribeDetailCommand(target))
+    case FsckRe(target, v) =>
+      Some(GraftFsckCommand(target, Option(v).map(_.toLong)))
     case AddColumnsRe(target, colsDdl) =>
       Some(GraftAddColumnsCommand(target, colsDdl.trim))
     case RenameColumnRe(target, oldName, newName) =>
@@ -162,6 +165,9 @@ private[graft] object GraftSqlParser {
     ("""(?is)^DESC(?:RIBE)?\s+HISTORY\s+""" + T + """\s*;?\s*$""").r
   private val DescDetailRe =
     ("""(?is)^DESC(?:RIBE)?\s+DETAIL\s+""" + T + """\s*;?\s*$""").r
+  private val FsckRe =
+    ("""(?is)^FSCK\s+TABLE\s+""" + T +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
   // column evolution: QUOTED-PATH targets only (never valid in stock
   // Spark), so catalog-table ALTERs still delegate
   private val Q = "(`[^`]+`|'[^']+')"
@@ -329,6 +335,22 @@ private[graft] case class GraftDescribeHistoryCommand(target: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolveTarget(spark, target)
     LakeTable.history(spark, path).collect().toSeq
+  }
+}
+
+/** `FSCK TABLE t [VERSION AS OF v]` — [[LakeTable.fsck]] as SQL: one
+  * row per integrity finding (missing/size-drifted data file, missing
+  * deletion vector or bloom sidecar), empty result = healthy. Stat-only.
+  */
+private[graft] case class GraftFsckCommand(target: String, version: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("component", StringType, nullable = false)(),
+    AttributeReference("issue", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    LakeTable.fsck(spark, path, version).collect().toSeq
   }
 }
 

@@ -46,5 +46,10 @@ class FsckSpec extends SparkSpec {
     // one finding, not one per referencing entry
     assert(issues.length == 4,
       s"exactly four findings (shared sidecars dedup), got ${issues.mkString("; ")}")
+
+    val viaSql = spark.sql(s"FSCK TABLE '$t'").collect()
+    assert(viaSql.length == 4, "FSCK TABLE surfaces the same findings via SQL")
+    assert(viaSql.map(_.getString(1)).toSet ==
+      Set("data", "delete_vector", "bloom"))
   }
 }

@@ -703,8 +703,13 @@ class SqlSurfaceSpec extends SparkSpec {
     LakeTable.append(spark, br, Seq((4L, 40.0)).toDF("id", "x"))
     val e = intercept[Exception](
       spark.sql(s"PUBLISH TABLE `$br` TO `$src`").collect())
-    assert(e.getMessage.contains("already exists") ||
-      e.getMessage.contains("already contains"),
+    // the already-copied file is REUSED (same size — the crash-recovery
+    // replay path GraftTxn's roll-forward needs), so the refusal comes
+    // from the fast-forward write-set check, not the copy step
+    assert(e.getMessage.contains("independently added") ||
+      e.getMessage.contains("already exists"),
       s"re-publishing the same branch files must refuse: ${e.getMessage}")
+    assert(LakeTable.read(spark, src).count() == 3,
+      "the refused publish must not have changed the source")
   }
 }
