@@ -474,11 +474,11 @@ object Incremental {
     } else {
       // affected view keys: named by the left feed, or referencing a
       // right key the right feed touched
-      val fromL =
+      val leftFeed =
         if (lSnap.version > doneL)
-          Some(LakeTable.changes(spark, left, doneL + 1, lSnap.version)
-            .select(leftPk.map(col).toIndexedSeq: _*).distinct())
+          Some(LakeTable.changes(spark, left, doneL + 1, lSnap.version))
         else None
+      val fromL = leftFeed.map(_.select(leftPk.map(col).toIndexedSeq: _*).distinct())
       val fromR =
         if (rSnap.version > doneR) {
           val touchedR = LakeTable.changes(spark, right, doneR + 1, rSnap.version)
@@ -488,47 +488,71 @@ object Incremental {
           Some(lNow.join(touchedR, cond, "left_semi")
             .select(leftPk.map(col).toIndexedSeq: _*).distinct())
         } else None
-      val touched = (fromL.toSeq ++ fromR.toSeq).reduce(_ unionByName _).distinct()
+      // touched is consumed FOUR times (pk-clean check, literal probe,
+      // semi-join restriction, tombstone anti-join) and the fromR form
+      // costs a full left-table scan per evaluation — checkpoint it
+      // once (also decoupling the semi-join below from lNow's lineage,
+      // which would otherwise self-join)
+      val touched = (fromL.toSeq ++ fromR.toSeq).reduce(_ unionByName _)
+        .distinct().localCheckpoint()
       requirePkClean(touched)
+      // the daily-append operating mode: a purely-INSERT left feed with
+      // an idle right side can only ADD view keys (leftPk is unique, so
+      // an inserted key has no prior target row) — take mergeRows'
+      // insert-only path: anti-join + append, no detection scan, no
+      // file rewrite, no pre/post change images. A 100 TB fact growing
+      // by a day must not rewrite its enrichment view.
+      val appendOnly = fromR.isEmpty && leftFeed.exists(
+        _.filter(col(LakeTable.ChangeTypeCol) =!= "insert").limit(1).count() == 0L)
       // restrict the left scan to the touched keys: a literal IN
       // predicate pushes into file skipping while the set is small
       // (single-column keys take ONE In expression — never a deep OR
       // chain, which overflows the converter stack at PK cardinality;
-      // composite keys cap far lower), a (checkpointed — `touched`
-      // derives from lNow, so the semi-join would otherwise self-join)
-      // semi-join past that
+      // composite keys cap far lower), a semi-join past that
       val litCap = if (leftPk.size == 1) 10000 else 64
       val tuples = touched.limit(litCap + 1).collect()
       val lTouched =
         if (tuples.isEmpty) lNow.filter(lit(false))
         else if (tuples.length > litCap)
-          lNow.join(touched.localCheckpoint(), leftPk, "left_semi")
+          lNow.join(touched, leftPk, "left_semi")
         else if (leftPk.size == 1)
           lNow.filter(col(leftPk.head).isin(tuples.map(_.get(0)).toIndexedSeq: _*))
         else lNow.filter(tuples.map { r =>
           leftPk.zipWithIndex.map { case (c, i) => col(c) === lit(r.get(i)) }
             .reduce(_ && _)
         }.reduce(_ || _))
+      if (appendOnly)
+        return LakeTable.mergeRows(spark, target, view(lTouched), leftPk,
+          matched = Nil,
+          notMatchedInsert = Seq((None, viewCols.map(n => n -> col(s"s.$n")).toMap)),
+          txn = Some(widL -> lSnap.version),
+          extraTxns = Map(widR -> rSnap.version))
       val marker = "_graft_drop"
+      // the view recompute feeds both the replacement rows and the
+      // tombstone anti-join — persist it so the (left scan ⋈ dim) runs
+      // once, not once per consumer
       val replacement = view(lTouched)
-      val repl = replacement.withColumn(marker, lit(false))
-      // tombstones: touched keys producing no view row anymore
-      val tomb = touched
-        .join(replacement.select(leftPk.map(col).toIndexedSeq: _*), leftPk, "left_anti")
-        .select(replacement.schema.fields.map(f =>
-          (if (leftPk.contains(f.name)) col(f.name)
-           else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
-        .withColumn(marker, lit(true))
-      LakeTable.mergeRows(spark, target, repl.unionByName(tomb), leftPk,
-        matched = Seq(
-          LakeTable.MatchedDelete(Some(col(s"s.$marker"))),
-          LakeTable.MatchedUpdate(None,
-            viewCols.filterNot(leftPk.contains)
-              .map(n => n -> col(s"s.$n")).toMap)),
-        notMatchedInsert = Seq(
-          (Some(!col(s"s.$marker")), viewCols.map(n => n -> col(s"s.$n")).toMap)),
-        txn = Some(widL -> lSnap.version),
-        extraTxns = Map(widR -> rSnap.version))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val repl = replacement.withColumn(marker, lit(false))
+        // tombstones: touched keys producing no view row anymore
+        val tomb = touched
+          .join(replacement.select(leftPk.map(col).toIndexedSeq: _*), leftPk, "left_anti")
+          .select(replacement.schema.fields.map(f =>
+            (if (leftPk.contains(f.name)) col(f.name)
+             else lit(null).cast(f.dataType)).as(f.name)).toIndexedSeq: _*)
+          .withColumn(marker, lit(true))
+        LakeTable.mergeRows(spark, target, repl.unionByName(tomb), leftPk,
+          matched = Seq(
+            LakeTable.MatchedDelete(Some(col(s"s.$marker"))),
+            LakeTable.MatchedUpdate(None,
+              viewCols.filterNot(leftPk.contains)
+                .map(n => n -> col(s"s.$n")).toMap)),
+          notMatchedInsert = Seq(
+            (Some(!col(s"s.$marker")), viewCols.map(n => n -> col(s"s.$n")).toMap)),
+          txn = Some(widL -> lSnap.version),
+          extraTxns = Map(widR -> rSnap.version))
+      } finally replacement.unpersist(blocking = false)
     }
   }
 }

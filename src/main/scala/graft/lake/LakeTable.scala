@@ -2208,11 +2208,28 @@ object LakeTable extends org.apache.spark.internal.Logging {
     */
   def merge(spark: SparkSession, table: String, updates0: DataFrame,
             keys: Seq[String], scopeToUpdatePartitions: Boolean = false): Long = {
+    // the updates and their key set are consumed by the detection join,
+    // the rewrite union, and three change-feed projections — persist
+    // both so a non-trivial update plan computes once and the key
+    // distinct shuffles once (mergeRows stages its source the same way)
     val updates = ColumnMapping.sanitize(updates0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
     val keyCols = keys.map(col)
     val updKeys = updates.select(keyCols: _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try mergeOn(spark, table, snap, updates, updKeys, keys, scopeToUpdatePartitions)
+    finally {
+      updKeys.unpersist(blocking = false)
+      updates.unpersist(blocking = false)
+    }
+  }
+
+  private def mergeOn(spark: SparkSession, table: String, snap: Snapshot,
+                      updates: DataFrame, updKeys: DataFrame, keys: Seq[String],
+                      scopeToUpdatePartitions: Boolean): Long = {
+    val keyCols = keys.map(col)
 
     // Detection source: partition-prune to the updates' partitions when
     // scoped (Catalyst prunes at the file-index level, so only those
@@ -2248,36 +2265,43 @@ object LakeTable extends org.apache.spark.internal.Logging {
       if (df.columns.contains(fld.name)) col(fld.name).cast(fld.dataType).as(fld.name)
       else lit(null).cast(fld.dataType).as(fld.name)
     }: _*)
+    // affected-file rows feed the rewrite union AND three change-feed
+    // projections — persist for the duration of this merge so the files
+    // decode once (spills past memory; bounded by the rewrite set,
+    // which is materialized to parquet below anyway)
     val affectedRows =
       if (affectedRel.isEmpty) None
-      else Some(readDataFilesLive(spark, table, snap, affectedRel))
-    val rewritten = affectedRows match {
-      case None => updates
-      case Some(rows) =>
-        rows.join(broadcast(updKeys), keys, "left_anti")
-          .unionByName(updates, allowMissingColumns = true)
-          .select(ordered: _*)
-    }
-    // change feed: replaced rows as pre/post images, fresh keys as
-    // inserts — an upsert's row-level delta, knowable only now
-    val cdcDf = affectedRows match {
-      case None => padTo(updates).withColumn(ChangeTypeCol, lit("insert"))
-      case Some(rows) =>
-        val tableKeys = rows.select(keys.map(col): _*).distinct()
-        padTo(rows.join(broadcast(updKeys), keys, "left_semi"))
-          .withColumn(ChangeTypeCol, lit("update_preimage"))
-          .unionByName(padTo(updates.join(tableKeys, keys, "left_semi"))
-            .withColumn(ChangeTypeCol, lit("update_postimage")))
-          .unionByName(padTo(updates.join(tableKeys, keys, "left_anti"))
-            .withColumn(ChangeTypeCol, lit("insert")))
-    }
-    val cdcFiles = stageChangeFiles(spark, table, cdcDf)
+      else Some(readDataFilesLive(spark, table, snap, affectedRel)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      val rewritten = affectedRows match {
+        case None => updates
+        case Some(rows) =>
+          rows.join(broadcast(updKeys), keys, "left_anti")
+            .unionByName(updates, allowMissingColumns = true)
+            .select(ordered: _*)
+      }
+      // change feed: replaced rows as pre/post images, fresh keys as
+      // inserts — an upsert's row-level delta, knowable only now
+      val cdcDf = affectedRows match {
+        case None => padTo(updates).withColumn(ChangeTypeCol, lit("insert"))
+        case Some(rows) =>
+          val tableKeys = rows.select(keys.map(col): _*).distinct()
+          padTo(rows.join(broadcast(updKeys), keys, "left_semi"))
+            .withColumn(ChangeTypeCol, lit("update_preimage"))
+            .unionByName(padTo(updates.join(tableKeys, keys, "left_semi"))
+              .withColumn(ChangeTypeCol, lit("update_postimage")))
+            .unionByName(padTo(updates.join(tableKeys, keys, "left_anti"))
+              .withColumn(ChangeTypeCol, lit("insert")))
+      }
+      val cdcFiles = stageChangeFiles(spark, table, cdcDf)
 
-    val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns,
-      stagingMap, checks = snap.constraints)
-    commitRewrite(spark, table, snap, "MERGE",
-      cur => mergeSchemas(cur.schema, incoming),
-      newFiles, affectedRel, scopeToUpdatePartitions, cdc = Some(cdcFiles))
+      val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns,
+        stagingMap, checks = snap.constraints)
+      commitRewrite(spark, table, snap, "MERGE",
+        cur => mergeSchemas(cur.schema, incoming),
+        newFiles, affectedRel, scopeToUpdatePartitions, cdc = Some(cdcFiles))
+    } finally affectedRows.foreach(_.unpersist(blocking = false))
   }
 
   // ------------------------------------------------------------- mergeRows
@@ -2490,6 +2514,12 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val base = dataPath(table).toString
     val sMarked = source.withColumn("__s_matched", lit(true))
 
+    // NOTE on caching: the target⋈source join feeds the rewrite write
+    // and the change-feed write, so persisting it looks attractive —
+    // measured, it LOSES: the rewrite set is the bulk of the merge's
+    // data, and writing it to the block store costs more than the
+    // (columnar scan + one shuffle) recompute it saves. The SOURCE is
+    // persisted (in mergeRows); the target side deliberately re-scans.
     val (rewritten, cdcRewrite) =
       if (affectedRel.isEmpty) (None, None)
       else {

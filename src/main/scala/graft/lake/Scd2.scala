@@ -84,27 +84,33 @@ object Scd2 {
         Seq(col(s"o.$ValidFromCol").as("__cur_from"), col("__matched")): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // one observation per key: a duplicate would stage two open rows
-      // at the same (key, effective) and the unconditional merge is an
-      // upsert with no cardinality guard — it would land BOTH silently
-      val dup = joined.groupBy(keys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dup == 0L,
+      val differs = attrs.map(a => !(col(a) <=> col(s"__cur_$a"))).reduce(_ || _)
+      val isChanged = col("__matched") && differs
+      val willStage = isChanged || col("__matched").isNull
+      // ONE preflight pass over the (persisted, batch-sized) join
+      // answers all three gate questions — duplicate keys (a duplicate
+      // would stage two open rows at the same (key, effective) and the
+      // unconditional merge is an upsert with no cardinality guard: it
+      // would land BOTH silently), out-of-order effectives (closing an
+      // open row at or before its valid_from corrupts interval order),
+      // and whether anything stages at all
+      val pre = joined.groupBy(keys.map(col): _*)
+        .agg(count(lit(1L)).as("__n"),
+          max(when(isChanged, col("__cur_from"))).as("__mf"),
+          max(when(willStage, lit(1L)).otherwise(lit(0L))).as("__any"))
+        .agg(max(col("__n")), max(col("__mf")), max(col("__any"))).head()
+      require(pre.isNullAt(0) || pre.getLong(0) <= 1L,
         s"scd2 batch has duplicate values of key (${keys.mkString(", ")}) — " +
           "deliver one observation per business key per batch")
-      val differs = attrs.map(a => !(col(a) <=> col(s"__cur_$a"))).reduce(_ || _)
-      val changed = joined.filter(col("__matched") && differs)
-      val fresh = joined.filter(col("__matched").isNull)
-
-      // refuse a batch arriving behind a version it would overwrite:
-      // closing an open row with valid_to <= its valid_from would
-      // corrupt the interval order for every later reader
-      Option(changed.agg(max(col("__cur_from"))).head().get(0)).foreach { m =>
-        require(m.asInstanceOf[Long] < effective,
+      if (!pre.isNullAt(1))
+        require(pre.getLong(1) < effective,
           s"scd2 batch effective=$effective is not past the open rows it touches " +
-            s"(max open valid_from = $m) — apply batches in effective order")
-      }
+            s"(max open valid_from = ${pre.getLong(1)}) — apply batches in " +
+            "effective order")
+      if (pre.isNullAt(2) || pre.getLong(2) == 0L) return snap.get.version
 
+      val changed = joined.filter(isChanged)
+      val fresh = joined.filter(col("__matched").isNull)
       val closes = changed.select(
         keys.map(col) ++ attrs.map(a => col(s"__cur_$a").as(a)) ++ Seq(
           col("__cur_from").as(ValidFromCol),
@@ -112,9 +118,7 @@ object Scd2 {
           lit(false).as(CurrentCol)): _*)
       val opens = opened(
         changed.select(cols.map(col): _*).unionByName(fresh.select(cols.map(col): _*)))
-      val staged = closes.unionByName(opens)
-      if (staged.isEmpty) snap.get.version
-      else LakeTable.merge(spark, table, staged, keys :+ ValidFromCol)
+      LakeTable.merge(spark, table, closes.unionByName(opens), keys :+ ValidFromCol)
     } finally joined.unpersist(blocking = false)
   }
 
@@ -224,25 +228,29 @@ object Scd2 {
     try {
       val differs = attrs.map(a => !(col(a) <=> col(s"__cur_$a"))).reduce(_ || _)
       val isDel = col("__ct") === "delete"
-      val closes0 = joined.filter(col("__matched") && (isDel || differs))
-      val opens0 = joined.filter(!isDel && (col("__matched").isNull || differs))
-      val bad = closes0.filter(col("__cur_from") >= col("__v")).limit(1).count()
-      require(bad == 0L,
+      val closeMark = col("__matched") && (isDel || differs)
+      val openMark = !isDel && (col("__matched").isNull || differs)
+      // one preflight pass: order violations + anything-to-stage (feed
+      // observations are key-unique by construction — no dup check)
+      val pre = joined.agg(
+        max(when(closeMark && col("__cur_from") >= col("__v"), lit(1L))
+          .otherwise(lit(0L))),
+        max(when(closeMark || openMark, lit(1L)).otherwise(lit(0L)))).head()
+      require(pre.isNullAt(0) || pre.getLong(0) == 0L,
         s"scd2 feed from $source would close open rows at or before their " +
           "valid_from — the dimension holds effectives past this feed range " +
           "(was it maintained by a different source or by newer applyBatch calls?)")
+      if (pre.isNullAt(1) || pre.getLong(1) == 0L) return dimSnap.get.version
 
       // one staged row per action, keyed (business key, valid_from):
       // a close names the open row it replaces, an open is a fresh key
-      val closes = closes0.select(cols.map(col) ++ Seq(
+      val closes = joined.filter(closeMark).select(cols.map(col) ++ Seq(
         col("__cur_from").as(ValidFromCol), col("__v").as("__to"),
         lit(false).as("__open")): _*)
-      val opens = opens0.select(cols.map(col) ++ Seq(
+      val opens = joined.filter(openMark).select(cols.map(col) ++ Seq(
         col("__v").as(ValidFromCol), lit(null).cast("long").as("__to"),
         lit(true).as("__open")): _*)
-      val staged = closes.unionByName(opens)
-      if (staged.isEmpty) dimSnap.get.version
-      else LakeTable.mergeRows(spark, dim, staged, keys :+ ValidFromCol,
+      LakeTable.mergeRows(spark, dim, closes.unionByName(opens), keys :+ ValidFromCol,
         matched = Seq(LakeTable.MatchedUpdate(Some(!col("s.__open")), Map(
           ValidToCol -> col("s.__to"), CurrentCol -> lit(false)))),
         notMatchedInsert = Seq((Some(col("s.__open")),

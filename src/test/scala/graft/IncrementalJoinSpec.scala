@@ -131,6 +131,21 @@ class IncrementalJoinSpec extends SparkSpec {
     assert(e4.getMessage.contains("null"))
   }
 
+  test("an append-only left delta appends to the view, rewriting no target file") {
+    val d = tmp("ij_append")
+    val (l, r, t) = (s"$d/l", s"$d/r", s"$d/t")
+    LakeTable.overwrite(spark, l, facts(40))
+    LakeTable.overwrite(spark, r, dims(10))
+    refresh(l, r, t)
+    val before = LakeTable.latestSnapshot(spark, t).get.files.map(_.path).toSet
+    LakeTable.append(spark, l, facts(60).filter(col("f_id") >= 40))
+    refresh(l, r, t)
+    val after = LakeTable.latestSnapshot(spark, t).get.files.map(_.path).toSet
+    assert(before.subsetOf(after),
+      "a pure left append takes the insert-only path — no view file rewrites")
+    assert(state(t) == oracle(l, r), "view equals the full join after the append")
+  }
+
   test("a touched set past the literal cap takes the checkpointed semi-join path") {
     // composite left pk: the literal cap is 64, so ~100 touched keys
     // force the semi-join restriction (the path a 10k+-key single-col
