@@ -69,6 +69,9 @@ object SparkEntry {
     "rep_ngrams"           -> ((s, d) => TextAnalysis.repNgrams(s, d)),
     "char_entropy"         -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "top_terms"            -> ((s, d) => TextAnalysis.topTerms(s, d)),
+    // per-lang Zipf slope/intercept over top-100 terms (dataset-card
+    // statistic; DECIMAL-folded regression, order-independent)
+    "zipf_fit"             -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     "bm25_topk"            -> ((s, d) => TextAnalysis.bm25Topk(s, d)),
     "dup_spans"            -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "corpus_filter"        -> ((s, d) => TextAnalysis.corpusFilter(s, d)),
@@ -799,6 +802,26 @@ object SparkEntry {
     "lake_txn" -> operators.MaintenanceOps.txnOracleSql,
     "scd2_dim" -> operators.Scd2Ops.oracleSql,
     "scd2_cdc" -> operators.Scd2Ops.cdcOracleSql,
-    "scd2_join" -> operators.Scd2Ops.joinOracleSql
+    "scd2_join" -> operators.Scd2Ops.joinOracleSql,
+    "zipf_fit" ->
+      """WITH t AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT lang, term, count(*) AS n FROM t WHERE term <> '' GROUP BY 1, 2),
+         st AS (SELECT lang, count(*) AS n_types, sum(n) AS n_tokens FROM tf GROUP BY 1),
+         top AS (SELECT lang, log10(CAST(rank AS DOUBLE)) AS x, log10(CAST(n AS DOUBLE)) AS y
+           FROM (SELECT lang, n, row_number() OVER (PARTITION BY lang
+                   ORDER BY n DESC, term) AS rank FROM tf)
+           WHERE rank <= 100),
+         reg AS (SELECT lang, CAST(count(*) AS DOUBLE) AS k,
+             CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
+           FROM top GROUP BY 1)
+         SELECT lang, n_types, n_tokens,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4)
+             AS zipf_intercept
+         FROM reg JOIN st USING (lang)"""
   )
 }

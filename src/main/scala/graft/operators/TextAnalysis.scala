@@ -617,4 +617,40 @@ object TextAnalysis {
       rate.cast("long").as("rate_pct"),
       (bucket < rate).as("sampled"))
   }
+
+  /** Zipf fit per language (dataset-card statistic): least-squares
+    * slope/intercept of log10(freq) vs log10(rank) over each lang's
+    * top-100 terms, plus type/token totals. Natural text sits near
+    * slope −1; a corpus far off is synthetic, templated, or
+    * degenerate. Two-phase word count (one token shuffle), per-lang
+    * rank window over the SMALL (lang, term, n) aggregate, and the
+    * regression folds as DECIMAL(38,18) sums — exact and commutative,
+    * so the fit cannot drift with partial-aggregation order and
+    * hash-matches the DuckDB oracle bit for bit.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val d3818 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val tf = Tables.documents(spark, dir)
+      .select(col("lang"), explode(TextFns.tokens(lower(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("lang", "term").agg(count(lit(1)).as("n"))
+    val stats = tf.groupBy("lang")
+      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("term"))
+    val top = tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= 100)
+      .select(col("lang"), log10(col("rank").cast("double")).as("x"),
+        log10(col("n").cast("double")).as("y"))
+    val reg = top.groupBy("lang").agg(
+      count(lit(1)).cast("double").as("k"),
+      sum(col("x").cast(d3818)).cast("double").as("sx"),
+      sum(col("y").cast(d3818)).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast(d3818)).cast("double").as("sxx"),
+      sum((col("x") * col("y")).cast(d3818)).cast("double").as("sxy"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    reg.join(stats, "lang").select(col("lang"), col("n_types"), col("n_tokens"),
+      round(slope, 4).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / col("k"), 4).as("zipf_intercept"))
+  }
 }

@@ -287,4 +287,27 @@ class CorpusOpsSpec extends SparkSpec {
     // sanity: the synthetic corpus actually exercises the overlap path
     assert(got.values.count(_.getAs[Long]("n_shared") > 0) > 0, "no overlap at all")
   }
+
+  test("zipf_fit matches an in-memory least-squares replay per language") {
+    val got = TextAnalysis.zipfFit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+    val byLang = docs.groupBy(_.getString(0))
+    assert(got.keySet == byLang.keySet, "one fit row per language")
+    byLang.foreach { case (lang, rows) =>
+      val tf = rows.flatMap(_.getString(1).trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (t, o) => (t, o.length.toLong) }
+      val top = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(100).zipWithIndex
+        .map { case ((_, n), i) => (math.log10((i + 1).toDouble), math.log10(n.toDouble)) }
+      val k = top.size.toDouble
+      val (sx, sy) = (top.map(_._1).sum, top.map(_._2).sum)
+      val (sxx, sxy) = (top.map(p => p._1 * p._1).sum, top.map(p => p._1 * p._2).sum)
+      val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+      val r = got(lang)
+      assert(r.getAs[Long]("n_types") == tf.size, s"$lang types")
+      assert(r.getAs[Long]("n_tokens") == tf.values.sum, s"$lang tokens")
+      assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-3, s"$lang slope")
+      assert(r.getAs[Double]("zipf_slope") < 0.0, s"$lang slope must be negative")
+    }
+  }
 }
