@@ -634,22 +634,29 @@ object TextAnalysis {
       .select(col("lang"), explode(TextFns.tokens(lower(col("text")))).as("term"))
       .filter(col("term") =!= "")
       .groupBy("lang", "term").agg(count(lit(1)).as("n"))
-    val stats = tf.groupBy("lang")
-      .agg(count(lit(1)).as("n_types"), sum(col("n")).as("n_tokens"))
+    // ONE pass over the (lang, term, n) aggregate yields both the
+    // corpus totals and the top-100 regression terms (conditional
+    // sums under the rank) — a separate totals branch would re-scan
+    // and re-tokenize the whole corpus, the dominant cost at scale.
+    // The window ranks each lang's vocabulary, which is orders of
+    // magnitude smaller than the corpus itself.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("term"))
-    val top = tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= 100)
-      .select(col("lang"), log10(col("rank").cast("double")).as("x"),
-        log10(col("n").cast("double")).as("y"))
-    val reg = top.groupBy("lang").agg(
-      count(lit(1)).cast("double").as("k"),
-      sum(col("x").cast(d3818)).cast("double").as("sx"),
-      sum(col("y").cast(d3818)).cast("double").as("sy"),
-      sum((col("x") * col("x")).cast(d3818)).cast("double").as("sxx"),
-      sum((col("x") * col("y")).cast(d3818)).cast("double").as("sxy"))
+    val inTop = col("rank") <= 100
+    val x = log10(col("rank").cast("double"))
+    val y = log10(col("n").cast("double"))
+    def topSum(c: Column, name: String): Column =
+      sum(when(inTop, c).otherwise(lit(0d)).cast(d3818)).cast("double").as(name)
+    val reg = tf.withColumn("rank", row_number().over(w))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_types"),
+        sum(col("n")).as("n_tokens"),
+        sum(when(inTop, lit(1L)).otherwise(lit(0L))).cast("double").as("k"),
+        topSum(x, "sx"), topSum(y, "sy"),
+        topSum(x * x, "sxx"), topSum(x * y, "sxy"))
     val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
       (col("k") * col("sxx") - col("sx") * col("sx"))
-    reg.join(stats, "lang").select(col("lang"), col("n_types"), col("n_tokens"),
+    reg.select(col("lang"), col("n_types"), col("n_tokens"),
       round(slope, 4).as("zipf_slope"),
       round((col("sy") - slope * col("sx")) / col("k"), 4).as("zipf_intercept"))
   }
