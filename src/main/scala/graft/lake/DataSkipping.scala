@@ -152,6 +152,14 @@ private[lake] object DataSkipping {
       case IsNotNull(a: AttributeReference) =>
         bounds(a).exists(b => b.rowCount >= 0 && b.nullCount.contains(b.rowCount))
 
+      // a bare boolean column is `col = true` (Catalyst does not
+      // normalize it to EqualTo) — the SCD2 `is_current` probe shape,
+      // where all-closed history files have max = false and skip
+      case a: AttributeReference if a.dataType == BooleanType =>
+        outsideEq(a, true)
+      case Not(a: AttributeReference) if a.dataType == BooleanType =>
+        outsideEq(a, false)
+
       case _ => false
     }
   }

@@ -207,6 +207,29 @@ class Scd2Spec extends SparkSpec {
       "the v2 state never becomes an interval — last change in range wins")
   }
 
+  test("after a sorted compact, the open-row probe skips closed-history files") {
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val t = "cfs:" + tmp("scd2_skip") + "/dim"
+    def batchOf(eff: Long): Seq[Obs] =
+      (0L until 400L).map(k => (k, s"s$eff", k))
+    (1L to 3L).foreach(eff => applyB(t, eff, batchOf(eff)))
+    // 400 open + 800 closed rows; segregate history the way a dim's
+    // maintenance job would — sorted compact on (is_current, key)
+    LakeTable.compact(spark, t, smallFileBytes = Long.MaxValue,
+      sortBy = Seq("is_current", "k"), targetFileBytes = 4L << 10)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.size >= 3, s"need a multi-file layout, got ${snap.files.size}")
+    CountingFileSystem.reset()
+    val open = LakeTable.read(spark, t).filter(col("is_current") === true)
+      .select("k").collect()
+    assert(open.length == 400, "every key has exactly one open row")
+    val opened = CountingFileSystem.openedUnder("/data/")
+      .filter(_.endsWith(".parquet")).distinct
+    assert(opened.size < snap.files.size,
+      s"the open-row probe must skip all-closed files via logged bounds: " +
+        s"read ${opened.size} of ${snap.files.size}")
+  }
+
   test("the change feed of a batch is close pre/post images plus inserts") {
     val t = s"${tmp("scd2_cdc")}/dim"
     applyB(t, 1L, Seq((1L, "a", 1L), (2L, "b", 2L)))
