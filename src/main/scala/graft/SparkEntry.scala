@@ -689,7 +689,8 @@ object SparkEntry {
       """WITH t AS (SELECT source,
              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
            FROM documents),
-         s AS (SELECT source, count(*) AS n_docs, sum(n_tokens) AS n_tokens FROM t GROUP BY 1),
+         s AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
          g AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
                       CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18))) AS DOUBLE) AS sum_w
                FROM s)
@@ -706,7 +707,8 @@ object SparkEntry {
              CAST(length(text) AS BIGINT) AS n_chars
            FROM documents)
          SELECT source, count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS mean_tokens,
            round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
            round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
@@ -807,7 +809,8 @@ object SparkEntry {
       """WITH t AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
            FROM documents),
          tf AS (SELECT lang, term, count(*) AS n FROM t WHERE term <> '' GROUP BY 1, 2),
-         st AS (SELECT lang, count(*) AS n_types, sum(n) AS n_tokens FROM tf GROUP BY 1),
+         st AS (SELECT lang, count(*) AS n_types,
+                       CAST(sum(n) AS BIGINT) AS n_tokens FROM tf GROUP BY 1),
          top AS (SELECT lang, log10(CAST(rank AS DOUBLE)) AS x, log10(CAST(n AS DOUBLE)) AS y
            FROM (SELECT lang, n, row_number() OVER (PARTITION BY lang
                    ORDER BY n DESC, term) AS rank FROM tf)
@@ -819,9 +822,11 @@ object SparkEntry {
              CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy
            FROM top GROUP BY 1)
          SELECT lang, n_types, n_tokens,
-           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS zipf_slope,
-           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4)
-             AS zipf_intercept
+           CASE WHEN k >= 2
+             THEN round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) END AS zipf_slope,
+           CASE WHEN k >= 2
+             THEN round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 4)
+             END AS zipf_intercept
          FROM reg JOIN st USING (lang)"""
   )
 }

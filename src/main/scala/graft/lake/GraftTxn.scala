@@ -59,7 +59,8 @@ object GraftTxn {
     * directly) with any lake API, then [[commit]].
     */
   final case class Txn(id: String, workDir: String,
-                       pairs: Seq[(String, String)], copy: Boolean) {
+                       pairs: Seq[(String, String)], copy: Boolean,
+                       aborted: Boolean = false) {
     def branch(src: String): String =
       pairs.collectFirst { case (s, b) if s == src => b }.getOrElse(
         throw new IllegalArgumentException(s"$src is not part of txn $id"))
@@ -113,13 +114,17 @@ object GraftTxn {
       try out.write(journalJson(txn).getBytes("UTF-8")) finally out.close()
       if (!LakeTable.publishIfAbsent(f, tmp, jp)) {
         // lost the claim: legal only if it is OUR plan (a retry of this
-        // same txn); a different plan under the same id is refused
+        // same txn); an abort tombstone or a different plan is refused
         val theirs = readJournal(spark, txn.workDir, txn.id)
+        require(!theirs.aborted,
+          s"txn ${txn.id} was aborted — its branches are gone; begin a fresh txn")
         require(theirs.pairs == txn.pairs && theirs.copy == txn.copy,
           s"txn ${txn.id}: journal already claimed with a DIFFERENT plan")
       }
     } else {
       val theirs = readJournal(spark, txn.workDir, txn.id)
+      require(!theirs.aborted,
+        s"txn ${txn.id} was aborted — its branches are gone; begin a fresh txn")
       require(theirs.pairs == txn.pairs && theirs.copy == txn.copy,
         s"txn ${txn.id}: journal already claimed with a DIFFERENT plan")
     }
@@ -131,19 +136,49 @@ object GraftTxn {
     * so recovery is safe to run any number of times, including
     * concurrently with a coordinator that turns out not to be dead.
     */
-  def recover(spark: SparkSession, workDir: String, id: String): Map[String, Long] =
-    publishAll(spark, readJournal(spark, workDir, id))
+  def recover(spark: SparkSession, workDir: String, id: String): Map[String, Long] = {
+    val txn = readJournal(spark, workDir, id)
+    require(!txn.aborted,
+      s"txn $id was aborted — nothing to roll forward; begin a fresh txn")
+    publishAll(spark, txn)
+  }
 
-  /** Discard a transaction whose commit was never claimed: deletes the
-    * branch tables. Refuses once the journal exists (some publishes
-    * may have landed — roll forward instead).
+  /** Discard a transaction whose commit was never claimed: claims the
+    * journal with an ABORT tombstone (same atomic put-if-absent
+    * primitive commit uses, so abort and a racing commit serialize on
+    * the journal path — whichever claims first wins, the loser refuses)
+    * and only then deletes the branch tables. Refuses once a commit
+    * journal exists (some publishes may have landed — roll forward
+    * instead). Idempotent: re-aborting an aborted txn is a no-op.
     */
   def abort(spark: SparkSession, txn: Txn): Unit = {
     val f = LakeTable.fs(spark, txn.workDir)
-    require(!f.exists(journalPath(txn.workDir, txn.id)),
-      s"txn ${txn.id} has a claimed journal — it cannot be aborted, only " +
-        "recover()ed forward")
-    f.delete(new Path(s"${txn.workDir}/${txn.id}"), true)
+    val jp = journalPath(txn.workDir, txn.id)
+    if (!f.exists(jp)) {
+      val tmp = new Path(s"${txn.workDir}/_txn/.${txn.id}.${
+        java.util.UUID.randomUUID()}.abort.tmp")
+      f.mkdirs(tmp.getParent)
+      val out = f.create(tmp, false)
+      val tomb = Txn(txn.id, txn.workDir, txn.pairs, txn.copy, aborted = true)
+      try out.write(journalJson(tomb).getBytes("UTF-8"))
+      finally out.close()
+      if (LakeTable.publishIfAbsent(f, tmp, jp)) {
+        // tombstone claimed: no commit can start now — safe to delete branches
+        f.delete(new Path(s"${txn.workDir}/${txn.id}"), true)
+        return
+      }
+      f.delete(tmp, false)
+    }
+    // journal already claimed: a prior abort (idempotent re-delete) or a
+    // commit (refuse — publishes may have landed, roll forward instead)
+    val theirs = readJournal(spark, txn.workDir, txn.id)
+    if (theirs.aborted) {
+      f.delete(new Path(s"${txn.workDir}/${txn.id}"), true)
+    } else {
+      throw new IllegalStateException(
+        s"txn ${txn.id} has a claimed commit journal — it cannot be aborted, " +
+          "only recover()ed forward")
+    }
   }
 
   /** True iff every publish in the journal has landed (all watermarks
@@ -151,7 +186,7 @@ object GraftTxn {
     */
   def isCommitted(spark: SparkSession, workDir: String, id: String): Boolean = {
     val txn = readJournal(spark, workDir, id)
-    txn.pairs.forall { case (src, _) =>
+    !txn.aborted && txn.pairs.forall { case (src, _) =>
       LakeTable.latestSnapshot(spark, src)
         .exists(_.txns.get(appId(txn.id)).exists(_ >= 1L))
     }
@@ -185,7 +220,8 @@ object GraftTxn {
     val pairs = txn.pairs.map { case (s, b) =>
       s"""{"src":${jstr(s)},"branch":${jstr(b)}}"""
     }.mkString("[", ",", "]")
-    s"""{"id":${jstr(txn.id)},"copy":${txn.copy},"pairs":$pairs}""" + "\n"
+    s"""{"id":${jstr(txn.id)},"copy":${txn.copy},"aborted":${txn.aborted},""" +
+      s""""pairs":$pairs}""" + "\n"
   }
 
   private def readJournal(spark: SparkSession, workDir: String, id: String): Txn = {
@@ -207,6 +243,11 @@ object GraftTxn {
         ((p \ "src").extract[String], (p \ "branch").extract[String]))
       case _ => throw new IllegalStateException(s"malformed journal for txn $id")
     }
-    Txn((j \ "id").extract[String], workDir, pairs, (j \ "copy").extract[Boolean])
+    val aborted = (j \ "aborted") match {
+      case JBool(b) => b
+      case _ => false // pre-tombstone journals carry no flag
+    }
+    Txn((j \ "id").extract[String], workDir, pairs,
+      (j \ "copy").extract[Boolean], aborted)
   }
 }

@@ -3976,9 +3976,36 @@ object LakeTable extends org.apache.spark.internal.Logging {
         val bf = fs(spark, branch)
         val bRoot = dataPath(branch)
         val conf = spark.sparkContext.hadoopConfiguration
+        // Paths the source's CURRENT snapshot references — a same-named file
+        // already live in src is a genuine collision; one NOT referenced can
+        // only be debris from an earlier publish attempt whose copy died
+        // mid-write (its commit never landed), so replay may reclaim it.
+        val liveInSrc: Set[String] = latestSnapshot(spark, src)
+          .map(_.files.iterator.map(_.path.stripPrefix(srcPrefix)).toSet)
+          .getOrElse(Set.empty)
         stageParallel(local) { e =>
           val from = entryPath(bRoot, e.path)
           val to = entryPath(dataPath(src), e.path)
+          // Copy via a temp name + rename so a coordinator death mid-copy
+          // never leaves a partial file AT the destination path — replay
+          // then sees either nothing or a complete copy, and the documented
+          // always-roll-forward guarantee holds without operator surgery.
+          def copyViaTemp(): Unit = {
+            f.mkdirs(to.getParent)
+            val tmp = new Path(to.getParent, to.getName + ".staging-" +
+              java.util.UUID.randomUUID().toString.take(8))
+            if (!org.apache.hadoop.fs.FileUtil.copy(bf, from, f, tmp, false, conf))
+              throw new IllegalStateException(s"could not copy $from to $tmp")
+            if (!f.rename(tmp, to)) {
+              // another replay of the SAME publish won the rename race —
+              // branch file names embed the write job's UUID, so an equal-size
+              // file at the destination IS this file; accept it
+              f.delete(tmp, false)
+              val st = if (f.exists(to)) Some(f.getFileStatus(to)) else None
+              if (!st.exists(_.getLen == e.size))
+                throw new IllegalStateException(s"could not rename $tmp to $to")
+            }
+          }
           val existing = if (f.exists(to)) Some(f.getFileStatus(to)) else None
           existing match {
             case Some(st) if st.getLen == e.size =>
@@ -3986,15 +4013,19 @@ object LakeTable extends org.apache.spark.internal.Logging {
               // the write job's UUID) was already copied by an earlier
               // attempt that died before its commit landed — reuse it
               ()
+            case Some(_) if !liveInSrc.contains(e.path) =>
+              // truncated debris from a pre-temp-rename attempt (or a crash
+              // between mkdirs and copy): not referenced by any committed
+              // source snapshot, so no reader can see it — delete and recopy
+              f.delete(to, false)
+              copyViaTemp()
             case Some(_) =>
               throw new IllegalStateException(
-                s"publish target $to already exists with a DIFFERENT size — " +
-                  s"was $branch already published, or did another writer claim " +
-                  "the path?")
+                s"publish target $to already exists with a DIFFERENT size and " +
+                  s"is referenced by $src's current snapshot — was $branch " +
+                  "already published, or did another writer claim the path?")
             case None =>
-              f.mkdirs(to.getParent)
-              if (!org.apache.hadoop.fs.FileUtil.copy(bf, from, f, to, false, conf))
-                throw new IllegalStateException(s"could not copy $from to $to")
+              copyViaTemp()
           }
           e.copy(dv = None, bloom = None)
         }

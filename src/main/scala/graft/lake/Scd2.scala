@@ -68,7 +68,18 @@ object Scd2 {
       .withColumn(CurrentCol, lit(true))
 
     val snap = LakeTable.latestSnapshot(spark, table)
-    if (snap.isEmpty) return LakeTable.overwrite(spark, table, opened(batch))
+    if (snap.isEmpty) {
+      // Mirror the later-batch duplicate-key preflight on the INITIAL batch:
+      // a dup-key first batch would otherwise silently write two open rows
+      // per key, corrupting the one-open-row invariant snapshotAt/joinAsOf
+      // depend on (the next batch then fails with a misleading error).
+      val dup = batch.groupBy(keys.map(col): _*).agg(count(lit(1L)).as("__n"))
+        .agg(max(col("__n"))).head()
+      require(dup.isNullAt(0) || dup.getLong(0) <= 1L,
+        s"scd2 batch has duplicate values of key (${keys.mkString(", ")}) — " +
+          "deliver one observation per business key per batch")
+      return LakeTable.overwrite(spark, table, opened(batch))
+    }
 
     // open slice pinned to one snapshot: the pushed is_current filter
     // skips files whose logged bounds hold only closed history

@@ -656,8 +656,13 @@ object TextAnalysis {
         topSum(x * x, "sxx"), topSum(x * y, "sxy"))
     val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
       (col("k") * col("sxx") - col("sx") * col("sx"))
+    // A lang with a single distinct term has k=1 and x=log10(1)=0, so the
+    // slope denominator is exactly 0 — emit null rather than NaN/Infinity
+    // (which DuckDB renders differently and would break the bit-exact oracle).
+    val fittable = col("k") >= 2
     reg.select(col("lang"), col("n_types"), col("n_tokens"),
-      round(slope, 4).as("zipf_slope"),
-      round((col("sy") - slope * col("sx")) / col("k"), 4).as("zipf_intercept"))
+      when(fittable, round(slope, 4)).as("zipf_slope"),
+      when(fittable, round((col("sy") - slope * col("sx")) / col("k"), 4))
+        .as("zipf_intercept"))
   }
 }

@@ -134,7 +134,28 @@ class GraftTxnSpec extends SparkSpec {
 
     val t5 = GraftTxn.begin(spark, Seq(b), s"$d/wk", id = "t5")
     GraftTxn.commit(spark, t5)
-    intercept[IllegalArgumentException] { GraftTxn.abort(spark, t5) }
+    intercept[IllegalStateException] { GraftTxn.abort(spark, t5) }
+  }
+
+  test("abort claims a tombstone: a racing commit/recover refuses, abort is idempotent") {
+    val d = tmpDir("txn_tomb")
+    val (a, _) = freshPair(d)
+    val before = ids(a)
+
+    val t = GraftTxn.begin(spark, Seq(a), s"$d/wk", id = "t8")
+    LakeTable.append(spark, t.branch(a), Seq((801L, "0", 1.0)).toDF("id", "grp", "v"))
+    GraftTxn.abort(spark, t)
+
+    // the tombstone holds the journal path, so the check-then-act race is
+    // closed: a commit attempting to claim AFTER abort refuses instead of
+    // publishing from deleted branches
+    val ex = intercept[IllegalArgumentException] { GraftTxn.commit(spark, t) }
+    assert(ex.getMessage.contains("aborted"))
+    intercept[IllegalArgumentException] { GraftTxn.recover(spark, s"$d/wk", "t8") }
+    assert(!GraftTxn.isCommitted(spark, s"$d/wk", "t8"))
+    assert(ids(a) == before, "no publish may land after an abort tombstone")
+
+    GraftTxn.abort(spark, t) // idempotent re-abort is a no-op
   }
 
   test("a no-delta participant still lands its watermark (empty PUBLISH)") {

@@ -96,6 +96,25 @@ class Scd2Spec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("duplicate business keys in the FIRST batch fail loudly too") {
+    // the initial batch creates the table via overwrite, bypassing the merge
+    // path — without its own preflight a dup key would silently land TWO open
+    // rows per key, corrupting the invariant snapshotAt/joinAsOf depend on
+    val t = s"${tmp("scd2_dup0")}/dim"
+    val e = intercept[IllegalArgumentException] {
+      applyB(t, 1L, Seq((1L, "x", 1L), (1L, "y", 2L)))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(LakeTable.latestSnapshot(spark, t).isEmpty,
+      "a refused initial batch must not create the table")
+    // and the same keys split across batches are fine
+    applyB(t, 1L, Seq((1L, "x", 1L)))
+    applyB(t, 2L, Seq((1L, "y", 2L)))
+    assert(state(t) == Set(
+      (1L, "x", 1L, 1L, Some(2L), false),
+      (1L, "y", 2L, 2L, None, true)))
+  }
+
   test("snapshotAt answers a point-in-time dimension question") {
     val t = s"${tmp("scd2_pit")}/dim"
     history.foreach { case (eff, rows) => applyB(t, eff, rows) }

@@ -147,10 +147,38 @@ class WapSpec extends SparkSpec {
       .filter(_.endsWith(".parquet")).distinct
     assert(branchOpens.size == localFiles,
       s"publish must copy exactly the branch's own files: $branchOpens")
+    // staged copies land as <name>.parquet.staging-* then rename into place
     val srcCreates = CountingFileSystem.createdUnder(s"$d/src/data/")
-      .filter(_.endsWith(".parquet")).distinct
+      .filter(_.contains(".parquet")).distinct
     assert(srcCreates.size == localFiles,
       s"publish must create exactly the delta under the source: $srcCreates")
+  }
+
+  test("publish replays over truncated partial-copy debris (coordinator died mid-copy)") {
+    val d = tmpDir("wap_partial")
+    val src = freshSrc(d)
+    val branch = s"$d/branch"
+    LakeTable.shallowClone(spark, src, branch)
+    LakeTable.append(spark, branch, Seq((300L, "2", 7.0)).toDF("id", "grp", "v"))
+    val audited = rows(branch)
+
+    // plant the wreckage a dying coordinator leaves: a TRUNCATED file at the
+    // publish destination, referenced by NO committed source snapshot
+    val victim = LakeTable.latestSnapshot(spark, branch).get.files
+      .filter(e => !e.path.contains(":")).head
+    val f = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dest = new org.apache.hadoop.fs.Path(s"$src/data/${victim.path}")
+    f.mkdirs(dest.getParent)
+    val out = f.create(dest, false)
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    assert(f.getFileStatus(dest).getLen != victim.size, "debris must be truncated")
+
+    // the replay must roll FORWARD — delete the unreferenced debris and
+    // recopy — not wedge on 'already exists with a DIFFERENT size'
+    LakeTable.publish(spark, src, branch)
+    assert(rows(src) == audited)
+    assert(f.getFileStatus(dest).getLen == victim.size, "debris must be replaced")
   }
 
   test("branch schema evolution publishes through; source files read nulls") {

@@ -19,6 +19,16 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+def kinds(df: pd.DataFrame) -> dict:
+    """Column -> coarse dtype kind, compared BEFORE value canonicalization.
+
+    The driver's hash distinguishes int 70316 from float 70316.0 (e.g. DuckDB
+    sum(BIGINT) -> HUGEINT -> pandas float) while canon()'s %.10g collapses
+    them — this check closes that local-vs-driver gap (VERDICT r12 item 2).
+    """
+    m = {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "ts"}
+    return {c: m.get(df[c].dtype.kind, "obj") for c in df.columns}
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     def norm(v):
@@ -40,13 +50,23 @@ for name in sorted(oracle):
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
-    got = canon(con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df())
+    got_raw = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
     try:
-        want = canon(con.sql(oracle[name]).df())
+        want_raw = con.sql(oracle[name]).df()
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    got, want = canon(got_raw), canon(want_raw)
     if list(got.columns) != list(want.columns):
         print(f"FAIL {name}: cols spark={list(got.columns)} oracle={list(want.columns)}"); fails += 1; continue
+    gk, wk = kinds(got_raw), kinds(want_raw)
+    badk = {c: (gk[c], wk[c]) for c in gk
+            if wk.get(c) is not None and gk[c] != wk[c]
+            # a column that is ALL-NULL on either side is dtype-ambiguous in
+            # pandas (promoted to float/object) — skip it, values still compare
+            and not got_raw[c].isna().all() and not want_raw[c].isna().all()}
+    if badk:
+        print(f"FAIL {name}: dtype mismatch {badk} (driver hashes these differently)")
+        fails += 1; continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows spark={len(got)} oracle={len(want)}"); fails += 1; continue
     if not got.equals(want):
