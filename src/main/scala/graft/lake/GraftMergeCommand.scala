@@ -138,8 +138,11 @@ final case class GraftDeleteCommand(tablePath: String, condition: Expression)
 }
 
 /** SQL `UPDATE <graft table> SET ... [WHERE ...]`, planned onto
-  * [[LakeTable.update]] (file-granularity copy-on-write). Like
-  * [[GraftDeleteCommand]], resolved references re-bind by name.
+  * [[LakeTable.update]] (file-granularity copy-on-write) or — when the
+  * session sets `spark.graft.update.mode=mor` —
+  * [[LakeTable.updateMergeOnRead]] (position-delete + append, the
+  * O(updated rows) point-update path). Like [[GraftDeleteCommand]],
+  * resolved references re-bind by name.
   */
 final case class GraftUpdateCommand(tablePath: String,
                                     set: Seq[(String, Expression)],
@@ -150,9 +153,14 @@ final case class GraftUpdateCommand(tablePath: String,
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     }
     import org.apache.spark.sql.graft.SqlShims.columnOf
-    LakeTable.update(spark, tablePath,
-      set.map { case (n, v) => n -> columnOf(byName(v)) },
-      columnOf(byName(condition)))
+    val assigns = set.map { case (n, v) => n -> columnOf(byName(v)) }
+    val cond = columnOf(byName(condition))
+    spark.conf.getOption("spark.graft.update.mode").map(_.toLowerCase) match {
+      case Some("mor") => LakeTable.updateMergeOnRead(spark, tablePath, assigns, cond)
+      case Some("cow") | None => LakeTable.update(spark, tablePath, assigns, cond)
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.update.mode must be 'cow' or 'mor', got '$other'")
+    }
     Seq.empty
   }
 }

@@ -3088,6 +3088,113 @@ object LakeTable extends org.apache.spark.internal.Logging {
     } finally matched.unpersist(blocking = false)
   }
 
+  /** Merge-on-read UPDATE: express the update as a positional delete of
+    * the old images plus an APPEND of the new ones — the Iceberg-v2
+    * position-delete + data-file discipline — instead of rewriting every
+    * file containing a match (copy-on-write [[update]]). A 1-row update
+    * on a 100 TB fact therefore writes O(updated rows) bytes (one tiny
+    * vector + one tiny data file), not O(bytes of affected files).
+    * Matched files keep their data untouched and gain (or fold) a
+    * [[DeleteVector]] hiding the pre-image rows; the post-image rows
+    * stage through the ordinary append path, so partition routing
+    * (including re-routing on a partition-column assignment), CHECK
+    * constraints, column mapping and generated columns all hold.
+    * The change feed records pre/post images exactly like CoW UPDATE.
+    * Commits stamp protocol (3, 3); returns the committed version —
+    * unchanged when nothing matched.
+    */
+  def updateMergeOnRead(spark: SparkSession, table: String,
+                        set: Seq[(String, Column)], condition: Column): Long = {
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    require(set.nonEmpty, s"UPDATE on $table assigns no columns")
+    val unknown = set.map(_._1).filterNot(n => snap.schema.fieldNames.contains(n))
+    require(unknown.isEmpty, s"UPDATE on $table assigns unknown column(s): " +
+      unknown.mkString(", "))
+    val setByName = set.toMap
+    val conds = resolvedConjuncts(spark, snap.schema, condition)
+    // file-level prune against the logged bounds: a selective predicate's
+    // detection scan reads only the files it could possibly match
+    val candidates = prunedEntries(spark, table, snap, conds)
+    if (candidates.isEmpty) return snap.version
+
+    // one dv-aware detection scan, three consumers (old positions,
+    // post-image rows, change-feed images): persist so they agree and
+    // the scan runs once. Bounded by matched rows, not table size.
+    val matched = morScan(spark, table, snap, candidates, keepPos = true)
+      .filter(coalesce(condition, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matchedAbs = matched.select(col(FilePathCol)).distinct()
+        .collect().map(_.getString(0))
+      if (matchedAbs.isEmpty) return snap.version
+      val affectedRel = mapMatchedRel(spark, table, matchedAbs, "UPDATE", snap)
+      val foreignHit = affectedRel.filter(isForeignEntry)
+      if (foreignHit.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"merge-on-read UPDATE on $table matched ${foreignHit.size} cloned " +
+            "(foreign) data file(s) — deletion vectors key on root-relative " +
+            "positions; use the copy-on-write update(), or compact the clone " +
+            "to localize its files first")
+      val affectedSet = affectedRel.toSet
+
+      // position-delete the OLD images, folding the affected files'
+      // existing vectors so each rewritten entry's single dv reference
+      // is its complete deleted set (same discipline as MoR DELETE)
+      val prefix = qualifiedDataPrefix(spark, table) + "/"
+      val relCol = when(col(FilePathCol).startsWith(prefix),
+        col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
+        .otherwise(raise_error(concat(
+          lit(s"UPDATE on $table matched a file outside the data root: "),
+          col(FilePathCol))))
+      val newRows = matched.select(relCol.as("p"), col(RowPosCol).as("pos"))
+      val withOldDv = candidates.filter(e => affectedSet(e.path) && e.dv.isDefined)
+      val allRows =
+        if (withOldDv.isEmpty) newRows
+        else newRows.unionByName(dvRows(spark, table, withOldDv)
+          .filter(col("p").isInCollection(withOldDv.map(_.path))))
+      val dvDir = stageDeleteVector(spark, table, allRows,
+        math.max(1, math.min(32, affectedRel.size)))
+      val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // append the POST images through the ordinary staging path
+      // (partition routing, constraints, mapping, generated columns)
+      val applied = snap.schema.fields.toSeq.map { fld =>
+        setByName.get(fld.name) match {
+          case Some(v) => v.cast(fld.dataType).as(fld.name)
+          case None => col(fld.name)
+        }
+      }
+      val postRows = matched.select(applied: _*)
+      val newFiles = stageFiles(spark, table, postRows, snap.partitionColumns,
+        ColumnMapping.mapping(snap.schema), checks = snap.constraints)
+
+      val cdcFiles = stageChangeFiles(spark, table,
+        matched.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(postRows.withColumn(ChangeTypeCol, lit("update_postimage"))))
+
+      val updated = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
+        val card = cardByFile.getOrElse(e.path, 0L)
+        // every row updated: the old file leaves the snapshot outright
+        // (its full content rides the feed as preimages already)
+        if (e.rowCount >= 0 && card >= e.rowCount) None
+        else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
+      }
+      val carried = snap.files.filterNot(e => affectedSet.contains(e.path))
+      val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "UPDATE",
+        snap.schema, snap.partitionColumns, carried ++ updated ++ newFiles,
+        txns = snap.txns, protocol = Protocol(3, 3))
+      if (!tryCommit(spark, table, next, updated ++ newFiles, affectedRel,
+          cdc = Some(cdcFiles), prev = Some(snap)))
+        throw new ConcurrentCommitException(
+          s"merge-on-read UPDATE on $table lost the commit race — re-run (a " +
+            "concurrent commit may contain rows this update never scanned)")
+      next.version
+    } finally matched.unpersist(blocking = false)
+  }
+
   /** Copy-on-write UPDATE: apply `set` to the rows matching `condition`
     * (NULL conditions leave rows untouched, SQL semantics), rewriting
     * only the files containing at least one match — the same

@@ -91,6 +91,13 @@ object MaintenanceOps {
     // v7: a fresh MoR delete — the FINAL state carries active vectors,
     // so the oracle compare exercises the MoR read path end to end
     LakeTable.deleteMergeOnRead(spark, t, key % 11 === 5)
+    // v8: merge-on-read UPDATE — pre-images vanish behind vectors that
+    // FOLD with v7's on shared files, post-images land as appended
+    // files; the hash compare proves the position-delete + append
+    // composition, not just delete vectors
+    LakeTable.updateMergeOnRead(spark, t,
+      Seq("o_totalprice" -> (col("o_totalprice") + 10.0)),
+      col("o_orderstatus") === "F" && key % 13 === 2)
 
     LakeTable.read(spark, t).select(
       col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
@@ -103,7 +110,9 @@ object MaintenanceOps {
   val dvOracleSql: String =
     """SELECT o_orderkey, o_orderpriority, o_orderstatus,
               CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
-                        ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+                        ELSE o_totalprice END
+                   + CASE WHEN o_orderstatus = 'F' AND o_orderkey % 13 = 2
+                          THEN 10.0 ELSE 0.0 END AS DOUBLE) AS o_totalprice
        FROM orders
        WHERE o_orderkey % 3 IN (0, 1)
          AND o_orderkey % 7 <> 3

@@ -185,6 +185,20 @@ class DeleteVectorSpec extends SparkSpec {
     // metadata-only count stays exact under vectors (liveRowCount sums)
     assert(spark.sql("SELECT count(*) FROM dv_sql_view WHERE grp = 'g2'").head.getLong(0)
       == (1L to 100L).count(i => i % 4 == 2 && i % 10 != 0))
+
+    // UPDATE routes through the same mode conf: MoR leaves every data
+    // file in place and still lands the new values
+    val before2 = dataFiles(t)
+    spark.conf.set("spark.graft.update.mode", "mor")
+    try spark.sql("UPDATE dv_sql_view SET v = v + 100.0 WHERE id % 10 = 5")
+    finally spark.conf.unset("spark.graft.update.mode")
+    assert(before2.subsetOf(dataFiles(t)), "SQL MoR update rewrote data files")
+    spark.read.format("graft").load(t).createOrReplaceTempView("dv_sql_view")
+    val vs = spark.sql("SELECT id, v FROM dv_sql_view")
+      .as[(Long, Double)].collect().toMap
+    assert(vs.size == 90)
+    assert((1L to 100L).filter(_ % 10 != 0).forall(i =>
+      vs(i) == (if (i % 10 == 5) i * 1.5 + 100.0 else i * 1.5)))
   }
 
   test("column-mapped table: MoR delete after RENAME reads correctly") {
@@ -198,6 +212,97 @@ class DeleteVectorSpec extends SparkSpec {
     assert(out.agg(max("value")).head.getDouble(0) == 120.0)
   }
 
+  test("MoR update: position-delete + append — no data-file rewrite, feeds compose") {
+    val t = tmpTable("dv_upd")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    val before = dataFiles(t)
+    val v2 = LakeTable.updateMergeOnRead(spark, t,
+      Seq("v" -> (col("v") + 1000.0)), col("id") % 10 === 3)
+    assert(v2 == 2L)
+    // THE merge-on-read property: every pre-update data file is byte-
+    // identical; the only new data files are the tiny post-image ones
+    assert(before.subsetOf(dataFiles(t)),
+      "MoR update must not rewrite or remove any existing data file")
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum == 10L)
+    assert(snap.protocol.reader == 3 && snap.protocol.writer == 3)
+    val out = LakeTable.read(spark, t).select("id", "v").as[(Long, Double)].collect()
+    assert(out.length == 100, "no row may vanish or duplicate")
+    val m = out.toMap
+    assert((1L to 100L).forall(i =>
+      m(i) == (if (i % 10 == 3) i * 1.5 + 1000.0 else i * 1.5)))
+    // time travel sees the pre-update values
+    assert(LakeTable.read(spark, t, asOf = Some(1L))
+      .filter(col("id") === 3L).select("v").as[Double].head() == 4.5)
+    // change feed carries pre/post images, CoW-identical shape
+    val feed = LakeTable.changes(spark, t, v2, v2)
+    val pre = feed.filter(col("_change_type") === "update_preimage")
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    val post = feed.filter(col("_change_type") === "update_postimage")
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(pre.keySet == (1L to 100L).filter(_ % 10 == 3).toSet && pre.keySet == post.keySet)
+    assert(pre.forall { case (i, v) => v == i * 1.5 } &&
+      post.forall { case (i, v) => v == i * 1.5 + 1000.0 })
+
+    // folding: an MoR update over MoR-deleted files folds vectors, and a
+    // later delete folds over the update's
+    LakeTable.deleteMergeOnRead(spark, t, col("id") % 10 === 7)
+    val ids = LakeTable.read(spark, t).select("id").as[Long].collect().toSet
+    assert(ids == (1L to 100L).filterNot(_ % 10 == 7).toSet)
+    val snap3 = LakeTable.latestSnapshot(spark, t).get
+    assert(snap3.files.filter(_.dv.isDefined).forall(_.dv.get.cardinality > 0))
+
+    // updating EVERY remaining row of a file drops the old entry outright
+    LakeTable.updateMergeOnRead(spark, t, Seq("v" -> lit(0.0)), col("grp") === "g1")
+    val snap4 = LakeTable.latestSnapshot(spark, t).get
+    val g1Rows = LakeTable.read(spark, t).filter(col("grp") === "g1")
+      .select("v").as[Double].collect()
+    assert(g1Rows.nonEmpty && g1Rows.forall(_ == 0.0))
+    assert(LakeTable.read(spark, t).count() == ids.size.toLong,
+      "full-file MoR update must not lose or duplicate rows")
+    assert(snap4.files.flatMap(_.dv).map(_.cardinality).sum >= 10L)
+  }
+
+  test("MoR update proof: detection prunes to matched files; writes are O(delta)") {
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val d = java.nio.file.Files.createTempDirectory("dv_updproof").toString
+    val t = s"cfs:$d/t"
+    LakeTable.overwrite(spark, t,
+      spark.range(1, 10001).select(col("id"), (col("id") * 1.5).as("v")))
+    // range-cluster on id so the logged bounds prune a point predicate
+    // to ONE file
+    LakeTable.compact(spark, t, smallFileBytes = 1L << 30, sortBy = Seq("id"),
+      targetFileBytes = 8L << 10)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.size >= 4, s"need several files, got ${snap.files.size}")
+
+    CountingFileSystem.reset()
+    LakeTable.updateMergeOnRead(spark, t, Seq("v" -> lit(-1.0)), col("id") === 5757L)
+    // detection read ONE pruned PRE-EXISTING data file, not the table
+    // (the freshly appended post-image file is also opened once, for its
+    // footer stats — that's O(delta), not a table read)
+    val openedData = CountingFileSystem.openedUnder(s"$d/t/data/")
+      .filter(_.endsWith(".parquet")).distinct
+      .filter(p => snap.files.exists(e => p.endsWith("/" + e.path)))
+    assert(openedData.size == 1,
+      s"a point MoR update must detection-scan exactly the pruned file: $openedData")
+    // wrote O(updated rows): the snapshot gains exactly ONE 1-row
+    // post-image file; the matched file entry survives untouched behind
+    // a 1-row vector (a CoW rewrite would have replaced it)
+    val snap2 = LakeTable.latestSnapshot(spark, t).get
+    val prePaths = snap.files.map(_.path).toSet
+    val added = snap2.files.filterNot(e => prePaths.contains(e.path))
+    assert(added.size == 1 && added.head.rowCount == 1L,
+      s"a 1-row MoR update must append exactly one 1-row file: $added")
+    assert(snap2.files.count(e => prePaths.contains(e.path)) == snap.files.size,
+      "no pre-existing file may leave the snapshot")
+    assert(snap2.files.filter(_.dv.isDefined).map(_.dv.get.cardinality).sum == 1L,
+      "the pre-image must hide behind a 1-row deletion vector")
+    val got = LakeTable.read(spark, t).filter(col("id") === 5757L)
+      .select("v").as[Double].collect().toSeq
+    assert(got == Seq(-1.0))
+  }
+
   test("lake_dv gate query matches an independent SQL replay") {
     val got = operators.MaintenanceOps.lakeDv(spark, sf)
       .select("o_orderkey", "o_totalprice")
@@ -206,7 +311,9 @@ class DeleteVectorSpec extends SparkSpec {
     val want = spark.sql(
       """SELECT o_orderkey,
                 CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
-                          ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+                          ELSE o_totalprice END
+                     + CASE WHEN o_orderstatus = 'F' AND o_orderkey % 13 = 2
+                            THEN 10.0 ELSE 0.0 END AS DOUBLE) AS o_totalprice
          FROM dv_orders
          WHERE o_orderkey % 3 IN (0, 1)
            AND o_orderkey % 7 <> 3
