@@ -144,6 +144,7 @@ object SparkEntry {
     // probe ALL cells so the result is exact brute-force top-k — a
     // hash-matched oracle for the index-append path itself
     "ann_ivf_incr"         -> ((s, d) => Similarity.annIvfIncr(s, d)),
+    "ann_lsh_idx"          -> ((s, d) => Similarity.annLshIncr(s, d)),
     // SCD Type-2 dimension: three observation batches fold into a
     // versioned interval table, one atomic merge per batch
     "scd2_dim"             -> ((s, d) => Scd2Ops.scd2Dim(s, d)),

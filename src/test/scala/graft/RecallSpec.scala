@@ -62,6 +62,16 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"ann_lsh recall $recall < 0.9")
   }
 
+  test("ann_lsh_idx recall@5 vs exact brute-force top-k") {
+    val exact = Similarity.annTopk(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val idx = Similarity.annLshIncr(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = idx.intersect(exact).size.toDouble / exact.size
+    recalls("ann_lsh_idx@5") = recall
+    assert(recall >= 0.9, s"ann_lsh_idx recall@5 $recall < 0.9")
+  }
+
   test("dedup_minhash recall vs the exact Jaccard pair set") {
     val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -99,7 +109,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("recall summary line for the round log") {
-    assert(recalls.size == 5, s"expected all five recalls measured, got $recalls")
+    assert(recalls.size == 6, s"expected all six recalls measured, got $recalls")
     val json = recalls.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     info(s"RECALL $json")
