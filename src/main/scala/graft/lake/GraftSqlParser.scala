@@ -32,6 +32,16 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   ALTER TABLE `path` ADD COLUMNS (c1 TYPE, ...)
   *   ALTER TABLE `path` RENAME COLUMN a TO b
   *   ALTER TABLE `path` DROP COLUMN c
+  *   APPLY CHANGES INTO <dim> FROM <source>
+  *         KEYS (k1, ...) TRACK (a1, ...) [STORED AS SCD TYPE 2]
+  *
+  * APPLY CHANGES is the DLT-style statement form of
+  * [[Scd2.applyFeed]]: fold the source's change feed since the dim's
+  * watermark into an SCD Type-2 interval table (sequencing is the
+  * source's commit version — the lake's own total order — so no
+  * SEQUENCE BY clause is needed or accepted). The first application
+  * creates the dim; replays are watermark-idempotent. Returns the
+  * committed dim version.
   *
   * The column-evolution forms are intercepted for QUOTED-PATH targets
   * only: those never parse in stock Spark, so nothing is stolen from
@@ -100,6 +110,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       Some(GraftRenameColumnCommand(target, oldName, newName))
     case DropColumnRe(target, name) =>
       Some(GraftDropColumnCommand(target, name))
+    case ApplyChangesRe(dim, source, keys, attrs) =>
+      def cols(s: String) = s.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
+      Some(GraftApplyChangesCommand(dim, source, cols(keys), cols(attrs)))
     case _ => None
   }
 
@@ -180,6 +194,11 @@ private[graft] object GraftSqlParser {
   private val DropColumnRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Q +
       """\s+DROP\s+COLUMN\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
+  // DLT-style CDC → SCD2 statement (sequencing = lake commit version)
+  private val ApplyChangesRe =
+    ("""(?is)^APPLY\s+CHANGES\s+INTO\s+""" + T + """\s+FROM\s+""" + T +
+      """\s+KEYS\s*\(([^)]+)\)\s+TRACK\s*\(([^)]+)\)""" +
+      """(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+2)?\s*;?\s*$""").r
 
   /** The transaction-log path behind a maintenance target: a quoted
     * path literally, or a registered view resolved through its
@@ -459,5 +478,20 @@ private[graft] case class GraftCloneCommand(dst: String, src: String,
     val dstPath = dst.substring(1, dst.length - 1)
     val srcPath = GraftSqlParser.resolveTarget(spark, src)
     Seq(Row(LakeTable.shallowClone(spark, srcPath, dstPath, asOf)))
+  }
+}
+
+private[graft] case class GraftApplyChangesCommand(dim: String, source: String,
+                                                   keys: Seq[String],
+                                                   attrs: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcPath = GraftSqlParser.resolveTarget(spark, source)
+    // the dim may not exist yet (the first application CREATES it), so a
+    // quoted path resolves literally; a registered view also works
+    val dimPath = GraftSqlParser.resolveTarget(spark, dim)
+    Seq(Row(Scd2.applyFeed(spark, srcPath, dimPath, keys, attrs)))
   }
 }

@@ -712,4 +712,37 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(LakeTable.read(spark, src).count() == 3,
       "the refused publish must not have changed the source")
   }
+
+  test("APPLY CHANGES INTO drives scd2 CDC semantics from spark.sql alone") {
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sql_scd2").toString
+    val (src, dim) = (s"$d/src", s"$d/dim")
+    LakeTable.overwrite(spark, src,
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)).toDF("k", "status", "score")) // v1
+    spark.sql(s"APPLY CHANGES INTO `$dim` FROM `$src` KEYS (k) " +
+      "TRACK (status, score) STORED AS SCD TYPE 2").collect()
+    assert(LakeTable.read(spark, dim).count() == 3, "initial build opens every key")
+
+    // the source's own DML, also via SQL
+    spark.read.format("graft").load(src).createOrReplaceTempView("ac_src")
+    spark.sql("UPDATE ac_src SET status = 'z' WHERE k = 1") // v2
+    spark.sql("DELETE FROM ac_src WHERE k = 2")             // v3
+    val v = spark.sql(s"APPLY CHANGES INTO `$dim` FROM `$src` " +
+      "KEYS (k) TRACK (status, score)").head.getLong(0)
+
+    val state = LakeTable.read(spark, dim)
+      .select("k", "status", "score", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Long, Option[Long], Boolean)].collect().toSet
+    assert(state == Set(
+      (1L, "a", 1L, 1L, Some(2L), false), // closed at its update's commit version
+      (1L, "z", 1L, 2L, None, true),
+      (2L, "b", 2L, 1L, Some(3L), false), // retired at its delete's commit version
+      (3L, "c", 3L, 1L, None, true)))     // untouched key stays open
+
+    // replay is watermark-idempotent: same version back, no new commit
+    val v2 = spark.sql(s"APPLY CHANGES INTO `$dim` FROM `$src` " +
+      "KEYS (k) TRACK (status, score)").head.getLong(0)
+    assert(v2 == v, "replayed APPLY CHANGES must no-op on the watermark")
+  }
 }
