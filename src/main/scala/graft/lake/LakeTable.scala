@@ -3195,6 +3195,137 @@ object LakeTable extends org.apache.spark.internal.Logging {
     } finally matched.unpersist(blocking = false)
   }
 
+  /** Merge-on-read MERGE (upsert): [[merge]]'s semantics — existing
+    * keys take the source row, fresh keys insert — expressed as a
+    * positional delete of the replaced target rows plus an APPEND of
+    * the source rows, instead of rewriting every file containing a key
+    * match. A trickle upsert against a 100 TB fact therefore writes
+    * O(source rows) bytes. Detection prunes files against the logged
+    * key bounds when the source's distinct keys are bounded (pushed
+    * per-column IN, the [[graft.operators.Dedup.probeMinhashIndex]]
+    * discipline); the change feed carries the same pre/post/insert
+    * images as the CoW path (spec-pinned state-identical to [[merge]]).
+    * Schema evolution stays on the CoW path: source columns must exist
+    * in the snapshot schema (missing ones pad as null, like [[merge]]).
+    * Returns the committed version.
+    */
+  def mergeMergeOnRead(spark: SparkSession, table: String, updates0: DataFrame,
+                       keys: Seq[String], maxPushedKeys: Int = 10000): Long = {
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    require(keys.nonEmpty && keys.forall(snap.schema.fieldNames.contains),
+      s"merge keys must be target columns: ${keys.mkString(", ")}")
+    val sane = ColumnMapping.sanitize(updates0)
+    val newCols = sane.columns.filterNot(snap.schema.fieldNames.contains)
+    require(newCols.isEmpty,
+      s"merge-on-read MERGE on $table cannot add column(s) ${newCols.mkString(", ")} " +
+        "— schema evolution is copy-on-write; use merge()")
+    require(keys.forall(sane.columns.contains),
+      s"source is missing merge key column(s): ${keys.filterNot(sane.columns.contains).mkString(", ")}")
+    // pad + order to the snapshot schema (missing source columns → null)
+    val updates = sane.select(snap.schema.fields.toSeq.map { fld =>
+      if (sane.columns.contains(fld.name)) col(fld.name).cast(fld.dataType).as(fld.name)
+      else lit(null).cast(fld.dataType).as(fld.name)
+    }: _*).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val updKeys = updates.select(keys.map(col): _*).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded-key file prune: per-column IN over the collected distinct
+      // keys (a conjunctive superset for composite keys — sound for
+      // skipping); an unbounded source degrades to scanning the
+      // candidates the join needs anyway, never a corpus re-shuffle
+      val keyRows = updKeys.limit(maxPushedKeys + 1).collect()
+      val candidates =
+        if (keyRows.length > maxPushedKeys) snap.files
+        else if (keyRows.isEmpty) Seq.empty[FileEntry]
+        else {
+          val pruneCond = keys.zipWithIndex.map { case (k, i) =>
+            col(k).isInCollection(keyRows.map(_.get(i)).distinct.toSeq)
+          }.reduce(_ && _)
+          prunedEntries(spark, table, snap,
+            resolvedConjuncts(spark, snap.schema, pruneCond))
+        }
+      val matched = morScan(spark, table, snap, candidates, keepPos = true)
+        .join(broadcast(updKeys), keys, "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val matchedAbs = matched.select(col(FilePathCol)).distinct()
+          .collect().map(_.getString(0))
+        val affectedRel =
+          if (matchedAbs.isEmpty) Seq.empty[String]
+          else mapMatchedRel(spark, table, matchedAbs, "MERGE", snap)
+        val foreignHit = affectedRel.filter(isForeignEntry)
+        if (foreignHit.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"merge-on-read MERGE on $table matched ${foreignHit.size} cloned " +
+              "(foreign) data file(s) — deletion vectors key on root-relative " +
+              "positions; use the copy-on-write merge(), or compact the clone " +
+              "to localize its files first")
+        val affectedSet = affectedRel.toSet
+
+        // position-delete the replaced target rows (fold existing vectors)
+        val (updated, dvdCdc): (Seq[FileEntry], Option[DataFrame]) =
+          if (affectedRel.isEmpty) (Seq.empty, None)
+          else {
+            val prefix = qualifiedDataPrefix(spark, table) + "/"
+            val relCol = when(col(FilePathCol).startsWith(prefix),
+              col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
+              .otherwise(raise_error(concat(
+                lit(s"MERGE on $table matched a file outside the data root: "),
+                col(FilePathCol))))
+            val newRows = matched.select(relCol.as("p"), col(RowPosCol).as("pos"))
+            val withOldDv = candidates.filter(e => affectedSet(e.path) && e.dv.isDefined)
+            val allRows =
+              if (withOldDv.isEmpty) newRows
+              else newRows.unionByName(dvRows(spark, table, withOldDv)
+                .filter(col("p").isInCollection(withOldDv.map(_.path))))
+            val dvDir = stageDeleteVector(spark, table, allRows,
+              math.max(1, math.min(32, affectedRel.size)))
+            val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
+              val card = cardByFile.getOrElse(e.path, 0L)
+              if (e.rowCount >= 0 && card >= e.rowCount) None
+              else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
+            }
+            (upd, Some(matched.drop(FilePathCol, RowPosCol)))
+          }
+
+        // append EVERY source row (replacement images + fresh inserts)
+        val newFiles = stageFiles(spark, table, updates, snap.partitionColumns,
+          ColumnMapping.mapping(snap.schema), checks = snap.constraints)
+
+        // change feed: replaced rows as pre/post images, fresh keys as
+        // inserts — identical kinds to the CoW upsert's
+        val cdcDf = dvdCdc match {
+          case None => updates.withColumn(ChangeTypeCol, lit("insert"))
+          case Some(pre) =>
+            val tableKeys = pre.select(keys.map(col): _*).distinct()
+            pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(updates.join(broadcast(tableKeys), keys, "left_semi")
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(updates.join(broadcast(tableKeys), keys, "left_anti")
+                .withColumn(ChangeTypeCol, lit("insert")))
+        }
+        val cdcFiles = stageChangeFiles(spark, table, cdcDf)
+
+        val carried = snap.files.filterNot(e => affectedSet.contains(e.path))
+        val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
+          snap.schema, snap.partitionColumns, carried ++ updated ++ newFiles,
+          txns = snap.txns, protocol = Protocol(3, 3))
+        if (!tryCommit(spark, table, next, updated ++ newFiles, affectedRel,
+            cdc = Some(cdcFiles), prev = Some(snap)))
+          throw new ConcurrentCommitException(
+            s"merge-on-read MERGE on $table lost the commit race — re-run (a " +
+              "concurrent commit may contain rows this merge never scanned)")
+        next.version
+      } finally matched.unpersist(blocking = false)
+    } finally {
+      updKeys.unpersist(blocking = false)
+      updates.unpersist(blocking = false)
+    }
+  }
+
   /** Copy-on-write UPDATE: apply `set` to the rows matching `condition`
     * (NULL conditions leave rows untouched, SQL semantics), rewriting
     * only the files containing at least one match — the same

@@ -303,6 +303,65 @@ class DeleteVectorSpec extends SparkSpec {
     assert(got == Seq(-1.0))
   }
 
+  test("MoR merge: upsert via position-delete + append, state-identical to CoW") {
+    val t = tmpTable("dv_merge")
+    val twin = tmpTable("dv_merge_twin")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    LakeTable.overwrite(spark, twin, baseDf, partitionBy = Seq("grp"))
+    // vector some rows first: the merge must fold over them, and a
+    // replaced key that was MoR-deleted must re-insert (CoW semantics)
+    LakeTable.deleteMergeOnRead(spark, t, col("id") % 10 === 9)
+    LakeTable.delete(spark, twin, col("id") % 10 === 9)
+    val src = Seq((5L, "g1", -5.0), (9L, "g1", -9.0), (200L, "g0", 200.0))
+      .toDF("id", "grp", "v")
+    val before = dataFiles(t)
+    val v = LakeTable.mergeMergeOnRead(spark, t, src, keys = Seq("id"))
+    LakeTable.merge(spark, twin, src, keys = Seq("id"))
+    // THE merge-on-read property: no pre-existing data file rewritten
+    assert(before.subsetOf(dataFiles(t)),
+      "MoR merge must not rewrite or remove any existing data file")
+    // state-identical to the copy-on-write upsert
+    def state(p: String) = LakeTable.read(spark, p)
+      .select("id", "grp", "v").as[(Long, String, Double)].collect().toSet
+    assert(state(t) == state(twin))
+    // change feed kinds match the CoW upsert's: replaced key 5 pre/post,
+    // MoR-deleted key 9 and fresh key 200 insert
+    val feed = LakeTable.changes(spark, t, v, v)
+    def ids(kind: String) = feed.filter(col("_change_type") === kind)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids("update_preimage") == Seq(5L))
+    assert(ids("update_postimage") == Seq(5L))
+    assert(ids("insert") == Seq(9L, 200L))
+    // the replaced row hides behind a folded vector (9 was already
+    // vectored; 5 adds one more on its file)
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum == 11L,
+      "10 earlier deletes + 1 replaced pre-image must ride vectors")
+    // source key-bounds pruning: a later 1-key MoR merge detection-scans
+    // only files whose logged id bounds admit the key (counting proof)
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val d2 = java.nio.file.Files.createTempDirectory("dv_mergeproof").toString
+    val t2 = s"cfs:$d2/t"
+    LakeTable.overwrite(spark, t2,
+      spark.range(1, 10001).select(col("id"), (col("id") * 1.5).as("v")))
+    LakeTable.compact(spark, t2, smallFileBytes = 1L << 30, sortBy = Seq("id"),
+      targetFileBytes = 8L << 10)
+    val snap2 = LakeTable.latestSnapshot(spark, t2).get
+    assert(snap2.files.size >= 4)
+    CountingFileSystem.reset()
+    LakeTable.mergeMergeOnRead(spark, t2,
+      Seq((5757L, -1.0), (20001L, 2.0)).toDF("id", "v"), keys = Seq("id"))
+    val openedData = CountingFileSystem.openedUnder(s"$d2/t/data/")
+      .filter(_.endsWith(".parquet")).distinct
+      .filter(p => snap2.files.exists(e => p.endsWith("/" + e.path)))
+    assert(openedData.size == 1,
+      s"a bounded-key MoR merge must detection-scan only admitting files: $openedData")
+    val got = LakeTable.read(spark, t2)
+      .filter(col("id").isin(5757L, 20001L)).select("id", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(5757L -> -1.0, 20001L -> 2.0))
+  }
+
   test("lake_dv gate query matches an independent SQL replay") {
     val got = operators.MaintenanceOps.lakeDv(spark, sf)
       .select("o_orderkey", "o_totalprice")
