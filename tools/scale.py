@@ -51,15 +51,33 @@ for t in ("region", "nation"):
     pq.write_table(pq.read_table(src / f"{t}.parquet"), dst / f"{t}.parquet")
     print(f"{t}: copied fixed")
 
+# Output layout: a DIRECTORY of part files per table (<= 10 replicas
+# each, bounded row groups). A single-file single-row-group output is
+# unsplittable, so every row-local operator's scan collapses to ONE
+# Spark task at ANY scale factor — the x100 bench then measures one
+# core's regex throughput, not the engine (measured: corpus_filter
+# 51s single-task vs ~5s split). A real 100 TB corpus is always many
+# files; the scaled proxy must be too. Spark reads the directory
+# transparently under the same `{table}.parquet` path.
+PER_FILE = 10
+
 for t, shifts in SHIFTS.items():
     base = pq.read_table(src / f"{t}.parquet")
-    replicas = []
-    for i in range(factor):
-        cols = [
-            pc.add(base.column(name), i * shifts[name]) if name in shifts and i else base.column(name)
-            for name in base.column_names
-        ]
-        replicas.append(pa.table(dict(zip(base.column_names, cols)), schema=base.schema))
-    out = pa.concat_tables(replicas)
-    pq.write_table(out, dst / f"{t}.parquet")
-    print(f"{t}: {base.num_rows} -> {out.num_rows}")
+    outdir = dst / f"{t}.parquet"
+    if outdir.exists() and outdir.is_file():
+        outdir.unlink()
+    outdir.mkdir(parents=True, exist_ok=True)
+    total = 0
+    for lo in range(0, factor, PER_FILE):
+        replicas = []
+        for i in range(lo, min(lo + PER_FILE, factor)):
+            cols = [
+                pc.add(base.column(name), i * shifts[name]) if name in shifts and i else base.column(name)
+                for name in base.column_names
+            ]
+            replicas.append(pa.table(dict(zip(base.column_names, cols)), schema=base.schema))
+        out = pa.concat_tables(replicas)
+        total += out.num_rows
+        pq.write_table(out, outdir / f"part-{lo:05d}.parquet",
+                       row_group_size=max(8192, base.num_rows))
+    print(f"{t}: {base.num_rows} -> {total}")
