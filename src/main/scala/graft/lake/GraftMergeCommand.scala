@@ -55,13 +55,23 @@ final case class GraftMergeCommand(tablePath: String, updates: LogicalPlan,
     val parts = LakeTable.latestSnapshot(spark, tablePath)
       .map(_.partitionColumns).getOrElse(Nil)
     val scoped = parts.nonEmpty && parts.forall(keys.contains)
-    if (updateOnly) {
-      val current = LakeTable.read(spark, tablePath).select(keys.map(col): _*)
-      LakeTable.merge(spark, tablePath,
-        data.join(current, keys, "left_semi"), keys, scopeToUpdatePartitions = scoped)
-    } else {
-      LakeTable.merge(spark, tablePath, data, keys, scopeToUpdatePartitions = scoped)
+    // spark.graft.merge.mode=mor routes the upsert through position-
+    // delete + append (only this command's shape qualifies; the
+    // general-clause GraftMergeRowsCommand stays copy-on-write — its
+    // conditional/delete clauses have no MoR expression)
+    val mor = spark.conf.getOption("spark.graft.merge.mode")
+      .map(_.toLowerCase) match {
+      case Some("mor") => true
+      case Some("cow") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.merge.mode must be 'cow' or 'mor', got '$other'")
     }
+    val src =
+      if (!updateOnly) data
+      else data.join(
+        LakeTable.read(spark, tablePath).select(keys.map(col): _*), keys, "left_semi")
+    if (mor) LakeTable.mergeMergeOnRead(spark, tablePath, src, keys)
+    else LakeTable.merge(spark, tablePath, src, keys, scopeToUpdatePartitions = scoped)
     Seq.empty
   }
 }

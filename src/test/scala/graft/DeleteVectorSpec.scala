@@ -199,6 +199,24 @@ class DeleteVectorSpec extends SparkSpec {
     assert(vs.size == 90)
     assert((1L to 100L).filter(_ % 10 != 0).forall(i =>
       vs(i) == (if (i % 10 == 5) i * 1.5 + 100.0 else i * 1.5)))
+
+    // MERGE INTO routes through its own mode conf: the SQL upsert shape
+    // lands as position-delete + append, no data file rewritten
+    val before3 = dataFiles(t)
+    Seq((7L, "g3", -7.0), (300L, "g0", 300.0)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("dv_sql_src")
+    spark.conf.set("spark.graft.merge.mode", "mor")
+    try spark.sql(
+      """MERGE INTO dv_sql_view t USING dv_sql_src s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    finally spark.conf.unset("spark.graft.merge.mode")
+    assert(before3.subsetOf(dataFiles(t)), "SQL MoR merge rewrote data files")
+    spark.read.format("graft").load(t).createOrReplaceTempView("dv_sql_view")
+    val vs2 = spark.sql("SELECT id, v FROM dv_sql_view WHERE id IN (7, 300)")
+      .as[(Long, Double)].collect().toMap
+    assert(vs2 == Map(7L -> -7.0, 300L -> 300.0))
+    assert(spark.sql("SELECT count(*) FROM dv_sql_view").head.getLong(0) == 91)
   }
 
   test("column-mapped table: MoR delete after RENAME reads correctly") {
