@@ -281,6 +281,36 @@ class DeleteVectorSpec extends SparkSpec {
     assert(snap4.files.flatMap(_.dv).map(_.cardinality).sum >= 10L)
   }
 
+  test("MoR update: column-mapped table and partition-column re-routing") {
+    val t = tmpTable("dv_updmap")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    LakeTable.renameColumn(spark, t, "v", "value")
+    // post-images must stage under the PHYSICAL column names
+    LakeTable.updateMergeOnRead(spark, t,
+      Seq("value" -> (col("value") + 1000.0)), col("id") <= 8)
+    val out = LakeTable.read(spark, t).select("id", "value")
+      .as[(Long, Double)].collect().toMap
+    assert(out.size == 100)
+    assert((1L to 8L).forall(i => out(i) == i * 1.5 + 1000.0))
+    assert((9L to 100L).forall(i => out(i) == i * 1.5))
+
+    // assigning the PARTITION column re-routes the post-image to its new
+    // hive dir; the pre-image hides behind a vector in the old partition
+    LakeTable.updateMergeOnRead(spark, t,
+      Seq("grp" -> lit("g9")), col("id") === 50L)
+    val moved = LakeTable.read(spark, t).filter(col("id") === 50L)
+      .select("grp").as[String].collect().toSeq
+    assert(moved == Seq("g9"))
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.exists(_.path.startsWith("grp=g9/")),
+      "re-routed post-image must land under its new partition dir")
+    assert(LakeTable.read(spark, t).count() == 100)
+    // partition pruning still honest over the vectored layout
+    assert(LakeTable.read(spark, t).filter(col("grp") === "g2")
+      .select("id").as[Long].collect().toSet ==
+      (1L to 100L).filter(i => i % 4 == 2 && i != 50L).toSet)
+  }
+
   test("MoR update proof: detection prunes to matched files; writes are O(delta)") {
     CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
     val d = java.nio.file.Files.createTempDirectory("dv_updproof").toString
