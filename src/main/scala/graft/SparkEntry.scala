@@ -122,6 +122,7 @@ object SparkEntry {
     // vector folding / CoW-over-vectors / compact reconcile, final
     // state read THROUGH active vectors vs an independent replay
     "lake_dv"              -> ((s, d) => MaintenanceOps.lakeDv(s, d)),
+    "lake_mor"             -> ((s, d) => MaintenanceOps.lakeMor(s, d)),
     "bucket_join"          -> ((s, d) => BucketedOps.bucketJoin(s, d)),
     // int8 scalar-quantized ANN: integer first-pass scan (8× less
     // memory traffic) + exact re-rank; recall-gated in RecallSpec
@@ -796,6 +797,7 @@ object SparkEntry {
     "incr_agg" -> operators.IncrementalOps.oracleSql,
     "lake_dml" -> operators.MaintenanceOps.oracleSql,
     "lake_dv" -> operators.MaintenanceOps.dvOracleSql,
+    "lake_mor" -> operators.MaintenanceOps.morOracleSql,
     "bucket_join" -> operators.BucketedOps.oracleSql,
     "lake_dpo" -> operators.MaintenanceOps.dpoOracleSql,
     "lake_hidden" -> operators.MaintenanceOps.hiddenOracleSql,

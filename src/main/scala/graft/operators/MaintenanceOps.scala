@@ -119,6 +119,62 @@ object MaintenanceOps {
          AND o_orderpriority <> '5-LOW'
          AND o_orderkey % 11 <> 5"""
 
+  /** The full merge-on-read DML tier in one cross-engine gate: a
+    * partitioned lake table takes an MoR DELETE, an MoR UPDATE and an
+    * MoR MERGE upsert in sequence — every pre-image hidden behind
+    * positional vectors that FOLD across the three commits, every
+    * post-image landed by append — and the FINAL state (still carrying
+    * active vectors on multiple files) goes to the hash compare, where
+    * DuckDB replays the same history as plain SQL. A match proves the
+    * position-delete + append composition of all three MoR paths,
+    * including merge re-inserting a key an earlier MoR delete retired.
+    */
+  def lakeMor(spark: SparkSession, dir: String): DataFrame = {
+    val work = Work.dir("graft_lakemor")
+    val t = s"$work/orders_lake"
+    val key = col("o_orderkey")
+    val orders = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+    // v1/v2: partitioned overwrite of one slice + append of another
+    LakeTable.overwrite(spark, t, orders.filter(key % 3 === 0),
+      partitionBy = Seq("o_orderstatus"))
+    LakeTable.append(spark, t, orders.filter(key % 3 === 1))
+    // v3: MoR delete, v4: MoR update (vectors fold on shared files)
+    LakeTable.deleteMergeOnRead(spark, t, key % 7 === 3)
+    LakeTable.updateMergeOnRead(spark, t,
+      Seq("o_totalprice" -> (col("o_totalprice") + 5.0)),
+      col("o_orderpriority") === "2-HIGH")
+    // v5: MoR merge upsert — replaces live matches (discarding v4's
+    // image for them), RE-INSERTS keys v3 retired, inserts fresh keys
+    LakeTable.mergeMergeOnRead(spark, t,
+      orders.filter(key % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3.0),
+      keys = Seq("o_orderkey"))
+
+    LakeTable.read(spark, t).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+      col("o_totalprice").cast("double").as("o_totalprice"))
+  }
+
+  /** DuckDB replay of [[lakeMor]]'s history: merge-source keys carry
+    * the source image (price ×3, regardless of earlier DML); everything
+    * else survives iff it entered at v1/v2 and escaped the v3 delete,
+    * with v4's +5 where the priority matched.
+    */
+  val morOracleSql: String =
+    """WITH src AS (SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(o_totalprice * 3.0 AS DOUBLE) AS o_totalprice
+           FROM orders WHERE o_orderkey % 5 = 0),
+         keep AS (SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(o_totalprice + CASE WHEN o_orderpriority = '2-HIGH'
+                                      THEN 5.0 ELSE 0.0 END AS DOUBLE) AS o_totalprice
+           FROM orders
+           WHERE o_orderkey % 3 IN (0, 1)
+             AND o_orderkey % 7 <> 3
+             AND o_orderkey % 5 <> 0)
+       SELECT * FROM src UNION ALL SELECT * FROM keep"""
+
   /** Dynamic partition overwrite end to end: a partitioned lake table
     * gets one partition (`o_orderstatus = 'O'`) atomically REPLACED by
     * a re-derived daily slice — fewer rows (only even order keys
