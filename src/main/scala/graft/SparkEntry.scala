@@ -26,6 +26,9 @@ object SparkEntry {
     "q5_region_revenue"    -> ((s, d) => Relational.q5RegionRevenue(s, d)),
     "topn_per_group"       -> ((s, d) => Relational.topnPerGroup(s, d)),
     "rollup_sales"         -> ((s, d) => Relational.rollupSales(s, d)),
+    // mixed-granularity GROUPING SETS (the shape ROLLUP can't express),
+    // Expand over a pre-aggregate — never over the raw fact
+    "grouping_sets_sales"  -> ((s, d) => Relational.groupingSetsSales(s, d)),
     // salted replicated join: hot/low-cardinality key spread over 8
     // shuffle partitions per key, result identical to the plain join
     "skew_join"            -> ((s, d) => Relational.skewJoin(s, d)),
@@ -154,7 +157,10 @@ object SparkEntry {
     "scd2_cdc"             -> ((s, d) => Scd2Ops.scd2Cdc(s, d)),
     // point-in-time enrichment: each fact joins the dim row covering
     // the fact's own effective version — no future leakage
-    "scd2_join"            -> ((s, d) => Scd2Ops.scd2Join(s, d))
+    "scd2_join"            -> ((s, d) => Scd2Ops.scd2Join(s, d)),
+    // CDC-driven SCD TYPE 1: overwrite-in-place, no history — one
+    // atomic delete/update/insert merge per feed application
+    "scd1_cdc"             -> ((s, d) => Scd2Ops.scd1Cdc(s, d))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -201,6 +207,19 @@ object SparkEntry {
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_price,
          count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "grouping_sets_sales" ->
+      """WITH t AS (SELECT l_returnflag, l_linestatus,
+             CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+             l_quantity, l_extendedprice FROM lineitem)
+         SELECT l_returnflag, l_linestatus, ship_year,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+         CAST(GROUPING(ship_year) AS BIGINT) AS g_year,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_qty,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_price,
+         count(*) AS n
+         FROM t GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (ship_year), (l_returnflag), ())""",
     "skew_join" ->
       """SELECT c_mktsegment, event_type, count(*) AS n,
          CAST(round(sum(CAST(value AS DECIMAL(38,6))),2) AS DOUBLE) AS sum_value
@@ -808,6 +827,7 @@ object SparkEntry {
     "scd2_dim" -> operators.Scd2Ops.oracleSql,
     "scd2_cdc" -> operators.Scd2Ops.cdcOracleSql,
     "scd2_join" -> operators.Scd2Ops.joinOracleSql,
+    "scd1_cdc" -> operators.Scd2Ops.scd1OracleSql,
     "zipf_fit" ->
       """WITH t AS (SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
            FROM documents),

@@ -33,7 +33,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   ALTER TABLE `path` RENAME COLUMN a TO b
   *   ALTER TABLE `path` DROP COLUMN c
   *   APPLY CHANGES INTO <dim> FROM <source>
-  *         KEYS (k1, ...) TRACK (a1, ...) [STORED AS SCD TYPE 2]
+  *         KEYS (k1, ...) TRACK (a1, ...) [STORED AS SCD TYPE {1|2}]
   *
   * APPLY CHANGES is the DLT-style statement form of
   * [[Scd2.applyFeed]]: fold the source's change feed since the dim's
@@ -41,7 +41,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * source's commit version — the lake's own total order — so no
   * SEQUENCE BY clause is needed or accepted). The first application
   * creates the dim; replays are watermark-idempotent. Returns the
-  * committed dim version.
+  * committed dim version. `STORED AS SCD TYPE 1` switches to
+  * [[Scd2.applyFeedType1]]: overwrite-in-place, no history — the dim
+  * holds the latest attributes per key and a feed DELETE removes the
+  * key; TYPE 2 (the default) keeps the full interval history.
   *
   * The column-evolution forms are intercepted for QUOTED-PATH targets
   * only: those never parse in stock Spark, so nothing is stolen from
@@ -110,10 +113,21 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       Some(GraftRenameColumnCommand(target, oldName, newName))
     case DropColumnRe(target, name) =>
       Some(GraftDropColumnCommand(target, name))
-    case ApplyChangesRe(dim, source, keys, attrs) =>
-      def cols(s: String) = s.split(",")
-        .map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq
-      Some(GraftApplyChangesCommand(dim, source, cols(keys), cols(attrs)))
+    case ApplyChangesRe(dim, source, keys, attrs, scdType) =>
+      // tolerate a trailing comma (empty tail segment) but refuse a list
+      // that degenerates to no usable names — fail AT PARSE TIME, not
+      // later inside Scd2.applyFeed with a misleading column error
+      def cols(what: String, s0: String) = {
+        val out = s0.split(",")
+          .map(_.trim.stripPrefix("`").stripSuffix("`").trim)
+          .filter(_.nonEmpty).toSeq
+        require(out.nonEmpty,
+          s"APPLY CHANGES $what list '$s0' has no usable column names")
+        out
+      }
+      Some(GraftApplyChangesCommand(dim, source, cols("KEYS", keys),
+        cols("TRACK", attrs),
+        scdType = Option(scdType).map(_.toInt).getOrElse(2)))
     case _ => None
   }
 
@@ -198,7 +212,7 @@ private[graft] object GraftSqlParser {
   private val ApplyChangesRe =
     ("""(?is)^APPLY\s+CHANGES\s+INTO\s+""" + T + """\s+FROM\s+""" + T +
       """\s+KEYS\s*\(([^)]+)\)\s+TRACK\s*\(([^)]+)\)""" +
-      """(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+2)?\s*;?\s*$""").r
+      """(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+([12]))?\s*;?\s*$""").r
 
   /** The transaction-log path behind a maintenance target: a quoted
     * path literally, or a registered view resolved through its
@@ -483,7 +497,8 @@ private[graft] case class GraftCloneCommand(dst: String, src: String,
 
 private[graft] case class GraftApplyChangesCommand(dim: String, source: String,
                                                    keys: Seq[String],
-                                                   attrs: Seq[String])
+                                                   attrs: Seq[String],
+                                                   scdType: Int = 2)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -492,6 +507,8 @@ private[graft] case class GraftApplyChangesCommand(dim: String, source: String,
     // the dim may not exist yet (the first application CREATES it), so a
     // quoted path resolves literally; a registered view also works
     val dimPath = GraftSqlParser.resolveTarget(spark, dim)
-    Seq(Row(Scd2.applyFeed(spark, srcPath, dimPath, keys, attrs)))
+    Seq(Row(
+      if (scdType == 1) Scd2.applyFeedType1(spark, srcPath, dimPath, keys, attrs)
+      else Scd2.applyFeed(spark, srcPath, dimPath, keys, attrs)))
   }
 }

@@ -84,9 +84,15 @@ object GraftTxn {
       s"duplicate tables in transaction: ${srcs.mkString(", ")}")
     require(!id.contains('/') && id.nonEmpty, s"invalid txn id '$id'")
     val f = LakeTable.fs(spark, workDir)
-    require(!f.exists(journalPath(workDir, id)),
-      s"txn $id already has a journal under $workDir — it was (at least " +
-        "partially) committed; recover() it or pick a fresh id")
+    if (f.exists(journalPath(workDir, id))) {
+      // an abort tombstone is a dead end for recover() too — say so
+      // instead of suggesting a remedy that will also refuse
+      val existing = readJournal(spark, workDir, id)
+      throw new IllegalArgumentException(
+        if (existing.aborted) s"txn $id was aborted — pick a fresh id"
+        else s"txn $id already has a journal under $workDir — it was (at " +
+          "least partially) committed; recover() it or pick a fresh id")
+    }
     val pairs = srcs.zipWithIndex.map { case (src, i) =>
       val name = new Path(src).getName
       val b = s"$workDir/$id/b$i-$name"

@@ -2415,39 +2415,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val updKeys = source.select(keyCols: _*).distinct()
     val ordered = snap.schema.fields.toSeq
 
-    /** Ordered first-true-wins application marks: applied_i = gate ∧
-      * ¬c₁ ∧ … ∧ ¬c_{i-1} ∧ c_i (NULL conditions do not apply).
-      */
-    def appliedMarks(gate: Column, clauses: Seq[MatchedClause]): Seq[(Column, MatchedClause)] = {
-      var notPrev: Column = lit(true)
-      clauses.map { cl =>
-        val c = cl.condition.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
-        val a = gate && notPrev && c
-        notPrev = notPrev && !c
-        (a, cl)
-      }
-    }
-
-    /** Insert projection for anti-joined source rows under ordered
-      * insert clauses; rows claimed by no clause are dropped.
-      */
-    def insertProjection(anti: DataFrame): DataFrame = {
-      var notPrev: Column = lit(true)
-      val marks = notMatchedInsert.map { case (cond, image) =>
-        val c = cond.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
-        val a = notPrev && c
-        notPrev = notPrev && !c
-        (a, image)
-      }
-      anti.filter(marks.map(_._1).reduce(_ || _))
-        .select(ordered.map { fld =>
-          marks.collect { case (a, image) if image.contains(fld.name) =>
-            (a, image(fld.name).cast(fld.dataType))
-          }.foldRight(lit(null).cast(fld.dataType): Column) { case ((a, v), acc) =>
-            when(a, v).otherwise(acc)
-          }.as(fld.name)
-        }: _*)
-    }
+    def insertProjection(anti: DataFrame): DataFrame =
+      insertProjectionOf(anti, notMatchedInsert, ordered)
 
     if (matched.isEmpty && notMatchedBySource.isEmpty) {
       // insert-only: no rewrite; anti-join against the PINNED snapshot,
@@ -2586,6 +2555,44 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val cdcFiles = stageChangeFiles(spark, table, cdcAll)
     commitRewrite(spark, table, snap, "MERGE", _ => snap.schema,
       newFiles, affectedRel, scoped, cdc = Some(cdcFiles), txnUpdate = txnUpdate)
+  }
+
+  /** Ordered first-true-wins application marks: applied_i = gate ∧
+    * ¬c₁ ∧ … ∧ ¬c_{i-1} ∧ c_i (NULL conditions do not apply). Shared by
+    * the CoW ([[mergeRows]]) and MoR ([[mergeRowsMergeOnRead]]) clause
+    * evaluators so both paths agree on SQL MERGE clause semantics.
+    */
+  private def appliedMarks(gate: Column, clauses: Seq[MatchedClause]): Seq[(Column, MatchedClause)] = {
+    var notPrev: Column = lit(true)
+    clauses.map { cl =>
+      val c = cl.condition.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+      val a = gate && notPrev && c
+      notPrev = notPrev && !c
+      (a, cl)
+    }
+  }
+
+  /** Insert projection for anti-joined source rows under ordered insert
+    * clauses; rows claimed by no clause are dropped.
+    */
+  private def insertProjectionOf(anti: DataFrame,
+                                 notMatchedInsert: Seq[(Option[Column], Map[String, Column])],
+                                 ordered: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    var notPrev: Column = lit(true)
+    val marks = notMatchedInsert.map { case (cond, image) =>
+      val c = cond.map(x => coalesce(x, lit(false))).getOrElse(lit(true))
+      val a = notPrev && c
+      notPrev = notPrev && !c
+      (a, image)
+    }
+    anti.filter(marks.map(_._1).reduce(_ || _))
+      .select(ordered.map { fld =>
+        marks.collect { case (a, image) if image.contains(fld.name) =>
+          (a, image(fld.name).cast(fld.dataType))
+        }.foldRight(lit(null).cast(fld.dataType): Column) { case ((a, v), acc) =>
+          when(a, v).otherwise(acc)
+        }.as(fld.name)
+      }: _*)
   }
 
   /** A user partition predicate resolved against a snapshot's partition
@@ -3235,9 +3242,12 @@ object LakeTable extends org.apache.spark.internal.Logging {
       // skipping); an unbounded source degrades to scanning the
       // candidates the join needs anyway, never a corpus re-shuffle
       val keyRows = updKeys.limit(maxPushedKeys + 1).collect()
+      // empty source: nothing to position-delete, nothing to append —
+      // early-return instead of committing a pure version-churn snapshot
+      // (same contract as updateMergeOnRead when nothing matches)
+      if (keyRows.isEmpty) return snap.version
       val candidates =
         if (keyRows.length > maxPushedKeys) snap.files
-        else if (keyRows.isEmpty) Seq.empty[FileEntry]
         else {
           val pruneCond = keys.zipWithIndex.map { case (k, i) =>
             col(k).isInCollection(keyRows.map(_.get(i)).distinct.toSeq)
@@ -3324,6 +3334,199 @@ object LakeTable extends org.apache.spark.internal.Logging {
       updKeys.unpersist(blocking = false)
       updates.unpersist(blocking = false)
     }
+  }
+
+  /** Merge-on-read form of [[mergeRows]] for the MATCHED-clause surface:
+    * ordered condition-gated `WHEN MATCHED` UPDATE / DELETE clauses plus
+    * ordered `WHEN NOT MATCHED INSERT` clauses. The matched pre-images
+    * CLAIMED by some clause are position-deleted (vectors folding with
+    * the affected files' existing ones); update post-images and
+    * anti-joined inserts land through the ordinary append path. A
+    * matched row claimed by NO clause keeps its position in place —
+    * zero bytes written for it, where the CoW [[mergeRows]] rewrites
+    * its whole file. A conditional trickle-upsert or a
+    * retention-delete-with-merge against a 100 TB fact therefore writes
+    * O(claimed rows) bytes, not O(bytes of affected files).
+    *
+    * Clause semantics are [[mergeRows]]'s exactly (shared
+    * [[appliedMarks]]/[[insertProjectionOf]] evaluators): conditions and
+    * assignment values are Columns over the aliased sides `t`/`s`,
+    * first-true wins, NULL conditions do not apply, unassigned columns
+    * keep the target value, SQL cardinality violations fail loudly.
+    * `WHEN NOT MATCHED BY SOURCE` stays on the CoW path — it concerns
+    * the whole table, which is the opposite of what merge-on-read is
+    * for. Schema is FIXED (assignments must name snapshot columns).
+    * Detection prunes files by pushed per-column IN when the source's
+    * distinct keys are bounded, like [[mergeMergeOnRead]]. The change
+    * feed carries the same pre/post/delete/insert images as the CoW
+    * path. Returns the committed version — unchanged when the source is
+    * empty or no clause claims anything.
+    */
+  def mergeRowsMergeOnRead(spark: SparkSession, table: String, source0: DataFrame,
+                           keys: Seq[String], matched: Seq[MatchedClause],
+                           notMatchedInsert: Seq[(Option[Column], Map[String, Column])] = Nil,
+                           maxPushedKeys: Int = 10000,
+                           txn: Option[(String, Long)] = None): Long = {
+    val snap = latestSnapshot(spark, table)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty,
+      "mergeRowsMergeOnRead needs at least one matched or insert clause")
+    if (txn.exists { case (appId, v) => snap.txns.get(appId).exists(_ >= v) })
+      return snap.version
+    val assignedCols = matched.collect { case MatchedUpdate(_, set) => set.keys }
+      .flatten ++ notMatchedInsert.flatMap(_._2.keys)
+    val unknown = assignedCols.filterNot(snap.schema.fieldNames.contains).toSeq.distinct
+    require(unknown.isEmpty,
+      s"mergeRowsMergeOnRead on $table assigns unknown column(s): " +
+        s"${unknown.mkString(", ")} — schema evolution is copy-on-write; use mergeRows()")
+    require(keys.forall(snap.schema.fieldNames.contains),
+      s"merge keys must be target columns: ${keys.mkString(", ")}")
+    val sane = ColumnMapping.sanitize(source0)
+    require(keys.forall(sane.columns.contains),
+      s"source is missing merge key column(s): ${keys.filterNot(sane.columns.contains).mkString(", ")}")
+
+    val ordered = snap.schema.fields.toSeq
+    // persisted once: cardinality check, key prune, row join and insert
+    // anti-join must see the same materialization (Delta's staged-source
+    // discipline — see mergeRows)
+    val src = sane.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupKeys = src.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        s"MERGE source has duplicate values of key (${keys.mkString(", ")}) — " +
+          "each target row may match at most one source row")
+      val updKeys = src.select(keys.map(col): _*).distinct()
+      val keyRows = updKeys.limit(maxPushedKeys + 1).collect()
+      if (keyRows.isEmpty) return snap.version
+      // bounded-key file prune (sound conjunctive superset; an unbounded
+      // source degrades to the full candidate set, never a re-shuffle)
+      val candidates =
+        if (keyRows.length > maxPushedKeys) snap.files
+        else {
+          val pruneCond = keys.zipWithIndex.map { case (k, i) =>
+            col(k).isInCollection(keyRows.map(_.get(i)).distinct.toSeq)
+          }.reduce(_ && _)
+          prunedEntries(spark, table, snap,
+            resolvedConjuncts(spark, snap.schema, pruneCond))
+        }
+
+      // every target row whose key the source names, with its source row
+      // alongside and its (file, pos) riding — the clause evaluation,
+      // position-delete and CDC all read this ONE persisted join
+      val t = morScan(spark, table, snap, candidates, keepPos = true).alias("t")
+      val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val joined = t.join(src.alias("s"), keyCond, "inner")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val marks = appliedMarks(lit(true), matched)
+        val claimed = marks.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
+        val updatedMark = marks.collect { case (a, _: MatchedUpdate) => a }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val deletedMark = marks.collect { case (a, _: MatchedDelete) => a }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val tCols = ordered.map(fld => col(s"t.${fld.name}").as(fld.name))
+        val projected = ordered.map { fld =>
+          val updates = marks.collect {
+            case (a, MatchedUpdate(_, set)) if set.contains(fld.name) =>
+              (a, set(fld.name).cast(fld.dataType))
+          }
+          updates.foldRight(col(s"t.${fld.name}")) { case ((a, v), acc) =>
+            when(a, v).otherwise(acc)
+          }.as(fld.name)
+        }
+
+        val hit = joined.filter(claimed)
+        val matchedAbs = hit.select(col(FilePathCol)).distinct()
+          .collect().map(_.getString(0))
+        val affectedRel =
+          if (matchedAbs.isEmpty) Seq.empty[String]
+          else mapMatchedRel(spark, table, matchedAbs, "MERGE", snap)
+        val foreignHit = affectedRel.filter(isForeignEntry)
+        if (foreignHit.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"merge-on-read MERGE on $table matched ${foreignHit.size} cloned " +
+              "(foreign) data file(s) — deletion vectors key on root-relative " +
+              "positions; use the copy-on-write mergeRows(), or compact the " +
+              "clone to localize its files first")
+        val affectedSet = affectedRel.toSet
+
+        // position-delete the claimed pre-images, folding the affected
+        // files' existing vectors (same discipline as MoR DELETE/UPDATE)
+        val (updated, cdcRewrite): (Seq[FileEntry], Option[DataFrame]) =
+          if (affectedRel.isEmpty) (Seq.empty, None)
+          else {
+            val prefix = qualifiedDataPrefix(spark, table) + "/"
+            val relCol = when(col(FilePathCol).startsWith(prefix),
+              col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
+              .otherwise(raise_error(concat(
+                lit(s"MERGE on $table matched a file outside the data root: "),
+                col(FilePathCol))))
+            val newRows = hit.select(relCol.as("p"), col(RowPosCol).as("pos"))
+            val withOldDv = candidates.filter(e => affectedSet(e.path) && e.dv.isDefined)
+            val allRows =
+              if (withOldDv.isEmpty) newRows
+              else newRows.unionByName(dvRows(spark, table, withOldDv)
+                .filter(col("p").isInCollection(withOldDv.map(_.path))))
+            val dvDir = stageDeleteVector(spark, table, allRows,
+              math.max(1, math.min(32, affectedRel.size)))
+            val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
+              val card = cardByFile.getOrElse(e.path, 0L)
+              if (e.rowCount >= 0 && card >= e.rowCount) None
+              else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
+            }
+            val cdcDf = joined.filter(updatedMark).select(tCols: _*)
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(joined.filter(updatedMark).select(projected: _*)
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(joined.filter(deletedMark).select(tCols: _*)
+                .withColumn(ChangeTypeCol, lit("delete")))
+            (upd, Some(cdcDf))
+          }
+
+        // append: update post-images + anti-joined inserts. The inner
+        // join above saw EVERY key match (candidates cover all files the
+        // pushed prune could not exclude), so "key absent from the join"
+        // ⇔ "key absent from the table"
+        val postRows = joined.filter(updatedMark).select(projected: _*)
+        val insertRows =
+          if (notMatchedInsert.isEmpty) None
+          else {
+            val existingKeys = joined.select(keys.map(k => col(s"t.$k").as(k)): _*)
+              .distinct()
+            Some(insertProjectionOf(
+              src.alias("s").join(existingKeys, keys, "left_anti"),
+              notMatchedInsert, ordered))
+          }
+        val toWrite = insertRows match {
+          case Some(i) => postRows.unionByName(i)
+          case None    => postRows
+        }
+        // no claimed pre-image and nothing to append: a true no-op —
+        // skip the commit entirely (unless a watermark must advance)
+        if (affectedRel.isEmpty && txn.isEmpty && toWrite.limit(1).isEmpty)
+          return snap.version
+        val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns,
+          ColumnMapping.mapping(snap.schema), checks = snap.constraints)
+
+        val cdcAll = (cdcRewrite.toSeq ++ insertRows.map(
+          _.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
+          .reduceOption(_ unionByName _)
+        val cdcFiles = cdcAll.map(stageChangeFiles(spark, table, _))
+        val carried = snap.files.filterNot(e => affectedSet.contains(e.path))
+        val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
+          snap.schema, snap.partitionColumns, carried ++ updated ++ newFiles,
+          txns = snap.txns ++ txn.toMap, protocol = Protocol(3, 3))
+        if (!tryCommit(spark, table, next, updated ++ newFiles, affectedRel,
+            cdc = cdcFiles, prev = Some(snap)))
+          throw new ConcurrentCommitException(
+            s"merge-on-read MERGE on $table lost the commit race — re-run (a " +
+              "concurrent commit may contain rows this merge never scanned)")
+        next.version
+      } finally joined.unpersist(blocking = false)
+    } finally src.unpersist(blocking = false)
   }
 
   /** Copy-on-write UPDATE: apply `set` to the rows matching `condition`

@@ -273,6 +273,64 @@ object Scd2 {
     } finally joined.unpersist(blocking = false)
   }
 
+  /** CDC-driven SCD Type 1: fold the change feed of lake table `source`
+    * into a PLAIN keyed table at `dim` — latest attributes per business
+    * key, no history (DLT's `STORED AS SCD TYPE 1`). Per key, the last
+    * change in the unprocessed range wins (same collapse rules as
+    * [[applyFeed]]); an upsert overwrites the key's row in place and a
+    * DELETE removes the key outright. One mergeRows commit per
+    * application — the delete, update and insert legs are clauses of
+    * the SAME atomic merge, so readers never see a half-applied feed.
+    *
+    * Exactly-once discipline identical to [[applyFeed]]: the
+    * application watermark rides the commit's txn stamp, so a
+    * crashed-and-replayed application is a no-op. The final state
+    * always equals a plain upsert replay of the source's history.
+    */
+  def applyFeedType1(spark: SparkSession, source: String, dim: String,
+                     keys: Seq[String], attrs: Seq[String],
+                     appId0: Option[String] = None): Long = {
+    require(keys.nonEmpty && attrs.nonEmpty,
+      "scd1 needs at least one business-key column and one tracked attribute")
+    val appId = appId0.getOrElse(s"scd1:$source")
+    val head = LakeTable.latestSnapshot(spark, source)
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $source"))
+      .version
+    val dimSnap = LakeTable.latestSnapshot(spark, dim)
+    val wm = dimSnap.flatMap(_.txns.get(appId))
+    if (wm.exists(_ >= head)) return dimSnap.get.version
+    val startV = wm.map(_ + 1).getOrElse(1L)
+    val cols = keys ++ attrs
+
+    // last change per key wins; on a same-commit tie (overwrite's
+    // delete+reinsert) the non-delete row is the key's final state
+    val feed = LakeTable.changes(spark, source, startV, head)
+      .filter(col(LakeTable.ChangeTypeCol) =!= "update_preimage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(LakeTable.CommitVersionCol).desc,
+        (col(LakeTable.ChangeTypeCol) === "delete").asc)
+    val obs = feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col) :+ col(LakeTable.ChangeTypeCol).as("__ct"): _*)
+
+    if (dimSnap.isEmpty)
+      return LakeTable.overwrite(spark, dim,
+        obs.filter(col("__ct") =!= "delete").select(cols.map(col): _*),
+        txn = Some(appId -> head))
+
+    // an empty range stages nothing: skip the commit, leave the
+    // watermark behind (re-scanning an empty range is idempotent)
+    if (obs.limit(1).isEmpty) return dimSnap.get.version
+    LakeTable.mergeRows(spark, dim, obs, keys,
+      matched = Seq(
+        LakeTable.MatchedDelete(Some(col("s.__ct") === "delete")),
+        LakeTable.MatchedUpdate(None, attrs.map(a => a -> col(s"s.$a")).toMap)),
+      notMatchedInsert = Seq((Some(col("s.__ct") =!= "delete"),
+        cols.map(c => c -> col(s"s.$c")).toMap)),
+      txn = Some(appId -> head))
+  }
+
   /** Continuous SCD2: a change-feed stream on `source` triggers
     * [[applyFeed]] per micro-batch. The stream is a COMMIT-DRIVEN
     * SCHEDULER, nothing more — applyFeed re-reads the feed from its own

@@ -126,8 +126,11 @@ object MaintenanceOps {
     * post-image landed by append — and the FINAL state (still carrying
     * active vectors on multiple files) goes to the hash compare, where
     * DuckDB replays the same history as plain SQL. A match proves the
-    * position-delete + append composition of all three MoR paths,
-    * including merge re-inserting a key an earlier MoR delete retired.
+    * position-delete + append composition of all four MoR paths —
+    * including merge re-inserting a key an earlier MoR delete retired,
+    * and the GENERAL clause surface (conditioned MATCHED DELETE,
+    * MATCHED UPDATE reading both sides, NOT MATCHED INSERT) as one
+    * atomic MoR commit.
     */
   def lakeMor(spark: SparkSession, dir: String): DataFrame = {
     val work = Work.dir("graft_lakemor")
@@ -151,6 +154,24 @@ object MaintenanceOps {
       orders.filter(key % 5 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 3.0),
       keys = Seq("o_orderkey"))
+    // v6: GENERAL-clause MoR merge — a conditioned MATCHED DELETE
+    // (retire finished matches), a MATCHED UPDATE mixing both sides'
+    // values, and a NOT MATCHED INSERT, all as position-deletes +
+    // appends in ONE commit; matched rows claimed by no clause keep
+    // their position untouched
+    LakeTable.mergeRowsMergeOnRead(spark, t,
+      orders.filter(key % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 0.25),
+      keys = Seq("o_orderkey"),
+      matched = Seq(
+        LakeTable.MatchedDelete(Some(col("t.o_orderstatus") === "F")),
+        LakeTable.MatchedUpdate(None,
+          Map("o_totalprice" -> (col("s.o_totalprice") + col("t.o_totalprice"))))),
+      notMatchedInsert = Seq((None, Map(
+        "o_orderkey" -> col("s.o_orderkey"),
+        "o_orderpriority" -> col("s.o_orderpriority"),
+        "o_orderstatus" -> col("s.o_orderstatus"),
+        "o_totalprice" -> col("s.o_totalprice")))))
 
     LakeTable.read(spark, t).select(
       col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
@@ -160,7 +181,10 @@ object MaintenanceOps {
   /** DuckDB replay of [[lakeMor]]'s history: merge-source keys carry
     * the source image (price ×3, regardless of earlier DML); everything
     * else survives iff it entered at v1/v2 and escaped the v3 delete,
-    * with v4's +5 where the priority matched.
+    * with v4's +5 where the priority matched — that's state s5. The v6
+    * general-clause merge then replays over s5: matched 'F' rows
+    * delete, other matches take source+target price, unmatched source
+    * keys insert, unmatched target rows carry over.
     */
   val morOracleSql: String =
     """WITH src AS (SELECT o_orderkey, o_orderpriority, o_orderstatus,
@@ -172,8 +196,21 @@ object MaintenanceOps {
            FROM orders
            WHERE o_orderkey % 3 IN (0, 1)
              AND o_orderkey % 7 <> 3
-             AND o_orderkey % 5 <> 0)
-       SELECT * FROM src UNION ALL SELECT * FROM keep"""
+             AND o_orderkey % 5 <> 0),
+         s5 AS (SELECT * FROM src UNION ALL SELECT * FROM keep),
+         src6 AS (SELECT o_orderkey, o_orderpriority, o_orderstatus,
+             CAST(o_totalprice + 0.25 AS DOUBLE) AS o_totalprice
+           FROM orders WHERE o_orderkey % 4 = 1)
+       SELECT k.o_orderkey, k.o_orderpriority, k.o_orderstatus,
+              CAST(s.o_totalprice + k.o_totalprice AS DOUBLE) AS o_totalprice
+       FROM s5 k JOIN src6 s USING (o_orderkey)
+       WHERE k.o_orderstatus <> 'F'
+       UNION ALL
+       SELECT k.* FROM s5 k
+       WHERE NOT EXISTS (SELECT 1 FROM src6 s WHERE s.o_orderkey = k.o_orderkey)
+       UNION ALL
+       SELECT s.* FROM src6 s
+       WHERE NOT EXISTS (SELECT 1 FROM s5 k WHERE k.o_orderkey = s.o_orderkey)"""
 
   /** Dynamic partition overwrite end to end: a partitioned lake table
     * gets one partition (`o_orderstatus = 'O'`) atomically REPLACED by

@@ -142,6 +142,64 @@ object Relational {
         sum(col("cnt")).as("n"))
   }
 
+  /** GROUP BY GROUPING SETS with mixed-granularity sets — the Trino
+    * shape ROLLUP can't express: (flag, status), (ship_year), (flag),
+    * and the grand total over the same fact, disambiguated by native
+    * GROUPING() flags.
+    *
+    * Same formulation discipline as [[rollupSales]]: the measures are
+    * associative, so the fact is first aggregated once at the union
+    * grain (flag, status, ship_year) — one ordinary map-side-combined
+    * shuffle — and the grouping-sets Expand (×4 per row) runs over the
+    * cardinality-bounded pre-aggregate instead of every fact row.
+    * RelationalPlanSpec proves bit-equality with the native form and
+    * that the shipped Expand sits above the fact aggregate.
+    */
+  def groupingSetsSales(spark: SparkSession, dir: String): DataFrame = {
+    val base = groupingSetsBase(spark, dir)
+    base.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        grouping(col("ship_year")).cast("long").as("g_year"),
+        round(sum(col("qd")), 2).cast("double").as("sum_qty"),
+        round(sum(col("pd")), 2).cast("double").as("sum_price"),
+        sum(col("cnt")).as("n"))
+  }
+
+  private def groupingSetsBase(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).as("qd"),
+        sum(col("l_extendedprice").cast(dec)).as("pd"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Native grouping-sets over the raw fact (Expand ×4 of every row) —
+    * kept only as the equality baseline for RelationalPlanSpec.
+    */
+  private[graft] def groupingSetsSalesNative(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("ship_year", year(col("l_shipdate")).cast("long"))
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        grouping(col("ship_year")).cast("long").as("g_year"),
+        msum(col("l_quantity")).as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+  }
+
   private def rollupSalesBase(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)

@@ -114,6 +114,48 @@ object Scd2Ops {
       col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** CDC-driven SCD TYPE 1 end to end ([[Scd2.applyFeedType1]], the
+    * semantics behind `APPLY CHANGES INTO … STORED AS SCD TYPE 1` —
+    * the statement form itself is spec-driven in SqlSurfaceSpec, since
+    * the Verify session carries no parser extensions): the same
+    * scripted source DML as [[scd2Cdc]], folded into a PLAIN keyed
+    * dimension — latest attributes only, no history; the feed's DELETE
+    * removes its keys outright. The oracle replays the final state as
+    * one upsert pass over the source history, so a hash match proves
+    * "TYPE 1 == overwrite-in-place" against an independent engine.
+    */
+  def scd1Cdc(spark: SparkSession, dir: String): DataFrame = {
+    val work = Work.dir("graft_scd1cdc")
+    val src = s"$work/customer_lake"
+    val dim = s"$work/customer_dim"
+    val customer = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    def feed(): Unit = Scd2.applyFeedType1(spark, src, dim,
+      keys = Seq("c_custkey"), attrs = Seq("c_mktsegment", "c_acctbal"))
+
+    LakeTable.overwrite(spark, src, customer) // v1
+    feed() // initial build: plain keyed copy
+    LakeTable.update(spark, src, Seq("c_mktsegment" -> lit("VIP")),
+      col("c_custkey") % 10 === 1) // v2
+    LakeTable.update(spark, src, Seq("c_acctbal" -> (col("c_acctbal") + 100)),
+      col("c_custkey") % 7 === 3) // v3
+    LakeTable.delete(spark, src, col("c_custkey") % 17 === 5) // v4
+    feed() // folds v2..v4 as one atomic delete/update/insert merge
+
+    LakeTable.read(spark, dim).select(col("c_custkey"), col("c_mktsegment"),
+      col("c_acctbal").cast("double").as("c_acctbal"))
+  }
+
+  /** One-pass upsert replay: composed updates for survivors, deleted
+    * keys gone, no bookkeeping columns.
+    */
+  val scd1OracleSql: String =
+    """SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 1 THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment,
+         CAST(CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100
+                   ELSE c_acctbal END AS DOUBLE) AS c_acctbal
+       FROM customer WHERE c_custkey % 17 <> 5"""
+
   /** Replay of the scripted DML per key class: deleted keys keep one
     * closed original row; updated survivors close at their LAST update
     * and reopen with the composed attributes; untouched keys stay open.

@@ -78,6 +78,31 @@ class RelationalPlanSpec extends SparkSpec {
       rowsOf(operators.Relational.rollupSalesNative(spark, sf)))
   }
 
+  test("grouping-sets-over-pre-aggregate is bit-identical to native grouping sets") {
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.mkString("|")).toSet
+    }
+    assert(rowsOf(operators.Relational.groupingSetsSales(spark, sf)) ==
+      rowsOf(operators.Relational.groupingSetsSalesNative(spark, sf)))
+  }
+
+  test("grouping-sets Expand runs over the pre-aggregate, not the scan") {
+    val plan = operators.Relational.groupingSetsSales(spark, sf)
+      .queryExecution.optimizedPlan
+    val expands = plan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.nonEmpty, "grouping sets should still plan an Expand")
+    expands.foreach { e =>
+      val under = e.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.size == 3 => a
+      }
+      assert(under.nonEmpty, "Expand is replicating raw fact rows")
+    }
+  }
+
   test("rollup Expand runs over the pre-aggregate, not the scan") {
     // logical plan: the physical tree hides inside AdaptiveSparkPlanExec
     val plan = operators.Relational.rollupSales(spark, sf)

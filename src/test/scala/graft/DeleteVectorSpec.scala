@@ -410,6 +410,78 @@ class DeleteVectorSpec extends SparkSpec {
     assert(got == Map(5757L -> -1.0, 20001L -> 2.0))
   }
 
+  test("MoR general-clause merge: state-identical to CoW mergeRows, O(delta)") {
+    val t = tmpTable("dv_mrows")
+    val twin = tmpTable("dv_mrows_twin")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    LakeTable.overwrite(spark, twin, baseDf, partitionBy = Seq("grp"))
+    // pre-existing vectors: the claimed positions must FOLD with them
+    LakeTable.deleteMergeOnRead(spark, t, col("id") % 10 === 9)
+    LakeTable.delete(spark, twin, col("id") % 10 === 9)
+    // id 5: matched, s.v<0 → UPDATE (both sides' values). id 6: matched,
+    // even → DELETE. id 7: matched, claimed by NO clause → untouched in
+    // place. id 9: unmatched (MoR-deleted), insert-gated out. 200: insert.
+    val src = Seq((5L, "g1", -5.0), (6L, "g2", -6.0), (7L, "g3", 7.0),
+      (9L, "g1", -9.0), (200L, "g0", 200.0)).toDF("id", "grp", "v")
+    val matched = Seq(
+      LakeTable.MatchedDelete(Some(col("t.id") % 2 === 0)),
+      LakeTable.MatchedUpdate(Some(col("s.v") < 0),
+        Map("v" -> (col("s.v") + col("t.v")))))
+    val inserts = Seq((Some(col("s.id") =!= 9L): Option[org.apache.spark.sql.Column],
+      Map("id" -> col("s.id"), "grp" -> col("s.grp"), "v" -> col("s.v"))))
+    // empty source: a true no-op — no version churn (upsert path too)
+    val v1 = LakeTable.latestSnapshot(spark, t).get.version
+    assert(LakeTable.mergeRowsMergeOnRead(spark, t, src.limit(0), Seq("id"),
+      matched, inserts) == v1)
+    assert(LakeTable.mergeMergeOnRead(spark, t, src.limit(0), Seq("id")) == v1)
+
+    val before = dataFiles(t)
+    val v = LakeTable.mergeRowsMergeOnRead(spark, t, src, Seq("id"), matched, inserts)
+    LakeTable.mergeRows(spark, twin, src, Seq("id"), matched, inserts)
+    // THE merge-on-read property: no pre-existing data file rewritten
+    assert(before.subsetOf(dataFiles(t)),
+      "MoR mergeRows must not rewrite or remove any existing data file")
+    def state(p: String) = LakeTable.read(spark, p)
+      .select("id", "grp", "v").as[(Long, String, Double)].collect().toSet
+    assert(state(t) == state(twin))
+    // the unclaimed match kept its original value, in place
+    assert(state(t).contains((7L, "g3", 10.5)))
+    // change feed kinds per clause
+    val feed = LakeTable.changes(spark, t, v, v)
+    def ids(kind: String) = feed.filter(col("_change_type") === kind)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids("update_preimage") == Seq(5L))
+    assert(ids("update_postimage") == Seq(5L))
+    assert(ids("delete") == Seq(6L))
+    assert(ids("insert") == Seq(200L))
+    // claimed pre-images (5 update + 6 delete) fold onto the 10 earlier
+    assert(LakeTable.latestSnapshot(spark, t).get
+      .files.flatMap(_.dv).map(_.cardinality).sum == 12L)
+
+    // bounded-key prune: a 1-key clause merge detection-scans only the
+    // files whose logged bounds admit the key (counting proof)
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val d2 = java.nio.file.Files.createTempDirectory("dv_mrowsproof").toString
+    val t2 = s"cfs:$d2/t"
+    LakeTable.overwrite(spark, t2,
+      spark.range(1, 10001).select(col("id"), (col("id") * 1.5).as("v")))
+    LakeTable.compact(spark, t2, smallFileBytes = 1L << 30, sortBy = Seq("id"),
+      targetFileBytes = 8L << 10)
+    val snap2 = LakeTable.latestSnapshot(spark, t2).get
+    assert(snap2.files.size >= 4)
+    CountingFileSystem.reset()
+    LakeTable.mergeRowsMergeOnRead(spark, t2,
+      Seq((5757L, -1.0)).toDF("id", "v"), Seq("id"),
+      matched = Seq(LakeTable.MatchedUpdate(None, Map("v" -> col("s.v")))))
+    val openedData = CountingFileSystem.openedUnder(s"$d2/t/data/")
+      .filter(_.endsWith(".parquet")).distinct
+      .filter(p => snap2.files.exists(e => p.endsWith("/" + e.path)))
+    assert(openedData.size == 1,
+      s"a bounded-key clause merge must detection-scan only admitting files: $openedData")
+    assert(LakeTable.read(spark, t2).filter(col("id") === 5757L)
+      .select("v").as[Double].head() == -1.0)
+  }
+
   test("lake_dv gate query matches an independent SQL replay") {
     val got = operators.MaintenanceOps.lakeDv(spark, sf)
       .select("o_orderkey", "o_totalprice")

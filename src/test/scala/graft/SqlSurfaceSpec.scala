@@ -745,4 +745,39 @@ class SqlSurfaceSpec extends SparkSpec {
       "KEYS (k) TRACK (status, score)").head.getLong(0)
     assert(v2 == v, "replayed APPLY CHANGES must no-op on the watermark")
   }
+
+  test("APPLY CHANGES STORED AS SCD TYPE 1 overwrites in place, no history") {
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sql_scd1").toString
+    val (src, dim) = (s"$d/src", s"$d/dim")
+    LakeTable.overwrite(spark, src,
+      Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 3L)).toDF("k", "status", "score")) // v1
+    def apply1(): Long = spark.sql(s"APPLY CHANGES INTO `$dim` FROM `$src` " +
+      "KEYS (k) TRACK (status, score) STORED AS SCD TYPE 1").head.getLong(0)
+    apply1()
+    assert(LakeTable.read(spark, dim).columns.toSet == Set("k", "status", "score"),
+      "TYPE 1 keeps no interval bookkeeping columns")
+
+    spark.read.format("graft").load(src).createOrReplaceTempView("ac1_src")
+    spark.sql("UPDATE ac1_src SET status = 'z' WHERE k = 1")            // v2
+    spark.sql("DELETE FROM ac1_src WHERE k = 2")                        // v3
+    LakeTable.append(spark, src, Seq((4L, "d", 4L)).toDF("k", "status", "score")) // v4
+    val v = apply1()
+
+    // final state == a plain upsert replay: update in place, delete
+    // removes the key, insert lands — no closed rows anywhere
+    val state = LakeTable.read(spark, dim)
+      .as[(Long, String, Long)].collect().toSet
+    assert(state == Set((1L, "z", 1L), (3L, "c", 3L), (4L, "d", 4L)))
+
+    // replay is watermark-idempotent
+    assert(apply1() == v, "replayed TYPE 1 APPLY CHANGES must no-op")
+
+    // a malformed column list fails at parse time, not inside applyFeed
+    val e = intercept[Exception](
+      spark.sql(s"APPLY CHANGES INTO `$dim` FROM `$src` KEYS ( , ) " +
+        "TRACK (status) STORED AS SCD TYPE 1").collect())
+    assert(e.getMessage.contains("no usable column names"), e.getMessage)
+  }
 }
