@@ -1393,8 +1393,12 @@ object LakeTable extends org.apache.spark.internal.Logging {
       val df = readDataFilesWithPos(spark, table, snap.schema, dvd.map(_.path),
         snap.partitionColumns.size)
       val prefix = qualifiedDataPrefix(spark, table) + "/"
+      // a CLONED vector's rows key on the source files' ABSOLUTE URIs
+      // (shallowClone re-keys them — foreign entries live outside this
+      // table's data root); local rows stay data-root-relative
       val del = dvRows(spark, table, dvd)
-        .select(concat(lit(prefix), col("p")).as("__dv_file"),
+        .select(when(col("p").startsWith("/") || col("p").contains(":/"), col("p"))
+          .otherwise(concat(lit(prefix), col("p"))).as("__dv_file"),
           col("pos").as("__dv_pos"))
       val card = dvd.flatMap(_.dv).map(_.cardinality).sum
       val delHinted = if (card <= dvBroadcastRows(spark)) broadcast(del) else del
@@ -4280,8 +4284,12 @@ object LakeTable extends org.apache.spark.internal.Logging {
     *  - vacuuming the SOURCE can remove files the clone still
     *    references — retain accordingly, or compact the clone
     *    (rewrites localize every file they touch);
-    *  - a snapshot with ACTIVE deletion vectors is refused (vector
-    *    rows key on source-relative paths; compact the source first);
+    *  - ACTIVE deletion vectors clone by RE-KEYING: their rows are
+    *    rewritten into the clone's own `_deletes/` with the data
+    *    files' absolute source URIs as keys — O(deleted rows) bytes,
+    *    never O(data) — so the clone OWNS its vectors (source vacuum
+    *    cannot strand them) and a MoR-heavy fact branches without a
+    *    compact-first;
     *  - bloom sidecars are dropped (advisory; rebuilt on rewrite);
     *  - merge-on-read DELETE on still-foreign files is refused loudly
     *    (copy-on-write DML works) — compact localizes them.
@@ -4293,20 +4301,33 @@ object LakeTable extends org.apache.spark.internal.Logging {
         throw new IllegalArgumentException(s"no committed version at $src")))
     require(latestSnapshot(spark, dst).isEmpty,
       s"refusing to clone into $dst: it already has committed versions")
-    require(snap.files.forall(e => e.dv.forall(_.cardinality == 0)),
-      s"cannot shallow-clone $src at v${snap.version}: the snapshot carries " +
-        "active deletion vectors (vector rows key on source-relative paths) — " +
-        "compact the source to reconcile them, then clone")
     require(snap.files.forall(_.size >= 0),
       s"cannot shallow-clone $src at v${snap.version}: legacy entries without " +
         "logged stats — compact the source first")
     val f = fs(spark, src)
     val srcRoot = f.makeQualified(dataPath(src))
+    def absOf(rel: String): String =
+      if (isForeignEntry(rel)) rel // clone of a clone: same refs
+      else new Path(srcRoot, rel).toString
+    // active vectors: stage ONE new vector directory in the CLONE,
+    // holding the dv'd entries' rows re-keyed on absolute URIs (rows
+    // already absolute — a cloned clone's — pass through)
+    val dvd = snap.files.filter(_.dv.exists(_.cardinality > 0))
+    val dvDir: Option[String] =
+      if (dvd.isEmpty) None
+      else {
+        val rows = dvRows(spark, src, dvd)
+          .filter(col("p").isInCollection(dvd.map(_.path)))
+          .select(when(col("p").startsWith("/") || col("p").contains(":/"), col("p"))
+            .otherwise(concat(lit(srcRoot.toString + "/"), col("p"))).as("p"),
+            col("pos"))
+        Some(stageDeleteVector(spark, dst, rows,
+          math.max(1, math.min(32, dvd.size))))
+      }
     val entries = snap.files.map { e =>
-      val abs =
-        if (isForeignEntry(e.path)) e.path // clone of a clone: same refs
-        else new Path(srcRoot, e.path).toString
-      e.copy(path = abs, dv = None, bloom = None)
+      val dv = e.dv.filter(_.cardinality > 0)
+        .map(d => DeleteVector(dvDir.get, d.cardinality))
+      e.copy(path = absOf(e.path), dv = dv, bloom = None)
     }
     val next = Snapshot(1L, System.currentTimeMillis(), "CLONE",
       snap.schema, snap.partitionColumns, entries,
@@ -4388,10 +4409,15 @@ object LakeTable extends org.apache.spark.internal.Logging {
     require(head.partitionColumns == fork.partitionColumns,
       s"cannot publish $branch: the branch changed the partition layout " +
         s"(${fork.partitionColumns.mkString(",")} -> ${head.partitionColumns.mkString(",")})")
-    require(head.files.forall(e => e.dv.forall(_.cardinality == 0)),
+    // CARRIED foreign refs may hold cloned vectors (a branch of a
+    // MoR-heavy source) — inert at publish, since untouched files ride
+    // at the source's CURRENT state below. Only vectors on the branch's
+    // OWN files have no publish expression.
+    require(head.files.forall(e =>
+        isForeignEntry(e.path) || e.dv.forall(_.cardinality == 0)),
       s"cannot publish $branch: the branch head carries active deletion vectors " +
-        "(vector rows key on branch-relative paths) — REORG TABLE ... APPLY " +
-        "(PURGE) the branch first")
+        "on its own data files (vector rows key on branch-relative paths) — " +
+        "REORG TABLE ... APPLY (PURGE) the branch first")
     val f = fs(spark, src)
     val srcPrefix = qualifiedDataPrefix(spark, src) + "/"
     fork.files.foreach(e => require(e.path.startsWith(srcPrefix),
@@ -4502,8 +4528,13 @@ object LakeTable extends org.apache.spark.internal.Logging {
             refuse(s"the source no longer contains ${e.path}, a file the branch " +
               "rewrote or deleted")
           case Some(c) =>
+            // dv comparison is against the FORK's state: a source that
+            // already carried vectors when the branch forked is no
+            // conflict; only vectors the source gained (or dropped)
+            // SINCE the fork mean the branch audited stale rows
             if (c.size != e.size || c.rowCount != e.rowCount ||
-                c.dv.exists(_.cardinality > 0))
+                c.dv.map(_.cardinality).getOrElse(0L) !=
+                  e.dv.map(_.cardinality).getOrElse(0L))
               refuse(s"the source rewrote or vectored ${e.path}, a file the " +
                 "branch rewrote or deleted")
         }

@@ -156,18 +156,49 @@ class CloneSpec extends SparkSpec {
     assert(dataFiles(dst).isEmpty)
   }
 
-  test("clone refuses dv'd snapshots and non-empty destinations") {
-    val d = tmpDir("clone_refuse")
-    val (src, dst) = (s"$d/src", s"$d/dst")
-    LakeTable.overwrite(spark, src, spark.range(20).toDF("id"))
-    LakeTable.deleteMergeOnRead(spark, src, col("id") === 3L)
-    val e1 = intercept[IllegalArgumentException](
-      LakeTable.shallowClone(spark, src, dst))
-    assert(e1.getMessage.contains("deletion vectors"))
-    // compact reconciles the vectors; then the clone works
-    LakeTable.compact(spark, src, smallFileBytes = Long.MaxValue)
+  test("clone of a vectored snapshot re-keys vectors; DML localizes; source untouched") {
+    val d = tmpDir("clone_dv")
+    val (src, dst, c2) = (s"$d/src", s"$d/dst", s"$d/c2")
+    LakeTable.overwrite(spark, src,
+      spark.range(40).select(col("id"), (col("id") % 4).cast("string").as("grp"),
+        (col("id") * 1.0).as("v")),
+      partitionBy = Seq("grp"))
+    // active vectors from a MoR delete AND a MoR update (folded images)
+    LakeTable.deleteMergeOnRead(spark, src, col("id") % 10 === 3) // 3,13,23,33
+    LakeTable.updateMergeOnRead(spark, src, Seq("v" -> lit(-1.0)), col("id") === 8L)
+    val srcFilesBefore = dataFiles(src).toSet
     LakeTable.shallowClone(spark, src, dst)
-    assert(LakeTable.read(spark, dst).count() == 19)
+
+    // zero data copied; the vectors were re-keyed into the CLONE's own
+    // _deletes (absolute source URIs as keys), never referenced from src
+    assert(dataFiles(dst).isEmpty, "clone must not copy data files")
+    val snap = LakeTable.latestSnapshot(spark, dst).get
+    assert(snap.files.exists(_.dv.exists(_.cardinality > 0)))
+    assert(snap.files.flatMap(_.dv).forall(_.path.startsWith("_deletes/")),
+      "cloned vectors must live in the clone's own _deletes")
+    // reads go THROUGH the re-keyed vectors
+    val want = (0L until 40L).filterNot(_ % 10 == 3).toSet
+    val ids = LakeTable.read(spark, dst).select("id").as[Long].collect().toSet
+    assert(ids == want)
+    assert(LakeTable.read(spark, dst).filter(col("id") === 8L)
+      .select("v").as[Double].head() == -1.0, "MoR-updated image must survive the clone")
+    // the clone's v1 change feed synthesizes only LIVE rows
+    assert(LakeTable.changes(spark, dst, 1L, 1L).count() == want.size)
+
+    // CoW DML on a vectored foreign file localizes WITHOUT resurrecting
+    // its vector-deleted rows (13 and 33 share 17's partition file)
+    LakeTable.delete(spark, dst, col("id") === 17L)
+    val after = LakeTable.read(spark, dst).select("id").as[Long].collect().toSet
+    assert(after == want - 17L, "vectored rows must not resurrect on CoW rewrite")
+    assert(dataFiles(src).toSet == srcFilesBefore, "source files untouched")
+    assert(LakeTable.read(spark, src).count() == want.size)
+
+    // clone-of-clone: already-absolute vector rows pass through
+    LakeTable.shallowClone(spark, dst, c2)
+    assert(LakeTable.read(spark, c2).select("id").as[Long].collect().toSet
+      == want - 17L)
+
+    // non-empty destination still refused
     val e2 = intercept[IllegalArgumentException](
       LakeTable.shallowClone(spark, src, dst))
     assert(e2.getMessage.contains("already has committed versions"))

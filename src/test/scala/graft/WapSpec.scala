@@ -66,6 +66,33 @@ class WapSpec extends SparkSpec {
     assert(ins.intersect(Set(3L, 13L, 23L)).isEmpty, "deleted rows must not be re-inserted")
   }
 
+  test("WAP over a MoR-heavy source: vectored clone branches and publishes") {
+    val d = tmpDir("wap_mor")
+    val src = freshSrc(d)
+    val branch = s"$d/branch"
+    // the source is mid-MoR-life: active vectors on several files
+    LakeTable.deleteMergeOnRead(spark, src, col("id") % 10 === 3)
+    LakeTable.updateMergeOnRead(spark, src, Seq("v" -> lit(-2.0)), col("id") === 40L)
+    val before = rows(src)
+
+    // branching needs NO compact-first: the clone re-keys the vectors
+    LakeTable.shallowClone(spark, src, branch)
+    assert(rows(branch) == before)
+    LakeTable.append(spark, branch, Seq((300L, "0", 30.0)).toDF("id", "grp", "v"))
+    LakeTable.delete(spark, branch, col("id") === 41L) // CoW over a vectored foreign file
+    assert(rows(src) == before, "source unchanged during audit")
+
+    // publish: untouched carried files ride at the source's CURRENT
+    // state (its own vectors), the branch delta lands atomically
+    LakeTable.publish(spark, src, branch)
+    val after = rows(src)
+    assert(after.exists(_._1 == 300L) && !after.exists(_._1 == 41L))
+    assert(!after.exists(_._1 == 13L), "source's own vector deletes persist")
+    assert(after.exists(t => t._1 == 40L && t._3 == -2.0),
+      "source's MoR-updated image persists through the publish")
+    assert(after == before + ((300L, "0", 30.0)) - ((41L, "1", 41L * 1.5)))
+  }
+
   test("concurrent source appends merge into the publish (disjoint write-sets)") {
     val d = tmpDir("wap_merge")
     val src = freshSrc(d)
