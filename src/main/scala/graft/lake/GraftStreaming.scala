@@ -247,16 +247,23 @@ private[lake] class GraftSource(spark: SparkSession, table: String,
   private def changeFeedBatch(start: Option[Long], endV: Long): DataFrame = {
     val frames: Seq[DataFrame] = start match {
       case None =>
-        // initial batch: the whole snapshot as inserts at endV
+        // initial batch: the whole snapshot as inserts at endV. A
+        // snapshot with outstanding deletion vectors reads through the
+        // dv-applying composition — the raw file list would resurrect
+        // vector-deleted rows into the feed.
         val snap = LakeTable.snapshotAt(spark, table, endV)
         checkSchemaPinned(endV, snap.schema, snap.partitionColumns)
         if (snap.files.isEmpty) Seq.empty
         else {
           // per-root legs: foreign (cloned) entries read from their
           // source roots
-          Seq(LakeTable.parquetLegs(spark, table, pinnedTableSchema,
-            snap.filePaths, initialSnapshot.partitionColumns.size)
-            .reduce(_ unionByName _)
+          val base =
+            if (LakeTable.hasDv(snap))
+              LakeTable.morScan(spark, table, snap, snap.files, keepPos = false)
+            else LakeTable.parquetLegs(spark, table, pinnedTableSchema,
+              snap.filePaths, initialSnapshot.partitionColumns.size)
+              .reduce(_ unionByName _)
+          Seq(base
             .withColumn(LakeTable.ChangeTypeCol, org.apache.spark.sql.functions.lit("insert"))
             .withColumn(LakeTable.CommitVersionCol, org.apache.spark.sql.functions.lit(endV))
             .withColumn(LakeTable.CommitTimestampCol,

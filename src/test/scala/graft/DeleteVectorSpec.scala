@@ -506,7 +506,14 @@ class DeleteVectorSpec extends SparkSpec {
   test("streaming initial batch applies vectors") {
     val t = tmpTable("dv_stream")
     LakeTable.overwrite(spark, t, baseDf.limit(20), partitionBy = Seq("grp"))
-    LakeTable.deleteMergeOnRead(spark, t, col("id") % 2 === 0)
+    // id 1 leaves a PARTIALLY deleted file (its partition file keeps id
+    // 5), so the snapshot must carry a real vector — the even ids fully
+    // cover their files (metadata drop). Both paths under one stream.
+    LakeTable.deleteMergeOnRead(spark, t, col("id") === 1L || col("id") % 2 === 0)
+    assert(LakeTable.latestSnapshot(spark, t).get
+        .files.exists(_.dv.exists(_.cardinality > 0)),
+      "test setup must leave an ACTIVE vector, or the streaming anti-join " +
+        "is never exercised")
     val outDir = java.nio.file.Files.createTempDirectory("dv_stream_out").toString
     val q = spark.readStream.format("graft").load(t)
       .writeStream.format("parquet")
@@ -516,6 +523,6 @@ class DeleteVectorSpec extends SparkSpec {
       .start()
     q.awaitTermination(120000)
     val got = spark.read.parquet(s"$outDir/sink").select("id").as[Long].collect().toSet
-    assert(got == (1L to 20L).filter(_ % 2 == 1).toSet)
+    assert(got == (3L to 20L).filter(_ % 2 == 1).toSet)
   }
 }

@@ -375,6 +375,72 @@ class GraftStreamSpec extends SparkSpec {
     assert(rows.contains((1L, 10.0, "delete")))
   }
 
+  test("readChangeFeed stream carries the MoR tier: vector DML mid-stream, restart-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmp("graft_source_cdfmor"); val table = s"$dir/t"
+    val out = s"$dir/out"
+    LakeTable.overwrite(spark, table,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("id", "v"))
+    // sink into a GRAFT table: recoverable from the checkpoint and
+    // exactly-once across restarts (the sink's own txn watermark)
+    def start() = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(table)
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start(out)
+    def collected(): Seq[(Long, Double, String)] = LakeTable.read(spark, out)
+      .select("id", "v", LakeTable.ChangeTypeCol)
+      .as[(Long, Double, String)].collect().toSeq
+    val q = start()
+    q.processAllAvailable()
+    assert(collected().size == 20)
+
+    // the full MoR DML tier lands mid-stream — position-deletes and
+    // appended post-images must arrive as typed change rows, where a
+    // plain tail would demand skipChangeCommits or die
+    LakeTable.deleteMergeOnRead(spark, table, col("id") % 10 === 3)           // 3, 13
+    LakeTable.updateMergeOnRead(spark, table, Seq("v" -> lit(-1.0)), col("id") === 4L)
+    LakeTable.mergeMergeOnRead(spark, table,
+      Seq((5L, 55.0), (100L, 100.0)).toDF("id", "v"), keys = Seq("id"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = collected()
+    assert(rows.filter(_._3 == "delete").map(_._1).toSet == Set(3L, 13L))
+    assert(rows.contains((4L, 4.0, "update_preimage")) &&
+      rows.contains((4L, -1.0, "update_postimage")))
+    assert(rows.contains((5L, 5.0, "update_preimage")) &&
+      rows.contains((5L, 55.0, "update_postimage")))
+    assert(rows.contains((100L, 100.0, "insert")))
+    val beforeRestart = rows.size
+
+    // restart from the checkpoint: exactly the NEW commit arrives once
+    LakeTable.deleteMergeOnRead(spark, table, col("id") === 6L)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows2 = collected()
+    assert(rows2.size == beforeRestart + 1 &&
+      rows2.contains((6L, 6.0, "delete")),
+      s"restart must deliver exactly the new MoR delete once, got ${rows2.size}")
+
+    // a FRESH CDF stream over the now-vectored snapshot: the initial
+    // batch reads through the vectors — no resurrected rows
+    val q3 = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(table)
+      .writeStream.format("memory").queryName("graft_cdfmor_f")
+      .option("checkpointLocation", s"$dir/ckpt2")
+      .start()
+    q3.processAllAvailable()
+    q3.stop()
+    val initial = spark.table("graft_cdfmor_f")
+      .select("id", LakeTable.ChangeTypeCol).as[(Long, String)].collect()
+    assert(initial.forall(_._2 == "insert"))
+    assert(initial.map(_._1).toSet ==
+      ((1L to 20L).toSet -- Set(3L, 13L, 6L)) + 100L,
+      "initial CDF batch must apply outstanding deletion vectors")
+  }
+
   test("graft-to-graft pipe: a downstream table tails an upstream one exactly-once") {
     import spark.implicits._
     val dir = tmp("graft_pipe"); val up = s"$dir/up"; val down = s"$dir/down"
