@@ -593,6 +593,24 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
          FROM documents GROUP BY 1""",
+    // the LSH index probe proposes, the exact 3-shingle Jaccard decides:
+    // the oracle replays the decision over ALL crossing pairs — a miss
+    // by the banding (candidate recall < 1) would hash-mismatch here
+    "dedup_incr" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents)
+           WHERE len(w) >= 3),
+         b AS (SELECT (max(doc_id) + 1) * 9 // 10 AS c2 FROM documents)
+         SELECT a.doc_id, p.doc_id AS probe_id,
+           round(CAST(len(list_intersect(a.sh, p.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, p.sh))), 6) AS jaccard
+         FROM d a CROSS JOIN b JOIN d p
+           ON a.doc_id < b.c2 AND p.doc_id >= b.c2
+         WHERE CAST(len(list_intersect(a.sh, p.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, p.sh))) >= 0.5""",
     "ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(w) - 1),

@@ -479,9 +479,20 @@ object Dedup {
   /** The incremental-dedup flow as a gate query: index the first 80% of
     * the corpus (by doc_id) into a throwaway lake table, append the
     * next 10% incrementally, probe the last 10% as the arriving batch.
-    * Output: the batch's candidate pairs against the indexed corpus —
-    * spec-proven identical to what full-corpus mining emits for the
-    * same (corpus x batch) pairs, without re-signing the corpus.
+    *
+    * Output: the batch's near-duplicate pairs against the indexed
+    * corpus at EXACT 3-shingle Jaccard >= `threshold` — the LSH probe
+    * PROPOSES candidates (band collisions against the index, never
+    * batch x corpus), the exact verify over the candidates' shingles
+    * DECIDES membership. That split keeps the probe cost index-bounded
+    * while making the result independently computable from the raw
+    * documents, so the DuckDB oracle replays it as the all-crossing-
+    * pairs exact Jaccard (the ngram_jaccard pattern) — an engine-
+    * independent hash gate on the whole index/append/probe path. The
+    * probe's signature filter runs 0.15 BELOW the exact threshold so
+    * the estimate proposes marginal pairs instead of outvoting the
+    * exact cut (IncrementalDedupSpec pins candidate recall == 1.0 vs
+    * brute force on this corpus).
     */
   def dedupIncr(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -491,8 +502,22 @@ object Dedup {
     val table = s"$work/minhash_index"
     buildMinhashIndex(spark, docs.filter(col("doc_id") < c1), table)
     appendToMinhashIndex(spark, docs.filter(col("doc_id") >= c1 && col("doc_id") < c2), table)
-    probeMinhashIndex(spark, docs.filter(col("doc_id") >= c2), table, threshold)
-      .select(col("doc_id"), col("probe_id"), rnd(col("est_jaccard"), 4).as("est_jaccard"))
+    val cand = probeMinhashIndex(spark, docs.filter(col("doc_id") >= c2), table,
+        math.max(0.0, threshold - 0.15))
+      .select(col("doc_id"), col("probe_id"))
+    // exact verify: candidate-bounded joins back to the documents'
+    // shingle sets (at 100 TB the candidate ids bound both scans)
+    val sh = docs
+      .withColumn("w", TextFns.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", array_sort(TextFns.shingleExpr("w", 3)))
+      .select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
+      .join(sh.select(col("doc_id").as("probe_id"), col("sh").as("sh_b")), Seq("probe_id"))
+      .withColumn("jaccard", expr("jaccard_sorted(sh_a, sh_b)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("probe_id"), rnd(col("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash near-dup detection: 64-bit signature; candidates share one

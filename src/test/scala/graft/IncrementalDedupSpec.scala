@@ -12,22 +12,34 @@ import graft.operators.Dedup
 class IncrementalDedupSpec extends SparkSpec {
   import spark.implicits._
 
-  test("index probe equals full-corpus mining on the crossing pairs") {
+  test("index probe + exact verify equals brute-force exact pairs crossing the split") {
+    import graft.functions.TextFns
+    graft.functions.Sketches.register(spark)
     val docs = Tables.documents(spark, sf)
     val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     val c2 = n * 9 / 10
-    // expected: the minhash pairs whose endpoints STRADDLE the batch
-    // boundary, at the signature-estimate level the probe emits
-    val expected = Dedup.dedupMinhash(spark, sf)
-      .filter(col("doc_a") < c2 && col("doc_b") >= c2)
-      .select(col("doc_a"), col("doc_b"),
-        graft.functions.Money.rnd(col("est_jaccard"), 4).as("est"))
+    // brute-force ground truth: ALL (corpus x batch) pairs at exact
+    // 3-shingle Jaccard >= 0.5 — a banding miss (candidate recall < 1)
+    // fails THIS assert, which is the in-repo twin of the DuckDB oracle
+    val sh = docs
+      .withColumn("w", TextFns.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", array_sort(TextFns.shingleExpr("w", 3)))
+      .select(col("doc_id"), col("sh"))
+    val expected = sh.filter(col("doc_id") < c2)
+      .select(col("doc_id"), col("sh").as("sh_a"))
+      .crossJoin(sh.filter(col("doc_id") >= c2)
+        .select(col("doc_id").as("probe_id"), col("sh").as("sh_b")))
+      .withColumn("j", expr("jaccard_sorted(sh_a, sh_b)"))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_id"), col("probe_id"),
+        graft.functions.Money.rnd(col("j"), 6).as("j"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val got = Dedup.dedupIncr(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got.nonEmpty, "the sf corpus has verbatim duplicates crossing the split")
     assert(got == expected,
-      s"probe pairs != full-mining crossing pairs\n got ${got.size}: " +
+      s"probe+verify pairs != brute-force exact crossing pairs\n got ${got.size}: " +
         s"${got.take(5)}\n expected ${expected.size}: ${expected.take(5)}")
   }
 
