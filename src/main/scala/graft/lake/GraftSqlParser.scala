@@ -34,6 +34,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   ALTER TABLE `path` DROP COLUMN c
   *   APPLY CHANGES INTO <dim> FROM <source>
   *         KEYS (k1, ...) TRACK (a1, ...) [STORED AS SCD TYPE {1|2}]
+  *   CREATE INCREMENTAL VIEW `path` AS SELECT g1, ..., sum(e) AS m, ...
+  *         FROM <source> GROUP BY g1, ...
+  *   CREATE INCREMENTAL VIEW `path` PRIMARY KEY (k1, ...) AS
+  *         SELECT * FROM <left> l [INNER|LEFT] JOIN <right> r
+  *         ON l.a = r.b [AND ...]
+  *   REFRESH INCREMENTAL VIEW <target>
   *
   * APPLY CHANGES is the DLT-style statement form of
   * [[Scd2.applyFeed]]: fold the source's change feed since the dim's
@@ -113,6 +119,21 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       Some(GraftRenameColumnCommand(target, oldName, newName))
     case DropColumnRe(target, name) =>
       Some(GraftDropColumnCommand(target, name))
+    case CreateIncAggRe(target, selectList, source, groupByRaw) =>
+      val groupBy = groupByRaw.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`").trim).filter(_.nonEmpty).toSeq
+      require(groupBy.nonEmpty, "CREATE INCREMENTAL VIEW needs GROUP BY columns")
+      Some(GraftCreateIncAggCommand(target, selectList.trim, source, groupBy))
+    case CreateIncJoinRe(target, pkRaw, left, joinTypeRaw, right, on) =>
+      val pk = pkRaw.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`").trim).filter(_.nonEmpty).toSeq
+      require(pk.nonEmpty, "CREATE INCREMENTAL VIEW needs PRIMARY KEY columns")
+      val joinType =
+        if (Option(joinTypeRaw).exists(_.toUpperCase.startsWith("LEFT"))) "left"
+        else "inner"
+      Some(GraftCreateIncJoinCommand(target, pk, left, right, joinType, on.trim))
+    case RefreshIncViewRe(target) =>
+      Some(GraftRefreshIncViewCommand(target))
     case ApplyChangesRe(dim, source, keys, attrs, scdType) =>
       // tolerate a trailing comma (empty tail segment) but refuse a list
       // that degenerates to no usable names — fail AT PARSE TIME, not
@@ -208,6 +229,21 @@ private[graft] object GraftSqlParser {
   private val DropColumnRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + Q +
       """\s+DROP\s+COLUMN\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
+  // SQL-defined incremental views over Incremental.refreshAgg/-Join
+  // (see IncrementalView). The CREATE target is a NEW table: quoted
+  // path only. The join form fixes the side aliases to `l`/`r` so the
+  // ON conjuncts parse unambiguously without an analyzer.
+  private val CreateIncAggRe =
+    ("""(?is)^CREATE\s+INCREMENTAL\s+VIEW\s+""" + Q +
+      """\s+AS\s+SELECT\s+(.+?)\s+FROM\s+""" + T +
+      """\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""").r
+  private val CreateIncJoinRe =
+    ("""(?is)^CREATE\s+INCREMENTAL\s+VIEW\s+""" + Q +
+      """\s+PRIMARY\s+KEY\s*\(([^)]+)\)\s+AS\s+SELECT\s+\*\s+FROM\s+""" + T +
+      """\s+(?:AS\s+)?l\s+(?:(INNER|LEFT(?:\s+OUTER)?)\s+)?JOIN\s+""" + T +
+      """\s+(?:AS\s+)?r\s+ON\s+(.+?)\s*;?\s*$""").r
+  private val RefreshIncViewRe =
+    ("""(?is)^REFRESH\s+INCREMENTAL\s+VIEW\s+""" + T + """\s*;?\s*$""").r
   // DLT-style CDC → SCD2 statement (sequencing = lake commit version)
   private val ApplyChangesRe =
     ("""(?is)^APPLY\s+CHANGES\s+INTO\s+""" + T + """\s+FROM\s+""" + T +
@@ -510,5 +546,108 @@ private[graft] case class GraftApplyChangesCommand(dim: String, source: String,
     Seq(Row(
       if (scdType == 1) Scd2.applyFeedType1(spark, srcPath, dimPath, keys, attrs)
       else Scd2.applyFeed(spark, srcPath, dimPath, keys, attrs)))
+  }
+}
+
+private[graft] object IncViewSql {
+  /** Split on top-level commas (parenthesis-aware), for select lists
+    * whose aggregate arguments may themselves contain commas.
+    */
+  def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  val AggItemRe: scala.util.matching.Regex =
+    """(?is)^(sum|min|max|count)\s*\((.+)\)\s+AS\s+`?([A-Za-z_][A-Za-z0-9_]*)`?$""".r
+  val OnPairRe: scala.util.matching.Regex =
+    """(?is)^([lr])\.`?([A-Za-z0-9_]+)`?\s*=\s*([lr])\.`?([A-Za-z0-9_]+)`?$""".r
+
+  def newTablePath(target: String): String = {
+    require(target.startsWith("`") || target.startsWith("'"),
+      s"CREATE INCREMENTAL VIEW target must be a quoted path (a NEW table), got $target")
+    target.substring(1, target.length - 1)
+  }
+}
+
+private[graft] case class GraftCreateIncAggCommand(target: String,
+                                                   selectList: String,
+                                                   source: String,
+                                                   groupBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val targetPath = IncViewSql.newTablePath(target)
+    val srcPath = GraftSqlParser.resolveTarget(spark, source)
+    val groupSet = groupBy.toSet
+    var sums = Seq.empty[(String, String)]
+    var mins = Seq.empty[(String, String)]
+    var maxs = Seq.empty[(String, String)]
+    IncViewSql.splitTop(selectList).foreach {
+      case IncViewSql.AggItemRe(fn, e, name) => fn.toLowerCase match {
+        case "sum" => sums :+= name -> e.trim
+        case "min" => mins :+= name -> e.trim
+        case "max" => maxs :+= name -> e.trim
+        case "count" =>
+          // only the row count folds from a feed; count(col) skips nulls,
+          // which the feed's signed fold cannot see
+          require(e.trim == "*" || e.trim == "1",
+            s"incremental views support count(*) / count(1) only, got count($e)")
+          sums :+= name -> "1"
+      }
+      case item =>
+        val bare = item.stripPrefix("`").stripSuffix("`").trim
+        require(groupSet.contains(bare),
+          s"select item '$item' is neither an aggregate (sum/min/max/count(*) " +
+            "... AS name) nor a GROUP BY column")
+    }
+    require(sums.nonEmpty,
+      "CREATE INCREMENTAL VIEW needs at least one additive measure (sum/count)")
+    Seq(Row(IncrementalView.create(spark, targetPath,
+      IncrementalView.AggDef(srcPath, groupBy, sums, mins, maxs))))
+  }
+}
+
+private[graft] case class GraftCreateIncJoinCommand(target: String,
+                                                    pk: Seq[String],
+                                                    left: String, right: String,
+                                                    joinType: String, on: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val targetPath = IncViewSql.newTablePath(target)
+    val joinKeys = on.split("""(?i)\s+AND\s+""").toSeq.map(_.trim).map {
+      case IncViewSql.OnPairRe(s1, c1, s2, c2) =>
+        require(s1.toLowerCase != s2.toLowerCase,
+          s"ON conjunct must join l against r, got $s1.$c1 = $s2.$c2")
+        if (s1.toLowerCase == "l") (c1, c2) else (c2, c1)
+      case other => throw new IllegalArgumentException(
+        s"ON conjunct '$other' must have the shape l.<col> = r.<col>")
+    }
+    Seq(Row(IncrementalView.create(spark, targetPath,
+      IncrementalView.JoinDef(GraftSqlParser.resolveTarget(spark, left),
+        GraftSqlParser.resolveTarget(spark, right), pk, joinKeys, joinType))))
+  }
+}
+
+private[graft] case class GraftRefreshIncViewCommand(target: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolveTarget(spark, target)
+    Seq(Row(IncrementalView.refresh(spark, path)))
   }
 }

@@ -780,4 +780,57 @@ class SqlSurfaceSpec extends SparkSpec {
         "TRACK (status) STORED AS SCD TYPE 1").collect())
     assert(e.getMessage.contains("no usable column names"), e.getMessage)
   }
+
+  test("CREATE/REFRESH INCREMENTAL VIEW drives incr-join semantics from spark.sql alone") {
+    import graft.lake.LakeTable
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("sql_incrv").toString
+    val (l, r, tgt) = (s"$d/facts", s"$d/dims", s"$d/view")
+    LakeTable.overwrite(spark, l,
+      Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (3L, 10L, 3.0)).toDF("id", "k", "v"))
+    LakeTable.overwrite(spark, r,
+      Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "name"))
+
+    // CREATE runs the initial build and persists the definition
+    spark.sql(s"CREATE INCREMENTAL VIEW `$tgt` PRIMARY KEY (id) AS " +
+      s"SELECT * FROM `$l` l JOIN `$r` r ON l.k = r.k").collect()
+    def state(): Set[(Long, Long, Double, String)] = LakeTable.read(spark, tgt)
+      .select("id", "k", "v", "name").as[(Long, Long, Double, String)]
+      .collect().toSet
+    assert(state() == Set((1L, 10L, 1.0, "a"), (2L, 20L, 2.0, "b"),
+      (3L, 10L, 3.0, "a")))
+
+    // source DML via SQL, then REFRESH: cost-of-the-change semantics
+    spark.read.format("graft").load(l).createOrReplaceTempView("iv_facts")
+    spark.read.format("graft").load(r).createOrReplaceTempView("iv_dims")
+    spark.sql(s"INSERT INTO iv_facts VALUES (4, 30, 4.0)")
+    spark.sql(s"UPDATE iv_dims SET name = 'B' WHERE k = 20")
+    spark.sql(s"DELETE FROM iv_facts WHERE id = 1")
+    val v = spark.sql(s"REFRESH INCREMENTAL VIEW `$tgt`").head.getLong(0)
+    assert(state() == Set((2L, 20L, 2.0, "B"), (3L, 10L, 3.0, "a"),
+      (4L, 30L, 4.0, "c")))
+    // idle sources: REFRESH is a watermark no-op
+    assert(spark.sql(s"REFRESH INCREMENTAL VIEW `$tgt`").head.getLong(0) == v)
+    // re-CREATE over an existing view refuses
+    val e1 = intercept[Exception](
+      spark.sql(s"CREATE INCREMENTAL VIEW `$tgt` PRIMARY KEY (id) AS " +
+        s"SELECT * FROM `$l` l JOIN `$r` r ON l.k = r.k").collect())
+    assert(e1.getMessage.contains("already an incremental view"), e1.getMessage)
+
+    // aggregate form: sums/count fold from the feed, min/max hybrid
+    val agg = s"$d/agg_view"
+    spark.sql(s"CREATE INCREMENTAL VIEW `$agg` AS " +
+      s"SELECT k, sum(v) AS total, count(*) AS n, max(v) AS hi " +
+      s"FROM `$l` GROUP BY k").collect()
+    def aggState(): Set[(Long, Double, Long, Double)] = LakeTable.read(spark, agg)
+      .select("k", "total", "n", "hi").as[(Long, Double, Long, Double)]
+      .collect().toSet
+    assert(aggState() == Set((10L, 3.0, 1L, 3.0), (20L, 2.0, 1L, 2.0),
+      (30L, 4.0, 1L, 4.0)))
+    spark.sql(s"INSERT INTO iv_facts VALUES (5, 10, 7.0)")
+    spark.sql(s"DELETE FROM iv_facts WHERE id = 3") // retires the group max
+    spark.sql(s"REFRESH INCREMENTAL VIEW `$agg`").collect()
+    assert(aggState() == Set((10L, 7.0, 1L, 7.0), (20L, 2.0, 1L, 2.0),
+      (30L, 4.0, 1L, 4.0)))
+  }
 }
