@@ -505,9 +505,19 @@ object Dedup {
     val cand = probeMinhashIndex(spark, docs.filter(col("doc_id") >= c2), table,
         math.max(0.0, threshold - 0.15))
       .select(col("doc_id"), col("probe_id"))
-    // exact verify: candidate-bounded joins back to the documents'
-    // shingle sets (at 100 TB the candidate ids bound both scans)
-    val sh = docs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retirePrevious("dedupIncrCand", Seq(cand))
+    // exact verify: the candidate ids PUSH into the documents scan (file
+    // skipping on the logged/footer bounds) while bounded, so only the
+    // candidates' texts are shingled — never a corpus re-shingle; an
+    // unbounded candidate set degrades to the join (still
+    // candidate-bounded after the shuffle)
+    val ids = cand.select(explode(array(col("doc_id"), col("probe_id"))).as("id"))
+      .distinct().limit(10001).collect().map(_.getLong(0))
+    val docsPruned =
+      if (ids.length > 10000) docs
+      else docs.filter(col("doc_id").isin(ids.toIndexedSeq: _*))
+    val sh = docsPruned
       .withColumn("w", TextFns.tokens(col("text")))
       .filter(size(col("w")) >= 3)
       .withColumn("sh", array_sort(TextFns.shingleExpr("w", 3)))

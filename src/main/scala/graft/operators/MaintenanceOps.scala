@@ -158,9 +158,11 @@ object MaintenanceOps {
     // (retire finished matches), a MATCHED UPDATE mixing both sides'
     // values, and a NOT MATCHED INSERT, all as position-deletes +
     // appends in ONE commit; matched rows claimed by no clause keep
-    // their position untouched
+    // their position untouched. Trickle-sized source (2.5% of keys):
+    // the operating regime MoR exists for, and small enough that the
+    // bounded-key prune pushes into file skipping
     LakeTable.mergeRowsMergeOnRead(spark, t,
-      orders.filter(key % 4 === 1)
+      orders.filter(key % 40 === 1)
         .withColumn("o_totalprice", col("o_totalprice") + 0.25),
       keys = Seq("o_orderkey"),
       matched = Seq(
@@ -200,7 +202,7 @@ object MaintenanceOps {
          s5 AS (SELECT * FROM src UNION ALL SELECT * FROM keep),
          src6 AS (SELECT o_orderkey, o_orderpriority, o_orderstatus,
              CAST(o_totalprice + 0.25 AS DOUBLE) AS o_totalprice
-           FROM orders WHERE o_orderkey % 4 = 1)
+           FROM orders WHERE o_orderkey % 40 = 1)
        SELECT k.o_orderkey, k.o_orderpriority, k.o_orderstatus,
               CAST(s.o_totalprice + k.o_totalprice AS DOUBLE) AS o_totalprice
        FROM s5 k JOIN src6 s USING (o_orderkey)
