@@ -611,8 +611,10 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query key has an oracle or is a documented rows-only op") {
+    // dedup_incr left this list in r14: its exact-verify contract gave
+    // it a DuckDB oracle (all-crossing-pairs exact Jaccard)
     val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf",
-      "events_approx", "bpe_train", "bpe_encode", "dedup_incr", "ann_quant",
+      "events_approx", "bpe_train", "bpe_encode", "ann_quant",
       "incr_distinct", "incr_topk", "incr_quantiles",
       // persisted-LSH probe: approximate by construction; recall gated
       // ≥0.9 in RecallSpec, file-skip counting-proven in SimilaritySpec
