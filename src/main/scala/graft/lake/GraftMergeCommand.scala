@@ -56,16 +56,10 @@ final case class GraftMergeCommand(tablePath: String, updates: LogicalPlan,
       .map(_.partitionColumns).getOrElse(Nil)
     val scoped = parts.nonEmpty && parts.forall(keys.contains)
     // spark.graft.merge.mode=mor routes the upsert through position-
-    // delete + append (only this command's shape qualifies; the
-    // general-clause GraftMergeRowsCommand stays copy-on-write — its
-    // conditional/delete clauses have no MoR expression)
-    val mor = spark.conf.getOption("spark.graft.merge.mode")
-      .map(_.toLowerCase) match {
-      case Some("mor") => true
-      case Some("cow") | None => false
-      case Some(other) => throw new IllegalArgumentException(
-        s"spark.graft.merge.mode must be 'cow' or 'mor', got '$other'")
-    }
+    // delete + append (the general-clause GraftMergeRowsCommand honors
+    // the same conf via mergeRowsMergeOnRead, except NOT MATCHED BY
+    // SOURCE shapes, which concern the whole table and stay CoW)
+    val mor = GraftMergeCommand.morMode(spark)
     val src =
       if (!updateOnly) data
       else data.join(
@@ -74,6 +68,17 @@ final case class GraftMergeCommand(tablePath: String, updates: LogicalPlan,
     else LakeTable.merge(spark, tablePath, src, keys, scopeToUpdatePartitions = scoped)
     Seq.empty
   }
+}
+
+object GraftMergeCommand {
+  /** `spark.graft.merge.mode` parsed: true = merge-on-read. */
+  private[lake] def morMode(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.merge.mode").map(_.toLowerCase) match {
+      case Some("mor") => true
+      case Some("cow") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"spark.graft.merge.mode must be 'cow' or 'mor', got '$other'")
+    }
 }
 
 /** The general-shape SQL MERGE, routed through [[LakeTable.mergeRows]]:
@@ -114,9 +119,17 @@ final case class GraftMergeRowsCommand(
     val parts = LakeTable.latestSnapshot(spark, tablePath)
       .map(_.partitionColumns).getOrElse(Nil)
     val scoped = parts.nonEmpty && parts.forall(keys.contains)
-    LakeTable.mergeRows(spark, tablePath, data, keys, toClauses(matched),
-      insertClauses, toClauses(notMatchedBySource),
-      scopeToUpdatePartitions = scoped)
+    // merge.mode=mor: position-delete the claimed pre-images + append,
+    // for the clause shapes with an MoR expression. NOT MATCHED BY
+    // SOURCE concerns the WHOLE table — the opposite of what
+    // merge-on-read is for — so those shapes stay copy-on-write.
+    if (GraftMergeCommand.morMode(spark) && notMatchedBySource.isEmpty)
+      LakeTable.mergeRowsMergeOnRead(spark, tablePath, data, keys,
+        toClauses(matched), insertClauses)
+    else
+      LakeTable.mergeRows(spark, tablePath, data, keys, toClauses(matched),
+        insertClauses, toClauses(notMatchedBySource),
+        scopeToUpdatePartitions = scoped)
     Seq.empty
   }
 }

@@ -482,6 +482,33 @@ class DeleteVectorSpec extends SparkSpec {
       .select("v").as[Double].head() == -1.0)
   }
 
+  test("SQL clause MERGE routes to MoR under merge.mode=mor") {
+    val t = tmpTable("dv_sqlmrows")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    spark.read.format("graft").load(t).createOrReplaceTempView("mor_mrows_t")
+    Seq((6L, -6.0), (7L, -7.0), (200L, 200.0)).toDF("id", "nv")
+      .createOrReplaceTempView("mor_mrows_s")
+    val before = dataFiles(t)
+    spark.conf.set("spark.graft.merge.mode", "mor")
+    try spark.sql(
+      """MERGE INTO mor_mrows_t tt USING mor_mrows_s ss ON tt.id = ss.id
+         WHEN MATCHED AND tt.id % 2 = 0 THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = ss.nv
+         WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (ss.id, 'g9', ss.nv)""")
+    finally spark.conf.unset("spark.graft.merge.mode")
+    // THE merge-on-read property, from pure SQL: no pre-existing data
+    // file rewritten — claimed pre-images hide behind a fresh vector
+    assert(before.subsetOf(dataFiles(t)),
+      "MoR SQL clause merge must not rewrite or remove any data file")
+    val state = LakeTable.read(spark, t)
+      .select("id", "grp", "v").as[(Long, String, Double)].collect().toSet
+    assert(!state.exists(_._1 == 6L), "matched even id must DELETE")
+    assert(state.contains((7L, "g3", -7.0)), "matched odd id must take s.nv")
+    assert(state.contains((200L, "g9", 200.0)), "unmatched id must INSERT")
+    assert(LakeTable.latestSnapshot(spark, t).get
+      .files.flatMap(_.dv).map(_.cardinality).sum == 2L)
+  }
+
   test("lake_dv gate query matches an independent SQL replay") {
     val got = operators.MaintenanceOps.lakeDv(spark, sf)
       .select("o_orderkey", "o_totalprice")
