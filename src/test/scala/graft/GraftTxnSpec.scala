@@ -156,6 +156,13 @@ class GraftTxnSpec extends SparkSpec {
     assert(ids(a) == before, "no publish may land after an abort tombstone")
 
     GraftTxn.abort(spark, t) // idempotent re-abort is a no-op
+
+    // reusing an aborted id says so — not the misleading "recover() it"
+    // remedy, which would also refuse on a tombstone
+    val eb = intercept[IllegalArgumentException] {
+      GraftTxn.begin(spark, Seq(a), s"$d/wk", id = "t8")
+    }
+    assert(eb.getMessage.contains("was aborted"), eb.getMessage)
   }
 
   test("a no-delta participant still lands its watermark (empty PUBLISH)") {
