@@ -249,5 +249,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("dot_i8", es => DotProductI8(es.head, es(1)))
     inject("quantize_i8", es => QuantizeI8(es.head,
       evalDoublesArg(es(1)), evalDoublesArg(es(2))))
+    inject("dot_i8_deq", es => DotI8Deq(es.head, es(1),
+      evalDoublesArg(es(2)), evalDoublesArg(es(3))))
+    inject("deq_err_i8", es => DeqErrI8(es.head,
+      evalDoublesArg(es(1)), evalDoublesArg(es(2))))
   }
 }

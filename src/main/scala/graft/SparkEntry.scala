@@ -611,6 +611,23 @@ object SparkEntry {
            ON a.doc_id < b.c2 AND p.doc_id >= b.c2
          WHERE CAST(len(list_intersect(a.sh, p.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(a.sh, p.sh))) >= 0.5""",
+    // the LSH bands + signature estimate PROPOSE (0.15 below the exact
+    // cut), the exact shingle Jaccard DECIDES: the oracle replays the
+    // decision over ALL pairs corpus-wide (no lang blocking) — a miss
+    // by the banding or the estimate filter would hash-mismatch here
+    "dedup_minhash" ->
+      """WITH d AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                 FROM documents)
+           WHERE len(w) >= 3)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+         FROM d a JOIN d b ON a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""",
     "ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(w) - 1),
@@ -649,6 +666,21 @@ object SparkEntry {
                 CAST(count(*) OVER (PARTITION BY rep_id) AS BIGINT) AS cluster_size
          FROM rep""",
     "ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+    // the int8 scan's error-bounded candidate rule (upper bound vs the
+    // k-th lower bound) guarantees a superset of the true top-k before
+    // the exact re-rank, so the quantized path is EXACT — same
+    // brute-force oracle as ann_topk
+    "ann_quant" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
          s AS (SELECT q.q_id, e.vec_id AS neighbor_id,

@@ -343,6 +343,77 @@ object Sketches {
       copy(l, r)
   }
 
+  /** DEQUANTIZED dot product of two int8-quantized BINARY vectors
+    * against the (per-dimension) affine quantizer `x̂_i = lo_i +
+    * step_i·(q_i + 128)` — the guaranteed-ANN first-pass score. Unlike
+    * [[DotProductI8]]'s raw integer MAC (whose order differs from the
+    * dequantized order when steps vary per dimension), this estimate
+    * carries a PROVABLE bound against the true float dot:
+    * `|x·y − x̂·ŷ| ≤ Σ step_i(|x̂_i| + |ŷ_i|)/2 + Σ step_i²/4`
+    * (see [[DeqErrI8]]), which is what turns the quantized scan into
+    * an EXACT top-k operator (superset filter + exact re-rank) rather
+    * than a recall-gated one. Memory traffic stays 1 byte/dimension.
+    */
+  case class DotI8Deq(left: Expression, right: Expression,
+                      lo: Array[Double], step: Array[Double]) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    def kernel(l: Array[Byte], r: Array[Byte]): Double = {
+      val n = math.min(math.min(l.length, r.length), lo.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += (lo(i) + step(i) * (l(i) + 128)) * (lo(i) + step(i) * (r(i) + 128))
+        i += 1
+      }
+      s
+    }
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      java.lang.Double.valueOf(kernel(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("dotI8Deq", this, classOf[DotI8Deq].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotI8Deq =
+      copy(left = l, right = r)
+  }
+
+  /** Per-vector half of the [[DotI8Deq]] error bound: `Σ_i step_i ·
+    * |lo_i + step_i·(q_i + 128)| / 2` — computed ONCE per row over the
+    * int8 codes (never per pair). Two of these (corpus row + query) plus
+    * the constant `Σ step_i²/4` bound the dequantized-dot error: with
+    * `|x_i − x̂_i| ≤ step_i/2` (exact full-corpus [lo,hi] ⇒ no clamping),
+    * `|x_i y_i − x̂_i ŷ_i| ≤ |x_i||y_i−ŷ_i| + |ŷ_i||x_i−x̂_i|
+    *   ≤ (|x̂_i|+step_i/2)(step_i/2) + |ŷ_i|(step_i/2)`.
+    */
+  case class DeqErrI8(child: Expression,
+                      lo: Array[Double], step: Array[Double]) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+
+    def kernel(a: Array[Byte]): Double = {
+      val n = math.min(a.length, lo.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += step(i) * math.abs(lo(i) + step(i) * (a(i) + 128)) / 2.0
+        i += 1
+      }
+      s
+    }
+
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Double.valueOf(kernel(v.asInstanceOf[Array[Byte]]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("deqErrI8", this, classOf[DeqErrI8].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): DeqErrI8 =
+      copy(child = c)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // idempotent: sessions built via GraftExtensions already carry these,
@@ -351,7 +422,8 @@ object Sketches {
     // ALL six names gate the skip — a hypothetical partial registration
     // must fall through and (re-)register everything
     val names = Seq("simhash_bits", "minhash_sig", "dot_d", "jaccard_sorted",
-      "lsh_sigs", "char_entropy", "dot_i8", "quantize_i8")
+      "lsh_sigs", "char_entropy", "dot_i8", "quantize_i8",
+      "dot_i8_deq", "deq_err_i8")
     if (names.forall(n =>
         reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
       return
@@ -372,6 +444,10 @@ object Sketches {
       es => DotProductI8(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("quantize_i8",
       es => QuantizeI8(es.head, evalDoubles(es(1)), evalDoubles(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_i8_deq",
+      es => DotI8Deq(es.head, es(1), evalDoubles(es(2)), evalDoubles(es(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("deq_err_i8",
+      es => DeqErrI8(es.head, evalDoubles(es(1)), evalDoubles(es(2))), "scala_udf")
   }
 
   /** Evaluate a foldable array<numeric> argument (the sample-fitted

@@ -251,9 +251,22 @@ object Dedup {
   }
 
   /** MinHash + LSH near-dup detection: 64-permutation signature →
-    * 16 bands of 4 → band-bucket join for candidates → verified with
-    * both the signature estimate and the exact shingle Jaccard.
-    * Candidate generation is O(n·bands); only bucket collisions pair up.
+    * 16 bands of 4 → band-bucket join for candidates → exact shingle
+    * Jaccard decides. Candidate generation is O(n·bands); only bucket
+    * collisions pair up.
+    *
+    * Propose/decide contract (the [[dedupIncr]] pattern, which is what
+    * gives this key a DuckDB oracle): the LSH bands + signature
+    * estimate PROPOSE candidate pairs — the signature filter runs 0.15
+    * BELOW the exact threshold so the estimate never outvotes the
+    * exact cut — and the exact Jaccard over the candidates' shingle
+    * sets DECIDES membership. The output is therefore computable from
+    * the raw documents alone (all pairs at exact Jaccard ≥ threshold,
+    * corpus-wide — ngram_jaccard's cut without its lang blocking), and
+    * the oracle replays it as the full all-pairs exact Jaccard. A
+    * banding/estimate miss (proposal recall < 1) would hash-mismatch
+    * there; RecallSpec pins proposal recall == 1.0 on this corpus and
+    * DedupSpec pins set-equality against brute force.
     */
   def dedupMinhash(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val numHashes = 64
@@ -297,34 +310,35 @@ object Dedup {
       .select(
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr(s"size(filter(zip_with(x.sig, y.sig, (a, b) -> a = b), v -> v)) / cast($numHashes as double)").as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+      .filter(col("est_jaccard") >= math.max(0.0, threshold - 0.15))
       .distinct()
 
+    // exact verify DECIDES: candidate volume is band-local, so the
+    // shingle join touches only proposed pairs — never all pairs
     val repPairs = est
       .join(d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        rnd(col("est_jaccard"), 4).as("est_jaccard"),
-        rnd(TextFns.jaccard(col("sh_a"), col("sh_b")), 6).as("exact_jaccard"))
+      .withColumn("j_raw", TextFns.jaccard(col("sh_a"), col("sh_b")))
+      // cut on the UNROUNDED value (the oracle's WHERE does the same);
+      // the rounding is presentation only
+      .filter(col("j_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), rnd(col("j_raw"), 6).as("jaccard"))
 
     val groups = members.select(col("rep_id"), col("ids"))
     val cross = repPairs
       .join(groups.select(col("rep_id").as("doc_a"), col("ids").as("ids_a")), Seq("doc_a"))
       .join(groups.select(col("rep_id").as("doc_b"), col("ids").as("ids_b")), Seq("doc_b"))
-      .select(explode(col("ids_a")).as("ia"), col("ids_b"),
-        col("est_jaccard"), col("exact_jaccard"))
-      .select(col("ia"), explode(col("ids_b")).as("ib"),
-        col("est_jaccard"), col("exact_jaccard"))
+      .select(explode(col("ids_a")).as("ia"), col("ids_b"), col("jaccard"))
+      .select(col("ia"), explode(col("ids_b")).as("ib"), col("jaccard"))
       .select(least(col("ia"), col("ib")).as("doc_a"),
-        greatest(col("ia"), col("ib")).as("doc_b"),
-        col("est_jaccard"), col("exact_jaccard"))
+        greatest(col("ia"), col("ib")).as("doc_b"), col("jaccard"))
+    // identical texts have identical shingle sets: exact Jaccard 1.0
     val within = groups.filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("ia"), col("ids"))
       .select(col("ia"), explode(col("ids")).as("ib"))
       .filter(col("ia") < col("ib"))
       .select(col("ia").as("doc_a"), col("ib").as("doc_b"),
-        lit(1.0).as("est_jaccard"), lit(1.0).as("exact_jaccard"))
+        lit(1.0).as("jaccard"))
     cross.unionByName(within)
   }
 

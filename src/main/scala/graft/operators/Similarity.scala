@@ -46,54 +46,71 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Int8 scalar-quantized ANN — the QUANTIZATION leg of the tier
+  /** Int8 scalar-quantized top-k — the QUANTIZATION leg of the tier
     * (brute-force = exactness baseline, LSH/IVF = candidate pruning,
-    * this = arithmetic/memory compression). The corpus is projected
-    * once to 1 byte/dimension against per-dimension [lo, hi] ranges
-    * fitted on the same deterministic hash sample as the IVF quantizer
-    * (no sizing pass, no global sort; out-of-range values clamp), the
-    * first-pass scan scores candidates with the integer dot product
-    * (8× less memory traffic than the double vectors — the 100 TB
-    * reason to quantize), and the top `k·rerankFactor` survivors per
-    * query are re-ranked EXACTLY on the float vectors. Recall vs
-    * [[annTopk]] is gate-asserted in RecallSpec.
+    * this = arithmetic/memory compression) — and since r14 an EXACT
+    * operator with a DuckDB oracle, not a recall-gated one. The scan
+    * is still 1 byte/dimension (the 100 TB reason to quantize), but
+    * the candidate rule is a proof instead of a fixed rerank factor:
+    *
+    *  1. fit the per-dimension [lo, hi] as the EXACT corpus min/max
+    *     (one partial-agg pass; the shuffle carries dims × partitions
+    *     rows, never data rows) — exact bounds mean no clamping, which
+    *     is what makes the quantization error bounded;
+    *  2. first pass scores the DEQUANTIZED dot `dot_i8_deq` and its
+    *     per-row error half `deq_err_i8` (see the bound derivation on
+    *     the expressions): per pair, the true cosine lies inside
+    *     `[(ŝ−err)/(‖a‖‖q‖), (ŝ+err)/(‖a‖‖q‖)]` with exact norms;
+    *  3. τ = the k-th largest LOWER bound per query (rank + unbounded
+    *     min over the same window partitioning — one shuffle); every
+    *     vector whose UPPER bound reaches `τ − 1e-5` is a candidate.
+    *     Order statistics commute with the monotone 5-digit rounding,
+    *     so the slack covers [[annTopk]]'s round-then-rank ties;
+    *  4. exact re-rank of the candidates on the float vectors.
+    *
+    * True top-k ⊆ candidates by construction (lower bounds never
+    * exceed true cosines, pointwise domination carries to order
+    * statistics), so the result EQUALS [[annTopk]] and shares its
+    * brute-force oracle. Candidate width is data-dependent (tighter
+    * ranges ⇒ fewer exact re-ranks) but correctness never is.
+    * RecallSpec pins row-for-row equality with [[annTopk]].
     */
-  def annQuant(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
-               rerankFactor: Int = 4): DataFrame = {
+  def annQuant(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = vectors(spark, dir)
-    // deterministic bounded sample (the fitQuantizer filter): a row is
-    // kept iff its id-hash lands in the lowest quarter of hash space,
-    // OR-ed with a small id floor so tiny corpora still fit
-    val thr = BigInt(Long.MinValue) + (BigDecimal(BigInt(1) << 64) * 0.25).toBigInt
-    val keep = xxhash64(col("vec_id")) < lit(thr.toLong) || col("vec_id") < lit(256L)
-    val sampled = e.filter(keep).limit(10000).select(col("v")).collect()
-    require(sampled.nonEmpty, s"annQuant: no embeddings under $dir")
-    val dim = sampled.head.getSeq[Double](0).length
-    val lo = Array.fill(dim)(Double.MaxValue)
-    val hi = Array.fill(dim)(-Double.MaxValue)
-    sampled.foreach { r =>
-      val v = r.getSeq[Double](0)
-      var i = 0
-      while (i < math.min(dim, v.length)) {
-        if (v(i) < lo(i)) lo(i) = v(i)
-        if (v(i) > hi(i)) hi(i) = v(i)
-        i += 1
-      }
-    }
-    val q8 = s"quantize_i8(v, array(${lo.mkString("D,")}D), array(${hi.mkString("D,")}D))"
-    val eq = e.withColumn("v8", expr(q8))
+    val bounds = e.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .orderBy(col("i")).collect()
+    require(bounds.nonEmpty, s"annQuant: no embeddings under $dir")
+    val lo = bounds.map(_.getDouble(1))
+    val hi = bounds.map(_.getDouble(2))
+    val step = lo.indices.map(i => (hi(i) - lo(i)) / 255.0).toArray
+    // the pair-independent tail of the error bound: Σ step_i²/4
+    val c0 = step.map(s => s * s / 4.0).sum
+    val loSql = s"array(${lo.mkString("D,")}D)"
+    val hiSql = s"array(${hi.mkString("D,")}D)"
+    val stepSql = s"array(${step.mkString("D,")}D)"
+    val eq = e
+      .withColumn("v8", expr(s"quantize_i8(v, $loSql, $hiSql)"))
+      .withColumn("eh", expr(s"deq_err_i8(v8, $loSql, $stepSql)"))
     val q = eq.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qnorm"), col("v8").as("q8"))
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+        col("norm").as("qnorm"), col("v8").as("q8"), col("eh").as("qeh"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("lb").desc, col("vec_id"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     eq.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", expr("dot_i8(v8, q8)"))
-      .withColumn("crank", row_number().over(wq))
-      .filter(col("crank") <= k * rerankFactor)
+      .select(col("q_id"), col("vec_id"), col("v"), col("qv"),
+        col("norm"), col("qnorm"),
+        expr(s"dot_i8_deq(v8, q8, $loSql, $stepSql)").as("shat"),
+        (col("eh") + col("qeh") + lit(c0)).as("err"))
+      .withColumn("lb", (col("shat") - col("err")) / (col("norm") * col("qnorm")))
+      .withColumn("ub", (col("shat") + col("err")) / (col("norm") * col("qnorm")))
+      .withColumn("lrn", row_number().over(wl))
+      .withColumn("tau", min(when(col("lrn") <= k, col("lb"))).over(wt))
+      .filter(col("ub") >= col("tau") - lit(1e-5))
       .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)

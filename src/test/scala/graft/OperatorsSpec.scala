@@ -92,14 +92,26 @@ class ApproxSpec extends SparkSpec {
 }
 
 class DedupSpec extends SparkSpec {
-  test("minhash estimate tracks exact jaccard on surfaced pairs") {
-    val pairs = Dedup.dedupMinhash(spark, sf).collect()
-    assert(pairs.nonEmpty)
-    pairs.foreach { r =>
-      val est = r.getAs[Double]("est_jaccard")
-      val exact = r.getAs[Double]("exact_jaccard")
-      assert(math.abs(est - exact) <= 0.3, s"est $est vs exact $exact")
-    }
+  test("minhash propose/decide equals brute-force exact jaccard pairs") {
+    // ground truth: ALL pairs at exact 3-shingle Jaccard >= 0.5,
+    // corpus-wide (the DuckDB oracle's definition), brute-forced here
+    val sh = graft.Tables.documents(spark, sf)
+      .withColumn("w", graft.functions.TextFns.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", graft.functions.TextFns.shingleExpr("w", 3))
+      .select(col("doc_id"), col("sh"))
+    val exact = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", graft.functions.TextFns.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"), round(col("j"), 6))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mh = Dedup.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(exact.nonEmpty)
+    assert(mh == exact,
+      s"missing=${exact.diff(mh).take(5)} extra=${mh.diff(exact).take(5)}")
   }
 
   test("minhash finds the high-jaccard pairs ngram_jaccard finds") {
@@ -611,10 +623,13 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query key has an oracle or is a documented rows-only op") {
-    // dedup_incr left this list in r14: its exact-verify contract gave
-    // it a DuckDB oracle (all-crossing-pairs exact Jaccard)
-    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf",
-      "events_approx", "bpe_train", "bpe_encode", "ann_quant",
+    // dedup_incr and dedup_minhash left this list in r14 via the
+    // propose/decide exact-verify contract (LSH proposes, exact Jaccard
+    // decides → all-pairs DuckDB oracle); ann_quant left it via the
+    // error-bounded candidate rule (guaranteed superset + exact re-rank
+    // → brute-force top-k oracle)
+    val rowsOnly = Set("dedup_simhash", "ann_lsh", "ann_ivf",
+      "events_approx", "bpe_train", "bpe_encode",
       "incr_distinct", "incr_topk", "incr_quantiles",
       // persisted-LSH probe: approximate by construction; recall gated
       // ≥0.9 in RecallSpec, file-skip counting-proven in SimilaritySpec

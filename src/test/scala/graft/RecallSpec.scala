@@ -26,15 +26,20 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"ann_ivf recall@5 $recall < 0.9")
   }
 
-  test("ann_quant recall@5 vs exact brute-force top-k") {
-    val exact = Similarity.annTopk(spark, sf)
-      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val quant = Similarity.annQuant(spark, sf)
-      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = quant.intersect(exact).size.toDouble / exact.size
-    recalls("ann_quant@5") = recall
+  test("ann_quant equals exact brute-force top-k row for row") {
+    // the error-bounded candidate rule guarantees a superset of the
+    // true top-k before the exact re-rank, so this is an EQUALITY
+    // gate, not a recall floor (and the DuckDB oracle re-checks it)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = rows(Similarity.annTopk(spark, sf))
+    val quant = rows(Similarity.annQuant(spark, sf))
+    recalls("ann_quant@5") =
+      quant.intersect(exact).size.toDouble / exact.size
     assert(exact.nonEmpty)
-    assert(recall >= 0.9, s"ann_quant recall@5 $recall < 0.9")
+    assert(quant == exact,
+      s"missing=${exact.diff(quant).take(5)} extra=${quant.diff(exact).take(5)}")
   }
 
   test("ann_lsh recall vs exact cosine pairs at the same threshold") {
@@ -76,7 +81,6 @@ class RecallSpec extends SparkSpec {
     val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val mh = Dedup.dedupMinhash(spark, sf, threshold = 0.5)
-      .filter(col("exact_jaccard") >= 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val recall = mh.intersect(exact).size.toDouble / exact.size
     recalls("dedup_minhash") = recall
