@@ -691,6 +691,21 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
            FROM s)
          SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+    // phase-1 probes seed a provisional k-th cosine; phase 2 scans every
+    // remaining cell whose angular bound (triangle inequality against
+    // the centroid, cell radius from the build) could still beat it —
+    // a guaranteed superset, so IVF is exact and shares ann_topk's oracle
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
     // probing every cell makes the incrementally-maintained IVF index
     // exact, so the oracle is brute-force top-k — same as ann_topk
     "ann_ivf_incr" ->

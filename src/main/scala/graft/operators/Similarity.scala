@@ -183,12 +183,33 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("rep_id"), col("cluster_size"))
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer (Spark ML,
+  /** IVF (inverted-file) top-k: a KMeans coarse quantizer (Spark ML,
     * fixed seed) partitions the corpus into cells; each query probes
-    * its `probes` nearest cells and ranks candidates by exact cosine.
-    * The scan per query drops from N to ~N·probes/cells; at 100 TB the
-    * cell assignment is the partitioning key, so a probe touches only
-    * its cells' partitions.
+    * its `probes` nearest cells first, then — since r14 — every other
+    * cell whose ANGULAR upper bound could still beat the provisional
+    * k-th cosine, which makes the operator EXACT (same brute-force
+    * DuckDB oracle as [[annTopk]]) instead of recall-gated:
+    *
+    *  1. build records each cell's angular radius `r_cell = max angle
+    *     (member, centroid)` — one partial-agg pass, cells × 1 rows;
+    *  2. for a query at angle `θ_qc` from a centroid, the triangle
+    *     inequality on the sphere gives every member
+    *     `angle(q, x) ≥ θ_qc − r_cell`, so the cell's best possible
+    *     cosine is `cos(max(0, θ_qc − r_cell))`;
+    *  3. phase 1 scans the `probes` nearest cells exactly and takes
+    *     the k-th best cosine τ (k-th of a subset never exceeds the
+    *     full k-th, so τ is a valid pruning floor);
+    *  4. phase 2 scans only the remaining cells with bound ≥ τ − 1e-5
+    *     (the slack covers round-then-rank ties exactly as in
+    *     [[annQuant]]); the union re-ranks to the final top-k.
+    *
+    * An unprobed cell's members all sit strictly below what rank k can
+    * round to, so the result EQUALS [[annTopk]]. How many cells phase 2
+    * touches is data-dependent — tight clusters prune to nothing,
+    * isotropic data degrades toward a full exact scan — but correctness
+    * never is. At 100 TB the cell is the partitioning key (see
+    * [[buildIvfIndex]]), so both phases touch only their cells'
+    * partitions. RecallSpec pins row-for-row equality with [[annTopk]].
     */
   def annIvf(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
              cells: Int = 16, probes: Int = 10): DataFrame = {
@@ -197,32 +218,74 @@ object Similarity {
     val model = fitQuantizer(e, cells)
     val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfE", e)
+    retireCache("annIvfAssigned", assigned)
 
-    // centroids are k×dim — tiny, so the query→cells map is computed on
-    // the driver and broadcast-joined.
+    // centroids are cells×dim — tiny, so the query→cells map is computed
+    // on the driver and broadcast-joined.
     val centers = model.clusterCenters.map(_.toArray)
-    val q = assigned.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
     import spark.implicits._
     val centersDf = centers.zipWithIndex.toSeq
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
-    val qCells = q.crossJoin(broadcast(centersDf))
-      .withColumn("dist", expr(
-        "dot_d(qv, qv) - 2 * dot_d(qv, centroid) + dot_d(centroid, centroid)"))
-      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))))
-      .filter(col("cr") <= probes)
-      .select(col("q_id"), col("qv"), col("qnorm"), col("cell"))
+    // per-cell angular radius (zero-norm members carry no angle: their
+    // cosine is NaN/0-guarded to radius π, the no-prune-safe value)
+    val cellRadius = assigned.join(broadcast(centersDf), Seq("cell"))
+      .withColumn("cn", sqrt(expr("dot_d(centroid, centroid)")))
+      .withColumn("ca", when(col("norm") > 0 && col("cn") > 0,
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          expr("dot_d(v, centroid)") / (col("norm") * col("cn"))))))
+        .otherwise(lit(math.Pi)))
+      .groupBy(col("cell")).agg(max(col("ca")).as("radius"))
 
-    val scored = assigned.join(broadcast(qCells), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val qCells = q.crossJoin(broadcast(centersDf))
+      .join(broadcast(cellRadius), Seq("cell"))
+      .withColumn("cn", sqrt(expr("dot_d(centroid, centroid)")))
+      .withColumn("theta", when(col("qnorm") > 0 && col("cn") > 0,
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          expr("dot_d(qv, centroid)") / (col("qnorm") * col("cn"))))))
+        .otherwise(lit(0.0)))
+      // the cell's best reachable cosine for this query
+      .withColumn("bound", cos(greatest(lit(0.0), col("theta") - col("radius"))))
+      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("theta"), col("cell"))))
+      .select(col("q_id"), col("qv"), col("qnorm"), col("cell"),
+        col("bound"), col("cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfQCells", qCells)
+
+    def scan(probeSet: DataFrame): DataFrame =
+      assigned.join(broadcast(probeSet.select(
+          col("q_id"), col("qv"), col("qnorm"), col("cell"))), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+        .select(col("q_id"), col("vec_id"), col("cosine"))
+
+    // phase 1: the `probes` nearest cells, exact cosines, provisional
+    // k-th best τ per query (k-th of a subset ≤ the full k-th)
+    val phase1 = scan(qCells.filter(col("cr") <= probes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfPhase1", phase1)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val tau = phase1
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === k)
+      .select(col("q_id"), col("cosine").as("tau"))
+
+    // phase 2: remaining cells whose bound clears τ (all of them for a
+    // query with fewer than k phase-1 rows — the left join's null τ)
+    val extra = qCells.filter(col("cr") > probes)
+      .join(broadcast(tau), Seq("q_id"), "left")
+      .filter(col("tau").isNull || col("bound") >= col("tau") - lit(1e-5))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    phase1.unionByName(scan(extra))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"),
-        col("rank"), col("cell").cast("long").as("cell"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
   /** Coarse KMeans quantizer, fit on a bounded sample — never the full

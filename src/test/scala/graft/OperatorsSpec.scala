@@ -391,15 +391,19 @@ class SimilaritySpec extends SparkSpec {
     assert(df.filter(col("cosine") > 1.0001 || col("cosine") < -1.0001).count() == 0)
   }
 
-  test("ann_ivf returns k ranked candidates per query with useful recall") {
-    val ivf = Similarity.annIvf(spark, sf).cache()
-    assert(ivf.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
-    val exact = Similarity.annTopk(spark, sf)
-      .select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = ivf.select("q_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = exact.intersect(got).size.toDouble / exact.size
-    info(s"IVF recall@5 vs brute force: $recall")
-    assert(recall > 0.0)
+  test("ann_ivf bound-probed search equals brute force row for row") {
+    // a narrow phase 1 (2 of 16 cells) forces phase 2 to do the work:
+    // the angular bound must pull in every cell that can still beat the
+    // provisional k-th cosine, or this equality breaks
+    val ivf = Similarity.annIvf(spark, sf, probes = 2).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    val exact = Similarity.annTopk(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    assert(exact.nonEmpty)
+    assert(ivf == exact,
+      s"missing=${exact.diff(ivf).take(5)} extra=${ivf.diff(exact).take(5)}")
   }
 
   test("persisted IVF index: probes read only the probed cells' partitions") {
@@ -628,7 +632,9 @@ class EntrySpec extends SparkSpec {
     // decides → all-pairs DuckDB oracle); ann_quant left it via the
     // error-bounded candidate rule (guaranteed superset + exact re-rank
     // → brute-force top-k oracle)
-    val rowsOnly = Set("dedup_simhash", "ann_lsh", "ann_ivf",
+    // ann_ivf left in r14 too: phase-2 bound-probing (triangle
+    // inequality vs the centroids) makes IVF exact → ann_topk's oracle
+    val rowsOnly = Set("dedup_simhash", "ann_lsh",
       "events_approx", "bpe_train", "bpe_encode",
       "incr_distinct", "incr_topk", "incr_quantiles",
       // persisted-LSH probe: approximate by construction; recall gated

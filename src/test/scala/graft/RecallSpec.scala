@@ -23,7 +23,8 @@ class RecallSpec extends SparkSpec {
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     recalls("ann_ivf@5") = recall
-    assert(recall >= 0.9, s"ann_ivf recall@5 $recall < 0.9")
+    // the r14 bound-probing phase 2 makes IVF exact, not approximate
+    assert(ivf == exact, s"ann_ivf diverges: recall $recall")
   }
 
   test("ann_quant equals exact brute-force top-k row for row") {
