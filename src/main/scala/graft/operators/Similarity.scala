@@ -100,10 +100,14 @@ object Similarity {
     val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
-    eq.crossJoin(broadcast(q))
+    // the windowed bound pass carries SCALARS only (never the 64-double
+    // vectors — dragging them through two window sorts is what would
+    // dominate the shuffle); the float vectors join back for the tiny
+    // candidate set afterwards
+    val cand = eq.select(col("vec_id"), col("norm"), col("v8"), col("eh"))
+      .crossJoin(broadcast(q.select(col("q_id"), col("qnorm"), col("q8"), col("qeh"))))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("v"), col("qv"),
-        col("norm"), col("qnorm"),
+      .select(col("q_id"), col("vec_id"), col("norm"), col("qnorm"),
         expr(s"dot_i8_deq(v8, q8, $loSql, $stepSql)").as("shat"),
         (col("eh") + col("qeh") + lit(c0)).as("err"))
       .withColumn("lb", (col("shat") - col("err")) / (col("norm") * col("qnorm")))
@@ -111,6 +115,10 @@ object Similarity {
       .withColumn("lrn", row_number().over(wl))
       .withColumn("tau", min(when(col("lrn") <= k, col("lb"))).over(wt))
       .filter(col("ub") >= col("tau") - lit(1e-5))
+      .select(col("q_id"), col("vec_id"), col("norm"), col("qnorm"))
+    cand
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
       .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)
