@@ -114,6 +114,11 @@ object Similarity {
       .withColumn("ub", (col("shat") + col("err")) / (col("norm") * col("qnorm")))
       .withColumn("lrn", row_number().over(wl))
       .withColumn("tau", min(when(col("lrn") <= k, col("lb"))).over(wt))
+      // every lb/ub/τ is a real number: a zero-norm vector crashes the
+      // whole cosine tier upstream (ANSI division by zero — the same
+      // loud refusal annTopk gives; spec-pinned in PropertySpec).
+      // Near-zero norms merely widen the bounds — more candidates,
+      // still exact (PropertySpec forces that edge).
       .filter(col("ub") >= col("tau") - lit(1e-5))
       .select(col("q_id"), col("vec_id"), col("norm"), col("qnorm"))
     cand
@@ -284,7 +289,10 @@ object Similarity {
       .select(col("q_id"), col("cosine").as("tau"))
 
     // phase 2: remaining cells whose bound clears τ (all of them for a
-    // query with fewer than k phase-1 rows — the left join's null τ)
+    // query with fewer than k phase-1 rows — the left join's null τ).
+    // τ is always a real number: zero-norm vectors crash the tier
+    // upstream (ANSI division by zero, annTopk's own refusal —
+    // spec-pinned in PropertySpec)
     val extra = qCells.filter(col("cr") > probes)
       .join(broadcast(tau), Seq("q_id"), "left")
       .filter(col("tau").isNull || col("bound") >= col("tau") - lit(1e-5))

@@ -242,4 +242,74 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private def writeEmbeddings(rows: List[List[Float]]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annprop").toString
+    rows.zipWithIndex
+      .map { case (v, i) => (i.toLong, v, i % 3) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ann_quant and ann_ivf equal brute force on adversarial corpora") {
+    // the exactness claims are PROOFS (error-bounded candidate rule /
+    // angular bound probing), so they must survive inputs the driver
+    // data never has: a NEAR-zero query and corpus vector (tiny norms
+    // blow the relative error bounds wide open — many candidates, still
+    // exact), an exact duplicate pair and a corpus row duplicating a
+    // query (cosine-1 ties broken by vec_id), negative components, an
+    // anti-aligned pair (negative dequantized dots)
+    val gen = for {
+      dim  <- Gen.choose(3, 6)
+      n    <- Gen.choose(14, 32)
+      rows <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-100, 100).map(_ / 25.0f)))
+    } yield {
+      val forced = rows.toArray
+      forced(1) = forced(0)                            // duplicate query pair
+      forced(2) = List.fill(dim)(1e-4f)                // near-zero QUERY (q_id 2)
+      forced(3) = forced(0)                            // corpus dup of a query
+      forced(4) = forced(0).map(-_)                    // anti-aligned partner
+      forced(forced.length - 1) = List.fill(dim)(-1e-4f) // near-zero corpus row
+      forced.toList
+    }
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        // compare cosine via its bits (exact-equality across paths)
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("cosine")),
+        r.getAs[Long]("rank"))).toSet
+    forSamples(gen, n = 4) { rows =>
+      val dir = writeEmbeddings(rows)
+      val exact = canon(operators.Similarity.annTopk(spark, dir, numQueries = 3, k = 4))
+      val quant = canon(operators.Similarity.annQuant(spark, dir, numQueries = 3, k = 4))
+      assert(quant == exact,
+        s"ann_quant missing=${exact.diff(quant).take(5)} extra=${quant.diff(exact).take(5)}")
+      val ivf = canon(operators.Similarity.annIvf(spark, dir,
+        numQueries = 3, k = 4, cells = 4, probes = 1))
+      assert(ivf == exact,
+        s"ann_ivf missing=${exact.diff(ivf).take(5)} extra=${ivf.diff(exact).take(5)}")
+    }
+  }
+
+  test("the cosine tier refuses zero-norm vectors loudly (ANSI division by zero)") {
+    // cosine is undefined for a zero vector: the contract is a loud
+    // ANSI divide-by-zero from EVERY path (baseline and accelerated),
+    // never a silent NaN row or a quietly dropped neighbor
+    val base = List.fill(10)(List(1.0f, 2.0f, -1.0f))
+      .zipWithIndex.map { case (v, i) => v.map(x => x + i * 0.1f) }
+    val dir = writeEmbeddings(base :+ List(0.0f, 0.0f, 0.0f))
+    def refuses(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null)
+        && chain(e).exists(t => Option(t.getMessage).exists(_.contains("DIVIDE_BY_ZERO"))),
+        s"expected DIVIDE_BY_ZERO, got $e")
+    }
+    refuses(operators.Similarity.annTopk(spark, dir, numQueries = 2, k = 3).collect())
+    refuses(operators.Similarity.annQuant(spark, dir, numQueries = 2, k = 3).collect())
+    refuses(operators.Similarity.annIvf(spark, dir,
+      numQueries = 2, k = 3, cells = 2, probes = 1).collect())
+  }
 }
