@@ -137,6 +137,9 @@ class DedupSpec extends SparkSpec {
       Dedup.dedupClusters(spark, sf).count()
       Similarity.annLsh(spark, sf).count()
       Similarity.neardupCosine(spark, sf).count()
+      // annIvf persists four frames per call (corpus, assignment,
+      // query-cells, phase-1) — each must retire its predecessor
+      Similarity.annIvf(spark, sf).count()
     }
     runAll()
     val after1 = cachedCount
