@@ -57,8 +57,8 @@ final case class GraftMergeCommand(tablePath: String, updates: LogicalPlan,
     val scoped = parts.nonEmpty && parts.forall(keys.contains)
     // spark.graft.merge.mode=mor routes the upsert through position-
     // delete + append (the general-clause GraftMergeRowsCommand honors
-    // the same conf via mergeRowsMergeOnRead, except NOT MATCHED BY
-    // SOURCE shapes, which concern the whole table and stay CoW)
+    // the same conf via mergeRowsMergeOnRead for EVERY clause shape,
+    // NOT MATCHED BY SOURCE included since r14)
     val mor = GraftMergeCommand.morMode(spark)
     val src =
       if (!updateOnly) data
@@ -119,13 +119,14 @@ final case class GraftMergeRowsCommand(
     val parts = LakeTable.latestSnapshot(spark, tablePath)
       .map(_.partitionColumns).getOrElse(Nil)
     val scoped = parts.nonEmpty && parts.forall(keys.contains)
-    // merge.mode=mor: position-delete the claimed pre-images + append,
-    // for the clause shapes with an MoR expression. NOT MATCHED BY
-    // SOURCE concerns the WHOLE table — the opposite of what
-    // merge-on-read is for — so those shapes stay copy-on-write.
-    if (GraftMergeCommand.morMode(spark) && notMatchedBySource.isEmpty)
+    // merge.mode=mor: position-delete the claimed pre-images + append.
+    // Every clause shape now has an MoR expression — NOT MATCHED BY
+    // SOURCE pays a condition-bounded whole-table READ (inherent to its
+    // semantics) but writes O(claimed rows), where CoW rewrites every
+    // file holding one claimed row.
+    if (GraftMergeCommand.morMode(spark))
       LakeTable.mergeRowsMergeOnRead(spark, tablePath, data, keys,
-        toClauses(matched), insertClauses)
+        toClauses(matched), insertClauses, toClauses(notMatchedBySource))
     else
       LakeTable.mergeRows(spark, tablePath, data, keys, toClauses(matched),
         insertClauses, toClauses(notMatchedBySource),

@@ -3357,27 +3357,36 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * assignment values are Columns over the aliased sides `t`/`s`,
     * first-true wins, NULL conditions do not apply, unassigned columns
     * keep the target value, SQL cardinality violations fail loudly.
-    * `WHEN NOT MATCHED BY SOURCE` stays on the CoW path — it concerns
-    * the whole table, which is the opposite of what merge-on-read is
-    * for. Schema is FIXED (assignments must name snapshot columns).
-    * Detection prunes files by pushed per-column IN when the source's
-    * distinct keys are bounded, like [[mergeMergeOnRead]]. The change
-    * feed carries the same pre/post/delete/insert images as the CoW
-    * path. Returns the committed version — unchanged when the source is
-    * empty or no clause claims anything.
+    * `WHEN NOT MATCHED BY SOURCE` (r14) also has an MoR expression: its
+    * semantics concern the whole table, so the READ is only
+    * condition-bounded (the CoW detection's pushed-filter scan — an
+    * unconditional clause means every file), but the WRITE stays
+    * O(claimed rows) — position-deletes + update post-images — where
+    * CoW rewrites every file holding one claimed row (a sync-deletes
+    * merge against a 100 TB fact rewrites the table under CoW and
+    * writes only vectors here). Schema is FIXED (assignments must name
+    * snapshot columns). Detection prunes files by pushed per-column IN
+    * when the source's distinct keys are bounded, like
+    * [[mergeMergeOnRead]]; the NMBS scan does not weaken the matched
+    * tier's prune. The change feed carries the same
+    * pre/post/delete/insert images as the CoW path. Returns the
+    * committed version — unchanged when no clause claims anything.
     */
   def mergeRowsMergeOnRead(spark: SparkSession, table: String, source0: DataFrame,
                            keys: Seq[String], matched: Seq[MatchedClause],
                            notMatchedInsert: Seq[(Option[Column], Map[String, Column])] = Nil,
+                           notMatchedBySource: Seq[MatchedClause] = Nil,
                            maxPushedKeys: Int = 10000,
                            txn: Option[(String, Long)] = None): Long = {
     val snap = latestSnapshot(spark, table)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $table"))
-    require(matched.nonEmpty || notMatchedInsert.nonEmpty,
-      "mergeRowsMergeOnRead needs at least one matched or insert clause")
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeRowsMergeOnRead needs at least one matched, insert or " +
+        "not-matched-by-source clause")
     if (txn.exists { case (appId, v) => snap.txns.get(appId).exists(_ >= v) })
       return snap.version
-    val assignedCols = matched.collect { case MatchedUpdate(_, set) => set.keys }
+    val assignedCols = (matched ++ notMatchedBySource)
+      .collect { case MatchedUpdate(_, set) => set.keys }
       .flatten ++ notMatchedInsert.flatMap(_._2.keys)
     val unknown = assignedCols.filterNot(snap.schema.fieldNames.contains).toSeq.distinct
     require(unknown.isEmpty,
@@ -3402,7 +3411,10 @@ object LakeTable extends org.apache.spark.internal.Logging {
           "each target row may match at most one source row")
       val updKeys = src.select(keys.map(col): _*).distinct()
       val keyRows = updKeys.limit(maxPushedKeys + 1).collect()
-      if (keyRows.isEmpty) return snap.version
+      // an empty source is a no-op for the matched/insert tiers, but an
+      // NMBS clause then claims (up to its condition) EVERY target row —
+      // the sync-to-empty shape must fall through
+      if (keyRows.isEmpty && notMatchedBySource.isEmpty) return snap.version
       // bounded-key file prune (sound conjunctive superset; an unbounded
       // source degrades to the full candidate set, never a re-shuffle)
       val candidates =
@@ -3420,6 +3432,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       // position-delete and CDC all read this ONE persisted join
       val t = morScan(spark, table, snap, candidates, keepPos = true).alias("t")
       val keyCond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      var joinedN: DataFrame = null
       val joined = t.join(src.alias("s"), keyCond, "inner")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -3440,7 +3453,58 @@ object LakeTable extends org.apache.spark.internal.Logging {
           }.as(fld.name)
         }
 
-        val hit = joined.filter(claimed)
+        // NMBS tier: target rows with NO source match, detected via the
+        // CoW condition-pruned detection (dv-aware), claimed via the
+        // same ordered evaluators over a left-outer join whose source
+        // columns are null — CoW semantics by construction. Yields
+        // (claimed positions, update post-images, change rows).
+        val nmbs: Option[(DataFrame, DataFrame, DataFrame)] =
+          if (notMatchedBySource.isEmpty) None
+          else {
+            val pred = notMatchedBySource
+              .map(_.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
+              .reduce(_ || _)
+            val nmbsAbs = detectionScan(spark, table, snap, alias = Some("t"),
+              scope = Some(pred)).select(col("__file")).distinct()
+              .collect().map(_.getString(0))
+            if (nmbsAbs.isEmpty) None
+            else {
+              val rel = mapMatchedRel(spark, table, nmbsAbs, "MERGE", snap).toSet
+              val entries = snap.files.filter(e => rel(e.path))
+              val tN = morScan(spark, table, snap, entries, keepPos = true).alias("t")
+              val jN = tN.join(src.withColumn("__s_matched", lit(true)).alias("s"),
+                  keyCond, "left_outer")
+                .filter(col("__s_matched").isNull)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              joinedN = jN
+              val marksN = appliedMarks(lit(true), notMatchedBySource)
+              val claimedN = marksN.map(_._1).reduceOption(_ || _).getOrElse(lit(false))
+              val updatedN = marksN.collect { case (a, _: MatchedUpdate) => a }
+                .reduceOption(_ || _).getOrElse(lit(false))
+              val deletedN = marksN.collect { case (a, _: MatchedDelete) => a }
+                .reduceOption(_ || _).getOrElse(lit(false))
+              val projectedN = ordered.map { fld =>
+                val ups = marksN.collect {
+                  case (a, MatchedUpdate(_, set)) if set.contains(fld.name) =>
+                    (a, set(fld.name).cast(fld.dataType))
+                }
+                ups.foldRight(col(s"t.${fld.name}")) { case ((a, v), acc) =>
+                  when(a, v).otherwise(acc)
+                }.as(fld.name)
+              }
+              val cdcN = jN.filter(updatedN).select(tCols: _*)
+                .withColumn(ChangeTypeCol, lit("update_preimage"))
+                .unionByName(jN.filter(updatedN).select(projectedN: _*)
+                  .withColumn(ChangeTypeCol, lit("update_postimage")))
+                .unionByName(jN.filter(deletedN).select(tCols: _*)
+                  .withColumn(ChangeTypeCol, lit("delete")))
+              Some((jN.filter(claimedN).select(col(FilePathCol), col(RowPosCol)),
+                jN.filter(updatedN).select(projectedN: _*), cdcN))
+            }
+          }
+
+        val hit0 = joined.filter(claimed).select(col(FilePathCol), col(RowPosCol))
+        val hit = nmbs.map { case (h, _, _) => hit0.unionByName(h) }.getOrElse(hit0)
         val matchedAbs = hit.select(col(FilePathCol)).distinct()
           .collect().map(_.getString(0))
         val affectedRel =
@@ -3467,7 +3531,9 @@ object LakeTable extends org.apache.spark.internal.Logging {
                 lit(s"MERGE on $table matched a file outside the data root: "),
                 col(FilePathCol))))
             val newRows = hit.select(relCol.as("p"), col(RowPosCol).as("pos"))
-            val withOldDv = candidates.filter(e => affectedSet(e.path) && e.dv.isDefined)
+            // fold from the snapshot, not the matched-tier prune: NMBS
+            // may claim rows in files that prune excluded
+            val withOldDv = snap.files.filter(e => affectedSet(e.path) && e.dv.isDefined)
             val allRows =
               if (withOldDv.isEmpty) newRows
               else newRows.unionByName(dvRows(spark, table, withOldDv)
@@ -3481,20 +3547,24 @@ object LakeTable extends org.apache.spark.internal.Logging {
               if (e.rowCount >= 0 && card >= e.rowCount) None
               else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
             }
-            val cdcDf = joined.filter(updatedMark).select(tCols: _*)
+            val cdcDf0 = joined.filter(updatedMark).select(tCols: _*)
               .withColumn(ChangeTypeCol, lit("update_preimage"))
               .unionByName(joined.filter(updatedMark).select(projected: _*)
                 .withColumn(ChangeTypeCol, lit("update_postimage")))
               .unionByName(joined.filter(deletedMark).select(tCols: _*)
                 .withColumn(ChangeTypeCol, lit("delete")))
+            val cdcDf = nmbs.map { case (_, _, c) => cdcDf0.unionByName(c) }
+              .getOrElse(cdcDf0)
             (upd, Some(cdcDf))
           }
 
-        // append: update post-images + anti-joined inserts. The inner
-        // join above saw EVERY key match (candidates cover all files the
-        // pushed prune could not exclude), so "key absent from the join"
-        // ⇔ "key absent from the table"
-        val postRows = joined.filter(updatedMark).select(projected: _*)
+        // append: update post-images (both tiers) + anti-joined inserts.
+        // The inner join above saw EVERY key match (candidates cover all
+        // files the pushed prune could not exclude), so "key absent from
+        // the join" ⇔ "key absent from the table"
+        val postRows0 = joined.filter(updatedMark).select(projected: _*)
+        val postRows = nmbs.map { case (_, p, _) => postRows0.unionByName(p) }
+          .getOrElse(postRows0)
         val insertRows =
           if (notMatchedInsert.isEmpty) None
           else {
@@ -3529,7 +3599,10 @@ object LakeTable extends org.apache.spark.internal.Logging {
             s"merge-on-read MERGE on $table lost the commit race — re-run (a " +
               "concurrent commit may contain rows this merge never scanned)")
         next.version
-      } finally joined.unpersist(blocking = false)
+      } finally {
+        joined.unpersist(blocking = false)
+        if (joinedN != null) joinedN.unpersist(blocking = false)
+      }
     } finally src.unpersist(blocking = false)
   }
 

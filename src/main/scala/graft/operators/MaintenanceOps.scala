@@ -128,9 +128,10 @@ object MaintenanceOps {
     * DuckDB replays the same history as plain SQL. A match proves the
     * position-delete + append composition of all four MoR paths —
     * including merge re-inserting a key an earlier MoR delete retired,
-    * and the GENERAL clause surface (conditioned MATCHED DELETE,
-    * MATCHED UPDATE reading both sides, NOT MATCHED INSERT) as one
-    * atomic MoR commit.
+    * the GENERAL clause surface (conditioned MATCHED DELETE, MATCHED
+    * UPDATE reading both sides, NOT MATCHED INSERT) as one atomic MoR
+    * commit, and (r14) the NOT MATCHED BY SOURCE sync-deletes shape
+    * retiring condition-gated unmatched rows behind vectors.
     */
   def lakeMor(spark: SparkSession, dir: String): DataFrame = {
     val work = Work.dir("graft_lakemor")
@@ -174,6 +175,17 @@ object MaintenanceOps {
         "o_orderpriority" -> col("s.o_orderpriority"),
         "o_orderstatus" -> col("s.o_orderstatus"),
         "o_totalprice" -> col("s.o_totalprice")))))
+    // v7: NOT MATCHED BY SOURCE (r14) — the sync-deletes shape: rows
+    // whose key the (even-keyed) source no longer names retire behind
+    // vectors when the condition gates them in; every other row keeps
+    // its position, ZERO data files rewritten (the CoW alternative
+    // rewrites every file holding one claimed row)
+    LakeTable.mergeRowsMergeOnRead(spark, t,
+      orders.filter(key % 2 === 0).select("o_orderkey"),
+      keys = Seq("o_orderkey"),
+      matched = Nil,
+      notMatchedBySource = Seq(
+        LakeTable.MatchedDelete(Some(col("t.o_orderpriority") === "3-MEDIUM"))))
 
     LakeTable.read(spark, t).select(
       col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
@@ -202,7 +214,8 @@ object MaintenanceOps {
          s5 AS (SELECT * FROM src UNION ALL SELECT * FROM keep),
          src6 AS (SELECT o_orderkey, o_orderpriority, o_orderstatus,
              CAST(o_totalprice + 0.25 AS DOUBLE) AS o_totalprice
-           FROM orders WHERE o_orderkey % 40 = 1)
+           FROM orders WHERE o_orderkey % 40 = 1),
+         s6 AS (
        SELECT k.o_orderkey, k.o_orderpriority, k.o_orderstatus,
               CAST(s.o_totalprice + k.o_totalprice AS DOUBLE) AS o_totalprice
        FROM s5 k JOIN src6 s USING (o_orderkey)
@@ -212,7 +225,11 @@ object MaintenanceOps {
        WHERE NOT EXISTS (SELECT 1 FROM src6 s WHERE s.o_orderkey = k.o_orderkey)
        UNION ALL
        SELECT s.* FROM src6 s
-       WHERE NOT EXISTS (SELECT 1 FROM s5 k WHERE k.o_orderkey = s.o_orderkey)"""
+       WHERE NOT EXISTS (SELECT 1 FROM s5 k WHERE k.o_orderkey = s.o_orderkey))
+       -- v7 NMBS sync: odd-keyed rows (unmatched by the even-key source)
+       -- delete where the clause condition gates them in
+       SELECT * FROM s6
+       WHERE NOT (o_orderkey % 2 <> 0 AND o_orderpriority = '3-MEDIUM')"""
 
   /** Dynamic partition overwrite end to end: a partitioned lake table
     * gets one partition (`o_orderstatus = 'O'`) atomically REPLACED by

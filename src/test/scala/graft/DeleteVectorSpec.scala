@@ -507,6 +507,78 @@ class DeleteVectorSpec extends SparkSpec {
     assert(state.contains((200L, "g9", 200.0)), "unmatched id must INSERT")
     assert(LakeTable.latestSnapshot(spark, t).get
       .files.flatMap(_.dv).map(_.cardinality).sum == 2L)
+    // NMBS from SQL rides the same MoR routing (r14): the sync-delete
+    // clause hides its claims behind vectors, no data-file rewrite
+    val before2 = dataFiles(t)
+    spark.read.format("graft").load(t).createOrReplaceTempView("mor_mrows_t")
+    spark.conf.set("spark.graft.merge.mode", "mor")
+    try spark.sql(
+      """MERGE INTO mor_mrows_t tt USING mor_mrows_s ss ON tt.id = ss.id
+         WHEN MATCHED THEN UPDATE SET v = ss.nv
+         WHEN NOT MATCHED BY SOURCE AND tt.id > 90 THEN DELETE""")
+    finally spark.conf.unset("spark.graft.merge.mode")
+    assert(before2.subsetOf(dataFiles(t)),
+      "SQL NMBS merge under merge.mode=mor must not rewrite any data file")
+    val after = LakeTable.read(spark, t)
+      .select("id", "grp", "v").as[(Long, String, Double)].collect().toSet
+    // 200 survives: it is > 90 but MATCHED by source (NMBS can't claim it)
+    assert(!after.exists(r => r._1 > 90L && r._1 != 200L),
+      "NMBS DELETE must drop the unmatched id > 90 tail")
+    assert(after.contains((200L, "g9", 200.0)), "matched 200 must stay, updated")
+    assert(after.contains((7L, "g3", -7.0)), "matched row keeps taking s.nv")
+  }
+
+  test("MoR NOT MATCHED BY SOURCE: sync deletes write vectors, not files") {
+    val t = tmpTable("dv_nmbs")
+    val twin = tmpTable("dv_nmbs_twin")
+    LakeTable.overwrite(spark, t, baseDf, partitionBy = Seq("grp"))
+    LakeTable.overwrite(spark, twin, baseDf, partitionBy = Seq("grp"))
+    // pre-existing vectors on the MoR side: NMBS claims must FOLD
+    LakeTable.deleteMergeOnRead(spark, t, col("id") % 10 === 9)
+    LakeTable.delete(spark, twin, col("id") % 10 === 9)
+    // source carries ids 1..40: matched rows take s.v; every live row
+    // 41..100 is NOT matched by source — ordered NMBS clauses DELETE the
+    // evens (sync-deletes) and negate the > 120 stragglers; the rest
+    // keep their position untouched
+    val src = (1L to 40L).map(i => (i, i * -2.0)).toDF("id", "nv")
+    val matched = Seq(LakeTable.MatchedUpdate(None, Map("v" -> col("s.nv"))))
+    val nmbs = Seq(
+      LakeTable.MatchedDelete(Some(col("t.id") % 2 === 0)),
+      LakeTable.MatchedUpdate(Some(col("t.v") > 120.0), Map("v" -> -col("t.v"))))
+    val before = dataFiles(t)
+    val v = LakeTable.mergeRowsMergeOnRead(spark, t, src, Seq("id"), matched,
+      notMatchedBySource = nmbs)
+    LakeTable.mergeRows(spark, twin, src, Seq("id"), matched,
+      notMatchedBySource = nmbs)
+    // THE merge-on-read property: the sync-delete merge rewrote NOTHING —
+    // where the CoW twin rewrites every file holding a claimed row
+    assert(before.subsetOf(dataFiles(t)),
+      "MoR NMBS merge must not rewrite or remove any existing data file")
+    def state(p: String) = LakeTable.read(spark, p)
+      .select("id", "grp", "v").as[(Long, String, Double)].collect().toSet
+    assert(state(t) == state(twin))
+    // spot-pins on each clause: 42 deleted, 81 (v=121.5) negated,
+    // 41 untouched in place, 5 matched-updated
+    assert(!state(t).exists(_._1 == 42L))
+    assert(state(t).contains((81L, "g1", -121.5)))
+    assert(state(t).contains((41L, "g1", 61.5)))
+    assert(state(t).contains((5L, "g1", -10.0)))
+    // change feed kinds equal the CoW twin's exactly
+    def kinds(p: String, ver: Long) = LakeTable.changes(spark, p, ver, ver)
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    val vTwin = LakeTable.latestSnapshot(spark, twin).get.version
+    assert(kinds(t, v) == kinds(twin, vTwin))
+
+    // sync-to-empty: an EMPTY source with an unconditional NMBS DELETE
+    // claims every live row — still zero data files rewritten
+    val t3 = tmpTable("dv_nmbs_empty")
+    LakeTable.overwrite(spark, t3, baseDf, partitionBy = Seq("grp"))
+    val before3 = dataFiles(t3)
+    LakeTable.mergeRowsMergeOnRead(spark, t3, src.limit(0), Seq("id"),
+      matched = Nil, notMatchedBySource = Seq(LakeTable.MatchedDelete(None)))
+    assert(LakeTable.read(spark, t3).count() == 0L)
+    assert(before3.subsetOf(dataFiles(t3)),
+      "sync-to-empty must hide every row behind vectors, not rewrites")
   }
 
   test("lake_dv gate query matches an independent SQL replay") {
