@@ -2966,6 +2966,33 @@ object LakeTable extends org.apache.spark.internal.Logging {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Vector-key column for the MoR position-delete paths: a matched
+    * row in a LOCAL file keys on its data-root-relative path; a row in
+    * a CLONED (foreign) file keys on the file's absolute URI verbatim —
+    * the same key form [[shallowClone]] re-keys inherited vectors with,
+    * and the form `_metadata.file_path` yields at scan time, so
+    * [[morScan]]'s verbatim absolute-key resolution applies both
+    * without caring who wrote them. `foreignAffected` is the matched
+    * foreign entry set ([[mapMatchedRel]] already proved every matched
+    * file is either local or a cloned reference of this snapshot);
+    * anything else fails loudly IN THE PLAN rather than committing a
+    * vector no scan would ever match.
+    */
+  private def morVectorKey(spark: SparkSession, table: String, op: String,
+                           foreignAffected: Seq[String]): Column = {
+    val prefix = qualifiedDataPrefix(spark, table) + "/"
+    val bad = raise_error(concat(
+      lit(s"$op on $table matched a file outside the data root: "),
+      col(FilePathCol)))
+    val foreignLeg =
+      if (foreignAffected.isEmpty) bad
+      else when(col(FilePathCol).isInCollection(foreignAffected), col(FilePathCol))
+        .otherwise(bad)
+    when(col(FilePathCol).startsWith(prefix),
+      col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
+      .otherwise(foreignLeg)
+  }
+
   /** Stage `df` (columns `p` = data-file-relative path, `pos` = row
     * ordinal) as ONE new deletion-vector directory under `_deletes/`,
     * returning its table-relative path. Partitioned by file so a
@@ -3033,15 +3060,6 @@ object LakeTable extends org.apache.spark.internal.Logging {
       val affectedRel =
         if (matchedAbs.isEmpty) Seq.empty[String]
         else mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
-      // a cloned (foreign) file cannot take a deletion vector: vector
-      // rows key on positions relative to THIS table's data root
-      val foreignHit = affectedRel.filter(isForeignEntry)
-      if (foreignHit.nonEmpty)
-        throw new UnsupportedOperationException(
-          s"merge-on-read DELETE on $table matched ${foreignHit.size} cloned " +
-            "(foreign) data file(s) — deletion vectors key on root-relative " +
-            "positions; use the copy-on-write delete(), or compact the clone " +
-            "to localize its files first")
       val affectedSet = affectedRel.toSet
 
       // vectors + recorded change rows only for the PARTIALLY matched
@@ -3049,15 +3067,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
       val (updated, cdcFiles): (Seq[FileEntry], Seq[String]) =
         if (affectedRel.isEmpty) (Seq.empty, Seq.empty)
         else {
-          // new positions, relativized IN the plan (no driver
-          // round-trip of row-level data); a file outside the data
-          // root fails loudly
-          val prefix = qualifiedDataPrefix(spark, table) + "/"
-          val relCol = when(col(FilePathCol).startsWith(prefix),
-            col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
-            .otherwise(raise_error(concat(
-              lit(s"DELETE on $table matched a file outside the data root: "),
-              col(FilePathCol))))
+          // new positions, keyed IN the plan (no driver round-trip of
+          // row-level data): local files relativize, cloned (foreign)
+          // files keep their absolute URIs — the clone-vector key form
+          val relCol = morVectorKey(spark, table, "DELETE",
+            affectedRel.filter(isForeignEntry))
           val newRows = matched.select(relCol.as("p"), col(RowPosCol).as("pos"))
 
           // fold in the affected files' existing vectors, so each
@@ -3076,6 +3090,10 @@ object LakeTable extends org.apache.spark.internal.Logging {
 
           val upd = remaining.filter(e => affectedSet.contains(e.path)).flatMap { e =>
             val card = cardByFile.getOrElse(e.path, 0L)
+            // every affected file has >=1 matched row, so a missing key
+            // means the staged rows and the log disagree on path form
+            require(card > 0, s"internal: no staged vector rows keyed as " +
+              s"${e.path} — vector-key/entry-path form drift")
             // fully-deleted file: drop the entry outright (vacuum
             // reclaims the bytes once the version ages out)
             if (e.rowCount >= 0 && card >= e.rowCount) None
@@ -3140,24 +3158,14 @@ object LakeTable extends org.apache.spark.internal.Logging {
         .collect().map(_.getString(0))
       if (matchedAbs.isEmpty) return snap.version
       val affectedRel = mapMatchedRel(spark, table, matchedAbs, "UPDATE", snap)
-      val foreignHit = affectedRel.filter(isForeignEntry)
-      if (foreignHit.nonEmpty)
-        throw new UnsupportedOperationException(
-          s"merge-on-read UPDATE on $table matched ${foreignHit.size} cloned " +
-            "(foreign) data file(s) — deletion vectors key on root-relative " +
-            "positions; use the copy-on-write update(), or compact the clone " +
-            "to localize its files first")
       val affectedSet = affectedRel.toSet
 
       // position-delete the OLD images, folding the affected files'
       // existing vectors so each rewritten entry's single dv reference
-      // is its complete deleted set (same discipline as MoR DELETE)
-      val prefix = qualifiedDataPrefix(spark, table) + "/"
-      val relCol = when(col(FilePathCol).startsWith(prefix),
-        col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
-        .otherwise(raise_error(concat(
-          lit(s"UPDATE on $table matched a file outside the data root: "),
-          col(FilePathCol))))
+      // is its complete deleted set (same discipline as MoR DELETE);
+      // cloned (foreign) files key on their absolute URIs
+      val relCol = morVectorKey(spark, table, "UPDATE",
+        affectedRel.filter(isForeignEntry))
       val newRows = matched.select(relCol.as("p"), col(RowPosCol).as("pos"))
       val withOldDv = candidates.filter(e => affectedSet(e.path) && e.dv.isDefined)
       val allRows =
@@ -3188,6 +3196,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
 
       val updated = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
         val card = cardByFile.getOrElse(e.path, 0L)
+        require(card > 0, s"internal: no staged vector rows keyed as " +
+          s"${e.path} — vector-key/entry-path form drift")
         // every row updated: the old file leaves the snapshot outright
         // (its full content rides the feed as preimages already)
         if (e.rowCount >= 0 && card >= e.rowCount) None
@@ -3268,25 +3278,15 @@ object LakeTable extends org.apache.spark.internal.Logging {
         val affectedRel =
           if (matchedAbs.isEmpty) Seq.empty[String]
           else mapMatchedRel(spark, table, matchedAbs, "MERGE", snap)
-        val foreignHit = affectedRel.filter(isForeignEntry)
-        if (foreignHit.nonEmpty)
-          throw new UnsupportedOperationException(
-            s"merge-on-read MERGE on $table matched ${foreignHit.size} cloned " +
-              "(foreign) data file(s) — deletion vectors key on root-relative " +
-              "positions; use the copy-on-write merge(), or compact the clone " +
-              "to localize its files first")
         val affectedSet = affectedRel.toSet
 
-        // position-delete the replaced target rows (fold existing vectors)
+        // position-delete the replaced target rows (fold existing
+        // vectors); cloned (foreign) files key on their absolute URIs
         val (updated, dvdCdc): (Seq[FileEntry], Option[DataFrame]) =
           if (affectedRel.isEmpty) (Seq.empty, None)
           else {
-            val prefix = qualifiedDataPrefix(spark, table) + "/"
-            val relCol = when(col(FilePathCol).startsWith(prefix),
-              col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
-              .otherwise(raise_error(concat(
-                lit(s"MERGE on $table matched a file outside the data root: "),
-                col(FilePathCol))))
+            val relCol = morVectorKey(spark, table, "MERGE",
+              affectedRel.filter(isForeignEntry))
             val newRows = matched.select(relCol.as("p"), col(RowPosCol).as("pos"))
             val withOldDv = candidates.filter(e => affectedSet(e.path) && e.dv.isDefined)
             val allRows =
@@ -3299,6 +3299,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
               val card = cardByFile.getOrElse(e.path, 0L)
+              require(card > 0, s"internal: no staged vector rows keyed as " +
+                s"${e.path} — vector-key/entry-path form drift")
               if (e.rowCount >= 0 && card >= e.rowCount) None
               else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
             }
@@ -3510,26 +3512,16 @@ object LakeTable extends org.apache.spark.internal.Logging {
         val affectedRel =
           if (matchedAbs.isEmpty) Seq.empty[String]
           else mapMatchedRel(spark, table, matchedAbs, "MERGE", snap)
-        val foreignHit = affectedRel.filter(isForeignEntry)
-        if (foreignHit.nonEmpty)
-          throw new UnsupportedOperationException(
-            s"merge-on-read MERGE on $table matched ${foreignHit.size} cloned " +
-              "(foreign) data file(s) — deletion vectors key on root-relative " +
-              "positions; use the copy-on-write mergeRows(), or compact the " +
-              "clone to localize its files first")
         val affectedSet = affectedRel.toSet
 
         // position-delete the claimed pre-images, folding the affected
-        // files' existing vectors (same discipline as MoR DELETE/UPDATE)
+        // files' existing vectors (same discipline as MoR DELETE/UPDATE);
+        // cloned (foreign) files key on their absolute URIs
         val (updated, cdcRewrite): (Seq[FileEntry], Option[DataFrame]) =
           if (affectedRel.isEmpty) (Seq.empty, None)
           else {
-            val prefix = qualifiedDataPrefix(spark, table) + "/"
-            val relCol = when(col(FilePathCol).startsWith(prefix),
-              col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
-              .otherwise(raise_error(concat(
-                lit(s"MERGE on $table matched a file outside the data root: "),
-                col(FilePathCol))))
+            val relCol = morVectorKey(spark, table, "MERGE",
+              affectedRel.filter(isForeignEntry))
             val newRows = hit.select(relCol.as("p"), col(RowPosCol).as("pos"))
             // fold from the snapshot, not the matched-tier prune: NMBS
             // may claim rows in files that prune excluded
@@ -3544,6 +3536,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
               val card = cardByFile.getOrElse(e.path, 0L)
+              require(card > 0, s"internal: no staged vector rows keyed as " +
+                s"${e.path} — vector-key/entry-path form drift")
               if (e.rowCount >= 0 && card >= e.rowCount) None
               else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
             }
@@ -4364,8 +4358,10 @@ object LakeTable extends org.apache.spark.internal.Logging {
     *    cannot strand them) and a MoR-heavy fact branches without a
     *    compact-first;
     *  - bloom sidecars are dropped (advisory; rebuilt on rewrite);
-    *  - merge-on-read DELETE on still-foreign files is refused loudly
-    *    (copy-on-write DML works) — compact localizes them.
+    *  - merge-on-read DML on still-foreign files works: new vectors
+    *    key on the files' absolute URIs (the same form the re-keyed
+    *    inherited vectors use), so a clone takes trickle DELETE/
+    *    UPDATE/MERGE without localizing a byte of source data.
     */
   def shallowClone(spark: SparkSession, src: String, dst: String,
                    asOf: Option[Long] = None): Long = {

@@ -129,21 +129,76 @@ class CloneSpec extends SparkSpec {
     assert(dataFiles(c2).isEmpty && LakeTable.read(spark, c2).count() == 10)
   }
 
-  test("MoR delete of a still-foreign file refuses loudly; CoW path works") {
+  test("MoR DML on still-foreign files: vectors key on absolute URIs, zero localization") {
     val d = tmpDir("clone_mor")
     val (src, dst) = (s"$d/src", s"$d/dst")
-    LakeTable.overwrite(spark, src, spark.range(30).toDF("id"))
+    // ONE multi-row file: whole-file deletes would bypass the vector
+    // path (provably-covered files leave by log edit), and every DML
+    // below must hit the SAME foreign file so each one folds the
+    // vector the previous one left
+    LakeTable.overwrite(spark, src,
+      spark.range(30).select(col("id"), (col("id") * 1.0).as("v")).coalesce(1))
+    // an ACTIVE vector rides into the clone re-keyed, so the later MoR
+    // delete on the same foreign file must FOLD an inherited vector
+    LakeTable.deleteMergeOnRead(spark, src, col("id") === 29L)
+    val srcFilesBefore = dataFiles(src).toSet
     LakeTable.shallowClone(spark, src, dst)
-    val e = intercept[UnsupportedOperationException](
-      LakeTable.deleteMergeOnRead(spark, dst, col("id") === 5L))
-    assert(e.getMessage.contains("cloned") && e.getMessage.contains("copy-on-write"))
-    // CoW delete works and LOCALIZES the touched file; the now-local
-    // remainder can take a vector
-    LakeTable.delete(spark, dst, col("id") === 5L)
-    assert(LakeTable.read(spark, dst).count() == 29)
-    LakeTable.deleteMergeOnRead(spark, dst, col("id") === 6L)
+
+    // MoR DELETE on a foreign file: O(deleted rows) bytes — the clone's
+    // data dir stays EMPTY (the vector lands under its own _deletes/)
+    LakeTable.deleteMergeOnRead(spark, dst, col("id") === 5L)
     assert(LakeTable.read(spark, dst).count() == 28)
-    assert(LakeTable.read(spark, src).count() == 30)
+    assert(dataFiles(dst).isEmpty, "position-delete must not localize data bytes")
+    // repeat delete folds BOTH the inherited cloned vector and the new
+    // one into a complete per-entry set
+    LakeTable.deleteMergeOnRead(spark, dst, col("id") === 6L)
+    val ids1 = LakeTable.read(spark, dst).select("id").as[Long].collect().toSet
+    assert(ids1 == (0L until 29L).toSet -- Set(5L, 6L))
+    assert(dataFiles(dst).isEmpty)
+
+    // MoR UPDATE: foreign pre-image hidden by vector, post-image appends
+    // into the clone
+    LakeTable.updateMergeOnRead(spark, dst, Seq("v" -> lit(9.5)), col("id") === 7L)
+    assert(LakeTable.read(spark, dst).filter(col("id") === 7L)
+      .select("v").as[Double].head() == 9.5)
+
+    // MoR MERGE upsert + clause MERGE over foreign rows
+    LakeTable.mergeMergeOnRead(spark, dst,
+      Seq((8L, 80.0), (100L, 1.0)).toDF("id", "v"), Seq("id"))
+    assert(LakeTable.read(spark, dst).filter(col("id") === 8L)
+      .select("v").as[Double].head() == 80.0)
+    LakeTable.mergeRowsMergeOnRead(spark, dst,
+      Seq((9L, 0.0), (10L, 0.0)).toDF("id", "v"), Seq("id"),
+      matched = Seq(LakeTable.MatchedDelete(Some(col("t.id") === 9L)),
+        LakeTable.MatchedUpdate(None, Map("v" -> lit(-1.0)))))
+    val st = LakeTable.read(spark, dst)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(!st.contains(9L) && st(10L) == -1.0 && st(100L) == 1.0)
+    assert(st.keySet == (0L until 29L).toSet -- Set(5L, 6L, 9L) + 100L)
+    // the foreign entry never localized: same absolute path, ONE folded
+    // vector carrying every pre-image this sequence hid
+    // (29 inherited + 5, 6 deleted + 7, 8, 10 updated + 9 merge-deleted)
+    val fe = LakeTable.latestSnapshot(spark, dst).get.files
+      .filter(_.path.contains("/src/"))
+    assert(fe.size == 1, s"expected the one foreign entry, got ${fe.map(_.path)}")
+    assert(fe.head.dv.exists(_.cardinality == 7L),
+      s"folded foreign vector should carry 7 rows: ${fe.head.dv}")
+
+    // the source never changed: no file touched, no row lost
+    assert(dataFiles(src).toSet == srcFilesBefore, "source files untouched")
+    assert(LakeTable.read(spark, src).count() == 29)
+    assert(LakeTable.read(spark, src).filter(col("id") === 7L)
+      .select("v").as[Double].head() == 7.0)
+    // time travel on the clone still sees the full cloned set
+    assert(LakeTable.read(spark, dst, asOf = Some(1L)).count() == 29)
+
+    // compact reconciles foreign files + their absolute-key vectors into
+    // clean local files; vacuum afterwards spares the source
+    LakeTable.compact(spark, dst, smallFileBytes = Long.MaxValue)
+    LakeTable.vacuum(spark, dst, retainVersions = 1, graceMs = 0L)
+    assert(LakeTable.read(spark, dst)
+      .select("id", "v").as[(Long, Double)].collect().toMap == st)
+    assert(dataFiles(src).toSet == srcFilesBefore, "vacuum of clone spared source")
   }
 
   test("SQL: CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF") {
