@@ -253,5 +253,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       evalDoublesArg(es(2)), evalDoublesArg(es(3))))
     inject("deq_err_i8", es => DeqErrI8(es.head,
       evalDoublesArg(es(1)), evalDoublesArg(es(2))))
+    inject("pq_encode", es => PqEncode(es.head, evalDoublesArg(es(1)),
+      es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]))
+    inject("pq_lut", es => PqLut(es.head, evalDoublesArg(es(1)),
+      es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]))
+    inject("pq_adc", es => PqAdc(es.head, es(1)))
   }
 }

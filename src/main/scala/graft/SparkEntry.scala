@@ -130,6 +130,9 @@ object SparkEntry {
     // int8 scalar-quantized ANN: integer first-pass scan (8× less
     // memory traffic) + exact re-rank; recall-gated in RecallSpec
     "ann_quant"            -> ((s, d) => Similarity.annQuant(s, d)),
+    // product-quantized ANN: ~10 bytes/vector scan (codes + residual),
+    // Cauchy–Schwarz bound superset + exact re-rank — equals ann_topk
+    "ann_pq"               -> ((s, d) => Similarity.annPq(s, d)),
     // dynamic partition overwrite: the idempotent daily-reload
     // primitive (replace exactly the touched partitions, atomically)
     "lake_dpo"             -> ((s, d) => MaintenanceOps.lakeDpo(s, d)),
@@ -681,6 +684,21 @@ object SparkEntry {
     // the exact re-rank, so the quantized path is EXACT — same
     // brute-force oracle as ann_topk
     "ann_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+    // the PQ scan's Cauchy–Schwarz bound (|q·x − q·x̂| ≤ ‖q‖·‖x−x̂‖ with
+    // the exact per-row reconstruction residual) guarantees a candidate
+    // superset before the exact re-rank, so the product-quantized path
+    // is EXACT — same brute-force oracle as ann_topk
+    "ann_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
          s AS (SELECT q.q_id, e.vec_id AS neighbor_id,

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -414,6 +415,147 @@ object Sketches {
       copy(child = c)
   }
 
+  /** Product-quantization encode: split an array<double> vector into
+    * `m` equal subspaces and snap each to its nearest codebook
+    * centroid (flat layout `cb[((sub*k)+code)*subDim + d]`, sample-
+    * fitted by the caller like [[QuantizeI8]]'s ranges). Returns
+    * STRUCT<codes: BINARY, resid: DOUBLE> — `codes` is ONE byte per
+    * subspace (8 doubles → 1 byte at subDim=8, the deepest compression
+    * of the quantized-ANN tier) and `resid` is the exact reconstruction
+    * distance `‖x − x̂‖`, the per-ROW half of the pair bound
+    * `|q·x − q·x̂| ≤ ‖q‖·‖x−x̂‖` (Cauchy–Schwarz) that makes the PQ
+    * first pass a provable superset filter instead of a recall gamble.
+    */
+  case class PqEncode(child: Expression, cb: Array[Double], m: Int, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("codes", BinaryType, nullable = false),
+      StructField("resid", DoubleType, nullable = false)))
+
+    def kernel(a: ArrayData): InternalRow = {
+      val dim = a.numElements()
+      val subDim = dim / m
+      require(subDim * m == dim && cb.length == m * k * subDim,
+        s"pq_encode: dim $dim not m=$m subspaces of the ${cb.length}-entry codebook")
+      val codes = new Array[Byte](m)
+      var r2 = 0.0
+      var s = 0
+      while (s < m) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val off = ((s * k) + c) * subDim
+          var d2 = 0.0
+          var d = 0
+          while (d < subDim) {
+            val diff = a.getDouble(s * subDim + d) - cb(off + d)
+            d2 += diff * diff
+            d += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        codes(s) = best.toByte
+        r2 += bestD
+        s += 1
+      }
+      InternalRow(codes, Math.sqrt(r2))
+    }
+
+    override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqEnc", this, classOf[PqEncode].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode =
+      copy(child = c)
+  }
+
+  /** Per-QUERY lookup table for the PQ asymmetric-distance scan:
+    * `lut[(sub*k)+code] = q_sub · c_{sub,code}` over the same flat
+    * codebook as [[PqEncode]]. Computed once per query row (the query
+    * side is small and broadcast), so the per-PAIR score collapses to
+    * `m` table lookups ([[PqAdc]]) — no arithmetic on the corpus
+    * vectors at all.
+    */
+  case class PqLut(child: Expression, cb: Array[Double], m: Int, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    def kernel(a: ArrayData): ArrayData = {
+      val dim = a.numElements()
+      val subDim = dim / m
+      require(subDim * m == dim && cb.length == m * k * subDim,
+        s"pq_lut: dim $dim not m=$m subspaces of the ${cb.length}-entry codebook")
+      val out = new Array[Double](m * k)
+      var s = 0
+      while (s < m) {
+        var c = 0
+        while (c < k) {
+          val off = ((s * k) + c) * subDim
+          var dot = 0.0
+          var d = 0
+          while (d < subDim) { dot += a.getDouble(s * subDim + d) * cb(off + d); d += 1 }
+          out((s * k) + c) = dot
+          c += 1
+        }
+        s += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): PqLut =
+      copy(child = c)
+  }
+
+  /** PQ asymmetric-distance score: `q·x̂ = Σ_sub lut[(sub*k)+code_sub]`
+    * — `m` lookup-adds per pair (vs 64 fused multiply-adds for the
+    * int8 scan), the cheapest first pass of the ANN tier. The codes'
+    * subspace count recovers `k` from the lut length, so the
+    * expression stays a pure binary op inside whole-stage codegen.
+    */
+  case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val codes = l.asInstanceOf[Array[Byte]]
+      val lut = r.asInstanceOf[ArrayData]
+      val k = if (codes.length == 0) 0 else lut.numElements() / codes.length
+      var s = 0.0
+      var i = 0
+      while (i < codes.length) {
+        s += lut.getDouble((i * k) + (codes(i) & 0xff))
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val kk = ctx.freshName("kk")
+        val s = ctx.freshName("s")
+        s"""
+           |int $kk = $a.length == 0 ? 0 : $b.numElements() / $a.length;
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $a.length; $i++) {
+           |  $s += $b.getDouble(($i * $kk) + (((int) $a[$i]) & 0xff));
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+      copy(l, r)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     // idempotent: sessions built via GraftExtensions already carry these,
@@ -423,7 +565,7 @@ object Sketches {
     // must fall through and (re-)register everything
     val names = Seq("simhash_bits", "minhash_sig", "dot_d", "jaccard_sorted",
       "lsh_sigs", "char_entropy", "dot_i8", "quantize_i8",
-      "dot_i8_deq", "deq_err_i8")
+      "dot_i8_deq", "deq_err_i8", "pq_encode", "pq_lut", "pq_adc")
     if (names.forall(n =>
         reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
       return
@@ -448,6 +590,14 @@ object Sketches {
       es => DotI8Deq(es.head, es(1), evalDoubles(es(2)), evalDoubles(es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("deq_err_i8",
       es => DeqErrI8(es.head, evalDoubles(es(1)), evalDoubles(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_encode",
+      es => PqEncode(es.head, evalDoubles(es(1)),
+        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_lut",
+      es => PqLut(es.head, evalDoubles(es(1)),
+        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("pq_adc",
+      es => PqAdc(es.head, es(1)), "scala_udf")
   }
 
   /** Evaluate a foldable array<numeric> argument (the sample-fitted

@@ -130,6 +130,155 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Deterministic Lloyd's k-means over a small driver-side sample —
+    * the PQ codebook fitter. Init = the first `k` DISTINCT points in
+    * sample order (padded by repetition when the sample has fewer);
+    * an emptied cluster keeps its previous centroid; fixed iteration
+    * count — the fit is a pure function of the sample, no RNG.
+    * Codebook QUALITY only shapes [[annPq]]'s candidate width; its
+    * error bound keeps correctness independent of the fit.
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int,
+                    iters: Int): Array[Array[Double]] = {
+    val dim = points.head.length
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var i = 0
+    while (i < points.length && init.length < k) {
+      val p = points(i)
+      if (seen.add(p.toSeq)) init += p
+      i += 1
+    }
+    val distinct = init.length
+    while (init.length < k) init += init(init.length % distinct)
+    var cents: Array[Array[Double]] = init.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d2 = 0.0
+          var d = 0
+          while (d < dim) { val t = p(d) - cents(c)(d); d2 += t * t; d += 1 }
+          if (d2 < bd) { bd = d2; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += p(d); d += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val v = sums(c)
+          var d = 0
+          while (d < dim) { v(d) /= counts(c); d += 1 }
+          v
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Product-quantized top-k — the deepest-compression leg of the
+    * quantized-ANN family (int8 keeps 1 byte/dim; PQ keeps 1 byte per
+    * `subDim`-dim SUBSPACE + one residual scalar: ~10 bytes/vector at
+    * 64 dims), and like [[annQuant]] an EXACT operator sharing
+    * [[annTopk]]'s brute-force oracle, not a recall-gated one:
+    *
+    *  1. fit per-subspace codebooks by deterministic [[lloyd]] k-means
+    *     on a hash-gated, capped sample (bounded driver pull — the
+    *     10k-capped quantizer-sample discipline);
+    *  2. `pq_encode` snaps each corpus vector to its nearest centroid
+    *     per subspace (codes) and records the EXACT reconstruction
+    *     distance `resid = ‖x − x̂‖` — one pass, whole-stage codegen;
+    *  3. the first pass scores `ŝ = q·x̂` via per-query lookup tables
+    *     (`pq_lut` once per broadcast query row, `pq_adc` = `m`
+    *     lookup-adds per pair — no corpus-vector arithmetic at all)
+    *     and bounds the true cosine by Cauchy–Schwarz:
+    *     `|q·x − q·x̂| ≤ ‖q‖·‖x−x̂‖ = qnorm·resid`, with exact norms;
+    *  4. τ = the k-th largest lower bound per query; candidates are
+    *     rows whose upper bound reaches `τ − 1e-5` (the slack covers
+    *     [[annTopk]]'s round-then-rank ties, same as [[annQuant]]);
+    *     exact re-rank of the survivors on the float vectors.
+    *
+    * True top-k ⊆ candidates by pointwise domination, so the result
+    * EQUALS [[annTopk]]. The windowed bound pass carries scalars and
+    * the `m`-byte codes only; float vectors join back for the
+    * candidate set. At 100 TB the scan reads ~10 bytes/vector — the
+    * PQ memory story — while correctness never depends on the
+    * codebook. RecallSpec pins row-for-row equality with [[annTopk]].
+    */
+  def annPq(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+            subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
+    val e = vectors(spark, dir)
+    // deterministic bounded training sample: hash-gated scan + cap;
+    // tiny corpora (hash gate empties) fall back to a plain capped pull
+    val sampleCols = e.select(col("v"), col("vec_id"))
+    val gated = sampleCols.filter(pmod(xxhash64(col("vec_id")), lit(7)) === 0)
+      .limit(4096).collect()
+    val sample = if (gated.nonEmpty) gated else sampleCols.limit(4096).collect()
+    require(sample.nonEmpty, s"annPq: no embeddings under $dir")
+    val pts = sample.map(_.getSeq[Double](0).toArray)
+    val dim = pts.head.length
+    require(dim % subspaces == 0,
+      s"annPq: dimension $dim is not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val cb = new Array[Double](subspaces * codebookSize * subDim)
+    var s = 0
+    while (s < subspaces) {
+      val cents = lloyd(pts.map(_.slice(s * subDim, (s + 1) * subDim)),
+        codebookSize, iters = 8)
+      var c = 0
+      while (c < codebookSize) {
+        System.arraycopy(cents(c), 0, cb, ((s * codebookSize) + c) * subDim, subDim)
+        c += 1
+      }
+      s += 1
+    }
+    val cbSql = s"array(${cb.mkString("D,")}D)"
+    val enc = e
+      .withColumn("pq", expr(s"pq_encode(v, $cbSql, $subspaces, $codebookSize)"))
+      .select(col("vec_id"), col("norm"),
+        col("pq.codes").as("codes"), col("pq.resid").as("resid"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .withColumn("lut", expr(s"pq_lut(qv, $cbSql, $subspaces, $codebookSize)"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("lb").desc, col("vec_id"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    // bound pass carries scalars + m-byte codes only (the annQuant
+    // discipline: never drag float vectors through the window sorts)
+    val cand = enc
+      .crossJoin(broadcast(q.select(col("q_id"), col("qnorm"), col("lut"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("norm"), col("qnorm"),
+        expr("pq_adc(codes, lut)").as("shat"),
+        (col("resid") * col("qnorm")).as("err"))
+      .withColumn("lb", (col("shat") - col("err")) / (col("norm") * col("qnorm")))
+      .withColumn("ub", (col("shat") + col("err")) / (col("norm") * col("qnorm")))
+      .withColumn("lrn", row_number().over(wl))
+      .withColumn("tau", min(when(col("lrn") <= k, col("lb"))).over(wt))
+      // zero-norm rows crash loudly upstream (ANSI division), the
+      // annTopk/annQuant contract; near-zero norms only widen bounds
+      .filter(col("ub") >= col("tau") - lit(1e-5))
+      .select(col("q_id"), col("vec_id"), col("norm"), col("qnorm"))
+    cand
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Exact cosine near-duplicate pairs, blocked by label. Identical
     * vectors within a label collapse to one representative before the
     * blocked pair join and expand afterwards (see [[annLsh]]) — the

@@ -289,6 +289,13 @@ class PropertySpec extends SparkSpec {
         numQueries = 3, k = 4, cells = 4, probes = 1))
       assert(ivf == exact,
         s"ann_ivf missing=${exact.diff(ivf).take(5)} extra=${ivf.diff(exact).take(5)}")
+      // subspaces=1 (any dim divides) with a starved codebook: the
+      // loosest possible PQ — bounds blow wide, the superset grows,
+      // the result must STILL equal brute force
+      val pq = canon(operators.Similarity.annPq(spark, dir,
+        numQueries = 3, k = 4, subspaces = 1, codebookSize = 2))
+      assert(pq == exact,
+        s"ann_pq missing=${exact.diff(pq).take(5)} extra=${pq.diff(exact).take(5)}")
     }
   }
 
@@ -309,6 +316,8 @@ class PropertySpec extends SparkSpec {
     }
     refuses(operators.Similarity.annTopk(spark, dir, numQueries = 2, k = 3).collect())
     refuses(operators.Similarity.annQuant(spark, dir, numQueries = 2, k = 3).collect())
+    refuses(operators.Similarity.annPq(spark, dir,
+      numQueries = 2, k = 3, subspaces = 1, codebookSize = 2).collect())
     refuses(operators.Similarity.annIvf(spark, dir,
       numQueries = 2, k = 3, cells = 2, probes = 1).collect())
   }

@@ -43,6 +43,26 @@ class RecallSpec extends SparkSpec {
       s"missing=${exact.diff(quant).take(5)} extra=${quant.diff(exact).take(5)}")
   }
 
+  test("ann_pq equals exact brute-force top-k row for row") {
+    // the Cauchy–Schwarz residual bound guarantees a candidate
+    // superset of the true top-k before the exact re-rank, so PQ is
+    // an EQUALITY gate like ann_quant — at the default geometry AND
+    // at a deliberately starved codebook (loose bounds, wide
+    // candidate sets, same exact answer)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = rows(Similarity.annTopk(spark, sf))
+    val pq = rows(Similarity.annPq(spark, sf))
+    recalls("ann_pq@5") = pq.intersect(exact).size.toDouble / exact.size
+    assert(exact.nonEmpty)
+    assert(pq == exact,
+      s"missing=${exact.diff(pq).take(5)} extra=${pq.diff(exact).take(5)}")
+    val starved = rows(Similarity.annPq(spark, sf, subspaces = 4, codebookSize = 2))
+    assert(starved == exact,
+      s"starved-codebook PQ diverged: missing=${exact.diff(starved).take(5)}")
+  }
+
   test("ann_lsh recall vs exact cosine pairs at the same threshold") {
     val t = 0.35
     // exact ground truth: every unordered pair at cosine >= t, brute
@@ -114,7 +134,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("recall summary line for the round log") {
-    assert(recalls.size == 6, s"expected all six recalls measured, got $recalls")
+    assert(recalls.size == 7, s"expected all seven recalls measured, got $recalls")
     val json = recalls.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     info(s"RECALL $json")
