@@ -152,6 +152,10 @@ object SparkEntry {
     // hash-matched oracle for the index-append path itself
     "ann_ivf_incr"         -> ((s, d) => Similarity.annIvfIncr(s, d)),
     "ann_lsh_idx"          -> ((s, d) => Similarity.annLshIncr(s, d)),
+    // persisted PQ index: build on half, pqAppend the rest, probe the
+    // ~10-byte/vector encoded table — exact, so the hash compare
+    // certifies the index-append path end to end
+    "ann_pq_idx"           -> ((s, d) => Similarity.annPqIncr(s, d)),
     // SCD Type-2 dimension: three observation batches fold into a
     // versioned interval table, one atomic merge per batch
     "scd2_dim"             -> ((s, d) => Scd2Ops.scd2Dim(s, d)),
@@ -684,6 +688,20 @@ object SparkEntry {
     // the exact re-rank, so the quantized path is EXACT — same
     // brute-force oracle as ann_topk
     "ann_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+    // the persisted-PQ gate (build half + pqAppend half + probe) is
+    // exact over the merged corpus, so the brute-force oracle certifies
+    // the index-append path: a lost/doubled vector would shift a top-k
+    "ann_pq_idx" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
          s AS (SELECT q.q_id, e.vec_id AS neighbor_id,

@@ -185,6 +185,40 @@ object Similarity {
     cents
   }
 
+  /** Per-subspace PQ codebooks from a deterministic, bounded sample:
+    * hash-gated scan + cap (no sizing pass, no global sort — the
+    * [[fitQuantizer]] discipline), [[lloyd]] per subspace. Returns the
+    * flat layout `cb[((sub*k)+code)*subDim + d]` that the pq_*
+    * expressions consume. Codebook QUALITY shapes candidate width
+    * only; the residual bound keeps the operators exact regardless.
+    */
+  private def fitPqCodebook(e: DataFrame, subspaces: Int,
+                            codebookSize: Int): Array[Double] = {
+    val sampleCols = e.select(col("v"), col("vec_id"))
+    val gated = sampleCols.filter(pmod(xxhash64(col("vec_id")), lit(7)) === 0)
+      .limit(4096).collect()
+    val sample = if (gated.nonEmpty) gated else sampleCols.limit(4096).collect()
+    require(sample.nonEmpty, "fitPqCodebook: empty corpus")
+    val pts = sample.map(_.getSeq[Double](0).toArray)
+    val dim = pts.head.length
+    require(dim % subspaces == 0,
+      s"PQ: dimension $dim is not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    val cb = new Array[Double](subspaces * codebookSize * subDim)
+    var s = 0
+    while (s < subspaces) {
+      val cents = lloyd(pts.map(_.slice(s * subDim, (s + 1) * subDim)),
+        codebookSize, iters = 8)
+      var c = 0
+      while (c < codebookSize) {
+        System.arraycopy(cents(c), 0, cb, ((s * codebookSize) + c) * subDim, subDim)
+        c += 1
+      }
+      s += 1
+    }
+    cb
+  }
+
   /** Product-quantized top-k — the deepest-compression leg of the
     * quantized-ANN family (int8 keeps 1 byte/dim; PQ keeps 1 byte per
     * `subDim`-dim SUBSPACE + one residual scalar: ~10 bytes/vector at
@@ -217,30 +251,7 @@ object Similarity {
   def annPq(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
             subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
     val e = vectors(spark, dir)
-    // deterministic bounded training sample: hash-gated scan + cap;
-    // tiny corpora (hash gate empties) fall back to a plain capped pull
-    val sampleCols = e.select(col("v"), col("vec_id"))
-    val gated = sampleCols.filter(pmod(xxhash64(col("vec_id")), lit(7)) === 0)
-      .limit(4096).collect()
-    val sample = if (gated.nonEmpty) gated else sampleCols.limit(4096).collect()
-    require(sample.nonEmpty, s"annPq: no embeddings under $dir")
-    val pts = sample.map(_.getSeq[Double](0).toArray)
-    val dim = pts.head.length
-    require(dim % subspaces == 0,
-      s"annPq: dimension $dim is not divisible into $subspaces subspaces")
-    val subDim = dim / subspaces
-    val cb = new Array[Double](subspaces * codebookSize * subDim)
-    var s = 0
-    while (s < subspaces) {
-      val cents = lloyd(pts.map(_.slice(s * subDim, (s + 1) * subDim)),
-        codebookSize, iters = 8)
-      var c = 0
-      while (c < codebookSize) {
-        System.arraycopy(cents(c), 0, cb, ((s * codebookSize) + c) * subDim, subDim)
-        c += 1
-      }
-      s += 1
-    }
+    val cb = fitPqCodebook(e, subspaces, codebookSize)
     val cbSql = s"array(${cb.mkString("D,")}D)"
     val enc = e
       .withColumn("pq", expr(s"pq_encode(v, $cbSql, $subspaces, $codebookSize)"))
@@ -277,6 +288,152 @@ object Similarity {
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Persisted PQ index: the encoded corpus — `m` 1-byte codes + the
+    * exact reconstruction residual + the L2 norm per vector, ~10 bytes
+    * where the raw embedding is 256 — written as a lake table, with
+    * the codebook as a side table. The codebook table IS the encoder:
+    * [[pqAppend]] re-derives the flat centroid array from it (no model
+    * object), so the index grows O(delta) and every writer encodes
+    * against the same geometry. The probe ([[annPqIndexed]]) scans
+    * ONLY this table for its bound pass; raw embeddings are read just
+    * for the bounded candidate set and the queries.
+    */
+  def buildPqIndex(spark: SparkSession, dir: String, indexPath: String,
+                   subspaces: Int = 8, codebookSize: Int = 16,
+                   only: Option[Column] = None): Unit = {
+    Sketches.register(spark)
+    import spark.implicits._
+    val e = only.foldLeft(vectors(spark, dir))(_.filter(_))
+    val cb = fitPqCodebook(e, subspaces, codebookSize)
+    val subDim = cb.length / (subspaces * codebookSize)
+    val cbSql = s"array(${cb.mkString("D,")}D)"
+    val enc = e
+      .withColumn("pq", expr(s"pq_encode(v, $cbSql, $subspaces, $codebookSize)"))
+      .select(col("vec_id"), col("norm"),
+        col("pq.codes").as("codes"), col("pq.resid").as("resid"))
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/corpus", enc)
+    val rows = for (s <- 0 until subspaces; c <- 0 until codebookSize) yield
+      (s, c, cb.slice(((s * codebookSize) + c) * subDim,
+        ((s * codebookSize) + c) * subDim + subDim).toSeq)
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/codebook",
+      rows.toDF("sub", "code", "centroid"))
+  }
+
+  /** The persisted codebook as the flat array + geometry the pq_*
+    * expressions take. Bounded driver pull (subspaces × codebookSize
+    * rows). */
+  private def readPqCodebook(spark: SparkSession,
+                             indexPath: String): (Array[Double], Int, Int) = {
+    val rows = graft.lake.LakeTable.read(spark, s"$indexPath/codebook")
+      .select(col("sub"), col("code"), col("centroid")).collect()
+    require(rows.nonEmpty, s"no PQ codebook at $indexPath")
+    val m = rows.map(_.getInt(0)).max + 1
+    val kk = rows.map(_.getInt(1)).max + 1
+    val subDim = rows.head.getSeq[Double](2).length
+    val cb = new Array[Double](m * kk * subDim)
+    rows.foreach { r =>
+      val off = ((r.getInt(0) * kk) + r.getInt(1)) * subDim
+      val cent = r.getSeq[Double](2)
+      var d = 0
+      while (d < subDim) { cb(off + d) = cent(d); d += 1 }
+    }
+    (cb, m, kk)
+  }
+
+  /** O(delta) index growth: encode only the NEW vectors against the
+    * persisted codebook and append — a rebuild is linear in the whole
+    * corpus per batch, the 100 TB scale-killer of the naive
+    * formulation. Codebook staleness only widens candidate sets (the
+    * residual is computed against the ACTUAL codebook used, so the
+    * bound stays exact for stale geometry too); rebuild on the rare
+    * cadence where the corpus distribution drifts. Returns the
+    * committed corpus version.
+    */
+  def pqAppend(spark: SparkSession, indexPath: String,
+               newVectors: DataFrame): Long = {
+    Sketches.register(spark)
+    val (cb, m, kk) = readPqCodebook(spark, indexPath)
+    val cbSql = s"array(${cb.mkString("D,")}D)"
+    val e = newVectors
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm", expr("sqrt(dot_d(v, v))"))
+      .withColumn("pq", expr(s"pq_encode(v, $cbSql, $m, $kk)"))
+      .select(col("vec_id"), col("norm"),
+        col("pq.codes").as("codes"), col("pq.resid").as("resid"))
+    graft.lake.LakeTable.append(spark, s"$indexPath/corpus", e)
+  }
+
+  /** Exact top-k over a persisted PQ index: the bound pass scans the
+    * ~10-byte-per-vector index table only; the float embeddings are
+    * read for the QUERIES (id-pushed) and for the CANDIDATES — whose
+    * distinct ids, while bounded by `maxPushedKeys`, push into the
+    * embeddings scan as an IN filter (the bounded-key probe discipline
+    * of the LSH/incremental tiers), so the re-rank never re-scans the
+    * corpus vectors. An unbounded candidate set (adversarial geometry)
+    * degrades to the plain join — still exact, never wrong. Result
+    * EQUALS [[annTopk]].
+    */
+  def annPqIndexed(spark: SparkSession, dir: String, indexPath: String,
+                   numQueries: Int = 10, k: Int = 5,
+                   maxPushedKeys: Int = 10000): DataFrame = {
+    Sketches.register(spark)
+    val (cb, m, kk) = readPqCodebook(spark, indexPath)
+    val cbSql = s"array(${cb.mkString("D,")}D)"
+    val q = vectors(spark, dir).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .withColumn("lut", expr(s"pq_lut(qv, $cbSql, $m, $kk)"))
+    val enc = graft.lake.LakeTable.read(spark, s"$indexPath/corpus")
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("lb").desc, col("vec_id"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val cand = enc
+      .crossJoin(broadcast(q.select(col("q_id"), col("qnorm"), col("lut"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("norm"), col("qnorm"),
+        expr("pq_adc(codes, lut)").as("shat"),
+        (col("resid") * col("qnorm")).as("err"))
+      .withColumn("lb", (col("shat") - col("err")) / (col("norm") * col("qnorm")))
+      .withColumn("ub", (col("shat") + col("err")) / (col("norm") * col("qnorm")))
+      .withColumn("lrn", row_number().over(wl))
+      .withColumn("tau", min(when(col("lrn") <= k, col("lb"))).over(wt))
+      .filter(col("ub") >= col("tau") - lit(1e-5))
+      .select(col("q_id"), col("vec_id"), col("norm"), col("qnorm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annPqIndexed", cand)
+    val ids = cand.select(col("vec_id")).distinct()
+      .limit(maxPushedKeys + 1).collect().map(_.getLong(0))
+    val vecSrc0 = vectors(spark, dir).select(col("vec_id"), col("v"))
+    val vecSrc =
+      if (ids.length <= maxPushedKeys)
+        vecSrc0.filter(col("vec_id").isInCollection(ids.toSeq))
+      else vecSrc0
+    cand
+      .join(vecSrc, Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Gate query for the persisted/incremental PQ path, with an EXACT
+    * oracle: build the index on the even half of the corpus,
+    * [[pqAppend]] the odd half, probe. The result equals [[annTopk]]
+    * (the bound proof holds over the merged corpus), so the hash
+    * compare proves the append lost, duplicated and corrupted NOTHING
+    * — any missing or doubled vector would change some query's top-k.
+    */
+  def annPqIncr(spark: SparkSession, dir: String, numQueries: Int = 10,
+                k: Int = 5): DataFrame = {
+    val work = Work.dir("graft_pq_incr")
+    val idx = s"$work/pq"
+    buildPqIndex(spark, dir, idx, only = Some(col("vec_id") % 2 === 0))
+    pqAppend(spark, idx, Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 1))
+    annPqIndexed(spark, dir, idx, numQueries, k)
   }
 
   /** Exact cosine near-duplicate pairs, blocked by label. Identical

@@ -98,6 +98,26 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"ann_lsh_idx recall@5 $recall < 0.9")
   }
 
+  test("ann_pq_idx: persisted index + O(delta) append equal brute force") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = rows(Similarity.annTopk(spark, sf))
+    // the gate flow: build on the even half, append the odd half
+    val got = rows(Similarity.annPqIncr(spark, sf))
+    recalls("ann_pq_idx@5") = got.intersect(exact).size.toDouble / exact.size
+    assert(got == exact,
+      s"missing=${exact.diff(got).take(5)} extra=${got.diff(exact).take(5)}")
+    // both re-rank routes agree: candidate ids PUSHED into the
+    // embeddings scan (default) and the unpushed fallback (cap 0)
+    val idx = java.nio.file.Files.createTempDirectory("pq_idx").toString + "/pq"
+    Similarity.buildPqIndex(spark, sf, idx, only = Some(col("vec_id") % 2 === 0))
+    Similarity.pqAppend(spark, idx,
+      graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 1))
+    assert(rows(Similarity.annPqIndexed(spark, sf, idx)) == exact)
+    assert(rows(Similarity.annPqIndexed(spark, sf, idx, maxPushedKeys = 0)) == exact)
+  }
+
   test("dedup_minhash recall vs the exact Jaccard pair set") {
     val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -134,7 +154,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("recall summary line for the round log") {
-    assert(recalls.size == 7, s"expected all seven recalls measured, got $recalls")
+    assert(recalls.size == 8, s"expected all eight recalls measured, got $recalls")
     val json = recalls.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     info(s"RECALL $json")
