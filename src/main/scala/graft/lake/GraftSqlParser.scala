@@ -103,8 +103,10 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
       Some(GraftAddConstraintCommand(target, name, expr.trim))
     case DropConstraintRe(target, name) =>
       Some(GraftDropConstraintCommand(target, name))
-    case CloneRe(dst, src, vOpt) =>
-      Some(GraftCloneCommand(dst, src, Option(vOpt).map(_.toLong)))
+    case CloneRe(dst, src, vOpt, tsOpt) =>
+      Some(GraftCloneCommand(dst, src, Option(vOpt).map(_.toLong),
+        Option(tsOpt).map(ts =>
+          if (ts.startsWith("'")) ts.substring(1, ts.length - 1) else ts)))
     case PublishRe(branch, target, noCopy) =>
       Some(GraftPublishCommand(branch, target, copy = noCopy == null))
     case DescHistoryRe(target) =>
@@ -200,10 +202,11 @@ private[graft] object GraftSqlParser {
   private val DropConstraintRe =
     ("""(?is)^ALTER\s+TABLE\s+""" + T +
       """\s+DROP\s+CONSTRAINT\s+([A-Za-z0-9_]+)\s*;?\s*$""").r
-  // CREATE TABLE `dst` SHALLOW CLONE src [VERSION AS OF v] (Delta syntax)
+  // CREATE TABLE `dst` SHALLOW CLONE src [VERSION AS OF v |
+  // TIMESTAMP AS OF '<ts>'] (Delta syntax, both pin forms)
   private val CloneRe =
     ("""(?is)^CREATE\s+TABLE\s+""" + T + """\s+SHALLOW\s+CLONE\s+""" + T +
-      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""").r
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+('[^']+'|\d+))?\s*;?\s*$""").r
   // write-audit-publish: land a shallow-clone branch's delta on its
   // source; NO COPY publishes zero-copy foreign references instead of
   // localizing the branch's files
@@ -516,7 +519,8 @@ private[graft] case class GraftPublishCommand(branch: String, target: String,
 }
 
 private[graft] case class GraftCloneCommand(dst: String, src: String,
-                                            asOf: Option[Long])
+                                            asOf: Option[Long],
+                                            asOfTs: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -527,7 +531,11 @@ private[graft] case class GraftCloneCommand(dst: String, src: String,
       s"SHALLOW CLONE destination must be a quoted path, got $dst")
     val dstPath = dst.substring(1, dst.length - 1)
     val srcPath = GraftSqlParser.resolveTarget(spark, src)
-    Seq(Row(LakeTable.shallowClone(spark, srcPath, dstPath, asOf)))
+    // TIMESTAMP AS OF resolves like RESTORE's: newest version committed
+    // at or before the timestamp (writer wall clocks)
+    val pin = asOf.orElse(asOfTs.map(ts => LakeTable.versionAtTimestamp(
+      spark, srcPath, GraftDataSource.parseTimestampMs(ts))))
+    Seq(Row(LakeTable.shallowClone(spark, srcPath, dstPath, pin)))
   }
 }
 

@@ -201,14 +201,21 @@ class CloneSpec extends SparkSpec {
     assert(dataFiles(src).toSet == srcFilesBefore, "vacuum of clone spared source")
   }
 
-  test("SQL: CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF") {
+  test("SQL: CREATE TABLE ... SHALLOW CLONE ... VERSION/TIMESTAMP AS OF") {
     val d = tmpDir("clone_sql")
-    val (src, dst) = (s"$d/src", s"$d/dst")
+    val (src, dst, dst2) = (s"$d/src", s"$d/dst", s"$d/dst2")
     LakeTable.overwrite(spark, src, spark.range(10).toDF("id"))
+    val ts1 = LakeTable.latestSnapshot(spark, src).get.timestampMs
+    Thread.sleep(20)
     LakeTable.append(spark, src, spark.range(10, 15).toDF("id"))
     spark.sql(s"CREATE TABLE `$dst` SHALLOW CLONE `$src` VERSION AS OF 1").collect()
     assert(LakeTable.read(spark, dst).count() == 10, "cloned the pinned version")
     assert(dataFiles(dst).isEmpty)
+    // TIMESTAMP AS OF pins the newest version committed at or before
+    // the instant (RESTORE's resolution), here right after v1
+    spark.sql(s"CREATE TABLE `$dst2` SHALLOW CLONE `$src` TIMESTAMP AS OF ${ts1 + 1}")
+      .collect()
+    assert(LakeTable.read(spark, dst2).count() == 10, "ts pin resolved to v1")
   }
 
   test("clone of a vectored snapshot re-keys vectors; DML localizes; source untouched") {
