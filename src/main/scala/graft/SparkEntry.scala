@@ -156,6 +156,10 @@ object SparkEntry {
     // ~10-byte/vector encoded table — exact, so the hash compare
     // certifies the index-append path end to end
     "ann_pq_idx"           -> ((s, d) => Similarity.annPqIncr(s, d)),
+    // IVF-PQ: coarse cells prune WHICH vectors scan, product codes
+    // shrink WHAT a scan reads — composed exactness proofs, still
+    // equals brute force
+    "ann_ivfpq"            -> ((s, d) => Similarity.annIvfPq(s, d)),
     // SCD Type-2 dimension: three observation batches fold into a
     // versioned interval table, one atomic merge per batch
     "scd2_dim"             -> ((s, d) => Scd2Ops.scd2Dim(s, d)),
@@ -688,6 +692,20 @@ object SparkEntry {
     // the exact re-rank, so the quantized path is EXACT — same
     // brute-force oracle as ann_topk
     "ann_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+    // IVF-PQ composes the angular cell bound (which cells scan) with
+    // the PQ residual bound (which rows re-rank) — both superset
+    // proofs, so the composition is exact: same oracle as ann_topk
+    "ann_ivfpq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
          s AS (SELECT q.q_id, e.vec_id AS neighbor_id,

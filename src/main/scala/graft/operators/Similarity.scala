@@ -436,6 +436,142 @@ object Similarity {
     annPqIndexed(spark, dir, idx, numQueries, k)
   }
 
+  /** IVF-PQ top-k — the composed billion-scale ANN architecture
+    * (coarse cells prune WHICH vectors are scanned, product codes
+    * shrink WHAT a scan reads to ~10 bytes/vector), still EXACT, by
+    * stacking the two proofs this tier already carries:
+    *
+    *  1. [[annIvf]]'s build: KMeans cells + per-cell angular radius;
+    *     [[annPq]]'s build: per-subspace codebooks, `pq_encode` codes
+    *     + exact residual per row (one pass each);
+    *  2. phase 1 scans the `probes` nearest cells with the PQ bound
+    *     (`m` lookup-adds per pair, codes-only rows): candidates =
+    *     upper bound ≥ the k-th LOWER bound within the probed cells;
+    *     exact re-rank of those candidates yields the exact top-k OF
+    *     THE PROBED SUBSET and its k-th cosine τ (≤ the full k-th);
+    *  3. phase 2 scans only the remaining cells whose angular bound
+    *     `cos(max(0, θ_qc − r_cell))` reaches `τ − 1e-5` — again
+    *     PQ-bounded, candidates by `ub ≥ τ − 1e-5`;
+    *  4. the union of candidates re-ranks exactly to the final top-k.
+    *
+    * Every true top-k member is either in a probed cell (its upper
+    * bound dominates its cosine ≥ the probed k-th lower bound) or in
+    * a surviving cell (its cell bound and upper bound both dominate
+    * its cosine ≥ τ), and the 1e-5 slack covers round-then-rank ties
+    * as everywhere in this tier — so the result EQUALS [[annTopk]]
+    * and shares its brute-force oracle. At 100 TB the persisted form
+    * is the cell-partitioned codes table: a probe reads only its
+    * cells' partitions, ~25× fewer bytes than the float vectors.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
+               cells: Int = 16, probes: Int = 10,
+               subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v"))).cache()
+    val model = fitQuantizer(e, cells)
+    val cb = fitPqCodebook(e, subspaces, codebookSize)
+    val cbSql = s"array(${cb.mkString("D,")}D)"
+    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfPqE", e)
+    retireCache("annIvfPqAssigned", assigned)
+    // the scan-side rows: cell + codes + scalars, never the vectors
+    val enc = assigned
+      .withColumn("pq", expr(s"pq_encode(v, $cbSql, $subspaces, $codebookSize)"))
+      .select(col("vec_id"), col("cell"), col("norm"),
+        col("pq.codes").as("codes"), col("pq.resid").as("resid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfPqEnc", enc)
+
+    val centers = model.clusterCenters.map(_.toArray)
+    import spark.implicits._
+    val centersDf = centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val cellRadius = assigned.join(broadcast(centersDf), Seq("cell"))
+      .withColumn("cn", sqrt(expr("dot_d(centroid, centroid)")))
+      .withColumn("ca", when(col("norm") > 0 && col("cn") > 0,
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          expr("dot_d(v, centroid)") / (col("norm") * col("cn"))))))
+        .otherwise(lit(math.Pi)))
+      .groupBy(col("cell")).agg(max(col("ca")).as("radius"))
+
+    val q = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .withColumn("lut", expr(s"pq_lut(qv, $cbSql, $subspaces, $codebookSize)"))
+    val qCells = q.crossJoin(broadcast(centersDf))
+      .join(broadcast(cellRadius), Seq("cell"))
+      .withColumn("cn", sqrt(expr("dot_d(centroid, centroid)")))
+      .withColumn("theta", when(col("qnorm") > 0 && col("cn") > 0,
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          expr("dot_d(qv, centroid)") / (col("qnorm") * col("cn"))))))
+        .otherwise(lit(0.0)))
+      .withColumn("bound", cos(greatest(lit(0.0), col("theta") - col("radius"))))
+      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("theta"), col("cell"))))
+      .select(col("q_id"), col("qnorm"), col("lut"), col("cell"),
+        col("bound"), col("cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfPqQCells", qCells)
+
+    // PQ-bounded scan of a probe set: codes-only rows, m lookup-adds
+    // per pair, lb/ub on the true cosine per the Cauchy–Schwarz bound
+    def pqScan(probeSet: DataFrame): DataFrame =
+      enc.join(broadcast(probeSet.select(
+          col("q_id"), col("qnorm"), col("lut"), col("cell"))), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("norm"), col("qnorm"),
+          expr("pq_adc(codes, lut)").as("shat"),
+          (col("resid") * col("qnorm")).as("err"))
+        .withColumn("lb", (col("shat") - col("err")) / (col("norm") * col("qnorm")))
+        .withColumn("ub", (col("shat") + col("err")) / (col("norm") * col("qnorm")))
+        .select(col("q_id"), col("vec_id"), col("lb"), col("ub"))
+
+    // exact re-rank of a bounded candidate set: float vectors join
+    // back only here
+    def rerank(cand: DataFrame): DataFrame =
+      cand.join(assigned.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+        .join(broadcast(q.select(col("q_id"), col("qv"), col("qnorm"))), Seq("q_id"))
+        .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+        .select(col("q_id"), col("vec_id"), col("cosine"))
+
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("lb").desc, col("vec_id"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+    // phase 1: probed cells, PQ candidate rule vs the k-th lower bound
+    val cand1 = pqScan(qCells.filter(col("cr") <= probes))
+      .withColumn("lrn", row_number().over(wl))
+      .withColumn("tau1", min(when(col("lrn") <= k, col("lb"))).over(wt))
+      .filter(col("ub") >= col("tau1") - lit(1e-5))
+      .select(col("q_id"), col("vec_id"))
+    val exact1 = rerank(cand1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfPqExact1", exact1)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val tau = exact1
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === k)
+      .select(col("q_id"), col("cosine").as("tau"))
+
+    // phase 2: surviving cells only, candidates vs the EXACT τ (null τ
+    // — fewer than k phase-1 rows — keeps everything)
+    val extraCells = qCells.filter(col("cr") > probes)
+      .join(broadcast(tau), Seq("q_id"), "left")
+      .filter(col("tau").isNull || col("bound") >= col("tau") - lit(1e-5))
+    val cand2 = pqScan(extraCells)
+      .join(broadcast(tau), Seq("q_id"), "left")
+      .filter(col("tau").isNull || col("ub") >= col("tau") - lit(1e-5))
+      .select(col("q_id"), col("vec_id"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    exact1.unionByName(rerank(cand2))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Exact cosine near-duplicate pairs, blocked by label. Identical
     * vectors within a label collapse to one representative before the
     * blocked pair join and expand afterwards (see [[annLsh]]) — the

@@ -296,6 +296,14 @@ class PropertySpec extends SparkSpec {
         numQueries = 3, k = 4, subspaces = 1, codebookSize = 2))
       assert(pq == exact,
         s"ann_pq missing=${exact.diff(pq).take(5)} extra=${pq.diff(exact).take(5)}")
+      // the composition under the worst geometry for BOTH bounds:
+      // 1 probe forces the angular phase 2, the starved codebook blows
+      // the residual bound wide — exactness must survive the stack
+      val ivfpq = canon(operators.Similarity.annIvfPq(spark, dir,
+        numQueries = 3, k = 4, cells = 4, probes = 1,
+        subspaces = 1, codebookSize = 2))
+      assert(ivfpq == exact,
+        s"ann_ivfpq missing=${exact.diff(ivfpq).take(5)} extra=${ivfpq.diff(exact).take(5)}")
     }
   }
 

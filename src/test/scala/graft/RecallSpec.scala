@@ -98,6 +98,26 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"ann_lsh_idx recall@5 $recall < 0.9")
   }
 
+  test("ann_ivfpq equals exact brute-force top-k row for row") {
+    // the composed architecture: angular cell pruning picks WHICH rows
+    // scan, the PQ bound picks WHICH rows re-rank — equality must hold
+    // at the default geometry AND with phase 2 forced to do real work
+    // (probes=2) on a starved codebook
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = rows(Similarity.annTopk(spark, sf))
+    val got = rows(Similarity.annIvfPq(spark, sf))
+    recalls("ann_ivfpq@5") = got.intersect(exact).size.toDouble / exact.size
+    assert(exact.nonEmpty)
+    assert(got == exact,
+      s"missing=${exact.diff(got).take(5)} extra=${got.diff(exact).take(5)}")
+    val stressed = rows(Similarity.annIvfPq(spark, sf,
+      probes = 2, subspaces = 4, codebookSize = 2))
+    assert(stressed == exact,
+      s"stressed IVF-PQ diverged: missing=${exact.diff(stressed).take(5)}")
+  }
+
   test("ann_pq_idx: persisted index + O(delta) append equal brute force") {
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select("q_id", "neighbor_id", "cosine", "rank")
@@ -154,7 +174,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("recall summary line for the round log") {
-    assert(recalls.size == 8, s"expected all eight recalls measured, got $recalls")
+    assert(recalls.size == 9, s"expected all nine recalls measured, got $recalls")
     val json = recalls.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     info(s"RECALL $json")
