@@ -458,4 +458,34 @@ class GraftStreamSpec extends SparkSpec {
     assert(out.count() == 15)
     assert(out.filter(col("doubled") =!= col("id") * 2).count() == 0)
   }
+
+  test("a streamed embedding feed maintains the persisted PQ index; the probe stays exact") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = tmp("pq_stream")
+    val (feed, idx) = (s"$dir/feed", s"$dir/pq")
+    // index built on the even half of the corpus; the odd half arrives
+    // through a lake feed table tailed as a stream, each micro-batch
+    // pqAppend-ed (the O(delta) maintenance path under streaming)
+    Similarity.buildPqIndex(spark, sf, idx, only = Some(col("vec_id") % 2 === 0))
+    val odd = graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 1)
+    LakeTable.overwrite(spark, feed, odd.filter(col("vec_id") % 4 === 1))
+    val appendBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (batch, _) => { Similarity.pqAppend(spark, idx, batch); () }
+    val q = spark.readStream.format("graft").load(feed)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(appendBatch)
+      .start()
+    q.processAllAvailable()
+    LakeTable.append(spark, feed, odd.filter(col("vec_id") % 4 === 3))
+    q.processAllAvailable()
+    q.stop()
+    // the maintained index answers EXACTLY: a lost, doubled or
+    // corrupted streamed vector would shift some query's top-k
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(rows(Similarity.annPqIndexed(spark, sf, idx))
+      == rows(Similarity.annTopk(spark, sf)))
+  }
 }
