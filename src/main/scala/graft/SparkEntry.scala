@@ -160,6 +160,10 @@ object SparkEntry {
     // shrink WHAT a scan reads — composed exactness proofs, still
     // equals brute force
     "ann_ivfpq"            -> ((s, d) => Similarity.annIvfPq(s, d)),
+    // persisted IVF-PQ: cell-partitioned codes table, radius-merging
+    // O(delta) appends, partition-filtered two-phase probe — the hash
+    // compare certifies the whole maintenance path
+    "ann_ivfpq_idx"        -> ((s, d) => Similarity.annIvfPqIncr(s, d)),
     // SCD Type-2 dimension: three observation batches fold into a
     // versioned interval table, one atomic merge per batch
     "scd2_dim"             -> ((s, d) => Scd2Ops.scd2Dim(s, d)),
@@ -692,6 +696,21 @@ object SparkEntry {
     // the exact re-rank, so the quantized path is EXACT — same
     // brute-force oracle as ann_topk
     "ann_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT q.q_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cosine
+           FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT q_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+           FROM s)
+         SELECT q_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5""",
+    // the persisted IVF-PQ gate (build half + radius-merging append +
+    // partition-filtered probe) stays exact over the merged corpus —
+    // same brute-force oracle; a stale radius or lost append row would
+    // shift a top-k
+    "ann_ivfpq_idx" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
          s AS (SELECT q.q_id, e.vec_id AS neighbor_id,

@@ -572,6 +572,236 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Persisted IVF-PQ index — the deployed form of [[annIvfPq]]: the
+    * encoded corpus (codes + residual + norm, never the float vectors)
+    * as a lake table PARTITIONED BY cell, the centroids WITH their
+    * angular radii and the PQ codebook as side tables. A probe touches
+    * only its cells' partitions at ~10 bytes/vector — both prunes, in
+    * storage. [[ivfPqAppend]] grows it O(delta): cells assigned
+    * against the persisted centroids, codes against the persisted
+    * codebook, radii MAX-MERGED with the delta's per-cell angles (a
+    * stale radius would un-prove phase 2's pruning; the merge keeps
+    * the exactness invariant across appends, which the incr gate's
+    * hash compare certifies).
+    */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
+                      cells: Int = 16, subspaces: Int = 8, codebookSize: Int = 16,
+                      only: Option[Column] = None): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    Sketches.register(spark)
+    import spark.implicits._
+    val e = only.foldLeft(vectors(spark, dir))(_.filter(_))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = fitQuantizer(e, cells)
+    val cb = fitPqCodebook(e, subspaces, codebookSize)
+    val subDim = cb.length / (subspaces * codebookSize)
+    val cbSql = s"array(${cb.mkString("D,")}D)"
+    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+      .withColumn("pq", expr(s"pq_encode(v, $cbSql, $subspaces, $codebookSize)"))
+      .select(col("vec_id"), col("cell"), col("norm"), col("v"),
+        col("pq.codes").as("codes"), col("pq.resid").as("resid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("buildIvfPq", assigned)
+    val centers = model.clusterCenters.map(_.toArray)
+    val centersDf = centers.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val radius = assigned.join(broadcast(centersDf), Seq("cell"))
+      .withColumn("cn", sqrt(expr("dot_d(centroid, centroid)")))
+      .withColumn("ca", when(col("norm") > 0 && col("cn") > 0,
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          expr("dot_d(v, centroid)") / (col("norm") * col("cn"))))))
+        .otherwise(lit(math.Pi)))
+      .groupBy(col("cell")).agg(max(col("ca")).as("radius"))
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/corpus",
+      assigned.select(col("vec_id"), col("norm"), col("codes"), col("resid"),
+        col("cell")),
+      partitionBy = Seq("cell"))
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/centroids",
+      centersDf.join(radius, Seq("cell"), "left")
+        .select(col("cell"), col("centroid"),
+          coalesce(col("radius"), lit(0.0)).as("radius")))
+    val cbRows = for (s <- 0 until subspaces; c <- 0 until codebookSize) yield
+      (s, c, cb.slice(((s * codebookSize) + c) * subDim,
+        ((s * codebookSize) + c) * subDim + subDim).toSeq)
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/codebook",
+      cbRows.toDF("sub", "code", "centroid"))
+  }
+
+  /** O(delta) growth of a persisted IVF-PQ index: assign the new
+    * vectors to cells against the persisted centroids (argmin squared
+    * L2 — the [[ivfAppend]] discipline), encode against the persisted
+    * codebook, append; then MAX-MERGE the delta's per-cell angles into
+    * the stored radii so phase-2 pruning stays provable. Returns the
+    * committed corpus version.
+    */
+  def ivfPqAppend(spark: SparkSession, indexPath: String,
+                  newVectors: DataFrame): Long = {
+    Sketches.register(spark)
+    val (cb, m, kk) = readPqCodebook(spark, indexPath)
+    val cbSql = s"array(${cb.mkString("D,")}D)"
+    val centersDf = graft.lake.LakeTable.read(spark, s"$indexPath/centroids")
+    val e = newVectors
+      .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("norm", expr("sqrt(dot_d(v, v))"))
+      .select(col("vec_id"), col("v"), col("norm"))
+    val assigned = e.crossJoin(broadcast(centersDf.select(col("cell"), col("centroid"))))
+      .withColumn("dist", expr(
+        "dot_d(v, v) - 2 * dot_d(v, centroid) + dot_d(centroid, centroid)"))
+      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("ivfPqAppend", assigned)
+    val enc = assigned
+      .withColumn("pq", expr(s"pq_encode(v, $cbSql, $m, $kk)"))
+      .select(col("vec_id"), col("norm"),
+        col("pq.codes").as("codes"), col("pq.resid").as("resid"), col("cell"))
+    val v = graft.lake.LakeTable.append(spark, s"$indexPath/corpus", enc)
+    // radius merge: the delta's per-cell max angle folds into the
+    // stored value (cells × 1 rows — metadata-scale)
+    val deltaRadius = assigned.join(broadcast(centersDf), Seq("cell"))
+      .withColumn("cn", sqrt(expr("dot_d(centroid, centroid)")))
+      .withColumn("ca", when(col("norm") > 0 && col("cn") > 0,
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          expr("dot_d(v, centroid)") / (col("norm") * col("cn"))))))
+        .otherwise(lit(math.Pi)))
+      .groupBy(col("cell")).agg(max(col("ca")).as("delta_radius"))
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/centroids",
+      centersDf.join(deltaRadius, Seq("cell"), "left")
+        .select(col("cell"), col("centroid"),
+          greatest(col("radius"), coalesce(col("delta_radius"), lit(0.0)))
+            .as("radius")))
+    v
+  }
+
+  /** EXACT top-k over a persisted IVF-PQ index — [[annIvfPq]]'s
+    * two-phase bound probing with both cell lists resolved driver-side
+    * and pushed as partition filters (bounded: numQueries × probes for
+    * phase 1, the τ-surviving cells for phase 2 — the filters are
+    * semantically redundant, the joins key on cell, they exist purely
+    * to prune I/O to the probed partitions). The bound pass reads the
+    * codes-only corpus table; the float embeddings are read for the
+    * queries and the bounded candidate re-rank (pushed IN ids, the
+    * [[annPqIndexed]] discipline).
+    */
+  def annIvfPqIndexed(spark: SparkSession, dir: String, indexPath: String,
+                      numQueries: Int = 10, k: Int = 5, probes: Int = 8,
+                      maxPushedKeys: Int = 10000): DataFrame = {
+    Sketches.register(spark)
+    val (cb, m, kk) = readPqCodebook(spark, indexPath)
+    val cbSql = s"array(${cb.mkString("D,")}D)"
+    val corpus = graft.lake.LakeTable.read(spark, s"$indexPath/corpus")
+    val centersDf = graft.lake.LakeTable.read(spark, s"$indexPath/centroids")
+    val q = vectors(spark, dir).filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .withColumn("lut", expr(s"pq_lut(qv, $cbSql, $m, $kk)"))
+    val qCells = q.crossJoin(broadcast(centersDf))
+      .withColumn("cn", sqrt(expr("dot_d(centroid, centroid)")))
+      .withColumn("theta", when(col("qnorm") > 0 && col("cn") > 0,
+        acos(least(lit(1.0), greatest(lit(-1.0),
+          expr("dot_d(qv, centroid)") / (col("qnorm") * col("cn"))))))
+        .otherwise(lit(0.0)))
+      .withColumn("bound", cos(greatest(lit(0.0), col("theta") - col("radius"))))
+      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("theta"), col("cell"))))
+      .select(col("q_id"), col("qnorm"), col("lut"), col("cell"),
+        col("bound"), col("cr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfPqIdxQCells", qCells)
+
+    def pqScan(probeSet: DataFrame, cellList: Seq[Int]): DataFrame =
+      corpus.filter(col("cell").isin(cellList: _*))
+        .join(broadcast(probeSet.select(
+          col("q_id"), col("qnorm"), col("lut"), col("cell"))), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("norm"), col("qnorm"),
+          expr("pq_adc(codes, lut)").as("shat"),
+          (col("resid") * col("qnorm")).as("err"))
+        .withColumn("lb", (col("shat") - col("err")) / (col("norm") * col("qnorm")))
+        .withColumn("ub", (col("shat") + col("err")) / (col("norm") * col("qnorm")))
+        .select(col("q_id"), col("vec_id"), col("lb"), col("ub"))
+
+    def rerank(cand: DataFrame): DataFrame = {
+      val c = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      retireCache("annIvfPqIdxCand", c)
+      val ids = c.select(col("vec_id")).distinct()
+        .limit(maxPushedKeys + 1).collect().map(_.getLong(0))
+      val vecSrc0 = vectors(spark, dir).select(col("vec_id"), col("v"), col("norm"))
+      val vecSrc =
+        if (ids.length <= maxPushedKeys)
+          vecSrc0.filter(col("vec_id").isInCollection(ids.toSeq))
+        else vecSrc0
+      c.join(vecSrc, Seq("vec_id"))
+        .join(broadcast(q.select(col("q_id"), col("qv"), col("qnorm"))), Seq("q_id"))
+        .withColumn("cosine", rnd(expr("dot_d(v, qv)") / (col("norm") * col("qnorm")), 5))
+        .select(col("q_id"), col("vec_id"), col("cosine"))
+    }
+
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("lb").desc, col("vec_id"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+    val phase1Set = qCells.filter(col("cr") <= probes)
+    val cellList1 = phase1Set.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand1 = pqScan(phase1Set, cellList1)
+      .withColumn("lrn", row_number().over(wl))
+      .withColumn("tau1", min(when(col("lrn") <= k, col("lb"))).over(wt))
+      .filter(col("ub") >= col("tau1") - lit(1e-5))
+      .select(col("q_id"), col("vec_id"))
+    val exact1 = rerank(cand1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfPqIdxExact1", exact1)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val tau = exact1
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === k)
+      .select(col("q_id"), col("cosine").as("tau"))
+    val extra = qCells.filter(col("cr") > probes)
+      .join(broadcast(tau), Seq("q_id"), "left")
+      .filter(col("tau").isNull || col("bound") >= col("tau") - lit(1e-5))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retireCache("annIvfPqIdxExtra", extra)
+    val cellList2 = extra.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand2 =
+      if (cellList2.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("q_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType))))
+      else pqScan(extra, cellList2)
+        .join(broadcast(tau), Seq("q_id"), "left")
+        .filter(col("tau").isNull || col("ub") >= col("tau") - lit(1e-5))
+        .select(col("q_id"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    exact1.unionByName(rerank(cand2))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Gate query for the persisted/incremental IVF-PQ path: build on
+    * the even half, [[ivfPqAppend]] the odd half, probe. Exact over
+    * the merged corpus — a lost vector, a doubled vector, a mis-cell
+    * assignment or an UN-MERGED RADIUS (phase 2 would prune a cell a
+    * true neighbor joined post-build) all shift some query's top-k,
+    * so the hash compare certifies the whole maintenance path.
+    */
+  def annIvfPqIncr(spark: SparkSession, dir: String, numQueries: Int = 10,
+                   k: Int = 5): DataFrame = {
+    val work = Work.dir("graft_ivfpq_incr")
+    val idx = s"$work/ivfpq"
+    buildIvfPqIndex(spark, dir, idx, only = Some(col("vec_id") % 2 === 0))
+    ivfPqAppend(spark, idx,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 2 === 1))
+    annIvfPqIndexed(spark, dir, idx, numQueries, k)
+  }
+
   /** Exact cosine near-duplicate pairs, blocked by label. Identical
     * vectors within a label collapse to one representative before the
     * blocked pair join and expand afterwards (see [[annLsh]]) — the

@@ -436,6 +436,51 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0)
   }
 
+  test("persisted IVF-PQ: probe opens only the probed/surviving cells' files, stays exact") {
+    import spark.implicits._
+    CountingFileSystem.install(spark.sparkContext.hadoopConfiguration)
+    val d0 = java.nio.file.Files.createTempDirectory("ivfpq_skip").toString
+    val d = s"cfs:$d0"
+    // 4 orthogonal 8-dim clusters (scale-jittered along one axis each:
+    // within-cluster cosine exactly 1, cross-cluster exactly 0), ids
+    // laid out so queries 0-1 sit in cluster 0
+    val rows = for (c <- 0 until 4; j <- 0 until 8) yield {
+      val v = Array.fill(8)(0.0f)
+      v(c * 2) = 1.0f + 0.01f * j
+      ((c * 8 + j).toLong, v.toList, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val idx = s"$d/ivfpq"
+    operators.Similarity.buildIvfPqIndex(spark, d, idx,
+      cells = 4, subspaces = 4, codebookSize = 4)
+    val corpus = lake.LakeTable.read(spark, s"$idx/corpus")
+    val cluster0Cells = corpus.filter(col("vec_id") < 8)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val allCells = corpus.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(allCells.size > cluster0Cells.size, "need prunable foreign cells")
+
+    CountingFileSystem.reset()
+    val got = operators.Similarity.annIvfPqIndexed(spark, d, idx,
+      numQueries = 2, k = 3, probes = 1).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    val opened = CountingFileSystem.openedUnder(s"$d0/ivfpq/corpus/data/")
+      .filter(_.endsWith(".parquet")).distinct
+    assert(opened.nonEmpty, "probe must read the index")
+    // phase 1 probes the queries' own cell; every orthogonal cell's
+    // angular bound sits at ~cos(90°) << τ=1, so phase 2 prunes them —
+    // the scan opens NO file outside cluster 0's cells
+    assert(opened.forall(p => cluster0Cells.exists(c => p.contains(s"cell=$c"))),
+      s"probe opened foreign-cell files: $opened")
+    // and the pruned probe is still EXACT
+    val exact = operators.Similarity.annTopk(spark, d, numQueries = 2, k = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank"))).toSet
+    assert(got == exact,
+      s"missing=${exact.diff(got).take(5)} extra=${got.diff(exact).take(5)}")
+  }
+
   test("ivfAppend: delta-only maintenance — append-only commit, exact merged corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf_incr").toString
     val idx = s"$tmp/ivf"

@@ -138,6 +138,17 @@ class RecallSpec extends SparkSpec {
     assert(rows(Similarity.annPqIndexed(spark, sf, idx, maxPushedKeys = 0)) == exact)
   }
 
+  test("ann_ivfpq_idx: persisted index + radius-merging append equal brute force") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val exact = rows(Similarity.annTopk(spark, sf))
+    val got = rows(Similarity.annIvfPqIncr(spark, sf))
+    recalls("ann_ivfpq_idx@5") = got.intersect(exact).size.toDouble / exact.size
+    assert(got == exact,
+      s"missing=${exact.diff(got).take(5)} extra=${got.diff(exact).take(5)}")
+  }
+
   test("dedup_minhash recall vs the exact Jaccard pair set") {
     val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
@@ -174,7 +185,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("recall summary line for the round log") {
-    assert(recalls.size == 9, s"expected all nine recalls measured, got $recalls")
+    assert(recalls.size == 10, s"expected all ten recalls measured, got $recalls")
     val json = recalls.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     info(s"RECALL $json")
