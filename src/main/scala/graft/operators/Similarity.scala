@@ -318,7 +318,7 @@ object Similarity {
       (s, c, cb.slice(((s * codebookSize) + c) * subDim,
         ((s * codebookSize) + c) * subDim + subDim).toSeq)
     graft.lake.LakeTable.overwrite(spark, s"$indexPath/codebook",
-      rows.toDF("sub", "code", "centroid"))
+      rows.toDF("sub", "code", "centroid").coalesce(1))
   }
 
   /** The persisted codebook as the flat array + geometry the pq_*
@@ -612,19 +612,23 @@ object Similarity {
           expr("dot_d(v, centroid)") / (col("norm") * col("cn"))))))
         .otherwise(lit(math.Pi)))
       .groupBy(col("cell")).agg(max(col("ca")).as("radius"))
+    // right-size the writes: one file per cell for the corpus (codes
+    // rows are tiny — a 32-partition write would pay per-file stats +
+    // commit cost on hundreds of near-empty files), one file for each
+    // metadata side table
     graft.lake.LakeTable.overwrite(spark, s"$indexPath/corpus",
       assigned.select(col("vec_id"), col("norm"), col("codes"), col("resid"),
-        col("cell")),
+        col("cell")).repartition(cells, col("cell")),
       partitionBy = Seq("cell"))
     graft.lake.LakeTable.overwrite(spark, s"$indexPath/centroids",
       centersDf.join(radius, Seq("cell"), "left")
         .select(col("cell"), col("centroid"),
-          coalesce(col("radius"), lit(0.0)).as("radius")))
+          coalesce(col("radius"), lit(0.0)).as("radius")).coalesce(1))
     val cbRows = for (s <- 0 until subspaces; c <- 0 until codebookSize) yield
       (s, c, cb.slice(((s * codebookSize) + c) * subDim,
         ((s * codebookSize) + c) * subDim + subDim).toSeq)
     graft.lake.LakeTable.overwrite(spark, s"$indexPath/codebook",
-      cbRows.toDF("sub", "code", "centroid"))
+      cbRows.toDF("sub", "code", "centroid").coalesce(1))
   }
 
   /** O(delta) growth of a persisted IVF-PQ index: assign the new
@@ -671,7 +675,7 @@ object Similarity {
       centersDf.join(deltaRadius, Seq("cell"), "left")
         .select(col("cell"), col("centroid"),
           greatest(col("radius"), coalesce(col("delta_radius"), lit(0.0)))
-            .as("radius")))
+            .as("radius")).coalesce(1))
     v
   }
 
@@ -1032,11 +1036,16 @@ object Similarity {
     val model = fitQuantizer(e, cells)
     val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
       .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
-    graft.lake.LakeTable.overwrite(spark, s"$indexPath/corpus", assigned,
+    // one file per cell / one metadata file: a default-parallelism
+    // write pays per-file stats + commit cost on hundreds of
+    // near-empty files for nothing
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/corpus",
+      assigned.repartition(cells, col("cell")),
       partitionBy = Seq("cell"))
     val centersDf = model.clusterCenters.map(_.toArray).zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-    graft.lake.LakeTable.overwrite(spark, s"$indexPath/centroids", centersDf)
+    graft.lake.LakeTable.overwrite(spark, s"$indexPath/centroids",
+      centersDf.coalesce(1))
   }
 
   /** ANN over a persisted IVF index. The probed cells are resolved
