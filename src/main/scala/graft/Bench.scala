@@ -18,11 +18,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * value -1, never as a (fast-looking) partial elapsed time. Two timed
   * passes run after warmup and the per-query minimum is kept —
   * single-sample local[32] timings carry ±30% background-load noise.
+  *
+  * Contamination gate (three rounds of RETRY-stamped boards taught us
+  * a 1-minute load sample cannot see the FS-latency regime):
+  *   - load average is sampled BEFORE and AFTER the run;
+  *   - a fixed sub-second CANARY query (events_json: one codegen'd
+  *     get_json_object projection, untouched since r5) is timed right
+  *     after warmup. If it exceeds SPARK_GRAFT_CANARY_MAX seconds the
+  *     box is in a bad regime: sleep and re-time, up to
+  *     SPARK_GRAFT_CANARY_RETRIES times, before starting the board;
+  *   - the canary is re-timed at the END, catching contamination that
+  *     arrives mid-run (the 07:50-r14 pathology: clean load sample,
+  *     2x FS latency).
+  * Both canary samples and both load samples ship in the JSON; a
+  * still-hot canary stamps note=RETRY so the artifact carries its own
+  * "re-measure before judging" flag.
+  *
+  * The printed line is kept COMPACT (2-3 significant digits, short
+  * field names, empty fields omitted): the driver captures only the
+  * last 2000 characters of stdout, and r1-r14's full-precision lines
+  * exceeded it — every board shipped unparseable. Full-precision
+  * per-query timings are written to SPARK_GRAFT_BENCH_OUT
+  * (default ./BENCH_DETAIL.json) for human/judge consumption.
   */
 object Bench {
+  private def fmt(v: Double): String =
+    if (v < 0) "-1"
+    else if (v < 9.995) f"$v%.2f"
+    else if (v < 99.95) f"$v%.1f"
+    else f"$v%.0f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val canaryMax = sys.env.get("SPARK_GRAFT_CANARY_MAX").flatMap(_.toDoubleOption).getOrElse(1.5)
+    val canaryRetries = sys.env.get("SPARK_GRAFT_CANARY_RETRIES").flatMap(_.toIntOption).getOrElse(8)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAIL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,12 +64,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Sample BEFORE any query runs: the bench itself drives the box to
-    // full load, so an end-of-run sample would measure our own work and
-    // stamp RETRY on every healthy run. Pre-existing load is what
-    // inflates timings.
-    val load = java.lang.management.ManagementFactory
+    def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadPre = loadAvg
 
     // Full materialization of every column, zero sink cost.
     def consume(df: DataFrame): Unit =
@@ -57,6 +85,23 @@ object Bench {
       spark.catalog.clearCache() // operators cache intermediates; isolate queries
     }
 
+    // Canary: warm events_json already ran above; time it cold-cache-free.
+    def timeCanary(): Double = {
+      val t0 = System.nanoTime()
+      try consume(SparkEntry.queries("events_json")(spark, sfDir))
+      catch { case _: Throwable => return -1.0 }
+      finally spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var canaryFirst = if (names.contains("events_json")) timeCanary() else -1.0
+    var waits = 0
+    while (canaryFirst > canaryMax && waits < canaryRetries) {
+      System.err.println(f"[bench] canary $canaryFirst%.2fs > $canaryMax%.2fs - box contaminated, waiting 30s (${waits + 1}/$canaryRetries)")
+      Thread.sleep(30000)
+      waits += 1
+      canaryFirst = timeCanary()
+    }
+
     val timedRuns = 2
     val results = names.map { name =>
       var best = Double.MaxValue
@@ -73,25 +118,38 @@ object Bench {
       }
       name -> (if (failed) -1.0 else best)
     }
+    val canaryLast = if (names.contains("events_json")) timeCanary() else -1.0
+    val loadPost = loadAvg
+
     val ok = results.filter(_._2 >= 0)
     val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    // in-band box-load indicator: rounds 6 and 10 both produced
-    // 2-4x-inflated numbers on a loaded box that read as regressions
-    // until re-measured — record the 1-min load average with the
-    // timings so noise is diagnosable from the artifact alone.
-    // Unavailable (negative) reads as null, cpus is numeric, and a
-    // loaded box stamps load_note=RETRY so the artifact carries its
-    // own "re-measure before judging" flag.
-    val loadJson = if (load < 0.0) "null" else load.toString
-    val loadNote =
-      if (load > 1.5) s""","load_note":"RETRY: load_avg ${"%.2f".format(load)} > 1.5 at sample time - timings likely inflated; re-measure on a quiet box""""
+    val sfShort = {
+      val base = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+      if (base.startsWith("sf")) base.drop(2) else base
+    }
+    val note =
+      if (canaryFirst > canaryMax || canaryLast > canaryMax)
+        s""","note":"RETRY canary ${fmt(math.max(canaryFirst, canaryLast))}s>${fmt(canaryMax)}s""""
       else ""
-    val cpusJson = cpus.toIntOption.map(_.toString).getOrElse("\"" + cpus + "\"")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failedNames.mkString("[", ",", "]")},"runs":$timedRuns,""" +
-      s""""load_avg_1m":$loadJson,"cpus":$cpusJson,"sf":"$sfDir"$loadNote}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val failedJson = if (failedNames.isEmpty) "" else s""","failed":${failedNames.mkString("[", ",", "]")}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfShort","load":[${fmt(loadPre)},${fmt(loadPost)}],""" +
+      s""""canary":[${fmt(canaryFirst)},${fmt(canaryLast)}]$failedJson$note}"""
+
+    // Full precision for humans/judge; the printed line is budgeted for
+    // the driver's 2000-char tail capture.
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+      s""""failed":${failedNames.mkString("[", ",", "]")},"runs":$timedRuns,"cpus":"$cpus",""" +
+      s""""sf":"$sfDir","load_pre":$loadPre,"load_post":$loadPost,""" +
+      s""""canary_first":$canaryFirst,"canary_last":$canaryLast,"canary_max":$canaryMax,"canary_waits":$waits$note}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+
+    println(line)
     spark.stop()
   }
 }

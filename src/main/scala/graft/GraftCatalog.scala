@@ -238,13 +238,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo("graft.functions.Sketches", name),
         builder))
     inject("simhash_bits", es => SimHashBits(es.head))
-    inject("minhash_sig", es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]))
+    inject("minhash_sig", es => MinHashSig(es.head,
+      evalIntArg("minhash_sig", "numHashes", es(1))))
     inject("dot_d", es => DotProductD(es.head, es(1)))
     inject("jaccard_sorted", es => JaccardSorted(es.head, es(1)))
     inject("lsh_sigs", es => LshSigs(es.head,
-      es(1).eval().asInstanceOf[Int],
-      es(2).eval().asInstanceOf[Int],
-      es(3).eval().asInstanceOf[Int].toLong))
+      evalIntArg("lsh_sigs", "tables", es(1)),
+      evalIntArg("lsh_sigs", "bits", es(2)),
+      evalLongArg("lsh_sigs", "seed", es(3))))
     inject("char_entropy", es => CharEntropy(es.head))
     inject("dot_i8", es => DotProductI8(es.head, es(1)))
     inject("quantize_i8", es => QuantizeI8(es.head,
@@ -254,9 +255,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     inject("deq_err_i8", es => DeqErrI8(es.head,
       evalDoublesArg(es(1)), evalDoublesArg(es(2))))
     inject("pq_encode", es => PqEncode(es.head, evalDoublesArg(es(1)),
-      es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]))
+      evalIntArg("pq_encode", "m", es(2)),
+      evalIntArg("pq_encode", "k", es(3))))
     inject("pq_lut", es => PqLut(es.head, evalDoublesArg(es(1)),
-      es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]))
+      evalIntArg("pq_lut", "m", es(2)),
+      evalIntArg("pq_lut", "k", es(3))))
     inject("pq_adc", es => PqAdc(es.head, es(1)))
   }
 }

@@ -528,11 +528,17 @@ object Sketches {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val codes = l.asInstanceOf[Array[Byte]]
       val lut = r.asInstanceOf[ArrayData]
-      val k = if (codes.length == 0) 0 else lut.numElements() / codes.length
+      require(codes.length > 0 && lut.numElements() % codes.length == 0,
+        s"pq_adc: ${lut.numElements()}-entry lut is not a whole number of " +
+          s"${codes.length}-subspace rows — codes and lut built under different geometry")
+      val k = lut.numElements() / codes.length
       var s = 0.0
       var i = 0
       while (i < codes.length) {
-        s += lut.getDouble((i * k) + (codes(i) & 0xff))
+        val code = codes(i) & 0xff
+        require(code < k, s"pq_adc: code $code >= k=$k in subspace $i — codes " +
+          "encoded under a larger codebook than the lut")
+        s += lut.getDouble((i * k) + code)
         i += 1
       }
       java.lang.Double.valueOf(s)
@@ -544,7 +550,12 @@ object Sketches {
         val kk = ctx.freshName("kk")
         val s = ctx.freshName("s")
         s"""
-           |int $kk = $a.length == 0 ? 0 : $b.numElements() / $a.length;
+           |if ($a.length == 0 || $b.numElements() % $a.length != 0) {
+           |  throw new IllegalArgumentException("pq_adc: " + $b.numElements() +
+           |    "-entry lut is not a whole number of " + $a.length +
+           |    "-subspace rows - codes and lut built under different geometry");
+           |}
+           |int $kk = $b.numElements() / $a.length;
            |double $s = 0.0;
            |for (int $i = 0; $i < $a.length; $i++) {
            |  $s += $b.getDouble(($i * $kk) + (((int) $a[$i]) & 0xff));
@@ -571,15 +582,15 @@ object Sketches {
       return
     reg.createOrReplaceTempFunction("simhash_bits", es => SimHashBits(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es.head, es(1).eval().asInstanceOf[Int]), "scala_udf")
+      es => MinHashSig(es.head, evalIntArg("minhash_sig", "numHashes", es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("dot_d", es => DotProductD(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sorted",
       es => JaccardSorted(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_sigs",
       es => LshSigs(es.head,
-        es(1).eval().asInstanceOf[Int],
-        es(2).eval().asInstanceOf[Int],
-        es(3).eval().asInstanceOf[Int].toLong), "scala_udf")
+        evalIntArg("lsh_sigs", "tables", es(1)),
+        evalIntArg("lsh_sigs", "bits", es(2)),
+        evalLongArg("lsh_sigs", "seed", es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("char_entropy",
       es => CharEntropy(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_i8",
@@ -592,10 +603,10 @@ object Sketches {
       es => DeqErrI8(es.head, evalDoubles(es(1)), evalDoubles(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("pq_encode",
       es => PqEncode(es.head, evalDoubles(es(1)),
-        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]), "scala_udf")
+        evalIntArg("pq_encode", "m", es(2)), evalIntArg("pq_encode", "k", es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("pq_lut",
       es => PqLut(es.head, evalDoubles(es(1)),
-        es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int]), "scala_udf")
+        evalIntArg("pq_lut", "m", es(2)), evalIntArg("pq_lut", "k", es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("pq_adc",
       es => PqAdc(es.head, es(1)), "scala_udf")
   }
@@ -605,6 +616,34 @@ object Sketches {
     * resolution time. (Public alias for the extension injector.)
     */
   def evalDoublesArg(e: Expression): Array[Double] = evalDoubles(e)
+
+  /** Evaluate a foldable integral argument (subspace/codebook counts,
+    * band/row geometry) to Int at resolution time, with a real error
+    * instead of the opaque ClassCastException a BIGINT literal (`8L`)
+    * or the NPE a non-foldable/null argument used to raise.
+    */
+  def evalIntArg(fn: String, arg: String, e: Expression): Int = {
+    val v = evalLongArg(fn, arg, e)
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"$fn: $arg = $v does not fit in an Int")
+    v.toInt
+  }
+
+  /** [[evalIntArg]] without the Int range clamp (lsh_sigs' seed). */
+  def evalLongArg(fn: String, arg: String, e: Expression): Long = {
+    require(e.foldable,
+      s"$fn: $arg must be a literal (constant-foldable), got ${e.sql}")
+    e.eval() match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+      case null => throw new IllegalArgumentException(
+        s"$fn: $arg must not be null")
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be an integer literal, got ${other.getClass.getSimpleName} ${e.sql}")
+    }
+  }
 
   private def evalDoubles(e: Expression): Array[Double] = {
     val a = e.eval().asInstanceOf[ArrayData]

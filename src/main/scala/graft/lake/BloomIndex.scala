@@ -68,7 +68,12 @@ private[graft] object BloomIndex {
     if (cols.isEmpty || relPaths.isEmpty) return None
     val base = LakeTable.dataPath(table)
     val f = LakeTable.fs(spark, table)
-    val prefix = f.makeQualified(base).toString + "/"
+    // scan form: _metadata.file_path is percent-encoded; sidecar keys
+    // must come out in the LOG rel form or lookups would miss on
+    // encodable paths (skipping silently lost, never wrong results)
+    val prefix = LakeTable.scanFormPath(f.makeQualified(base)) + "/"
+    val relByScan: Map[String, String] =
+      relPaths.map(r => LakeTable.scanFormRel(r) -> r).toMap
     val names = cols.map(_._1)
     val kinds: Array[Int] = cols.map {
       case (_, StringType, _) => 1
@@ -90,7 +95,8 @@ private[graft] object BloomIndex {
     val merged = df.queryExecution.toRdd.mapPartitions { it =>
       val local = scala.collection.mutable.HashMap.empty[(String, Int), BloomFilter]
       it.foreach { row =>
-        val rel = row.getUTF8String(0).toString.stripPrefix(prefix)
+        val enc = row.getUTF8String(0).toString.stripPrefix(prefix)
+        val rel = relByScan.getOrElse(enc, enc)
         var i = 0
         while (i < nCols) {
           if (!row.isNullAt(i + 1)) {

@@ -1257,6 +1257,43 @@ object LakeTable extends org.apache.spark.internal.Logging {
   private[lake] def isForeignEntry(rel: String): Boolean =
     rel.startsWith("/") || rel.contains(":/")
 
+  /** The exact string `_metadata.file_path` yields for a log path.
+    * Spark publishes scan paths as RFC-2396-percent-encoded URIs
+    * (SparkPath), while log entries store Hadoop `Path.toString`
+    * (decoded) forms — a path with a space would compare unequal
+    * verbatim. Building a `Path` and taking `toUri` applies the same
+    * quoting the scan does, so every driver-side literal compared
+    * against [[FilePathCol]] or a deletion-vector key must pass
+    * through these. Paths without percent-encodable characters
+    * round-trip unchanged, so this is a no-op on conventional layouts.
+    */
+  private[lake] def scanFormAbs(p: String): String = scanFormPath(new Path(p))
+
+  /** [[scanFormAbs]] for a data-root-relative log path. */
+  private[lake] def scanFormRel(rel: String): String = scanFormPath(new Path(rel))
+
+  /** Render like Hadoop `Path.toString` (scheme:, `//authority` only
+    * when non-empty — `makeQualified` on a local fs yields an EMPTY
+    * authority while listed statuses carry none, and `URI.toString`
+    * would print them differently) but with the RAW (encoded) path.
+    */
+  private[lake] def scanFormPath(p: Path): String = {
+    val u = p.toUri
+    val sb = new StringBuilder
+    if (u.getScheme != null) sb.append(u.getScheme).append(':')
+    if (u.getAuthority != null && u.getAuthority.nonEmpty)
+      sb.append("//").append(u.getAuthority)
+    sb.append(u.getRawPath)
+    sb.toString
+  }
+
+  /** A log entry's deletion-vector key: scan-form relative for local
+    * files, scan-form absolute for cloned (foreign) references — the
+    * domain every stored dv `p` value lives in.
+    */
+  private[lake] def scanKey(e: FileEntry): String =
+    if (isForeignEntry(e.path)) scanFormAbs(e.path) else scanFormRel(e.path)
+
   /** The physical location of a log entry's file. */
   private[lake] def entryPath(dataRoot: Path, rel: String): Path =
     if (isForeignEntry(rel)) new Path(rel) else new Path(dataRoot, rel)
@@ -1345,6 +1382,12 @@ object LakeTable extends org.apache.spark.internal.Logging {
   private def qualifiedDataPrefix(spark: SparkSession, table: String): String =
     fs(spark, table).makeQualified(dataPath(table)).toString
 
+  /** [[qualifiedDataPrefix]] in the scan form ([[scanFormAbs]]) — the
+    * prefix `_metadata.file_path` values of local files start with.
+    */
+  private def scanDataPrefix(spark: SparkSession, table: String): String =
+    scanFormPath(fs(spark, table).makeQualified(dataPath(table))) + "/"
+
   /** Threshold (rows) under which the dv side of the MoR anti-join is
     * broadcast. Above it the join falls back to a shuffle — correct but
     * a sign the table wants a [[compact]] to reconcile its vectors.
@@ -1392,7 +1435,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val dvdLeg = if (dvd.isEmpty) None else Some {
       val df = readDataFilesWithPos(spark, table, snap.schema, dvd.map(_.path),
         snap.partitionColumns.size)
-      val prefix = qualifiedDataPrefix(spark, table) + "/"
+      val prefix = scanDataPrefix(spark, table)
       // a CLONED vector's rows key on the source files' ABSOLUTE URIs
       // (shallowClone re-keys them — foreign entries live outside this
       // table's data root); local rows stay data-root-relative
@@ -2980,14 +3023,19 @@ object LakeTable extends org.apache.spark.internal.Logging {
     */
   private def morVectorKey(spark: SparkSession, table: String, op: String,
                            foreignAffected: Seq[String]): Column = {
-    val prefix = qualifiedDataPrefix(spark, table) + "/"
+    val prefix = scanDataPrefix(spark, table)
     val bad = raise_error(concat(
       lit(s"$op on $table matched a file outside the data root: "),
       col(FilePathCol)))
+    // log-form foreign paths transcode to the scan form the column
+    // carries ([[mapMatchedRel]] applies the inverse decode) — a
+    // verbatim comparison would miss percent-encodable paths and raise
+    // the misleading outside-the-data-root error for a legitimately
+    // matched cloned file
     val foreignLeg =
       if (foreignAffected.isEmpty) bad
-      else when(col(FilePathCol).isInCollection(foreignAffected), col(FilePathCol))
-        .otherwise(bad)
+      else when(col(FilePathCol).isInCollection(foreignAffected.map(scanFormAbs)),
+        col(FilePathCol)).otherwise(bad)
     when(col(FilePathCol).startsWith(prefix),
       col(FilePathCol).substr(lit(prefix.length + 1), lit(Int.MaxValue)))
       .otherwise(foreignLeg)
@@ -3081,7 +3129,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
           val allRows =
             if (withOldDv.isEmpty) newRows
             else newRows.unionByName(dvRows(spark, table, withOldDv)
-              .filter(col("p").isInCollection(withOldDv.map(_.path))))
+              .filter(col("p").isInCollection(withOldDv.map(scanKey))))
           val dvDir = stageDeleteVector(spark, table, allRows,
             math.max(1, math.min(32, affectedRel.size)))
 
@@ -3089,7 +3137,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
           val upd = remaining.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-            val card = cardByFile.getOrElse(e.path, 0L)
+            val card = cardByFile.getOrElse(scanKey(e), 0L)
             // every affected file has >=1 matched row, so a missing key
             // means the staged rows and the log disagree on path form
             require(card > 0, s"internal: no staged vector rows keyed as " +
@@ -3171,7 +3219,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       val allRows =
         if (withOldDv.isEmpty) newRows
         else newRows.unionByName(dvRows(spark, table, withOldDv)
-          .filter(col("p").isInCollection(withOldDv.map(_.path))))
+          .filter(col("p").isInCollection(withOldDv.map(scanKey))))
       val dvDir = stageDeleteVector(spark, table, allRows,
         math.max(1, math.min(32, affectedRel.size)))
       val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
@@ -3195,7 +3243,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
           .unionByName(postRows.withColumn(ChangeTypeCol, lit("update_postimage"))))
 
       val updated = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-        val card = cardByFile.getOrElse(e.path, 0L)
+        val card = cardByFile.getOrElse(scanKey(e), 0L)
         require(card > 0, s"internal: no staged vector rows keyed as " +
           s"${e.path} — vector-key/entry-path form drift")
         // every row updated: the old file leaves the snapshot outright
@@ -3292,13 +3340,13 @@ object LakeTable extends org.apache.spark.internal.Logging {
             val allRows =
               if (withOldDv.isEmpty) newRows
               else newRows.unionByName(dvRows(spark, table, withOldDv)
-                .filter(col("p").isInCollection(withOldDv.map(_.path))))
+                .filter(col("p").isInCollection(withOldDv.map(scanKey))))
             val dvDir = stageDeleteVector(spark, table, allRows,
               math.max(1, math.min(32, affectedRel.size)))
             val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-              val card = cardByFile.getOrElse(e.path, 0L)
+              val card = cardByFile.getOrElse(scanKey(e), 0L)
               require(card > 0, s"internal: no staged vector rows keyed as " +
                 s"${e.path} — vector-key/entry-path form drift")
               if (e.rowCount >= 0 && card >= e.rowCount) None
@@ -3529,13 +3577,13 @@ object LakeTable extends org.apache.spark.internal.Logging {
             val allRows =
               if (withOldDv.isEmpty) newRows
               else newRows.unionByName(dvRows(spark, table, withOldDv)
-                .filter(col("p").isInCollection(withOldDv.map(_.path))))
+                .filter(col("p").isInCollection(withOldDv.map(scanKey))))
             val dvDir = stageDeleteVector(spark, table, allRows,
               math.max(1, math.min(32, affectedRel.size)))
             val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
               .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-              val card = cardByFile.getOrElse(e.path, 0L)
+              val card = cardByFile.getOrElse(scanKey(e), 0L)
               require(card > 0, s"internal: no staged vector rows keyed as " +
                 s"${e.path} — vector-key/entry-path form drift")
               if (e.rowCount >= 0 && card >= e.rowCount) None
@@ -4386,9 +4434,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
       if (dvd.isEmpty) None
       else {
         val rows = dvRows(spark, src, dvd)
-          .filter(col("p").isInCollection(dvd.map(_.path)))
+          .filter(col("p").isInCollection(dvd.map(scanKey)))
+          // re-key into scan-form ABSOLUTE URIs (stored local keys are
+          // scan-form relative, so the concat stays in the scan domain)
           .select(when(col("p").startsWith("/") || col("p").contains(":/"), col("p"))
-            .otherwise(concat(lit(srcRoot.toString + "/"), col("p"))).as("p"),
+            .otherwise(concat(lit(scanFormPath(srcRoot) + "/"), col("p"))).as("p"),
             col("pos"))
         Some(stageDeleteVector(spark, dst, rows,
           math.max(1, math.min(32, dvd.size))))

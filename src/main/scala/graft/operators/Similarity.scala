@@ -657,13 +657,12 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     retireCache("ivfPqAppend", assigned)
-    val enc = assigned
-      .withColumn("pq", expr(s"pq_encode(v, $cbSql, $m, $kk)"))
-      .select(col("vec_id"), col("norm"),
-        col("pq.codes").as("codes"), col("pq.resid").as("resid"), col("cell"))
-    val v = graft.lake.LakeTable.append(spark, s"$indexPath/corpus", enc)
-    // radius merge: the delta's per-cell max angle folds into the
-    // stored value (cells × 1 rows — metadata-scale)
+    // radius merge FIRST, corpus append SECOND: a probe (or crash)
+    // between the two commits must stay exact. Widened-radius-without-
+    // rows only loosens phase-2 pruning (always safe); rows-without-
+    // widened-radius would let the angular bound prune a cell holding
+    // a true neighbor — silent non-exactness the single-threaded incr
+    // gate can't see. (cells × 1 rows — metadata-scale)
     val deltaRadius = assigned.join(broadcast(centersDf), Seq("cell"))
       .withColumn("cn", sqrt(expr("dot_d(centroid, centroid)")))
       .withColumn("ca", when(col("norm") > 0 && col("cn") > 0,
@@ -676,7 +675,11 @@ object Similarity {
         .select(col("cell"), col("centroid"),
           greatest(col("radius"), coalesce(col("delta_radius"), lit(0.0)))
             .as("radius")).coalesce(1))
-    v
+    val enc = assigned
+      .withColumn("pq", expr(s"pq_encode(v, $cbSql, $m, $kk)"))
+      .select(col("vec_id"), col("norm"),
+        col("pq.codes").as("codes"), col("pq.resid").as("resid"), col("cell"))
+    graft.lake.LakeTable.append(spark, s"$indexPath/corpus", enc)
   }
 
   /** EXACT top-k over a persisted IVF-PQ index — [[annIvfPq]]'s

@@ -201,6 +201,43 @@ class CloneSpec extends SparkSpec {
     assert(dataFiles(src).toSet == srcFilesBefore, "vacuum of clone spared source")
   }
 
+  test("MoR DML and clone vectors survive percent-encodable table paths") {
+    // `_metadata.file_path` publishes percent-ENCODED URIs while the log
+    // stores decoded Path forms — a space in the table path makes every
+    // verbatim comparison miss. The vector-key domain is the scan form
+    // (LakeTable.scanKey); this pins the whole MoR tier on such a path.
+    val d = tmpDir("clone enc")
+    val (src, dst) = (s"$d/src dir/t", s"$d/dst dir/c")
+    LakeTable.overwrite(spark, src,
+      spark.range(30).select(col("id"), (col("id") * 1.0).as("v")).coalesce(1))
+    // local MoR under an encodable path: vector write, fold, read-back
+    LakeTable.deleteMergeOnRead(spark, src, col("id") === 29L)
+    LakeTable.deleteMergeOnRead(spark, src, col("id") === 28L)
+    assert(LakeTable.read(spark, src).select("id").as[Long].collect().toSet
+      == (0L until 28L).toSet)
+    // the clone re-keys the inherited vector on scan-form absolute URIs
+    LakeTable.shallowClone(spark, src, dst)
+    LakeTable.deleteMergeOnRead(spark, dst, col("id") === 5L)
+    LakeTable.updateMergeOnRead(spark, dst, Seq("v" -> lit(9.5)), col("id") === 7L)
+    LakeTable.mergeMergeOnRead(spark, dst,
+      Seq((8L, 80.0), (100L, 1.0)).toDF("id", "v"), Seq("id"))
+    val st = LakeTable.read(spark, dst)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(st.keySet == (0L until 28L).toSet - 5L + 100L)
+    assert(st(7L) == 9.5 && st(8L) == 80.0 && st(100L) == 1.0)
+    // ONE still-foreign entry, one folded vector carrying every hidden
+    // pre-image (28, 29 inherited + 5 deleted + 7, 8 updated)
+    val fe = LakeTable.latestSnapshot(spark, dst).get.files
+      .filter(e => e.path.contains("src dir"))
+    assert(fe.size == 1, s"expected the one foreign entry, got ${fe.map(_.path)}")
+    assert(fe.head.dv.exists(_.cardinality == 5L), s"folded dv: ${fe.head.dv}")
+    // source untouched; compact localizes through the encoded keys
+    assert(LakeTable.read(spark, src).count() == 28)
+    LakeTable.compact(spark, dst, smallFileBytes = Long.MaxValue)
+    assert(LakeTable.read(spark, dst)
+      .select("id", "v").as[(Long, Double)].collect().toMap == st)
+  }
+
   test("SQL: CREATE TABLE ... SHALLOW CLONE ... VERSION/TIMESTAMP AS OF") {
     val d = tmpDir("clone_sql")
     val (src, dst, dst2) = (s"$d/src", s"$d/dst", s"$d/dst2")

@@ -307,6 +307,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sketch function args validate loudly: BIGINT literals coerce, junk is named") {
+    graft.functions.Sketches.register(spark)
+    import spark.implicits._
+    Seq(Seq(1.0, 2.0)).toDF("v").createOrReplaceTempView("pq_args_v")
+    val cb = "array(0.0D, 0.0D, 1.0D, 2.0D)" // dim 2, m=1, k=2
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ::: chain(t.getCause)
+    def failsWith(sql: String, needle: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(chain(e).exists(_.contains(needle)),
+        s"expected an error mentioning '$needle', got ${chain(e).mkString(" | ")}")
+    }
+    // a BIGINT literal (the `8L` a user naturally writes) coerces
+    // instead of throwing an opaque ClassCastException
+    assert(spark.sql("SELECT pq_encode(v, " + cb +
+      ", CAST(1 AS BIGINT), CAST(2 AS BIGINT)).resid AS r FROM pq_args_v")
+      .collect().length == 1)
+    // non-foldable / null / fractional args are refused by name
+    failsWith(s"SELECT pq_encode(v, $cb, CAST(size(v) AS INT), 2) FROM pq_args_v",
+      "must be a literal")
+    failsWith(s"SELECT pq_encode(v, $cb, CAST(NULL AS INT), 2) FROM pq_args_v",
+      "must not be null")
+    failsWith(s"SELECT pq_lut(v, $cb, 1.5, 2) FROM pq_args_v",
+      "must be an integer literal")
+    failsWith("SELECT minhash_sig(array('a'), CAST(id AS INT)) FROM range(1)",
+      "must be a literal")
+    // pq_adc geometry mismatches fail instead of silently indexing
+    // wrong lut slots: non-divisible lut, then an exhaustive-fold check
+    failsWith("SELECT pq_adc(X'0001', array(0.0D, 1.0D, 2.0D))",
+      "different geometry")
+    failsWith("SELECT pq_adc(X'05', array(0.0D, 1.0D, 2.0D, 3.0D))",
+      "larger codebook")
+    // well-formed geometry still scores: codes (1,0) over k=2 luts
+    val s = spark.sql("SELECT pq_adc(X'0100', array(0.0D, 1.0D, 2.0D, 3.0D)) AS s")
+      .collect().head.getDouble(0)
+    assert(s == 1.0 + 2.0)
+  }
+
   test("the cosine tier refuses zero-norm vectors loudly (ANSI division by zero)") {
     // cosine is undefined for a zero vector: the contract is a loud
     // ANSI divide-by-zero from EVERY path (baseline and accelerated),

@@ -149,6 +149,30 @@ class RecallSpec extends SparkSpec {
       s"missing=${exact.diff(got).take(5)} extra=${got.diff(exact).take(5)}")
   }
 
+  test("ivfPqAppend crash window is harmless: radii commit first, rows second") {
+    // ivfPqAppend makes two commits (centroids radii, then corpus). A
+    // probe between them — or after a crash in that window — must stay
+    // exact: widened radii without the rows only LOOSEN phase-2
+    // pruning. (The reverse order would let a stale radius prune a
+    // cell holding a true new neighbor: silent non-exactness.)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq_crash").toString + "/ivfpq"
+    Similarity.buildIvfPqIndex(spark, sf, idx, only = Some(col("vec_id") % 2 === 0))
+    val before = rows(Similarity.annIvfPqIndexed(spark, sf, idx))
+    val vPre = graft.lake.LakeTable.latestSnapshot(spark, s"$idx/corpus").get.version
+    Similarity.ivfPqAppend(spark, idx,
+      graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 1))
+    // reconstruct the mid-append state: radii already MAX-merged, the
+    // corpus rows not yet visible
+    graft.lake.LakeTable.restore(spark, s"$idx/corpus", vPre)
+    val crashed = rows(Similarity.annIvfPqIndexed(spark, sf, idx))
+    assert(crashed == before,
+      s"widened radii without rows changed results: missing=" +
+        s"${before.diff(crashed).take(5)} extra=${crashed.diff(before).take(5)}")
+  }
+
   test("dedup_minhash recall vs the exact Jaccard pair set") {
     val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
