@@ -41,6 +41,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *         ON l.a = r.b [AND ...]
   *   REFRESH INCREMENTAL VIEW <target>
   *
+  * Plus two SELECT-level rewrites that compose inside any query (see
+  * [[GraftSqlParser!.rewriteTimeTravel rewriteTimeTravel]] /
+  * [[GraftSqlParser!.rewriteTableChanges rewriteTableChanges]]):
+  *
+  *   SELECT ... FROM <t> [FOR] VERSION AS OF <v> ...
+  *   SELECT ... FROM <t> [FOR] TIMESTAMP AS OF '<ts>' ...
+  *   SELECT ... FROM table_changes(<t>, <start> [, <end>]) ...
+  *
   * APPLY CHANGES is the DLT-style statement form of
   * [[Scd2.applyFeed]]: fold the source's change feed since the dim's
   * watermark into an SCD Type-2 interval table (sequencing is the
@@ -73,7 +81,81 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    parseMaintenance(sqlText.trim).getOrElse(delegate.parsePlan(sqlText))
+    parseMaintenance(sqlText.trim)
+      .getOrElse(delegate.parsePlan(rewriteTimeTravel(rewriteTableChanges(sqlText))))
+
+  /** CDF from SQL — Delta's `table_changes` TVF analog:
+    *
+    *   SELECT ... FROM table_changes(<t>, <start> [, <end>]) ...
+    *
+    * `<t>` is a registered view name, a backquoted path, or a
+    * single-quoted name/path (Delta's string-arg form); `<end>`
+    * defaults to the latest committed version at parse time. Rewritten
+    * to a deterministic temp view over [[LakeTable.changes]], so a
+    * SQL-only user can drive incremental folds (the `incr_agg`
+    * discipline) without touching the Scala API.
+    */
+  private def rewriteTableChanges(sqlText: String): String =
+    TableChangesRe.replaceAllIn(sqlText, m => {
+      val (kw, target, v1) = (m.group(1), m.group(2), m.group(3).toLong)
+      val path =
+        if (target.startsWith("`")) target.substring(1, target.length - 1)
+        else if (target.startsWith("'")) {
+          // Delta's form quotes a table NAME; accept a quoted path too
+          val s = target.substring(1, target.length - 1)
+          if (LakeTable.versions(spark, s).nonEmpty) s
+          else resolveTarget(spark, s)
+        } else resolveTarget(spark, target)
+      val v2 = Option(m.group(4)).map(_.toLong).getOrElse(
+        LakeTable.latestVersion(spark, path).getOrElse(
+          throw new IllegalArgumentException(s"no committed version at $path")))
+      val name = "graft_cdf_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$path@$v1-$v2".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      LakeTable.changes(spark, path, v1, v2).createOrReplaceTempView(name)
+      java.util.regex.Matcher.quoteReplacement(s"$kw $name")
+    })
+
+  /** SELECT-level time travel (Trino-on-Iceberg's user syntax, which
+    * the reference's analysts type verbatim, plus Spark's FOR-less v2
+    * form):
+    *
+    *   SELECT ... FROM <t> [FOR] VERSION AS OF <v> ...
+    *   SELECT ... FROM <t> [FOR] TIMESTAMP AS OF '<ts>' ...
+    *
+    * Rewritten BEFORE delegation: each travelled relation resolves to
+    * its log path, pins via the existing `versionAsOf` reader option,
+    * and registers as a deterministic session temp view
+    * (`graft_tt_<hash>`, idempotent — same (path, version) reuses the
+    * name) whose name substitutes into the text. Composes anywhere a
+    * relation can appear (joins, subqueries, several travelled tables,
+    * self-joins of two versions). A target that does not resolve to a
+    * graft table is left untouched for the delegate to reject with its
+    * own error.
+    */
+  private def rewriteTimeTravel(sqlText: String): String =
+    TimeTravelRe.replaceAllIn(sqlText, m => {
+      val (kw, target, kind, lit) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val resolved =
+        try Some(resolveTarget(spark, target))
+        catch { case _: Exception => None }
+      resolved match {
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+        case Some(path) =>
+          val v =
+            if (kind.equalsIgnoreCase("VERSION")) lit.toLong
+            else LakeTable.versionAtTimestamp(spark, path,
+              GraftDataSource.parseTimestampMs(
+                if (lit.startsWith("'")) lit.substring(1, lit.length - 1) else lit))
+          val name = "graft_tt_" + java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$path@$v".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(16)
+          // resolves the snapshot eagerly — a bad version fails HERE,
+          // at parse time, with the reader's own error
+          LakeTable.read(spark, path, asOf = Some(v)).createOrReplaceTempView(name)
+          java.util.regex.Matcher.quoteReplacement(s"$kw $name")
+      }
+    })
 
   private def parseMaintenance(s: String): Option[LogicalPlan] = s match {
     case OptimizeRe(target, whereOpt, kindOpt, colsOpt) =>
@@ -247,6 +329,14 @@ private[graft] object GraftSqlParser {
       """\s+(?:AS\s+)?r\s+ON\s+(.+?)\s*;?\s*$""").r
   private val RefreshIncViewRe =
     ("""(?is)^REFRESH\s+INCREMENTAL\s+VIEW\s+""" + T + """\s*;?\s*$""").r
+  // SELECT-level time travel: FROM/JOIN <t> [FOR] VERSION|TIMESTAMP AS OF <lit>
+  private val TimeTravelRe =
+    ("""(?is)\b(FROM|JOIN)\s+""" + T +
+      """\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)""").r
+  // CDF TVF: FROM/JOIN table_changes(<t>, <start> [, <end>])
+  private val TableChangesRe =
+    ("""(?is)\b(FROM|JOIN)\s+TABLE_CHANGES\s*\(\s*""" + T +
+      """\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""").r
   // DLT-style CDC → SCD2 statement (sequencing = lake commit version)
   private val ApplyChangesRe =
     ("""(?is)^APPLY\s+CHANGES\s+INTO\s+""" + T + """\s+FROM\s+""" + T +

@@ -688,6 +688,79 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(LakeTable.read(spark, t).count() == 1)
   }
 
+  test("SELECT-level time travel: [FOR] VERSION/TIMESTAMP AS OF pins like the read option") {
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_tt").toString + "/t"
+    LakeTable.overwrite(spark, t, Seq((1L, 1.0)).toDF("id", "x"))      // v1
+    val ts1 = LakeTable.latestSnapshot(spark, t).get.timestampMs
+    Thread.sleep(20)
+    LakeTable.append(spark, t, Seq((2L, 2.0)).toDF("id", "x"))         // v2
+    LakeTable.update(spark, t, Seq("x" -> lit(9.0)), col("id") === 1L) // v3
+    // Trino's FOR form on a quoted path
+    assert(spark.sql(s"SELECT id, x FROM `$t` FOR VERSION AS OF 1")
+      .as[(Long, Double)].collect().toSet == Set((1L, 1.0)))
+    // Spark's FOR-less form; pinned SELECT equals read(asOf)
+    assert(spark.sql(s"SELECT id, x FROM `$t` VERSION AS OF 2")
+      .as[(Long, Double)].collect().toSet ==
+      LakeTable.read(spark, t, asOf = Some(2L))
+        .select("id", "x").as[(Long, Double)].collect().toSet)
+    // TIMESTAMP AS OF (same literal forms RESTORE takes)
+    assert(spark.sql(s"SELECT count(*) FROM `$t` FOR TIMESTAMP AS OF ${ts1 + 1}")
+      .head.getLong(0) == 1L)
+    // composes through a registered live view, including a self-join of
+    // two pinned versions; the unpinned view still reads the head
+    LakeTable.readLive(spark, t).createOrReplaceTempView("tt_live")
+    assert(spark.sql(
+      """SELECT a.id, a.x, b.x FROM tt_live FOR VERSION AS OF 1 a
+         JOIN tt_live FOR VERSION AS OF 3 b ON a.id = b.id""")
+      .as[(Long, Double, Double)].collect().toSet == Set((1L, 1.0, 9.0)))
+    assert(spark.sql("SELECT sum(x) FROM tt_live").head.getDouble(0) == 11.0)
+    // a bad version fails loudly at parse time
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM `$t` FOR VERSION AS OF 99"))
+    assert(e.getMessage != null)
+  }
+
+  test("table_changes() replays an incremental fold from spark.sql alone") {
+    import graft.lake.LakeTable
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_tvf").toString + "/t"
+    LakeTable.overwrite(spark, t, Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")) // v1
+    LakeTable.append(spark, t, Seq((3L, 30.0)).toDF("id", "v"))                // v2
+    LakeTable.delete(spark, t, col("id") === 1L)                               // v3
+    LakeTable.update(spark, t, Seq("v" -> (col("v") + 1)), col("id") === 2L)   // v4
+    // the TVF rewrite equals the API feed, typed and stamped
+    val viaSql = spark.sql(
+      s"""SELECT ${LakeTable.CommitVersionCol}, id, v, ${LakeTable.ChangeTypeCol}
+          FROM table_changes('$t', 2, 4)""")
+      .as[(Long, Long, Double, String)].collect().toSeq.sorted
+    val viaApi = LakeTable.changes(spark, t, 2L, 4L)
+      .select(LakeTable.CommitVersionCol, "id", "v", LakeTable.ChangeTypeCol)
+      .as[(Long, Long, Double, String)].collect().toSeq.sorted
+    assert(viaSql == viaApi, s"TVF feed $viaSql != API feed $viaApi")
+    // the incr fold, SQL only: latest surviving image per key == the table
+    val replayed = spark.sql(
+      s"""SELECT id, v FROM (
+            SELECT id, v, ${LakeTable.ChangeTypeCol} AS ct, row_number() OVER (
+              PARTITION BY id ORDER BY ${LakeTable.CommitVersionCol} DESC,
+              CASE WHEN ${LakeTable.ChangeTypeCol} IN ('insert', 'update_postimage')
+                   THEN 1 ELSE 0 END DESC) AS rn
+            FROM table_changes('$t', 1, 4))
+          WHERE rn = 1 AND ct IN ('insert', 'update_postimage')""")
+      .as[(Long, Double)].collect().toSet
+    assert(replayed == LakeTable.read(spark, t)
+      .select("id", "v").as[(Long, Double)].collect().toSet)
+    // end version defaults to the latest commit; view names resolve too
+    LakeTable.readLive(spark, t).createOrReplaceTempView("tvf_live")
+    assert(spark.sql(s"SELECT count(*) FROM table_changes('$t', 4)")
+      .head.getLong(0) == 2L) // v4 = update pre+post images
+    assert(spark.sql("SELECT count(*) FROM table_changes(tvf_live, 1, 2)")
+      .head.getLong(0) == 3L) // v1-v2 inserts
+  }
+
   test("PUBLISH TABLE lands a branch's audited delta from pure SQL") {
     import graft.lake.LakeTable
     import spark.implicits._
