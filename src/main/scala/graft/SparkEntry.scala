@@ -626,6 +626,29 @@ object SparkEntry {
            ON a.doc_id < b.c2 AND p.doc_id >= b.c2
          WHERE CAST(len(list_intersect(a.sh, p.sh)) AS DOUBLE)
                / len(list_distinct(list_concat(a.sh, p.sh))) >= 0.5""",
+    // the signature is md5-keyed precisely so this oracle exists: the
+    // feed recomputes every 64-bit simhash from the raw text (same
+    // token hash = first 16 md5 hex digits, same strict-majority bit
+    // vote) and replays the decision over ALL pairs. The operator's
+    // 4x16-bit chunk blocking is provably exhaustive at hamming <= 3,
+    // so a mismatch here means a real signature or blocking bug
+    "dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+           FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+             CASE WHEN 2 * sum(((h >> b) & 1)::BIGINT) > count(*) THEN 1 ELSE 0 END AS bit
+           FROM h, (SELECT unnest(range(0, 64)) AS b) bs
+           GROUP BY doc_id, b),
+         sig AS (SELECT doc_id, list(bit ORDER BY b) AS bits FROM bits GROUP BY doc_id)
+         SELECT doc_a, doc_b, hamming FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 3""",
     // the LSH bands + signature estimate PROPOSE (0.15 below the exact
     // cut), the exact shingle Jaccard DECIDES: the oracle replays the
     // decision over ALL pairs corpus-wide (no lang blocking) — a miss

@@ -546,7 +546,16 @@ object Dedup {
 
   /** SimHash near-dup detection: 64-bit signature; candidates share one
     * of four 16-bit chunks (any pair within Hamming distance 3 must
-    * collide on at least one chunk), verified by bit_count(xor) <= 3.
+    * collide on at least one chunk — pigeonhole, so the blocking is
+    * LOSSLESS, not probabilistic), verified by bit_count(xor) <= 3.
+    *
+    * Token hashes are md5-derived (`conv(substr(md5(t), 1, 16), 16,
+    * -10)`), not xxhash64: md5 is the one hash both engines share, so
+    * the signature — and with it the whole decided pair set — is
+    * recomputable by the DuckDB oracle from the raw documents. Unlike
+    * the minhash flip this needs no recall pin: the chunk blocking is
+    * provably exhaustive at the bound, so oracle == operator by
+    * construction (RecallSpec still asserts the set equality).
     */
   def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     graft.functions.Sketches.register(spark)
@@ -560,7 +569,8 @@ object Dedup {
     retirePrevious("dedupSimhash", Seq(members))
     val d = members
       .withColumn("toks", TextFns.tokens(col("text")))
-      .withColumn("simhash", expr("simhash_bits(transform(toks, t -> xxhash64(t)))"))
+      .withColumn("simhash", expr(
+        "simhash_bits(transform(toks, t -> cast(conv(substr(md5(t), 1, 16), 16, -10) as bigint)))"))
       .select(col("rep_id").as("doc_id"), col("simhash"))
 
     val chunked = d.select(

@@ -459,6 +459,96 @@ class GraftStreamSpec extends SparkSpec {
     assert(out.filter(col("doubled") =!= col("id") * 2).count() == 0)
   }
 
+  test("landing → bronze → silver → gold end to end, exactly-once across a restart") {
+    // the reference's full chain (S3 sensor → bronze_nightly →
+    // silver_daily → gold_daily, defs/schedules/defs.yaml) as three
+    // chained streams: a file-source sensor ingests landing files into
+    // bronze, silver conforms bronze into a lake fact table, gold tails
+    // the SILVER LAKE TABLE (graft source) and MERGEs hourly windows.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val d = tmp("e2e_stream")
+    val (landing, bronze) = (s"$d/landing", s"$d/bronze")
+    val (silverT, goldT) = (s"$d/silver/fact_events", s"$d/gold/hourly")
+    val landingSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_us", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def us(h: Long, min: Long): Long = (h * 3600L + min * 60L) * 1000000L
+    def land(rows: Seq[(Long, Long, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts_us", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(landing)
+
+    def startAll() = {
+      val qB = sources.Bronze.streamIngest(spark, landing, landingSchema,
+        sourceSystem = "sis", table = "events", ingestDate = "2026-08-16",
+        bronzePath = bronze, checkpointPath = s"$d/ckpt_bronze")
+      val bronzeSchema = StructType(landingSchema.fields ++ Seq(
+        StructField("_source_system", StringType), StructField("_source_table", StringType),
+        StructField("_ingest_date", DateType), StructField("_batch_id", StringType)))
+      val qS = spark.readStream.schema(bronzeSchema).parquet(bronze)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("ts_us")).as("ts"), col("value"), col("_batch_id"))
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$d/ckpt_silver").start(silverT)
+      // the graft SOURCE needs one committed version for its schema, so
+      // gold starts after the first landing file has flowed into silver
+      qB.processAllAvailable(); qS.processAllAvailable()
+      val qG = streaming.EventStreams.windowedGoldToLake(spark,
+        spark.readStream.format("graft").load(silverT), goldT, s"$d/ckpt_gold")
+      (qB, qS, qG)
+    }
+    def drain(qs: (org.apache.spark.sql.streaming.StreamingQuery,
+                   org.apache.spark.sql.streaming.StreamingQuery,
+                   org.apache.spark.sql.streaming.StreamingQuery)): Unit = {
+      qs._1.processAllAvailable(); qs._2.processAllAvailable(); qs._3.processAllAvailable()
+    }
+    def stopAll(qs: (org.apache.spark.sql.streaming.StreamingQuery,
+                     org.apache.spark.sql.streaming.StreamingQuery,
+                     org.apache.spark.sql.streaming.StreamingQuery)): Unit = {
+      qs._1.stop(); qs._2.stop(); qs._3.stop()
+    }
+    // batch recompute over EVERYTHING landed so far = the gold oracle
+    def expected(): Set[(Long, String, Long, Double)] =
+      spark.read.schema(landingSchema).parquet(landing)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.functions.Money.msum(col("value")).as("sum_value"))
+        .select(unix_millis(col("window.start")).as("bucket_ms"), col("event_type"),
+          col("n"), col("sum_value").cast("double"))
+        .as[(Long, String, Long, Double)].collect().toSet
+    def gold(): Set[(Long, String, Long, Double)] =
+      LakeTable.read(spark, goldT)
+        .select(col("bucket_ms"), col("event_type"), col("n"),
+          col("sum_value").cast("double"))
+        .as[(Long, String, Long, Double)].collect().toSet
+
+    val h = 500000L // arbitrary epoch hour; windows are hour-aligned
+    land(Seq((1L, us(h, 5), 10L, "view", 1.0), (2L, us(h, 20), 11L, "view", 2.0),
+      (3L, us(h, 40), 10L, "apply", 5.0), (4L, us(h + 1, 10), 12L, "view", 3.0)))
+    val qs1 = startAll()
+    drain(qs1)
+    assert(gold() == expected(), "gold after batch 1")
+    stopAll(qs1)
+
+    // a second landing file arrives while everything is DOWN; the
+    // restarted chain picks it up from the checkpoints — updating the
+    // h+1 window (MERGE, not duplicate) and opening h+2
+    land(Seq((5L, us(h + 1, 30), 13L, "apply", 7.0), (6L, us(h + 2, 15), 10L, "view", 4.0)))
+    val qs2 = startAll()
+    drain(qs2)
+    stopAll(qs2)
+    assert(gold() == expected(), "gold after restart + batch 2")
+    // exactly-once through the middle of the chain: silver holds every
+    // landed event exactly once
+    assert(LakeTable.read(spark, silverT).count() == 6)
+    assert(LakeTable.read(spark, silverT).select("event_id").distinct().count() == 6)
+    // and gold windows are unique per (bucket, type) — MERGE semantics
+    val g = LakeTable.read(spark, goldT)
+    assert(g.groupBy("bucket_ms", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("a streamed embedding feed maintains the persisted PQ index; the probe stays exact") {
     import spark.implicits._
     import graft.operators.Similarity

@@ -682,7 +682,9 @@ class EntrySpec extends SparkSpec {
     // → brute-force top-k oracle)
     // ann_ivf left in r14 too: phase-2 bound-probing (triangle
     // inequality vs the centroids) makes IVF exact → ann_topk's oracle
-    val rowsOnly = Set("dedup_simhash", "ann_lsh",
+    // dedup_simhash left in r15: md5-keyed signature → the oracle
+    // recomputes it, and the 4x16 chunk blocking is provably lossless
+    val rowsOnly = Set("ann_lsh",
       "events_approx", "bpe_train", "bpe_encode",
       "incr_distinct", "incr_topk", "incr_quantiles",
       // persisted-LSH probe: approximate by construction; recall gated

@@ -189,7 +189,8 @@ class RecallSpec extends SparkSpec {
     // brute-force ground truth over the collected 64-bit signatures
     val sigs = graft.Tables.documents(spark, sf)
       .withColumn("toks", graft.functions.TextFns.tokens(col("text")))
-      .withColumn("simhash", expr("simhash_bits(transform(toks, t -> xxhash64(t)))"))
+      .withColumn("simhash", expr(
+        "simhash_bits(transform(toks, t -> cast(conv(substr(md5(t), 1, 16), 16, -10) as bigint)))"))
       .select("doc_id", "simhash").as[(Long, Long)].collect()
     val exact = (for {
       i <- sigs.indices.iterator
