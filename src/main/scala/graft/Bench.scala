@@ -29,7 +29,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     SPARK_GRAFT_CANARY_RETRIES times, before starting the board;
   *   - the canary is re-timed at the END, catching contamination that
   *     arrives mid-run (the 07:50-r14 pathology: clean load sample,
-  *     2x FS latency).
+  *     2x FS latency);
+  *   - a WRITE canary (3-commit lake cycle) gates alongside it: the
+  *     read canary cannot see the FS-latency regime that inflates the
+  *     commit-machinery keys (r15's first board: canary clean at
+  *     0.52s, lake_mor still 1.6x its quiet value off a loaded start).
   * Both canary samples and both load samples ship in the JSON; a
   * still-hot canary stamps note=RETRY so the artifact carries its own
   * "re-measure before judging" flag.
@@ -93,13 +97,33 @@ object Bench {
       finally spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
+    // Write canary: the read canary cannot see the FS-latency regime
+    // that inflates the commit-machinery keys (lake_mor, scd2_*) — a
+    // fixed 3-commit lake cycle (overwrite + 2 appends of 32 rows)
+    // probes exactly the stage-files + rename + log-write path those
+    // keys pay per commit. Quiet value ~1.5s at 32 cpus (measured
+    // r15); gate at SPARK_GRAFT_WCANARY_MAX (default 3.0s = 2x quiet).
+    val wcanaryMax = sys.env.get("SPARK_GRAFT_WCANARY_MAX").flatMap(_.toDoubleOption).getOrElse(3.0)
+    def timeWriteCanary(): Double = {
+      import org.apache.spark.sql.functions.col
+      val dir = java.nio.file.Files.createTempDirectory("bench_wc").toString + "/t"
+      val df = spark.range(32).select(col("id"))
+      val t0 = System.nanoTime()
+      graft.lake.LakeTable.overwrite(spark, dir, df)
+      graft.lake.LakeTable.append(spark, dir, df)
+      graft.lake.LakeTable.append(spark, dir, df)
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeWriteCanary() // JIT/classload warm, unmeasured
     var canaryFirst = if (names.contains("events_json")) timeCanary() else -1.0
+    var wcanaryFirst = timeWriteCanary()
     var waits = 0
-    while (canaryFirst > canaryMax && waits < canaryRetries) {
-      System.err.println(f"[bench] canary $canaryFirst%.2fs > $canaryMax%.2fs - box contaminated, waiting 30s (${waits + 1}/$canaryRetries)")
+    while ((canaryFirst > canaryMax || wcanaryFirst > wcanaryMax) && waits < canaryRetries) {
+      System.err.println(f"[bench] canary $canaryFirst%.2fs/$canaryMax%.2fs write $wcanaryFirst%.2fs/$wcanaryMax%.2fs - box contaminated, waiting 30s (${waits + 1}/$canaryRetries)")
       Thread.sleep(30000)
       waits += 1
       canaryFirst = timeCanary()
+      wcanaryFirst = timeWriteCanary()
     }
 
     val timedRuns = 2
@@ -119,6 +143,7 @@ object Bench {
       name -> (if (failed) -1.0 else best)
     }
     val canaryLast = if (names.contains("events_json")) timeCanary() else -1.0
+    val wcanaryLast = timeWriteCanary()
     val loadPost = loadAvg
 
     val ok = results.filter(_._2 >= 0)
@@ -131,12 +156,15 @@ object Bench {
     val note =
       if (canaryFirst > canaryMax || canaryLast > canaryMax)
         s""","note":"RETRY canary ${fmt(math.max(canaryFirst, canaryLast))}s>${fmt(canaryMax)}s""""
+      else if (wcanaryFirst > wcanaryMax || wcanaryLast > wcanaryMax)
+        s""","note":"RETRY wcanary ${fmt(math.max(wcanaryFirst, wcanaryLast))}s>${fmt(wcanaryMax)}s""""
       else ""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = if (failedNames.isEmpty) "" else s""","failed":${failedNames.mkString("[", ",", "]")}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfShort","load":[${fmt(loadPre)},${fmt(loadPost)}],""" +
-      s""""canary":[${fmt(canaryFirst)},${fmt(canaryLast)}]$failedJson$note}"""
+      s""""canary":[${fmt(canaryFirst)},${fmt(canaryLast)}],""" +
+      s""""wcanary":[${fmt(wcanaryFirst)},${fmt(wcanaryLast)}]$failedJson$note}"""
 
     // Full precision for humans/judge; the printed line is budgeted for
     // the driver's 2000-char tail capture.
@@ -144,7 +172,8 @@ object Bench {
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"runs":$timedRuns,"cpus":"$cpus",""" +
       s""""sf":"$sfDir","load_pre":$loadPre,"load_post":$loadPost,""" +
-      s""""canary_first":$canaryFirst,"canary_last":$canaryLast,"canary_max":$canaryMax,"canary_waits":$waits$note}"""
+      s""""canary_first":$canaryFirst,"canary_last":$canaryLast,"canary_max":$canaryMax,""" +
+      s""""wcanary_first":$wcanaryFirst,"wcanary_last":$wcanaryLast,"wcanary_max":$wcanaryMax,"canary_waits":$waits$note}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
