@@ -104,25 +104,36 @@ object Bench {
     // keys pay per commit. Quiet value ~1.5s at 32 cpus (measured
     // r15); gate at SPARK_GRAFT_WCANARY_MAX (default 3.0s = 2x quiet).
     val wcanaryMax = sys.env.get("SPARK_GRAFT_WCANARY_MAX").flatMap(_.toDoubleOption).getOrElse(3.0)
+    // like timeCanary: an erroring canary reports -1 (stamped in the
+    // note below) rather than destroying the whole board; the probe
+    // table is deleted so retries don't accumulate temp dirs
     def timeWriteCanary(): Double = {
       import org.apache.spark.sql.functions.col
-      val dir = java.nio.file.Files.createTempDirectory("bench_wc").toString + "/t"
-      val df = spark.range(32).select(col("id"))
-      val t0 = System.nanoTime()
-      graft.lake.LakeTable.overwrite(spark, dir, df)
-      graft.lake.LakeTable.append(spark, dir, df)
-      graft.lake.LakeTable.append(spark, dir, df)
-      (System.nanoTime() - t0) / 1e9
+      val root = java.nio.file.Files.createTempDirectory("bench_wc")
+      try {
+        val dir = root.toString + "/t"
+        val df = spark.range(32).select(col("id"))
+        val t0 = System.nanoTime()
+        graft.lake.LakeTable.overwrite(spark, dir, df)
+        graft.lake.LakeTable.append(spark, dir, df)
+        graft.lake.LakeTable.append(spark, dir, df)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+      finally {
+        try org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+        catch { case _: Throwable => () }
+      }
     }
+    val hasCanaryQuery = names.contains("events_json")
     timeWriteCanary() // JIT/classload warm, unmeasured
-    var canaryFirst = if (names.contains("events_json")) timeCanary() else -1.0
+    var canaryFirst = if (hasCanaryQuery) timeCanary() else -1.0
     var wcanaryFirst = timeWriteCanary()
     var waits = 0
     while ((canaryFirst > canaryMax || wcanaryFirst > wcanaryMax) && waits < canaryRetries) {
       System.err.println(f"[bench] canary $canaryFirst%.2fs/$canaryMax%.2fs write $wcanaryFirst%.2fs/$wcanaryMax%.2fs - box contaminated, waiting 30s (${waits + 1}/$canaryRetries)")
       Thread.sleep(30000)
       waits += 1
-      canaryFirst = timeCanary()
+      if (hasCanaryQuery) canaryFirst = timeCanary()
       wcanaryFirst = timeWriteCanary()
     }
 
@@ -142,7 +153,7 @@ object Bench {
       }
       name -> (if (failed) -1.0 else best)
     }
-    val canaryLast = if (names.contains("events_json")) timeCanary() else -1.0
+    val canaryLast = if (hasCanaryQuery) timeCanary() else -1.0
     val wcanaryLast = timeWriteCanary()
     val loadPost = loadAvg
 
@@ -153,11 +164,18 @@ object Bench {
       val base = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
       if (base.startsWith("sf")) base.drop(2) else base
     }
+    // a canary that ERRORED (-1 where one should have run) must not
+    // read as a clean gate — surface it
+    val canaryBroken =
+      (hasCanaryQuery && (canaryFirst < 0 || canaryLast < 0)) ||
+        wcanaryFirst < 0 || wcanaryLast < 0
     val note =
       if (canaryFirst > canaryMax || canaryLast > canaryMax)
         s""","note":"RETRY canary ${fmt(math.max(canaryFirst, canaryLast))}s>${fmt(canaryMax)}s""""
       else if (wcanaryFirst > wcanaryMax || wcanaryLast > wcanaryMax)
         s""","note":"RETRY wcanary ${fmt(math.max(wcanaryFirst, wcanaryLast))}s>${fmt(wcanaryMax)}s""""
+      else if (canaryBroken)
+        s""","note":"RETRY canary errored - gate did not run""""
       else ""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = if (failedNames.isEmpty) "" else s""","failed":${failedNames.mkString("[", ",", "]")}"""

@@ -558,7 +558,13 @@ object Sketches {
            |int $kk = $b.numElements() / $a.length;
            |double $s = 0.0;
            |for (int $i = 0; $i < $a.length; $i++) {
-           |  $s += $b.getDouble(($i * $kk) + (((int) $a[$i]) & 0xff));
+           |  int ${i}c = ((int) $a[$i]) & 0xff;
+           |  if (${i}c >= $kk) {
+           |    throw new IllegalArgumentException("pq_adc: code " + ${i}c +
+           |      " >= k=" + $kk + " in subspace " + $i +
+           |      " - codes encoded under a larger codebook than the lut");
+           |  }
+           |  $s += $b.getDouble(($i * $kk) + ${i}c);
            |}
            |${ev.value} = $s;
          """.stripMargin

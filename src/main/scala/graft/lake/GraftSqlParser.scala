@@ -95,26 +95,38 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     * SQL-only user can drive incremental folds (the `incr_agg`
     * discipline) without touching the Scala API.
     */
-  private def rewriteTableChanges(sqlText: String): String =
+  private def rewriteTableChanges(sqlText: String): String = {
+    val masked = maskedSpans(sqlText)
     TableChangesRe.replaceAllIn(sqlText, m => {
-      val (kw, target, v1) = (m.group(1), m.group(2), m.group(3).toLong)
-      val path =
-        if (target.startsWith("`")) target.substring(1, target.length - 1)
-        else if (target.startsWith("'")) {
-          // Delta's form quotes a table NAME; accept a quoted path too
-          val s = target.substring(1, target.length - 1)
-          if (LakeTable.versions(spark, s).nonEmpty) s
-          else resolveTarget(spark, s)
-        } else resolveTarget(spark, target)
-      val v2 = Option(m.group(4)).map(_.toLong).getOrElse(
-        LakeTable.latestVersion(spark, path).getOrElse(
-          throw new IllegalArgumentException(s"no committed version at $path")))
-      val name = "graft_cdf_" + java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$path@$v1-$v2".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      LakeTable.changes(spark, path, v1, v2).createOrReplaceTempView(name)
-      java.util.regex.Matcher.quoteReplacement(s"$kw $name")
+      val unchanged = java.util.regex.Matcher.quoteReplacement(m.matched)
+      if (masked(m.start)) unchanged // inside a string literal / comment
+      else {
+        val (kw, target, v1) = (m.group(1), m.group(2), m.group(3).toLong)
+        // a target that is not a graft table is left for the delegate
+        // (another extension may own a table_changes of its own)
+        val resolved: Option[String] =
+          try Some(
+            if (target.startsWith("`")) target.substring(1, target.length - 1)
+            else if (target.startsWith("'")) {
+              // Delta's form quotes a table NAME; accept a quoted path too
+              val s = target.substring(1, target.length - 1)
+              if (LakeTable.versions(spark, s).nonEmpty) s
+              else resolveTarget(spark, s)
+            } else resolveTarget(spark, target))
+          catch { case _: Exception => None }
+        resolved match {
+          case None => unchanged
+          case Some(path) =>
+            val v2 = Option(m.group(4)).map(_.toLong).getOrElse(
+              LakeTable.latestVersion(spark, path).getOrElse(
+                throw new IllegalArgumentException(s"no committed version at $path")))
+            val name = pinViewName("graft_cdf_", s"$path@$v1-$v2")
+            LakeTable.changes(spark, path, v1, v2).createOrReplaceTempView(name)
+            java.util.regex.Matcher.quoteReplacement(s"$kw $name")
+        }
+      }
     })
+  }
 
   /** SELECT-level time travel (Trino-on-Iceberg's user syntax, which
     * the reference's analysts type verbatim, plus Spark's FOR-less v2
@@ -133,29 +145,81 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     * graft table is left untouched for the delegate to reject with its
     * own error.
     */
-  private def rewriteTimeTravel(sqlText: String): String =
+  private def rewriteTimeTravel(sqlText: String): String = {
+    val masked = maskedSpans(sqlText)
     TimeTravelRe.replaceAllIn(sqlText, m => {
+      val unchanged = java.util.regex.Matcher.quoteReplacement(m.matched)
       val (kw, target, kind, lit) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val raw = if (lit.startsWith("'")) lit.substring(1, lit.length - 1) else lit
       val resolved =
-        try Some(resolveTarget(spark, target))
+        if (masked(m.start)) None // inside a string literal / comment
+        else try Some(resolveTarget(spark, target))
         catch { case _: Exception => None }
-      resolved match {
-        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
-        case Some(path) =>
-          val v =
-            if (kind.equalsIgnoreCase("VERSION")) lit.toLong
-            else LakeTable.versionAtTimestamp(spark, path,
-              GraftDataSource.parseTimestampMs(
-                if (lit.startsWith("'")) lit.substring(1, lit.length - 1) else lit))
-          val name = "graft_tt_" + java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$path@$v".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.take(16)
+      val version = resolved.flatMap { path =>
+        if (kind.equalsIgnoreCase("VERSION")) raw.toLongOption // quoted '2' coerces; junk → delegate
+        else Some(LakeTable.versionAtTimestamp(spark, path,
+          GraftDataSource.parseTimestampMs(raw)))
+      }
+      (resolved, version) match {
+        case (Some(path), Some(v)) =>
+          val name = pinViewName("graft_tt_", s"$path@$v")
           // resolves the snapshot eagerly — a bad version fails HERE,
           // at parse time, with the reader's own error
           LakeTable.read(spark, path, asOf = Some(v)).createOrReplaceTempView(name)
           java.util.regex.Matcher.quoteReplacement(s"$kw $name")
+        case _ => unchanged
       }
     })
+  }
+
+  /** Deterministic temp-view name for a pinned relation: same
+    * (path, version) key reuses the same name across queries.
+    */
+  private def pinViewName(prefix: String, key: String): String =
+    prefix + java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
+  /** Character mask of the regions the SELECT-level rewrites must
+    * never touch: single-quoted string literals (with '' escapes),
+    * double-quoted literals, `--` line comments and C-style block
+    * comments. Backquoted identifiers stay UNMASKED — they are
+    * legitimate rewrite targets. A rewrite applies only when its match
+    * STARTS outside a masked span (a quoted `table_changes` argument
+    * sits inside the match but after its start, so it still rewrites).
+    */
+  private def maskedSpans(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
+    var mode = 0 // 0 plain, 1 'str', 2 "str", 3 line comment, 4 block comment
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      mode match {
+        case 0 =>
+          if (c == '\'') { mode = 1; m(i) = true }
+          else if (c == '"') { mode = 2; m(i) = true }
+          else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') { mode = 3; m(i) = true }
+          else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') { mode = 4; m(i) = true }
+        case 1 =>
+          m(i) = true
+          if (c == '\'') {
+            if (i + 1 < s.length && s.charAt(i + 1) == '\'') { m(i + 1) = true; i += 1 }
+            else mode = 0
+          }
+        case 2 =>
+          m(i) = true
+          if (c == '"') mode = 0
+        case 3 =>
+          if (c == '\n') mode = 0 else m(i) = true
+        case 4 =>
+          m(i) = true
+          if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+            m(i + 1) = true; i += 1; mode = 0
+          }
+      }
+      i += 1
+    }
+    m
+  }
 
   private def parseMaintenance(s: String): Option[LogicalPlan] = s match {
     case OptimizeRe(target, whereOpt, kindOpt, colsOpt) =>

@@ -344,6 +344,18 @@ class PropertySpec extends SparkSpec {
     val s = spark.sql("SELECT pq_adc(X'0100', array(0.0D, 1.0D, 2.0D, 3.0D)) AS s")
       .collect().head.getDouble(0)
     assert(s == 1.0 + 2.0)
+    // the CODEGEN path (non-foldable codes column — literals constant-
+    // fold through the interpreted path) enforces the same geometry:
+    // a mismatch must throw, never silently read wrong lut slots
+    Seq(Array[Byte](5), Array[Byte](1)).toDF("c").createOrReplaceTempView("pq_adc_c")
+    failsWith("SELECT pq_adc(c, array(0.0D, 1.0D, 2.0D, 3.0D)) FROM pq_adc_c",
+      "larger codebook")
+    Seq(Array[Byte](0, 1)).toDF("c").createOrReplaceTempView("pq_adc_c2")
+    failsWith("SELECT pq_adc(c, array(0.0D, 1.0D, 2.0D)) FROM pq_adc_c2",
+      "different geometry")
+    assert(spark.sql(
+      "SELECT sum(pq_adc(c, array(0.0D, 7.0D))) FROM pq_adc_c WHERE c = X'01'")
+      .head.getDouble(0) == 7.0)
   }
 
   test("the cosine tier refuses zero-norm vectors loudly (ANSI division by zero)") {

@@ -721,6 +721,24 @@ class SqlSurfaceSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM `$t` FOR VERSION AS OF 99"))
     assert(e.getMessage != null)
+    // a quoted version literal coerces instead of NumberFormatException
+    assert(spark.sql(s"SELECT count(*) FROM `$t` FOR VERSION AS OF '2'")
+      .head.getLong(0) == 2L)
+    // string literals and comments are NEVER rewritten: the exact
+    // pattern inside a literal survives byte for byte, and a trailing
+    // comment carrying it does not disturb the statement
+    assert(spark.sql("SELECT 'audit FROM tt_live VERSION AS OF 1 done' AS s")
+      .head.getString(0) == "audit FROM tt_live VERSION AS OF 1 done")
+    assert(spark.sql("SELECT 'x FROM table_changes(y, 1) z' AS s")
+      .head.getString(0) == "x FROM table_changes(y, 1) z")
+    assert(spark.sql(
+      s"SELECT count(*) FROM `$t` FOR VERSION AS OF 1 -- FROM tt_live VERSION AS OF 99\n")
+      .head.getLong(0) == 1L)
+    // a non-graft table_changes target falls through to the delegate's
+    // own error, not graft's resolver message
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('no_such_thing_xyz', 1)").collect())
+    assert(!String.valueOf(e2.getMessage).contains("does not resolve to a graft lake table"))
   }
 
   test("table_changes() replays an incremental fold from spark.sql alone") {
