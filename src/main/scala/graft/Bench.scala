@@ -46,11 +46,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (default ./BENCH_DETAIL.json) for human/judge consumption.
   */
 object Bench {
+  // Locale.ROOT: the f-interpolator honors the default locale, and a
+  // comma-decimal locale would make the compact JSON line unparseable.
   private def fmt(v: Double): String =
     if (v < 0) "-1"
-    else if (v < 9.995) f"$v%.2f"
-    else if (v < 99.95) f"$v%.1f"
-    else f"$v%.0f"
+    else if (v < 9.995) String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    else if (v < 99.95) String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    else String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -121,7 +121,7 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
               LakeTable.latestVersion(spark, path).getOrElse(
                 throw new IllegalArgumentException(s"no committed version at $path")))
             val name = pinViewName("graft_cdf_", s"$path@$v1-$v2")
-            LakeTable.changes(spark, path, v1, v2).createOrReplaceTempView(name)
+            registerPin(name, LakeTable.changes(spark, path, v1, v2))
             java.util.regex.Matcher.quoteReplacement(s"$kw $name")
         }
       }
@@ -157,15 +157,22 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         catch { case _: Exception => None }
       val version = resolved.flatMap { path =>
         if (kind.equalsIgnoreCase("VERSION")) raw.toLongOption // quoted '2' coerces; junk → delegate
-        else Some(LakeTable.versionAtTimestamp(spark, path,
-          GraftDataSource.parseTimestampMs(raw)))
+        else {
+          // a MALFORMED timestamp literal falls through to the delegate
+          // (same contract as junk-version above); a WELL-FORMED one on a
+          // resolved graft table resolves eagerly, so "no version that
+          // early" fails here with the reader's own clear error
+          val tsMs = try Some(GraftDataSource.parseTimestampMs(raw))
+                     catch { case _: Exception => None }
+          tsMs.map(LakeTable.versionAtTimestamp(spark, path, _))
+        }
       }
       (resolved, version) match {
         case (Some(path), Some(v)) =>
           val name = pinViewName("graft_tt_", s"$path@$v")
           // resolves the snapshot eagerly — a bad version fails HERE,
           // at parse time, with the reader's own error
-          LakeTable.read(spark, path, asOf = Some(v)).createOrReplaceTempView(name)
+          registerPin(name, LakeTable.read(spark, path, asOf = Some(v)))
           java.util.regex.Matcher.quoteReplacement(s"$kw $name")
         case _ => unchanged
       }
@@ -179,6 +186,27 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     prefix + java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
 
+  /** Register a pinned temp view, bounding the accumulation the
+    * SELECT-level rewrites would otherwise leak: each distinct
+    * (path, version) key pins one `graft_tt_`/`graft_cdf_` view for
+    * the session's lifetime, so a long-lived session sweeping many
+    * snapshots would grow its catalog without bound. An LRU of the
+    * most recent [[GraftSqlParser.MaxPinnedViews]] keys evicts (drops)
+    * the eldest — safe because an evicted name is deterministically
+    * re-pinned the next time the same snapshot is queried.
+    */
+  private val pinnedViews = new java.util.LinkedHashMap[String, Unit](16, 0.75f, true)
+  private def registerPin(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    df.createOrReplaceTempView(name)
+    pinnedViews.put(name, ())
+    while (pinnedViews.size > MaxPinnedViews) {
+      val eldest = pinnedViews.keySet().iterator().next()
+      pinnedViews.remove(eldest)
+      try spark.catalog.dropTempView(eldest)
+      catch { case _: Exception => () }
+    }
+  }
+
   /** Character mask of the regions the SELECT-level rewrites must
     * never touch: single-quoted string literals (with '' escapes),
     * double-quoted literals, `--` line comments and C-style block
@@ -188,6 +216,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     * sits inside the match but after its start, so it still rewrites).
     */
   private def maskedSpans(s: String): Array[Boolean] = {
+    // legacy mode: backslash is a plain character inside literals
+    val escapedStringLiterals = spark.conf
+      .getOption("spark.sql.parser.escapedStringLiterals").contains("true")
     val m = new Array[Boolean](s.length)
     var mode = 0 // 0 plain, 1 'str', 2 "str", 3 line comment, 4 block comment
     var i = 0
@@ -201,13 +232,20 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
           else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') { mode = 4; m(i) = true }
         case 1 =>
           m(i) = true
-          if (c == '\'') {
+          if (c == '\\' && i + 1 < s.length && !escapedStringLiterals) {
+            // Spark's default lexer (escapedStringLiterals=false) treats
+            // \x as an escape, so 'don\'t' is ONE literal — consume the
+            // escaped char or the mask desyncs past it
+            m(i + 1) = true; i += 1
+          } else if (c == '\'') {
             if (i + 1 < s.length && s.charAt(i + 1) == '\'') { m(i + 1) = true; i += 1 }
             else mode = 0
           }
         case 2 =>
           m(i) = true
-          if (c == '"') mode = 0
+          if (c == '\\' && i + 1 < s.length && !escapedStringLiterals) {
+            m(i + 1) = true; i += 1
+          } else if (c == '"') mode = 0
         case 3 =>
           if (c == '\n') mode = 0 else m(i) = true
         case 4 =>
@@ -319,6 +357,9 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
 }
 
 private[graft] object GraftSqlParser {
+  /** Cap on pinned `graft_tt_`/`graft_cdf_` temp views per session. */
+  val MaxPinnedViews = 64
+
   // target: `path`, 'path', or an identifier (registered view name)
   private val T = "(`[^`]+`|'[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"
   private val OptimizeRe =

@@ -734,6 +734,18 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM `$t` FOR VERSION AS OF 1 -- FROM tt_live VERSION AS OF 99\n")
       .head.getLong(0) == 1L)
+    // a backslash-escaped quote inside a literal (Spark's default
+    // lexer mode) must not desync the mask: the travel clause AFTER
+    // the literal still rewrites, the literal itself survives
+    assert(spark.sql(
+      s"SELECT 'don\\'t' AS s, count(*) AS n FROM `$t` FOR VERSION AS OF 1")
+      .head.getString(0) == "don't")
+    // a malformed TIMESTAMP literal falls through to the delegate's
+    // own parse error (same contract as junk VERSION), not a graft
+    // stack trace at mask/rewrite time
+    val eTs = intercept[Exception](
+      spark.sql(s"SELECT * FROM `$t` FOR TIMESTAMP AS OF 'not-a-time'").collect())
+    assert(!String.valueOf(eTs.getMessage).contains("graft"))
     // a non-graft table_changes target falls through to the delegate's
     // own error, not graft's resolver message
     val e2 = intercept[Exception](
