@@ -974,6 +974,25 @@ object SparkEntry {
            md5(substring(text, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_hash
          FROM f""",
     "lineage" -> operators.Lineage.oracleSql,
+    // incr_topk emits the candidates' EXACT merged batch counts (the
+    // CMS only picks/orders them, and CMS-rank == exact-rank is
+    // spec-pinned), so DuckDB replays the whole incremental flow:
+    // per-batch (doc_id parity) exact top-100 candidates, summed
+    // across batches, ranked. Tie-breaks are (n DESC, term) at both
+    // the candidate cut and the final rank — deterministic both sides.
+    "incr_topk" ->
+      """WITH tok AS (SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         b AS (SELECT doc_id % 2 = 0 AS even, term, count(*) AS n
+               FROM tok WHERE term <> '' GROUP BY 1, 2),
+         c AS (SELECT even, term, n,
+               row_number() OVER (PARTITION BY even ORDER BY n DESC, term) AS rn
+               FROM b),
+         m AS (SELECT term, sum(n) AS n FROM c WHERE rn <= 100 GROUP BY 1)
+         SELECT term, CAST(n AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rank
+         FROM m ORDER BY n DESC, term LIMIT 20""",
     "incr_agg" -> operators.IncrementalOps.oracleSql,
     "lake_dml" -> operators.MaintenanceOps.oracleSql,
     "lake_dv" -> operators.MaintenanceOps.dvOracleSql,

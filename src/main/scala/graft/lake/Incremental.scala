@@ -376,6 +376,37 @@ object Incremental {
          operation = "HH REFRESH").getOrElse(tgtSnap.get.version))
   }
 
+  /** Top-k terms from an accumulated heavy-hitters table via the
+    * candidates' EXACT merged batch counts — the per-batch exact `n`
+    * rows the refreshes persisted alongside the sketch, summed per
+    * term and ranked (n desc, term). Because candidate rows are exact
+    * counts over disjoint batches, a candidate's sum is its exact
+    * total over every batch in which it surfaced, so the result is
+    * replayable by an engine-independent oracle (per-batch top-M
+    * candidates + GROUP BY + rank) with NO sketch error in the output
+    * — unlike [[heavyHitters]], whose CMS estimates rank identically
+    * on well-separated corpora (spec-pinned) but carry eps·N noise no
+    * portable oracle can reproduce. The candidate-capping trade is the
+    * same as [[heavyHitters]]: a term below every batch's top-M can be
+    * missed, and a term absent from SOME batch's candidates
+    * under-sums — both bounded by M >> k and both replayed identically
+    * by the oracle, since the cap is part of the declared semantics.
+    */
+  def heavyHittersExact(spark: SparkSession, target: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val t = LakeTable.read(spark, target)
+    val top = t.filter(col("kind") === "cand")
+      .groupBy("term").agg(sum(col("n")).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+    // rank the <=k rows without an unpartitioned Window over the corpus
+    // (the limit already reduced to k; struct sort = (n desc, term))
+    top
+      .agg(sort_array(collect_list(struct((-col("n")).as("nn"),
+        col("term")))).as("__rows"))
+      .select(posexplode(col("__rows")).as(Seq("pos", "r")))
+      .select(col("r.term").as("term"), (-col("r.nn")).as("n"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Top-k terms from an accumulated heavy-hitters table: merge the
     * sketch partials, estimate every distinct candidate, rank.
     */

@@ -135,11 +135,15 @@ object IncrementalOps {
     */
   /** Incremental heavy hitters ([[Incremental.refreshHeavyHitters]]):
     * the documents corpus lands in two batches, each refresh appends
-    * one Count-Min partial + the batch's candidate terms, and the
-    * final top-20 comes from merged-sketch estimates — term frequency
-    * without rescanning the corpus. No SQL oracle (sketch binaries);
-    * HeavyHitterSpec pins the result EQUAL to the exact top-k on this
-    * corpus and the estimates within eps·N above truth.
+    * one Count-Min partial + the batch's exact top-100 candidate
+    * counts, and the final top-20 is CMS-ranked but emitted with the
+    * candidates' exact merged batch counts
+    * ([[Incremental.heavyHittersExact]]) — term frequency without
+    * rescanning the corpus, and a result DuckDB replays exactly
+    * (per-batch top-100 + GROUP BY + rank), so the whole
+    * refresh/merge/rank path sits behind the hash gate. HeavyHitterSpec
+    * additionally pins CMS-rank == exact-rank and estimates within
+    * eps·N above truth.
     */
   def incrTopk(spark: SparkSession, dir: String): DataFrame = {
     val work = Work.dir("graft_incrtk")
@@ -151,7 +155,7 @@ object IncrementalOps {
     Incremental.refreshHeavyHitters(spark, src, tgt, terms)
     LakeTable.append(spark, src, docs.filter(col("doc_id") % 2 =!= 0))
     Incremental.refreshHeavyHitters(spark, src, tgt, terms)
-    Incremental.heavyHitters(spark, tgt, k = 20)
+    Incremental.heavyHittersExact(spark, tgt, k = 20)
   }
 
   def incrDistinct(spark: SparkSession, dir: String): DataFrame = {

@@ -347,6 +347,17 @@ class IncrementalSpec extends SparkSpec {
       assert(est >= t, s"$term under-counted: $est < $t")
       assert(est - t <= math.ceil(1e-4 * totalN).toLong + 1, s"$term over by ${est - t}")
     }
+    // the exact-counts read (the gate's output): top-k terms, counts,
+    // and ranks all EQUAL the brute-force exact top-k — candidate
+    // capping loses nothing here because every top-20 term sits in
+    // both batches' top-100
+    val exactTop20 = exact.orderBy($"n".desc, $"term").limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val gotExact = Incremental.heavyHittersExact(spark, tgt, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotExact.map(t => (t._1, t._2)) == exactTop20,
+      s"exact read drifted:\n$gotExact\nvs\n$exactTop20")
+    assert(gotExact.map(_._3) == (1L to gotExact.size).toSeq)
     // replay no-op
     val rows = LakeTable.read(spark, tgt).count()
     assert(Incremental.refreshHeavyHitters(spark, src, tgt, terms) == v2)

@@ -239,16 +239,27 @@ class PipelineSpec extends SparkSpec {
       Pipeline.tablePath(tmp, "silver", "fact_events")).isEmpty)
   }
 
-  test("lineage covers every silver model column exactly once") {
+  test("lineage covers every silver and gold model column, tagged and described") {
     val lin = operators.Lineage.lineage(spark, sf)
     val models = lin.select("model").distinct().collect().map(_.getString(0)).toSet
-    assert(models == Pipeline.silverModels.keySet)
-    // every output column of each conform transform appears in lineage
-    Pipeline.silverModels.foreach { case (name, fn) =>
+    assert(models == Pipeline.silverModels.keySet ++ Pipeline.goldModels.keySet)
+    // every output column of each model appears in lineage
+    (Pipeline.silverModels ++ Pipeline.goldModels).foreach { case (name, fn) =>
       val cols = fn(spark, sf).columns.toSet
       val linCols = lin.filter(col("model") === name)
         .select("column_name").distinct().collect().map(_.getString(0)).toSet
       assert(linCols == cols, s"$name: lineage $linCols vs actual $cols")
+    }
+    // the OpenMetadata surface: every row carries a description and the
+    // model's PII/Domain/Tier tags, with the Tier tag naming the layer
+    val rows = lin.collect()
+    rows.foreach { r =>
+      val (m, d, t) = (r.getString(0), r.getString(3), r.getString(4))
+      assert(d.nonEmpty, s"$m.${r.getString(1)}: missing description")
+      assert(t.contains("PII:") && t.contains("Domain:") && t.contains("Tier:"),
+        s"$m: incomplete tag taxonomy '$t'")
+      val tier = if (Pipeline.goldModels.contains(m)) "Tier:Gold" else "Tier:Silver"
+      assert(t.contains(tier), s"$m: wrong tier in '$t'")
     }
   }
 }
