@@ -38,6 +38,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * still-hot canary stamps note=RETRY so the artifact carries its own
   * "re-measure before judging" flag.
   *
+  * Per-key instrumentation (round 16):
+  *   - COMMIT SPLIT: LakeTable.commitNanos deltas around each key
+  *     separate commit-machinery seconds (staged write + file moves +
+  *     log publish — the FS-latency-bound part that tracks the write
+  *     canary's regime) from engine compute; per-key in BENCH_DETAIL
+  *     ("commit_s"), total on the compact line ("commit").
+  *   - OUTLIER GATE: a key timing >4x its quiet reference (optional
+  *     BENCH_EXPECTED.json / SPARK_GRAFT_BENCH_EXPECTED) and >1s gets
+  *     ONE re-run after a pause — transient box regimes self-correct,
+  *     true regressions reproduce; re-run keys listed in DETAIL.
+  *   - WCANARY TIMELINE: the write canary re-samples every 8th key,
+  *     so a mid-board regime shift localizes to the keys it hit
+  *     ("wcanary_timeline" in DETAIL).
+  *
   * The printed line is kept COMPACT (2-3 significant digits, short
   * field names, empty fields omitted): the driver captures only the
   * last 2000 characters of stdout, and r1-r14's full-precision lines
@@ -139,29 +153,69 @@ object Bench {
       wcanaryFirst = timeWriteCanary()
     }
 
+    // Quiet-reference board for the per-key outlier gate: a key that
+    // times >4x its quiet value (and >1s absolute) gets ONE re-run
+    // after a pause — transient box regimes (the r15 incr_distinct
+    // 35.3s-vs-1.1s pathology) correct themselves; true regressions
+    // reproduce and stay on the board. Optional: no file, no gate.
+    val expectedPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXPECTED", "BENCH_EXPECTED.json")
+    val expected: Map[String, Double] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(expectedPath)), "UTF-8")) match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v))   => k -> v
+          case (k, JInt(v))      => k -> v.toDouble
+          case (k, JDecimal(v))  => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+
     val timedRuns = 2
-    val results = names.map { name =>
+    val rerun = scala.collection.mutable.ArrayBuffer.empty[String]
+    val wcTimeline = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    // per-key (best seconds, commit-machinery seconds of the best run):
+    // LakeTable.commitNanos deltas split FS-latency-bound commit work
+    // from engine compute, so write-path drift is attributable per key
+    val results = names.zipWithIndex.map { case (name, i) =>
+      // wcanary interleave: sample the write path every 8th key so a
+      // mid-board regime shift localizes to the keys it actually hit
+      if (i % 8 == 0) wcTimeline += ((i, timeWriteCanary()))
       var best = Double.MaxValue
+      var bestCommit = 0.0
       var failed = false
-      var run = 0
-      while (run < timedRuns && !failed) {
+      def timedRun(): Unit = {
+        val c0 = graft.lake.LakeTable.commitNanos
         val t0 = System.nanoTime()
         try {
           consume(SparkEntry.queries(name)(spark, sfDir))
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val el = (System.nanoTime() - t0) / 1e9
+          if (el < best) {
+            best = el
+            bestCommit = (graft.lake.LakeTable.commitNanos - c0) / 1e9
+          }
         } catch { case _: Throwable => failed = true }
         spark.catalog.clearCache() // not part of the measured query
-        run += 1
       }
-      name -> (if (failed) -1.0 else best)
-    }
+      var run = 0
+      while (run < timedRuns && !failed) { timedRun(); run += 1 }
+      if (!failed && expected.get(name).exists(e => best > math.max(4 * e, 1.0))) {
+        rerun += name
+        Thread.sleep(5000)
+        timedRun()
+      }
+      name -> (if (failed) -1.0 else best, bestCommit)
+    }.map { case (n, (s, c)) => (n, s, c) }
     val canaryLast = if (hasCanaryQuery) timeCanary() else -1.0
     val wcanaryLast = timeWriteCanary()
     val loadPost = loadAvg
 
     val ok = results.filter(_._2 >= 0)
-    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failedNames = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = ok.map(_._2).sum
+    val commitTotal = ok.map(_._3).sum
     val sfShort = {
       val base = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
       if (base.startsWith("sf")) base.drop(2) else base
@@ -179,17 +233,24 @@ object Bench {
       else if (canaryBroken)
         s""","note":"RETRY canary errored - gate did not run""""
       else ""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = if (failedNames.isEmpty) "" else s""","failed":${failedNames.mkString("[", ",", "]")}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfShort","load":[${fmt(loadPre)},${fmt(loadPost)}],""" +
+      s""""sf":"$sfShort","commit":${fmt(commitTotal)},""" +
+      s""""load":[${fmt(loadPre)},${fmt(loadPost)}],""" +
       s""""canary":[${fmt(canaryFirst)},${fmt(canaryLast)}],""" +
       s""""wcanary":[${fmt(wcanaryFirst)},${fmt(wcanaryLast)}]$failedJson$note}"""
 
     // Full precision for humans/judge; the printed line is budgeted for
     // the driver's 2000-char tail capture.
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val commitFull = results.collect { case (k, _, c) if c > 0 => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val rerunJson = rerun.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val wcTlJson = wcTimeline.map { case (i, s) => s"[$i,$s]" }.mkString("[", ",", "]")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
+      s""""commit_s":$commitFull,"commit_total":$commitTotal,"rerun":$rerunJson,""" +
+      s""""wcanary_timeline":$wcTlJson,""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"runs":$timedRuns,"cpus":"$cpus",""" +
       s""""sf":"$sfDir","load_pre":$loadPre,"load_post":$loadPost,""" +
       s""""canary_first":$canaryFirst,"canary_last":$canaryLast,"canary_max":$canaryMax,""" +

@@ -56,11 +56,76 @@ object GraftCatalog {
             graft.lake.LakeTable.readLive(spark, path).createOrReplaceTempView(s"${name}_tbl")
         }
       }
+    registerLakeNamespaced(spark, warehouseDir)
     // best-effort: a read-only consumer registering over someone else's
     // warehouse must not fail on the catalog write (the producer's
     // materialization path persists it anyway)
     try saveCatalog(spark, warehouseDir)
     catch { case _: java.io.IOException | _: SecurityException => () }
+  }
+
+  /** Schema-qualified table names — the identifier surface the
+    * reference's users actually type: Trino addresses every model as
+    * `{catalog}.{schema}.{table}` (ref trino_iceberg_transform_
+    * component.py:116-123 builds `iceberg.silver.dim_students`), so
+    * graft registers each materialized lake table under
+    * `<layer>.<name>` in the session catalog (`silver.dim_customer`,
+    * `gold.gold_funnel`) as an EXTERNAL `USING graft` table at its
+    * transaction-log path. Registration is pure metadata — no data is
+    * read or written:
+    *
+    *  - SELECT resolves through [[graft.lake.GraftDataSource]] to the
+    *    same live relation the `<name>_tbl` views serve (query-time
+    *    snapshot resolution, partition pruning, filter pushdown);
+    *  - INSERT INTO routes through the relation's `InsertableRelation`
+    *    (transactional append / layout-preserving overwrite);
+    *  - MERGE/UPDATE/DELETE and the maintenance SQL (OPTIMIZE,
+    *    DESCRIBE HISTORY, VACUUM, ...) resolve the 2-part name through
+    *    the same analyzed-plan path as registered views
+    *    ([[graft.lake.GraftSqlParser.resolveTarget]] calls
+    *    `spark.table`, which accepts `db.table`).
+    *
+    * New COMMITS are visible on the very next query with no ceremony
+    * (the relation's file index re-resolves the log at every
+    * planning). The catalog stores the CREATE-time schema but the LOG
+    * stays the schema authority (GraftDataSource deliberately ignores
+    * the stored schema at resolution), so a post-CREATE column
+    * evolution needs only the stock `REFRESH TABLE layer.name` —
+    * which drops the cached relation and re-resolves against the
+    * current snapshot — never a re-register. A name already registered
+    * against a DIFFERENT path (a re-created warehouse in the same
+    * shared external catalog) is dropped and re-pointed. Returns the
+    * registered `layer.name` identifiers.
+    */
+  def registerLakeNamespaced(spark: SparkSession, warehouseDir: String): Seq[String] = {
+    for {
+      (layer, names) <- Seq("silver" -> Pipeline.silverModels.keySet,
+                            "gold"   -> Pipeline.goldModels.keySet)
+      name <- names.toSeq.sorted
+      path = Pipeline.tablePath(warehouseDir, layer, name)
+      if graft.lake.LakeTable.versions(spark, path).nonEmpty
+    } yield registerNamespacedTable(spark, layer, name, path)
+  }
+
+  /** Register ONE `layer.name` identifier over a log path: create the
+    * database on demand, re-point a name that exists against a
+    * different path (a re-created warehouse in the same shared
+    * external catalog), and invalidate any cached relation.
+    */
+  private def registerNamespacedTable(spark: SparkSession, layer: String,
+                                      name: String, path: String): String = {
+    val cat = spark.sessionState.catalog
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $layer")
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(name, Some(layer))
+    val want = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    if (cat.tableExists(id)) {
+      val have = new org.apache.hadoop.fs.Path(
+        cat.getTableMetadata(id).location).toUri.getPath
+      if (have != want) spark.sql(s"DROP TABLE $layer.$name")
+    }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $layer.$name USING graft LOCATION '$path'")
+    spark.catalog.refreshTable(s"$layer.$name")
+    s"$layer.$name"
   }
 
   /** Snapshot-consistent multi-table reads: resolve EVERY cataloged
@@ -177,10 +242,19 @@ object GraftCatalog {
       (JsonMethods.parse(txt) \ "tables").asInstanceOf[JArray].arr
     }.getOrElse(List.empty)
     tables.flatMap { e =>
-      (e \ "name", e \ "path") match {
-        case (JString(name), JString(path))
+      (e \ "name", e \ "layer", e \ "path") match {
+        case (JString(name), layerJ, JString(path))
             if graft.lake.LakeTable.versions(spark, path).nonEmpty =>
           graft.lake.LakeTable.readLive(spark, path).createOrReplaceTempView(s"${name}_tbl")
+          // the namespaced identifier too (same surface registerLake
+          // builds) — layer is present in every catalog this writer
+          // produced; a foreign/legacy entry without one registers the
+          // view only
+          layerJ match {
+            case JString(layer) if layer.nonEmpty =>
+              registerNamespacedTable(spark, layer, name, path)
+            case _ => ()
+          }
           Some(s"${name}_tbl")
         case _ => None
       }

@@ -804,7 +804,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
                               cdc: Option[Seq[String]] = None,
                               prev: Option[Snapshot] = None,
                               constraintsUpdate: Option[Map[String, String]] = None,
-                              removedFull: Seq[String] = Nil): Boolean = {
+                              removedFull: Seq[String] = Nil): Boolean = meteredCommit {
     // writer gate: refuse to commit over a log that demands a newer
     // writer (the invariants it encodes are unknown to this client);
     // the stamp is monotonic — a commit never downgrades the table's
@@ -968,8 +968,8 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
     val writer = routed.write.mode("overwrite")
-    try (if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
-      .parquet(staging.toString)
+    try meteredCommit((if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
+      .parquet(staging.toString))
     catch {
       case e: Throwable =>
         // a failed staging write (e.g. an in-flight CHECK-constraint
@@ -1041,11 +1041,38 @@ object LakeTable extends org.apache.spark.internal.Logging {
     }
   }
 
+  // ------------------------------------------------------ commit-time meter
+  //
+  // Wall nanos spent inside the commit MACHINERY — staged parquet
+  // write, per-file move/stat/footer fan-out, log write + publish —
+  // accumulated JVM-wide. Bench samples deltas around each key to
+  // split commit_s (FS-latency-bound, tracks the write canary's
+  // regime) from compute_s (the engine's own work), so box-level
+  // write-path drift stops contaminating the engine's numbers.
+  private val commitNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val meterDepth = new ThreadLocal[Integer] { override def initialValue = Integer.valueOf(0) }
+
+  /** Cumulative commit-machinery wall nanos in this JVM. */
+  def commitNanos: Long = commitNanosAcc.get()
+
+  /** Meter `body` into [[commitNanos]]; nested spans on the same
+    * thread count once (outermost wins).
+    */
+  @inline private def meteredCommit[T](body: => T): T = {
+    val d = meterDepth.get.intValue
+    meterDepth.set(Integer.valueOf(d + 1))
+    val t0 = System.nanoTime()
+    try body finally {
+      meterDepth.set(Integer.valueOf(d))
+      if (d == 0) commitNanosAcc.addAndGet(System.nanoTime() - t0)
+    }
+  }
+
   /** Run `body` over the items on a bounded thread pool, preserving
     * order; the first failure propagates (remaining work is not
     * awaited beyond cancellation).
     */
-  private def stageParallel[A, B](items: Seq[A])(body: A => B): Seq[B] = {
+  private def stageParallel[A, B](items: Seq[A])(body: A => B): Seq[B] = meteredCommit {
     if (items.size <= 1) return items.map(body)
     val threads = math.min(16, items.size)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -1078,7 +1105,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
                                df: DataFrame): Seq[String] = {
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
-    df.write.mode("overwrite").parquet(staging.toString)
+    meteredCommit(df.write.mode("overwrite").parquet(staging.toString))
     val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
     val it = f.listFiles(staging, true)
     while (it.hasNext) {

@@ -508,18 +508,41 @@ object Dedup {
     * exact cut (IncrementalDedupSpec pins candidate recall == 1.0 vs
     * brute force on this corpus).
     */
+  /** Wall seconds of the last [[dedupIncr]] run's phases — the ops
+    * have very different operating cadences (build is one-time,
+    * append+probe are the daily mode), so a single gate total cannot
+    * attribute a scaled-run slope; this record can. `probeS` covers
+    * candidate generation through the pushdown-id materialization;
+    * the exact-verify join is lazy (it executes in the consumer's
+    * action), so verify_s = consumer total - (build+append+probe).
+    */
+  final case class IncrPhases(buildS: Double, appendS: Double, probeS: Double)
+  @volatile var lastIncrPhases: Option[IncrPhases] = None
+
   def dedupIncr(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val n = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
     val (c1, c2) = (n * 8 / 10, n * 9 / 10)
     val work = Work.dir("graft_mh_idx")
     val table = s"$work/minhash_index"
-    buildMinhashIndex(spark, docs.filter(col("doc_id") < c1), table)
-    appendToMinhashIndex(spark, docs.filter(col("doc_id") >= c1 && col("doc_id") < c2), table)
-    val cand = probeMinhashIndex(spark, docs.filter(col("doc_id") >= c2), table,
-        math.max(0.0, threshold - 0.15))
-      .select(col("doc_id"), col("probe_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, buildS) = timed(
+      buildMinhashIndex(spark, docs.filter(col("doc_id") < c1), table))
+    val (_, appendS) = timed(
+      appendToMinhashIndex(spark, docs.filter(col("doc_id") >= c1 && col("doc_id") < c2), table))
+    val (cand, probeS) = timed {
+      val c = probeMinhashIndex(spark, docs.filter(col("doc_id") >= c2), table,
+          math.max(0.0, threshold - 0.15))
+        .select(col("doc_id"), col("probe_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count() // materialize: phase boundary, and the pair set is reused twice below
+      c
+    }
+    lastIncrPhases = Some(IncrPhases(buildS, appendS, probeS))
+    System.err.println(f"[dedup_incr] phases: build=$buildS%.2fs append=$appendS%.2fs probe=$probeS%.2fs")
     retirePrevious("dedupIncrCand", Seq(cand))
     // exact verify: the candidate ids PUSH into the documents scan (file
     // skipping on the logged/footer bounds) while bounded, so only the

@@ -22,6 +22,14 @@ import graft.functions.Sketches
   */
 object Similarity {
 
+  /** Test-only failpoint: when set, [[ivfPqAppend]] throws right after
+    * its radii commit and before the corpus append — the exact crash
+    * window whose safety the radii-first commit order claims
+    * (RecallSpec injects it, probes, and re-runs the append). Self-
+    * clearing so a failed test cannot poison later ones.
+    */
+  private[graft] var failAfterRadiusCommit: Boolean = false
+
   /** embeddings with double-precision vector + L2 norm (computed once). */
   private def vectors(spark: SparkSession, dir: String): DataFrame = {
     Sketches.register(spark)
@@ -675,6 +683,11 @@ object Similarity {
         .select(col("cell"), col("centroid"),
           greatest(col("radius"), coalesce(col("delta_radius"), lit(0.0)))
             .as("radius")).coalesce(1))
+    if (failAfterRadiusCommit) {
+      failAfterRadiusCommit = false
+      throw new IllegalStateException(
+        "injected crash: radii committed, corpus append not started")
+    }
     val enc = assigned
       .withColumn("pq", expr(s"pq_encode(v, $cbSql, $m, $kk)"))
       .select(col("vec_id"), col("norm"),

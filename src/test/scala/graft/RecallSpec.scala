@@ -171,6 +171,28 @@ class RecallSpec extends SparkSpec {
     assert(crashed == before,
       s"widened radii without rows changed results: missing=" +
         s"${before.diff(crashed).take(5)} extra=${crashed.diff(before).take(5)}")
+    // now the REAL crash: the injected failpoint dies between the two
+    // commits (not a state reconstruction) — the probe must stay exact,
+    // and RE-RUNNING the append must converge (radius MAX-merge is
+    // idempotent; the corpus rows land exactly once)
+    val idx2 = java.nio.file.Files.createTempDirectory("ivfpq_crash2").toString + "/ivfpq"
+    Similarity.buildIvfPqIndex(spark, sf, idx2, only = Some(col("vec_id") % 2 === 0))
+    val before2 = rows(Similarity.annIvfPqIndexed(spark, sf, idx2))
+    val delta = graft.Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 1)
+    Similarity.failAfterRadiusCommit = true
+    val e = intercept[IllegalStateException](Similarity.ivfPqAppend(spark, idx2, delta))
+    assert(e.getMessage.contains("injected crash"))
+    assert(!Similarity.failAfterRadiusCommit) // self-cleared
+    // mid-window probe: widened radii, no rows — still exact
+    assert(rows(Similarity.annIvfPqIndexed(spark, sf, idx2)) == before2)
+    // recovery: replay the append, then the probe sees the full corpus
+    // and equals the from-scratch index built over everything
+    Similarity.ivfPqAppend(spark, idx2, delta)
+    val recovered = rows(Similarity.annIvfPqIndexed(spark, sf, idx2))
+    val full = rows(Similarity.annIvfPqIncr(spark, sf))
+    assert(recovered == full,
+      s"replayed append diverged: missing=${full.diff(recovered).take(5)} " +
+        s"extra=${recovered.diff(full).take(5)}")
   }
 
   test("dedup_minhash recall vs the exact Jaccard pair set") {

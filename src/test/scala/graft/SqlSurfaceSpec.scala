@@ -37,6 +37,69 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount <= 1)
   }
 
+  test("schema-qualified names: SELECT/INSERT/MERGE on <layer>.<table>, pruning intact, no path literals") {
+    import graft.lake.LakeTable
+    val tmp = java.nio.file.Files.createTempDirectory("sql_ns").toString
+    Pipeline.runSilver(spark, sf, tmp)
+    Pipeline.runGold(spark, sf, tmp)
+    val names = GraftCatalog.registerLakeNamespaced(spark, tmp)
+    assert(names.contains("silver.dim_customer"))
+    assert(names.contains("gold.gold_funnel"))
+    // SELECT by 2-part name — the identifier a Trino user types
+    // (iceberg.silver.dim_students minus the catalog prefix)
+    assert(spark.sql("SELECT count(*) FROM silver.dim_customer").head.getLong(0) ==
+      Tables.customer(spark, sf).count())
+    assert(spark.sql("SELECT * FROM gold.gold_funnel WHERE enrolled > 0").count() > 0)
+    // partition pruning through the catalog table (filter-only — an
+    // aggregate would wrap the scan in an AQE plan)
+    val day = spark.sql("SELECT min(event_date) FROM silver.fact_events").head.getDate(0)
+    val pruned = spark.sql(s"SELECT * FROM silver.fact_events WHERE event_date = DATE'$day'")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan"))
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount <= 1)
+    // data filters push to the scan too
+    val plan = spark.sql("SELECT c_name FROM silver.dim_customer WHERE c_custkey = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,7)]"),
+      s"filter not pushed:\n$plan")
+    // INSERT INTO by 2-part name: a transactional lake append, visible
+    // on the very next query with no re-registration
+    val path = Pipeline.tablePath(tmp, "silver", "dim_customer")
+    val v0 = LakeTable.versions(spark, path).last
+    val n0 = spark.sql("SELECT count(*) FROM silver.dim_customer").head.getLong(0)
+    spark.sql(
+      """INSERT INTO silver.dim_customer
+         SELECT concat(customer_key, '_ns'), c_custkey + 10000000, c_name,
+                customer_label, c_mktsegment, c_acctbal, nation_name,
+                region_name, has_orders
+         FROM silver.dim_customer WHERE c_custkey = (SELECT min(c_custkey) FROM silver.dim_customer)""")
+    assert(LakeTable.versions(spark, path).last == v0 + 1)
+    assert(spark.sql("SELECT count(*) FROM silver.dim_customer").head.getLong(0) == n0 + 1)
+    // MERGE INTO by 2-part name routes through the transaction log
+    val k = spark.sql("SELECT min(c_custkey) FROM silver.dim_customer").head.getLong(0)
+    spark.sql(
+      s"""MERGE INTO silver.dim_customer t
+          USING (SELECT CAST($k AS BIGINT) AS k, 'ns merged' AS nm) s
+          ON t.c_custkey = s.k
+          WHEN MATCHED THEN UPDATE SET c_name = s.nm""")
+    assert(spark.sql(
+      s"SELECT c_name FROM silver.dim_customer WHERE c_custkey = $k")
+      .head.getString(0) == "ns merged")
+    // the maintenance surface resolves the 2-part name too
+    assert(spark.sql("DESCRIBE HISTORY silver.dim_customer").count() >= 3)
+    // schema evolution lands in the log; the stock REFRESH TABLE
+    // ritual (not a re-register) makes the catalog table re-resolve,
+    // and the log — not the CREATE-time stored schema — wins
+    LakeTable.addColumns(spark, path, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ns_extra",
+        org.apache.spark.sql.types.IntegerType))))
+    spark.sql("REFRESH TABLE silver.dim_customer")
+    assert(spark.sql("SELECT ns_extra FROM silver.dim_customer").columns
+      .sameElements(Array("ns_extra")))
+  }
+
   test("a fresh session resolves lake tables by name from the persisted catalog") {
     val tmp = java.nio.file.Files.createTempDirectory("sql_catalog").toString
     Pipeline.runSilver(spark, sf, tmp) // materialization writes _catalog.json
