@@ -28,6 +28,21 @@ class LakeMetaSpec extends SparkSpec {
     }.getOrElse(fail("no file scan in plan"))
   }
 
+  test("commit meter: writes accrue commitNanos, pure reads accrue none") {
+    import graft.lake.LakeTable
+    val t = tmpTable("meter")
+    val c0 = LakeTable.commitNanos
+    LakeTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    LakeTable.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    val afterWrites = LakeTable.commitNanos
+    assert(afterWrites > c0, "two commits must meter commit machinery time")
+    // a pure read through the log moves the meter not at all — the
+    // bench's per-key delta can attribute zero commit_s to scan keys
+    assert(LakeTable.read(spark, t).count() == 3)
+    assert(LakeTable.commitNanos == afterWrites,
+      "a read must not accrue commit time")
+  }
+
   test("live-view query plans from logged stats: zero directory listings") {
     val t = cfsTable("meta_nolist")
     LakeTable.overwrite(spark, t,

@@ -683,10 +683,13 @@ class EntrySpec extends SparkSpec {
     // ann_ivf left in r14 too: phase-2 bound-probing (triangle
     // inequality vs the centroids) makes IVF exact → ann_topk's oracle
     // dedup_simhash left in r15: md5-keyed signature → the oracle
-    // recomputes it, and the 4x16 chunk blocking is provably lossless
+    // recomputes it, and the 4x16 chunk blocking is provably lossless.
+    // incr_topk left in r16: the gate emits the candidates' exact
+    // merged batch counts, which DuckDB replays as per-batch top-100 +
+    // GROUP BY + rank.
     val rowsOnly = Set("ann_lsh",
       "events_approx", "bpe_train", "bpe_encode",
-      "incr_distinct", "incr_topk", "incr_quantiles",
+      "incr_distinct", "incr_quantiles",
       // persisted-LSH probe: approximate by construction; recall gated
       // ≥0.9 in RecallSpec, file-skip counting-proven in SimilaritySpec
       "ann_lsh_idx")
