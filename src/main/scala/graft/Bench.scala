@@ -145,11 +145,28 @@ object Bench {
     var canaryFirst = if (hasCanaryQuery) timeCanary() else -1.0
     var wcanaryFirst = timeWriteCanary()
     var waits = 0
-    while ((canaryFirst > canaryMax || wcanaryFirst > wcanaryMax) && waits < canaryRetries) {
+    // The READ canary's absolute threshold is tuned at sf0.1 and its
+    // cost scales with the data; on a scaled dir it would never pass
+    // and the loop would burn all its retries. Two consecutive samples
+    // within 15% mean the box is STABLE — that IS the canary's honest
+    // cost at this data scale, not contamination (a contaminated box
+    // drifts) — so the absolute gate stands down. The WRITE canary
+    // stays absolute: its 32-row cycle is data-scale-independent.
+    var canaryStableOver = false
+    var canaryPrev = canaryFirst
+    while (((canaryFirst > canaryMax && !canaryStableOver) || wcanaryFirst > wcanaryMax)
+           && waits < canaryRetries) {
       System.err.println(f"[bench] canary $canaryFirst%.2fs/$canaryMax%.2fs write $wcanaryFirst%.2fs/$wcanaryMax%.2fs - box contaminated, waiting 30s (${waits + 1}/$canaryRetries)")
       Thread.sleep(30000)
       waits += 1
-      if (hasCanaryQuery) canaryFirst = timeCanary()
+      if (hasCanaryQuery) {
+        val next = timeCanary()
+        if (next > canaryMax && canaryPrev > canaryMax &&
+            next > 0 && math.abs(next - canaryPrev) <= 0.15 * canaryPrev)
+          canaryStableOver = true
+        canaryPrev = next
+        canaryFirst = next
+      }
       wcanaryFirst = timeWriteCanary()
     }
 
@@ -179,10 +196,11 @@ object Bench {
     // per-key (best seconds, commit-machinery seconds of the best run):
     // LakeTable.commitNanos deltas split FS-latency-bound commit work
     // from engine compute, so write-path drift is attributable per key
+    wcTimeline += ((0, wcanaryFirst)) // already measured moments ago
     val results = names.zipWithIndex.map { case (name, i) =>
       // wcanary interleave: sample the write path every 8th key so a
       // mid-board regime shift localizes to the keys it actually hit
-      if (i % 8 == 0) wcTimeline += ((i, timeWriteCanary()))
+      if (i % 8 == 0 && i > 0) wcTimeline += ((i, timeWriteCanary()))
       var best = Double.MaxValue
       var bestCommit = 0.0
       var failed = false
@@ -204,10 +222,15 @@ object Bench {
       if (!failed && expected.get(name).exists(e => best > math.max(4 * e, 1.0))) {
         rerun += name
         Thread.sleep(5000)
+        val hadBest = best
         timedRun()
+        // the re-run exists to REPLACE a regime-inflated sample with a
+        // better one; a transient failure in it must not discard the
+        // two valid measurements already in hand
+        if (failed) { failed = false; best = hadBest }
       }
-      name -> (if (failed) -1.0 else best, bestCommit)
-    }.map { case (n, (s, c)) => (n, s, c) }
+      (name, if (failed) -1.0 else best, if (failed) 0.0 else bestCommit)
+    }
     val canaryLast = if (hasCanaryQuery) timeCanary() else -1.0
     val wcanaryLast = timeWriteCanary()
     val loadPost = loadAvg
@@ -225,9 +248,14 @@ object Bench {
     val canaryBroken =
       (hasCanaryQuery && (canaryFirst < 0 || canaryLast < 0)) ||
         wcanaryFirst < 0 || wcanaryLast < 0
+    // When the read canary settled stable-over-threshold (scaled data,
+    // not contamination), judge the END sample RELATIVE to the start:
+    // >1.5x start = the regime shifted mid-board; within it = clean.
+    val canaryEffMax =
+      if (canaryStableOver) math.max(canaryMax, 1.5 * canaryFirst) else canaryMax
     val note =
-      if (canaryFirst > canaryMax || canaryLast > canaryMax)
-        s""","note":"RETRY canary ${fmt(math.max(canaryFirst, canaryLast))}s>${fmt(canaryMax)}s""""
+      if ((canaryFirst > canaryMax && !canaryStableOver) || canaryLast > canaryEffMax)
+        s""","note":"RETRY canary ${fmt(math.max(canaryFirst, canaryLast))}s>${fmt(canaryEffMax)}s""""
       else if (wcanaryFirst > wcanaryMax || wcanaryLast > wcanaryMax)
         s""","note":"RETRY wcanary ${fmt(math.max(wcanaryFirst, wcanaryLast))}s>${fmt(wcanaryMax)}s""""
       else if (canaryBroken)

@@ -56,7 +56,12 @@ object GraftCatalog {
             graft.lake.LakeTable.readLive(spark, path).createOrReplaceTempView(s"${name}_tbl")
         }
       }
-    registerLakeNamespaced(spark, warehouseDir)
+    // best-effort, like saveCatalog below: namespaced DDL can fail in a
+    // restricted session (CREATE DATABASE mkdirs under the session
+    // warehouse dir, which a read-only consumer may not own) — the
+    // primary <name>_tbl view surface must survive that
+    try registerLakeNamespaced(spark, warehouseDir)
+    catch { case _: Exception => () }
     // best-effort: a read-only consumer registering over someone else's
     // warehouse must not fail on the catalog write (the producer's
     // materialization path persists it anyway)
@@ -104,28 +109,50 @@ object GraftCatalog {
       name <- names.toSeq.sorted
       path = Pipeline.tablePath(warehouseDir, layer, name)
       if graft.lake.LakeTable.versions(spark, path).nonEmpty
-    } yield registerNamespacedTable(spark, layer, name, path)
+      registered <- registerNamespacedTable(spark, layer, name, path)
+    } yield registered
   }
 
+  private val SqlIdent = "[A-Za-z_][A-Za-z0-9_]*".r
+
   /** Register ONE `layer.name` identifier over a log path: create the
-    * database on demand, re-point a name that exists against a
+    * database on demand, re-point a GRAFT table registered against a
     * different path (a re-created warehouse in the same shared
-    * external catalog), and invalidate any cached relation.
+    * external catalog), and invalidate any cached relation. Safety:
+    * a pre-existing table of ANOTHER provider under the same name is
+    * never dropped (DROP on a managed table deletes its data) — the
+    * registration is skipped with a warning instead. Identifiers and
+    * the path are validated before being interpolated into DDL.
     */
   private def registerNamespacedTable(spark: SparkSession, layer: String,
-                                      name: String, path: String): String = {
+                                      name: String, path: String): Option[String] = {
+    if (!SqlIdent.matches(layer) || !SqlIdent.matches(name) || path.contains("'"))
+      return None // not expressible as safe DDL — leave the view surface only
     val cat = spark.sessionState.catalog
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $layer")
     val id = org.apache.spark.sql.catalyst.TableIdentifier(name, Some(layer))
-    val want = new org.apache.hadoop.fs.Path(path).toUri.getPath
+    // qualify both sides: the catalog absolutizes locations, so a
+    // relative warehouseDir must not read as a perpetual mismatch
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(hp).toUri.getPath
+    }
     if (cat.tableExists(id)) {
-      val have = new org.apache.hadoop.fs.Path(
-        cat.getTableMetadata(id).location).toUri.getPath
-      if (have != want) spark.sql(s"DROP TABLE $layer.$name")
+      val meta = cat.getTableMetadata(id)
+      val isGraft = meta.provider.exists(_.equalsIgnoreCase("graft"))
+      if (!isGraft) {
+        System.err.println(s"[graft] $layer.$name exists with provider " +
+          s"${meta.provider.getOrElse("?")} — refusing to drop a non-graft " +
+          "table; namespaced registration skipped (the <name>_tbl view still works)")
+        return None
+      }
+      if (qualified(meta.location.toString) != qualified(path))
+        spark.sql(s"DROP TABLE $layer.$name")
     }
     spark.sql(s"CREATE TABLE IF NOT EXISTS $layer.$name USING graft LOCATION '$path'")
     spark.catalog.refreshTable(s"$layer.$name")
-    s"$layer.$name"
+    Some(s"$layer.$name")
   }
 
   /** Snapshot-consistent multi-table reads: resolve EVERY cataloged
@@ -249,10 +276,12 @@ object GraftCatalog {
           // the namespaced identifier too (same surface registerLake
           // builds) — layer is present in every catalog this writer
           // produced; a foreign/legacy entry without one registers the
-          // view only
+          // view only, and a DDL failure must not break the restore
+          // contract (this function must never crash a session init)
           layerJ match {
             case JString(layer) if layer.nonEmpty =>
-              registerNamespacedTable(spark, layer, name, path)
+              try registerNamespacedTable(spark, layer, name, path)
+              catch { case _: Exception => () }
             case _ => ()
           }
           Some(s"${name}_tbl")

@@ -80,9 +80,11 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
 
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan =
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    currentStatementPins.get.clear() // pins below belong to THIS statement
     parseMaintenance(sqlText.trim)
       .getOrElse(delegate.parsePlan(rewriteTimeTravel(rewriteTableChanges(sqlText))))
+  }
 
   /** CDF from SQL — Delta's `table_changes` TVF analog:
     *
@@ -193,16 +195,33 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     * snapshots would grow its catalog without bound. An LRU of the
     * most recent [[GraftSqlParser.MaxPinnedViews]] keys evicts (drops)
     * the eldest — safe because an evicted name is deterministically
-    * re-pinned the next time the same snapshot is queried.
+    * re-pinned the next time the same snapshot is queried. Guards:
+    * all map access is synchronized (threads may share a session), and
+    * a view pinned by the STATEMENT CURRENTLY BEING PARSED on this
+    * thread is never evicted — a generated query unioning more than
+    * MaxPinnedViews snapshots must not have its own pins dropped
+    * before the delegate sees them.
     */
   private val pinnedViews = new java.util.LinkedHashMap[String, Unit](16, 0.75f, true)
+  private val currentStatementPins = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue = scala.collection.mutable.Set.empty[String]
+  }
   private def registerPin(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
     df.createOrReplaceTempView(name)
-    pinnedViews.put(name, ())
-    while (pinnedViews.size > MaxPinnedViews) {
-      val eldest = pinnedViews.keySet().iterator().next()
-      pinnedViews.remove(eldest)
-      try spark.catalog.dropTempView(eldest)
+    currentStatementPins.get += name
+    val evicted = pinnedViews.synchronized {
+      pinnedViews.put(name, ())
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = pinnedViews.keySet().iterator()
+      while (pinnedViews.size - out.size > MaxPinnedViews && it.hasNext) {
+        val eldest = it.next()
+        if (!currentStatementPins.get.contains(eldest)) out += eldest
+      }
+      out.foreach(pinnedViews.remove)
+      out
+    }
+    evicted.foreach { v =>
+      try spark.catalog.dropTempView(v)
       catch { case _: Exception => () }
     }
   }

@@ -538,12 +538,14 @@ object Dedup {
           math.max(0.0, threshold - 0.15))
         .select(col("doc_id"), col("probe_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // retire the PREVIOUS run's pair cache BEFORE materializing the
+      // new one — back-to-back runs must not hold both peaks at once
+      retirePrevious("dedupIncrCand", Seq(c))
       c.count() // materialize: phase boundary, and the pair set is reused twice below
       c
     }
     lastIncrPhases = Some(IncrPhases(buildS, appendS, probeS))
     System.err.println(f"[dedup_incr] phases: build=$buildS%.2fs append=$appendS%.2fs probe=$probeS%.2fs")
-    retirePrevious("dedupIncrCand", Seq(cand))
     // exact verify: the candidate ids PUSH into the documents scan (file
     // skipping on the logged/footer bounds) while bounded, so only the
     // candidates' texts are shingled — never a corpus re-shingle; an
