@@ -38,18 +38,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * still-hot canary stamps note=RETRY so the artifact carries its own
   * "re-measure before judging" flag.
   *
-  * Per-key instrumentation (round 16):
+  * Per-key instrumentation (round 16, tightened round 17):
   *   - COMMIT SPLIT: LakeTable.commitNanos deltas around each key
-  *     separate commit-machinery seconds (staged write + file moves +
-  *     log publish — the FS-latency-bound part that tracks the write
-  *     canary's regime) from engine compute; per-key in BENCH_DETAIL
-  *     ("commit_s"), total on the compact line ("commit").
-  *   - OUTLIER GATE: a key timing >4x its quiet reference (optional
-  *     BENCH_EXPECTED.json / SPARK_GRAFT_BENCH_EXPECTED) and >1s gets
-  *     ONE re-run after a pause — transient box regimes self-correct,
-  *     true regressions reproduce; re-run keys listed in DETAIL.
-  *   - WCANARY TIMELINE: the write canary re-samples every 8th key,
-  *     so a mid-board regime shift localizes to the keys it hit
+  *     ("commit_s" in BENCH_DETAIL, "commit" total on the compact
+  *     line). NOTE commit_s includes the staged write's QUERY
+  *     EXECUTION (the write action runs the upstream plan), so for
+  *     write-heavy keys it overstates pure machinery — that is what
+  *     the second meter is for:
+  *   - FILE-OPS SPLIT (round 17): LakeTable.fileOpsNanos deltas meter
+  *     ONLY the post-execution file operations (list/move/stat/footer/
+  *     log/publish) — the truly FS-latency-bound part that tracks the
+  *     write canary's regime ("fileops_s" in DETAIL, "fo" total on the
+  *     compact line).
+  *   - OUTLIER GATE (tightened round 17): a key >2x its quiet
+  *     reference (optional BENCH_EXPECTED.json /
+  *     SPARK_GRAFT_BENCH_EXPECTED) and >1s, while the nearest write-
+  *     canary sample reads degraded (>1.5x quiet), or >5s absolute
+  *     over its reference regardless of regime, gets ONE re-run after
+  *     a pause — transient box regimes self-correct, true regressions
+  *     reproduce; re-run keys listed in DETAIL, count stamped in-band
+  *     as "rr" on the compact line.
+  *   - WCANARY TIMELINE: the write canary re-samples every 8th key
+  *     and immediately before every gate-triggered re-run, so a
+  *     mid-board regime shift localizes to the keys it hit
   *     ("wcanary_timeline" in DETAIL).
   *
   * The printed line is kept COMPACT (2-3 significant digits, short
@@ -145,13 +156,21 @@ object Bench {
     var canaryFirst = if (hasCanaryQuery) timeCanary() else -1.0
     var wcanaryFirst = timeWriteCanary()
     var waits = 0
-    // The READ canary's absolute threshold is tuned at sf0.1 and its
-    // cost scales with the data; on a scaled dir it would never pass
-    // and the loop would burn all its retries. Two consecutive samples
-    // within 15% mean the box is STABLE — that IS the canary's honest
-    // cost at this data scale, not contamination (a contaminated box
-    // drifts) — so the absolute gate stands down. The WRITE canary
-    // stays absolute: its 32-row cycle is data-scale-independent.
+    // The READ canary's absolute threshold is tuned at the standard
+    // test dirs (sf0.1 and below) and its cost scales with the data;
+    // on a SCALED dir it would never pass and the loop would burn all
+    // its retries. Two consecutive samples within 15% mean the box is
+    // STABLE — that IS the canary's honest cost at that data scale,
+    // not contamination (a contaminated box drifts) — so the absolute
+    // gate stands down THERE ONLY: on the tuned dirs a steady
+    // co-tenant load (which also does not drift) must keep stamping
+    // RETRY, not silently pass (the r16 advisor's hole). Any stand-down
+    // is stamped CANARY_REL on the compact line. The WRITE canary
+    // stays absolute everywhere: its 32-row cycle is
+    // data-scale-independent.
+    val tunedDirs = Set("sf0.001", "sf0.01", "sf0.1")
+    val relStandDownAllowed = !tunedDirs.contains(
+      sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir))
     var canaryStableOver = false
     var canaryPrev = canaryFirst
     while (((canaryFirst > canaryMax && !canaryStableOver) || wcanaryFirst > wcanaryMax)
@@ -161,7 +180,7 @@ object Bench {
       waits += 1
       if (hasCanaryQuery) {
         val next = timeCanary()
-        if (next > canaryMax && canaryPrev > canaryMax &&
+        if (relStandDownAllowed && next > canaryMax && canaryPrev > canaryMax &&
             next > 0 && math.abs(next - canaryPrev) <= 0.15 * canaryPrev)
           canaryStableOver = true
         canaryPrev = next
@@ -170,11 +189,19 @@ object Bench {
       wcanaryFirst = timeWriteCanary()
     }
 
-    // Quiet-reference board for the per-key outlier gate: a key that
-    // times >4x its quiet value (and >1s absolute) gets ONE re-run
-    // after a pause — transient box regimes (the r15 incr_distinct
-    // 35.3s-vs-1.1s pathology) correct themselves; true regressions
-    // reproduce and stay on the board. Optional: no file, no gate.
+    // Quiet-reference board for the per-key outlier gate (tightened
+    // round 17 — the r16 board let 7 keys through at 2.1-3.7x expected
+    // with zero re-runs): a key gets ONE re-run after a pause when
+    //   - it times >2x its quiet value (and >1s absolute) AND the
+    //     NEAREST write-canary sample reads a degraded regime
+    //     (>1.5x the quiet wcanary = 0.75 * wcanaryMax), OR
+    //   - its absolute swing over the quiet value exceeds 5s
+    //     (scd2_cdc-class keys: always worth one re-run).
+    // Transient box regimes (the r15 incr_distinct 35.3s-vs-1.1s
+    // pathology) correct themselves; true regressions reproduce and
+    // stay on the board. The wcanary is re-sampled right before the
+    // re-run so the attribution signal is per-key, not per-window.
+    // Optional: no file, no gate.
     val expectedPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXPECTED", "BENCH_EXPECTED.json")
     val expected: Map[String, Double] = try {
       import org.json4s._
@@ -203,9 +230,11 @@ object Bench {
       if (i % 8 == 0 && i > 0) wcTimeline += ((i, timeWriteCanary()))
       var best = Double.MaxValue
       var bestCommit = 0.0
+      var bestFileOps = 0.0
       var failed = false
       def timedRun(): Unit = {
         val c0 = graft.lake.LakeTable.commitNanos
+        val fo0 = graft.lake.LakeTable.fileOpsNanos
         val t0 = System.nanoTime()
         try {
           consume(SparkEntry.queries(name)(spark, sfDir))
@@ -213,15 +242,23 @@ object Bench {
           if (el < best) {
             best = el
             bestCommit = (graft.lake.LakeTable.commitNanos - c0) / 1e9
+            bestFileOps = (graft.lake.LakeTable.fileOpsNanos - fo0) / 1e9
           }
         } catch { case _: Throwable => failed = true }
         spark.catalog.clearCache() // not part of the measured query
       }
       var run = 0
       while (run < timedRuns && !failed) { timedRun(); run += 1 }
-      if (!failed && expected.get(name).exists(e => best > math.max(4 * e, 1.0))) {
+      val fire = !failed && expected.get(name).exists { e =>
+        val regime = wcTimeline.last._2 > 0.75 * wcanaryMax // 1.5x quiet
+        (best > math.max(2 * e, 1.0) && regime) || best > e + 5.0
+      }
+      if (fire) {
         rerun += name
         Thread.sleep(5000)
+        // fresh regime sample right before the re-run: attribution for
+        // THIS key, not the window the every-8th sweep happened to cover
+        wcTimeline += ((i, timeWriteCanary()))
         val hadBest = best
         timedRun()
         // the re-run exists to REPLACE a regime-inflated sample with a
@@ -229,16 +266,18 @@ object Bench {
         // two valid measurements already in hand
         if (failed) { failed = false; best = hadBest }
       }
-      (name, if (failed) -1.0 else best, if (failed) 0.0 else bestCommit)
+      (name, if (failed) -1.0 else best, if (failed) 0.0 else bestCommit,
+        if (failed) 0.0 else bestFileOps)
     }
     val canaryLast = if (hasCanaryQuery) timeCanary() else -1.0
     val wcanaryLast = timeWriteCanary()
     val loadPost = loadAvg
 
     val ok = results.filter(_._2 >= 0)
-    val failedNames = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val failedNames = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
     val total = ok.map(_._2).sum
     val commitTotal = ok.map(_._3).sum
+    val fileOpsTotal = ok.map(_._4).sum
     val sfShort = {
       val base = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
       if (base.startsWith("sf")) base.drop(2) else base
@@ -260,24 +299,36 @@ object Bench {
         s""","note":"RETRY wcanary ${fmt(math.max(wcanaryFirst, wcanaryLast))}s>${fmt(wcanaryMax)}s""""
       else if (canaryBroken)
         s""","note":"RETRY canary errored - gate did not run""""
+      else if (canaryStableOver)
+        // the absolute read-canary gate stood down (scaled dir,
+        // stable-over-threshold samples) — disclose it in-band so the
+        // judged line carries its own caveat
+        s""","note":"CANARY_REL ${fmt(canaryFirst)}s abs-gate stood down""""
       else ""
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val failedJson = if (failedNames.isEmpty) "" else s""","failed":${failedNames.mkString("[", ",", "]")}"""
+    // rerun marker in-band: re-run-assisted totals must be
+    // distinguishable from plain 2-run totals on the compact line the
+    // driver judges (full key list in DETAIL)
+    val rrJson = if (rerun.isEmpty) "" else s""","rr":${rerun.size}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfShort","commit":${fmt(commitTotal)},""" +
+      s""""sf":"$sfShort","commit":${fmt(commitTotal)},"fo":${fmt(fileOpsTotal)},""" +
       s""""load":[${fmt(loadPre)},${fmt(loadPost)}],""" +
       s""""canary":[${fmt(canaryFirst)},${fmt(canaryLast)}],""" +
-      s""""wcanary":[${fmt(wcanaryFirst)},${fmt(wcanaryLast)}]$failedJson$note}"""
+      s""""wcanary":[${fmt(wcanaryFirst)},${fmt(wcanaryLast)}]$rrJson$failedJson$note}"""
 
     // Full precision for humans/judge; the printed line is budgeted for
     // the driver's 2000-char tail capture.
-    val qsFull = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val commitFull = results.collect { case (k, _, c) if c > 0 => "\"" + k + "\":" + c }
+    val qsFull = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val commitFull = results.collect { case (k, _, c, _) if c > 0 => "\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val fileOpsFull = results.collect { case (k, _, _, fo) if fo > 0 => "\"" + k + "\":" + fo }
       .mkString("{", ",", "}")
     val rerunJson = rerun.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wcTlJson = wcTimeline.map { case (i, s) => s"[$i,$s]" }.mkString("[", ",", "]")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,""" +
-      s""""commit_s":$commitFull,"commit_total":$commitTotal,"rerun":$rerunJson,""" +
+      s""""commit_s":$commitFull,"commit_total":$commitTotal,""" +
+      s""""fileops_s":$fileOpsFull,"fileops_total":$fileOpsTotal,"rerun":$rerunJson,""" +
       s""""wcanary_timeline":$wcTlJson,""" +
       s""""failed":${failedNames.mkString("[", ",", "]")},"runs":$timedRuns,"cpus":"$cpus",""" +
       s""""sf":"$sfDir","load_pre":$loadPre,"load_post":$loadPost,""" +

@@ -132,11 +132,14 @@ object GraftCatalog {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $layer")
     val id = org.apache.spark.sql.catalyst.TableIdentifier(name, Some(layer))
     // qualify both sides: the catalog absolutizes locations, so a
-    // relative warehouseDir must not read as a perpetual mismatch
+    // relative warehouseDir must not read as a perpetual mismatch.
+    // Compare the FULL qualified URI (scheme included): a file:// and
+    // an s3:// location with equal paths are different tables, and a
+    // path-only compare would read them as matching.
     def qualified(p: String): String = {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sessionState.newHadoopConf())
-        .makeQualified(hp).toUri.getPath
+        .makeQualified(hp).toString
     }
     if (cat.tableExists(id)) {
       val meta = cat.getTableMetadata(id)
@@ -147,8 +150,18 @@ object GraftCatalog {
           "table; namespaced registration skipped (the <name>_tbl view still works)")
         return None
       }
-      if (qualified(meta.location.toString) != qualified(path))
+      if (qualified(meta.location.toString) != qualified(path)) {
+        // re-point only ever drops EXTERNAL registrations: dropping a
+        // MANAGED table deletes its data, and a user's managed
+        // `USING graft` CTAS under this name is not ours to destroy
+        if (meta.tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL) {
+          System.err.println(s"[graft] $layer.$name is a MANAGED graft table at " +
+            s"${meta.location} — refusing to drop (would delete its data); " +
+            "namespaced registration skipped (the <name>_tbl view still works)")
+          return None
+        }
         spark.sql(s"DROP TABLE $layer.$name")
+      }
     }
     spark.sql(s"CREATE TABLE IF NOT EXISTS $layer.$name USING graft LOCATION '$path'")
     spark.catalog.refreshTable(s"$layer.$name")

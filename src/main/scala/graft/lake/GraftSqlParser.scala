@@ -81,7 +81,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    currentStatementPins.get.clear() // pins below belong to THIS statement
+    // pins below belong to THIS statement: a fresh set releases the
+    // previous statement's eviction protection for this thread only
+    statementPins.synchronized {
+      statementPins.put(Thread.currentThread(),
+        scala.collection.mutable.Set.empty[String])
+    }
     parseMaintenance(sqlText.trim)
       .getOrElse(delegate.parsePlan(rewriteTimeTravel(rewriteTableChanges(sqlText))))
   }
@@ -200,22 +205,34 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     * a view pinned by the STATEMENT CURRENTLY BEING PARSED on this
     * thread is never evicted — a generated query unioning more than
     * MaxPinnedViews snapshots must not have its own pins dropped
-    * before the delegate sees them.
+    * before the delegate sees them. The in-flight sets live in a
+    * SHARED weak-keyed map (thread → its current statement's pins),
+    * consulted globally at eviction: on a shared session, thread B
+    * crossing the cap must not drop a view thread A pinned for a
+    * statement parsed but not yet analyzed (a ThreadLocal check would
+    * only protect B's own pins). Weak keys release a dead thread's
+    * protection with the thread.
     */
   private val pinnedViews = new java.util.LinkedHashMap[String, Unit](16, 0.75f, true)
-  private val currentStatementPins = new ThreadLocal[scala.collection.mutable.Set[String]] {
-    override def initialValue = scala.collection.mutable.Set.empty[String]
-  }
+  private val statementPins =
+    new java.util.WeakHashMap[Thread, scala.collection.mutable.Set[String]]()
   private def registerPin(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
     df.createOrReplaceTempView(name)
-    currentStatementPins.get += name
+    val inFlight = statementPins.synchronized {
+      val mine = statementPins.get(Thread.currentThread())
+      if (mine != null) mine += name
+      else statementPins.put(Thread.currentThread(),
+        scala.collection.mutable.Set(name))
+      import scala.jdk.CollectionConverters._
+      statementPins.values.asScala.flatten.toSet
+    }
     val evicted = pinnedViews.synchronized {
       pinnedViews.put(name, ())
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = pinnedViews.keySet().iterator()
       while (pinnedViews.size - out.size > MaxPinnedViews && it.hasNext) {
         val eldest = it.next()
-        if (!currentStatementPins.get.contains(eldest)) out += eldest
+        if (!inFlight.contains(eldest)) out += eldest
       }
       out.foreach(pinnedViews.remove)
       out

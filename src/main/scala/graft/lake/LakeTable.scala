@@ -804,7 +804,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
                               cdc: Option[Seq[String]] = None,
                               prev: Option[Snapshot] = None,
                               constraintsUpdate: Option[Map[String, String]] = None,
-                              removedFull: Seq[String] = Nil): Boolean = meteredCommit {
+                              removedFull: Seq[String] = Nil): Boolean = meteredCommit { meteredFileOps {
     // writer gate: refuse to commit over a log that demands a newer
     // writer (the invariants it encodes are unknown to this client);
     // the stamp is monotonic — a commit never downgrades the table's
@@ -844,7 +844,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
       }
     }
     won
-  }
+  }}
 
   // ------------------------------------------------------ commit publishing
   //
@@ -967,7 +967,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
     }
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
+    // no _SUCCESS marker: the log, not a marker file, defines commit
+    // visibility — and the bulk-move publish would otherwise carry the
+    // marker into data/ as litter
     val writer = routed.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     try meteredCommit((if (physParts.nonEmpty) writer.partitionBy(physParts: _*) else writer)
       .parquet(staging.toString))
     catch {
@@ -978,46 +982,87 @@ object LakeTable extends org.apache.spark.internal.Logging {
         throw e
     }
 
-    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
-    val it = f.listFiles(staging, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet")) {
-        staged += ((relativize(staging, st.getPath), st.getPath))
+    // the staged listing's FileStatus stands for the published file:
+    // rename preserves length and mtime, so no per-file re-stat after
+    // the move (one round trip per file saved on an object store)
+    val staged = meteredCommit { meteredFileOps {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(String, Path, Long, Long)]
+      val it = f.listFiles(staging, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && name.endsWith(".parquet")) {
+          b += ((relativize(staging, st.getPath), st.getPath,
+            st.getLen, st.getModificationTime))
+        }
       }
-    }
+      b
+    }}
     // partition column values live in the dir path, not the file — only
     // data columns have footer stats (physical names: the files' own)
     val dataSchema = StructType(gened.schema.filterNot(fl => physParts.contains(fl.name)))
     val conf = spark.sessionState.newHadoopConf()
+    // An unpartitioned, unbucketed commit (staged files all at the
+    // staging root) publishes its data files with ONE directory rename
+    // — data/<batch-uuid>/<part-file> — instead of a move per file:
+    // the log's paths are opaque table-relative names, so the extra
+    // level costs readers nothing (partition parsing is a no-op on an
+    // empty partition schema), and the per-file rename+mkdirs round
+    // trips vanish from the commit path (guide §6). Hive-partitioned
+    // layouts keep per-file moves (their dir names ARE semantics);
+    // bucketed commits keep them too (the move renames the file to
+    // carry its bucket id).
+    val bulkMove = bucketing.isEmpty && physParts.isEmpty &&
+      staged.nonEmpty && staged.forall(s => !s._1.contains('/'))
     // move + stat + footer-read PER FILE, fanned out on a bounded pool:
     // serially this is the driver-side commit bottleneck once a write
     // stages thousands of files (each footer read is a GET on an object
     // store); the files are independent, so the wall cost drops to
     // ceil(files / threads) round trips
     val entries =
-      try stageParallel(staged.toSeq) { case (rel0, src) =>
-        // bucketed commit: the staged name's task id (= bucket id under
-        // the repartition above) moves into Spark's bucket-file naming,
-        // `_NNNNN` before the extension — what BucketingUtils parses
-        val rel = bucketing match {
-          case Some(_) =>
-            val slash = rel0.lastIndexOf('/')
-            val (dir, name) = rel0.splitAt(slash + 1)
-            val tid = Bucketing.taskIdOf(name).getOrElse(
-              throw new IllegalStateException(
-                s"staged file $name carries no task id — cannot assign its bucket"))
-            dir + Bucketing.bucketedName(name, tid)
-          case None => rel0
+      try {
+        if (bulkMove) {
+          val batchDir = staging.getName // the write's UUID — unique
+          val destDir = new Path(dataPath(table), batchDir)
+          meteredCommit { meteredFileOps {
+            f.mkdirs(dataPath(table))
+            if (!f.rename(staging, destDir))
+              throw new IllegalStateException(s"could not move $staging to $destDir")
+          }}
+          stageParallel(staged.toSeq) { case (rel0, _, len, mtime) =>
+            val rel = s"$batchDir/$rel0"
+            val (rows, stats) =
+              ParquetStats.collect(conf, new Path(dataPath(table), rel), dataSchema)
+            FileEntry(rel, len, mtime, rows, stats)
+          }
+        } else {
+          // mkdirs once per distinct destination directory, not per file
+          meteredCommit { meteredFileOps {
+            staged.map { case (rel0, _, _, _) =>
+              new Path(dataPath(table), rel0).getParent
+            }.distinct.foreach(f.mkdirs)
+          }}
+          stageParallel(staged.toSeq) { case (rel0, src, len, mtime) =>
+            // bucketed commit: the staged name's task id (= bucket id under
+            // the repartition above) moves into Spark's bucket-file naming,
+            // `_NNNNN` before the extension — what BucketingUtils parses
+            val rel = bucketing match {
+              case Some(_) =>
+                val slash = rel0.lastIndexOf('/')
+                val (dir, name) = rel0.splitAt(slash + 1)
+                val tid = Bucketing.taskIdOf(name).getOrElse(
+                  throw new IllegalStateException(
+                    s"staged file $name carries no task id — cannot assign its bucket"))
+                dir + Bucketing.bucketedName(name, tid)
+              case None => rel0
+            }
+            val dest = new Path(dataPath(table), rel)
+            if (!f.rename(src, dest))
+              throw new IllegalStateException(s"could not move $src to $dest")
+            val (rows, stats) = ParquetStats.collect(conf, dest, dataSchema)
+            FileEntry(rel, len, mtime, rows, stats)
+          }
         }
-        val dest = new Path(dataPath(table), rel)
-        f.mkdirs(dest.getParent)
-        if (!f.rename(src, dest))
-          throw new IllegalStateException(s"could not move $src to $dest")
-        val st = f.getFileStatus(dest)
-        val (rows, stats) = ParquetStats.collect(conf, dest, dataSchema)
-        FileEntry(rel, st.getLen, st.getModificationTime, rows, stats)
       }
       finally f.delete(staging, true)
     // bloom sidecar for flagged columns: the table's CURRENT schema
@@ -1043,17 +1088,35 @@ object LakeTable extends org.apache.spark.internal.Logging {
 
   // ------------------------------------------------------ commit-time meter
   //
-  // Wall nanos spent inside the commit MACHINERY — staged parquet
-  // write, per-file move/stat/footer fan-out, log write + publish —
-  // accumulated JVM-wide. Bench samples deltas around each key to
-  // split commit_s (FS-latency-bound, tracks the write canary's
-  // regime) from compute_s (the engine's own work), so box-level
-  // write-path drift stops contaminating the engine's numbers.
+  // Wall nanos spent inside the commit MACHINERY, accumulated JVM-wide
+  // as TWO counters with different envelopes:
+  //   - commitNanos: staged parquet write + per-file move/stat/footer
+  //     fan-out + log write/publish. NOTE the staged write executes the
+  //     entire upstream query plan (the joins/aggregations producing
+  //     the rows), so for write-heavy keys this INCLUDES engine
+  //     compute — it bounds "time under the write path", not pure FS
+  //     machinery.
+  //   - fileOpsNanos: ONLY the post-execution file operations —
+  //     listing/moving/stat'ing staged files, footer-stats reads, log
+  //     write + publish. This is the FS-latency-bound part that tracks
+  //     the write canary's regime.
+  // Bench samples deltas of both around each key (commit_s /
+  // fileops_s in BENCH_DETAIL), so box-level write-path drift is
+  // attributable without overstating it as the whole staged write.
   private val commitNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
   private val meterDepth = new ThreadLocal[Integer] { override def initialValue = Integer.valueOf(0) }
+  private val fileOpsNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val fileOpsDepth = new ThreadLocal[Integer] { override def initialValue = Integer.valueOf(0) }
 
-  /** Cumulative commit-machinery wall nanos in this JVM. */
+  /** Cumulative commit-machinery wall nanos in this JVM (includes the
+    * staged write's query execution — see the section comment).
+    */
   def commitNanos: Long = commitNanosAcc.get()
+
+  /** Cumulative post-execution commit file-operation wall nanos in
+    * this JVM (move/stat/footer/log/publish only — no query compute).
+    */
+  def fileOpsNanos: Long = fileOpsNanosAcc.get()
 
   /** Meter `body` into [[commitNanos]]; nested spans on the same
     * thread count once (outermost wins).
@@ -1068,11 +1131,25 @@ object LakeTable extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Meter `body` into [[fileOpsNanos]] (outermost wins per thread);
+    * composes with [[meteredCommit]] — the two counters are
+    * independent.
+    */
+  @inline private def meteredFileOps[T](body: => T): T = {
+    val d = fileOpsDepth.get.intValue
+    fileOpsDepth.set(Integer.valueOf(d + 1))
+    val t0 = System.nanoTime()
+    try body finally {
+      fileOpsDepth.set(Integer.valueOf(d))
+      if (d == 0) fileOpsNanosAcc.addAndGet(System.nanoTime() - t0)
+    }
+  }
+
   /** Run `body` over the items on a bounded thread pool, preserving
     * order; the first failure propagates (remaining work is not
     * awaited beyond cancellation).
     */
-  private def stageParallel[A, B](items: Seq[A])(body: A => B): Seq[B] = meteredCommit {
+  private def stageParallel[A, B](items: Seq[A])(body: A => B): Seq[B] = meteredCommit { meteredFileOps {
     if (items.size <= 1) return items.map(body)
     val threads = math.min(16, items.size)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -1085,7 +1162,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       }
     } finally pool.shutdownNow()
-  }
+  }}
 
   // ------------------------------------------------------ change data feed
 
@@ -1105,24 +1182,33 @@ object LakeTable extends org.apache.spark.internal.Logging {
                                df: DataFrame): Seq[String] = {
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
-    meteredCommit(df.write.mode("overwrite").parquet(staging.toString))
-    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
-    val it = f.listFiles(staging, true)
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-        staged += ((relativize(staging, st.getPath), st.getPath))
-    }
-    val entries =
-      try stageParallel(staged.toSeq) { case (rel, src) =>
-        val dest = new Path(changeDataPath(table), rel)
-        f.mkdirs(dest.getParent)
-        if (!f.rename(src, dest))
-          throw new IllegalStateException(s"could not move $src to $dest")
-        s"_change_data/$rel"
+    meteredCommit(df.write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(staging.toString))
+    // change files are never partitioned: publish the whole staged dir
+    // with ONE rename — _change_data/<batch-uuid>/<part-file> — the
+    // feed reader takes the recorded paths verbatim, so the extra
+    // level is free (see the bulk-move note in stageFiles)
+    meteredCommit { meteredFileOps {
+      val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = f.listFiles(staging, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          staged += relativize(staging, st.getPath)
       }
-      finally f.delete(staging, true)
-    entries
+      try {
+        if (staged.isEmpty) Nil
+        else {
+          val batchDir = staging.getName
+          val destDir = new Path(changeDataPath(table), batchDir)
+          f.mkdirs(changeDataPath(table))
+          if (!f.rename(staging, destDir))
+            throw new IllegalStateException(s"could not move $staging to $destDir")
+          staged.toSeq.map(rel => s"_change_data/$batchDir/$rel")
+        }
+      } finally f.delete(staging, true)
+    }}
   }
 
   /** Row-level changes of exactly version `v`: the table columns of
@@ -3078,13 +3164,17 @@ object LakeTable extends org.apache.spark.internal.Logging {
                                 df: DataFrame, parts: Int): String = {
     val f = fs(spark, table)
     val staging = new Path(new Path(table, "_staging"), java.util.UUID.randomUUID().toString)
-    df.repartition(parts, col("p")).write.mode("overwrite").parquet(staging.toString)
+    meteredCommit(df.repartition(parts, col("p")).write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .parquet(staging.toString))
     val name = java.util.UUID.randomUUID().toString
     val dest = new Path(deletesPath(table), name)
-    f.mkdirs(deletesPath(table))
-    if (!f.rename(staging, dest))
-      throw new IllegalStateException(
-        s"could not move staged deletion vector $staging to $dest")
+    meteredCommit { meteredFileOps {
+      f.mkdirs(deletesPath(table))
+      if (!f.rename(staging, dest))
+        throw new IllegalStateException(
+          s"could not move staged deletion vector $staging to $dest")
+    }}
     s"_deletes/$name"
   }
 
@@ -3828,7 +3918,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // predicate filter: both must admit the file
     val inScope: FileEntry => Boolean = dirScope match {
       case None => inFilter
-      case Some(ds) => e => inFilter(e) && ds.contains(parentDirOf(e.path))
+      case Some(ds) => e => inFilter(e) && ds.contains(partitionDirOf(e.path))
     }
     // sizes come from the log; a legacy entry (pre-stats log) costs one
     // stat — never a listing. A file with an outstanding deletion
@@ -3940,10 +4030,15 @@ object LakeTable extends org.apache.spark.internal.Logging {
   /** The hive partition directory of a table-relative file path ("" on
     * an unpartitioned table).
     */
-  private def parentDirOf(p: String): String = p.lastIndexOf('/') match {
-    case -1 => ""
-    case i  => p.substring(0, i)
-  }
+  /** A file's HIVE-PARTITION identity: the leading run of `k=v` path
+    * segments. Distinct from its parent directory since bulk-move
+    * commits (r17) nest unpartitioned files under an opaque per-commit
+    * batch dir — two trickle appends to an unpartitioned table land in
+    * different parent dirs but the SAME (empty) partition, and
+    * autoCompact's hot-partition scoping must see them together.
+    */
+  private def partitionDirOf(p: String): String =
+    p.split('/').dropRight(1).takeWhile(_.contains('=')).mkString("/")
 
   /** Post-write auto-compaction (the Delta autoCompact idea): bin-pack
     * ONLY the hive partitions the LATEST commit touched, and only once
@@ -3970,11 +4065,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val entry = logEntryAt(spark, table, snap.version)
     val touched = entry.full.map(_.map(_.path)).getOrElse(entry.adds.map(_.path))
     if (touched.isEmpty) return None
-    val dirs = touched.map(parentDirOf).toSet
+    val dirs = touched.map(partitionDirOf).toSet
     val f = fs(spark, table)
     val base = dataPath(table)
     val smallInScope = snap.files.count { e =>
-      dirs.contains(parentDirOf(e.path)) &&
+      dirs.contains(partitionDirOf(e.path)) &&
         (if (e.size >= 0) e.size
          else f.getFileStatus(entryPath(base, e.path)).getLen) < smallFileBytes
     }

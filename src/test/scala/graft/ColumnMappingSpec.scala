@@ -327,8 +327,10 @@ class ColumnMappingSpec extends SparkSpec {
     assert(!graftFmt.equals(stockFmt))
 
     // stock parquet relation over the SAME files, resolved and CACHED
-    // FIRST — the stock-first lookup direction
-    val stockDf = spark.read.parquet(s"$t/data")
+    // FIRST — the stock-first lookup direction (recursive: bulk-move
+    // commits nest data files under a per-commit batch dir)
+    val stockDf = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$t/data")
     stockDf.cache()
     try {
       assert(stockDf.columns.toSeq == Seq("id", "tag"), "raw files carry physical names")

@@ -13,6 +13,39 @@ class LakeSpec extends SparkSpec {
   private def tmpTable(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
 
+  test("bulk-move commit: batch-dir layout, accurate logged sizes, partitioned tables keep hive dirs") {
+    val fsys = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // unpartitioned: files publish under one opaque per-commit batch
+    // dir, and the logged size/mtime (taken from the staged listing,
+    // not a post-move re-stat) must match the published files exactly
+    val t = tmpTable("lake_bulk")
+    LakeTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    LakeTable.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    val snap = LakeTable.latestSnapshot(spark, t).get
+    assert(snap.files.nonEmpty)
+    snap.files.foreach { e =>
+      assert(e.path.contains("/"), s"expected batch-dir nesting, got ${e.path}")
+      val st = fsys.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$t/data/${e.path}"))
+      assert(e.size == st.getLen, s"logged size must match FS for ${e.path}")
+      assert(e.mtimeMs == st.getModificationTime,
+        s"logged mtime must match FS for ${e.path}")
+    }
+    // the two commits landed in two distinct batch dirs, and reads see
+    // the union
+    assert(snap.files.map(_.path.takeWhile(_ != '/')).distinct.size == 2)
+    assert(LakeTable.read(spark, t).count() == 3)
+    // partitioned: hive dirs stay the leading path segments (per-file
+    // move path), so partition pruning semantics are untouched
+    val tp = tmpTable("lake_bulk_part")
+    LakeTable.overwrite(spark, tp,
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "dt"), partitionBy = Seq("dt"))
+    val sp = LakeTable.latestSnapshot(spark, tp).get
+    assert(sp.filePaths.forall(p => p.startsWith("dt=d1/") || p.startsWith("dt=d2/")),
+      s"hive layout must lead: ${sp.filePaths}")
+  }
+
   test("overwrite commits atomic versions; time travel reads history") {
     val t = tmpTable("lake_ow")
     val v1 = LakeTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
