@@ -1,7 +1,8 @@
 package graft.lake
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.Path
 
 /** Incremental maintenance of an additive aggregate from a lake table's
@@ -504,12 +505,16 @@ object Incremental {
         txn = Some(widL -> lSnap.version), extraTxns = Map(widR -> rSnap.version))
     } else {
       // affected view keys: named by the left feed, or referencing a
-      // right key the right feed touched
+      // right key the right feed touched. Each key carries __ni = "some
+      // non-insert change row named it" so the append-only decision
+      // (below) needs no dedicated probe job.
       val leftFeed =
         if (lSnap.version > doneL)
           Some(LakeTable.changes(spark, left, doneL + 1, lSnap.version))
         else None
-      val fromL = leftFeed.map(_.select(leftPk.map(col).toIndexedSeq: _*).distinct())
+      val fromL = leftFeed.map(_.groupBy(leftPk.map(col).toIndexedSeq: _*)
+        .agg(max(when(col(LakeTable.ChangeTypeCol) =!= "insert", 1)
+          .otherwise(0)).as("__ni")))
       val fromR =
         if (rSnap.version > doneR) {
           val touchedR = LakeTable.changes(spark, right, doneR + 1, rSnap.version)
@@ -517,34 +522,53 @@ object Incremental {
           val cond = joinKeys.map { case (lc, rc) => lNow(lc) === touchedR(rc) }
             .reduce(_ && _)
           Some(lNow.join(touchedR, cond, "left_semi")
-            .select(leftPk.map(col).toIndexedSeq: _*).distinct())
+            .select(leftPk.map(col).toIndexedSeq: _*).distinct()
+            .withColumn("__ni", lit(1)))
         } else None
-      // touched is consumed FOUR times (pk-clean check, literal probe,
-      // semi-join restriction, tombstone anti-join) and the fromR form
-      // costs a full left-table scan per evaluation — checkpoint it
-      // once (also decoupling the semi-join below from lNow's lineage,
-      // which would otherwise self-join)
-      val touched = (fromL.toSeq ++ fromR.toSeq).reduce(_ unionByName _)
-        .distinct().localCheckpoint()
-      requirePkClean(touched)
+      val touchedAgg = (fromL.toSeq ++ fromR.toSeq).reduce(_ unionByName _)
+        .groupBy(leftPk.map(col).toIndexedSeq: _*)
+        .agg(max(col("__ni")).as("__ni"))
+      // restrict the left scan to the touched keys: a literal IN
+      // predicate pushes into file skipping while the set is small
+      // (single-column keys take ONE In expression — never a deep OR
+      // chain, which overflows the converter stack at PK cardinality;
+      // composite keys cap far lower), a semi-join past that. ONE
+      // collect yields the key sample, the pk-null check and the
+      // append-only flag (guide §5: this path previously paid a
+      // localCheckpoint, a null-probe count, an append-only probe and
+      // the collect — four driver actions — per refresh); only the
+      // over-cap case (degrades to semi-joins anyway) keeps the probes.
+      val litCap = if (leftPk.size == 1) 10000 else 64
+      val tuples = touchedAgg.limit(litCap + 1).collect()
+      val sawAll = tuples.length <= litCap
+      // touched (pk-only) for the semi-join/anti-join consumers: a
+      // LOCAL relation when the collect saw every key (no recompute, no
+      // checkpoint job), else checkpointed once as before
+      val touched =
+        if (sawAll) spark.createDataFrame(
+          java.util.Arrays.asList(
+            tuples.map(r => Row.fromSeq(leftPk.indices.map(r.get))): _*),
+          StructType(leftPk.map(k => lNow.schema(k)).toSeq))
+        else touchedAgg.localCheckpoint()
+      if (sawAll) {
+        val bad = tuples.exists(r => leftPk.indices.exists(r.isNullAt))
+        require(!bad,
+          s"refreshJoin left key(s) (${leftPk.mkString(", ")}) contain nulls")
+      } else requirePkClean(touched)
       // the daily-append operating mode: a purely-INSERT left feed with
       // an idle right side can only ADD view keys (leftPk is unique, so
       // an inserted key has no prior target row) — take mergeRows'
       // insert-only path: anti-join + append, no detection scan, no
       // file rewrite, no pre/post change images. A 100 TB fact growing
       // by a day must not rewrite its enrichment view.
-      val appendOnly = fromR.isEmpty && leftFeed.exists(
-        _.filter(col(LakeTable.ChangeTypeCol) =!= "insert").limit(1).count() == 0L)
-      // restrict the left scan to the touched keys: a literal IN
-      // predicate pushes into file skipping while the set is small
-      // (single-column keys take ONE In expression — never a deep OR
-      // chain, which overflows the converter stack at PK cardinality;
-      // composite keys cap far lower), a semi-join past that
-      val litCap = if (leftPk.size == 1) 10000 else 64
-      val tuples = touched.limit(litCap + 1).collect()
+      val appendOnly = fromR.isEmpty && leftFeed.nonEmpty && {
+        if (sawAll) !tuples.exists(r => r.getInt(leftPk.length) == 1)
+        else leftFeed.get
+          .filter(col(LakeTable.ChangeTypeCol) =!= "insert").limit(1).count() == 0L
+      }
       val lTouched =
         if (tuples.isEmpty) lNow.filter(lit(false))
-        else if (tuples.length > litCap)
+        else if (!sawAll)
           lNow.join(touched, leftPk, "left_semi")
         else if (leftPk.size == 1)
           lNow.filter(col(leftPk.head).isin(tuples.map(_.get(0)).toIndexedSeq: _*))

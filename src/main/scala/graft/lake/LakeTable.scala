@@ -2454,13 +2454,21 @@ object LakeTable extends org.apache.spark.internal.Logging {
             .unionByName(padTo(updates.join(tableKeys, keys, "left_anti"))
               .withColumn(ChangeTypeCol, lit("insert")))
       }
-      val cdcFiles = stageChangeFiles(spark, table, cdcDf)
+      // no matched file ⇒ the commit is append-shaped (no removes) and
+      // its change rows are exactly the added files' rows — skip the
+      // CDC staged write and let [[changesOfEntry]] synthesize the
+      // identical inserts from the adds (guide §5: one fewer full
+      // execution of the update plan per no-match merge)
+      val cdcFiles = affectedRows match {
+        case None    => None
+        case Some(_) => Some(stageChangeFiles(spark, table, cdcDf))
+      }
 
       val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns,
         stagingMap, checks = snap.constraints)
       commitRewrite(spark, table, snap, "MERGE",
         cur => mergeSchemas(cur.schema, incoming),
-        newFiles, affectedRel, scopeToUpdatePartitions, cdc = Some(cdcFiles))
+        newFiles, affectedRel, scopeToUpdatePartitions, cdc = cdcFiles)
     } finally affectedRows.foreach(_.unpersist(blocking = false))
   }
 
@@ -2564,15 +2572,23 @@ object LakeTable extends org.apache.spark.internal.Logging {
                           txnUpdate: Map[String, Long]): Long = {
     // SQL MERGE cardinality: a target row matching two source rows is
     // an error, never a silent duplicate — with equality keys that can
-    // only come from duplicate source keys
-    val dupKeys = source.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0L,
-      s"MERGE source has duplicate values of key (${keys.mkString(", ")}) — " +
-        "each target row may match at most one source row")
-
+    // only come from duplicate source keys. On the rewrite paths the
+    // check RIDES the detection job as a sentinel row (guide §1.2/§5:
+    // one fewer driver action and planning round per merge) instead of
+    // running as its own count; the insert-only path keeps a dedicated
+    // preflight (it has no detection job to ride).
     val keyCols = keys.map(col)
     val updKeys = source.select(keyCols: _*).distinct()
+    val dupMark = "\u0000__dup_key__" // impossible in a file URI
+    def dupProbe: DataFrame = source.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > 1)
+      .limit(1).select(lit(dupMark).as("__file"))
+    def requireNoDupMark(all: Array[String]): Array[String] = {
+      require(!all.contains(dupMark),
+        s"MERGE source has duplicate values of key (${keys.mkString(", ")}) — " +
+          "each target row may match at most one source row")
+      all
+    }
     val ordered = snap.schema.fields.toSeq
 
     def insertProjection(anti: DataFrame): DataFrame =
@@ -2581,18 +2597,25 @@ object LakeTable extends org.apache.spark.internal.Logging {
     if (matched.isEmpty && notMatchedBySource.isEmpty) {
       // insert-only: no rewrite; anti-join against the PINNED snapshot,
       // then a commit that refuses to land over anyone else's
+      val dupKeys = source.groupBy(keyCols: _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        s"MERGE source has duplicate values of key (${keys.mkString(", ")}) — " +
+          "each target row may match at most one source row")
       val insertRows = insertProjection(
         source.alias("s")
           .join(read(spark, table, asOf = Some(snap.version)).select(keyCols: _*),
             keys, "left_anti"))
       val newFiles = stageFiles(spark, table, insertRows, snap.partitionColumns,
         ColumnMapping.mapping(snap.schema), checks = snap.constraints)
-      val cdcFiles = stageChangeFiles(spark, table,
-        insertRows.withColumn(ChangeTypeCol, lit("insert")))
+      // no recorded change files: an insert-only merge is append-shaped
+      // (no removes), so [[changesOfEntry]] synthesizes the identical
+      // insert rows from the added files — the second full execution of
+      // the anti-join (the CDC staged write) is pure overhead (guide §5)
       val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
         snap.schema, snap.partitionColumns, snap.files ++ newFiles,
         txns = snap.txns ++ txnUpdate)
-      if (!tryCommit(spark, table, next, newFiles, Nil, cdc = Some(cdcFiles),
+      if (!tryCommit(spark, table, next, newFiles, Nil, cdc = None,
           prev = Some(snap))) {
         val f = fs(spark, table)
         newFiles.foreach(e =>
@@ -2615,13 +2638,15 @@ object LakeTable extends org.apache.spark.internal.Logging {
       else None)
     // needed by matched clauses AND by the insert anti-join (whose
     // soundness requires every file containing a source key to be in
-    // the affected set)
+    // the affected set). The duplicate-source-key sentinel rides this
+    // job (or the NMBS one when this tier is absent).
     val matchedFileAbs =
       if (matched.isEmpty && notMatchedInsert.isEmpty) Array.empty[String]
-      else detectionSource
+      else requireNoDupMark(detectionSource
         .join(broadcast(updKeys), keys)
         .select("__file").distinct()
-        .collect().map(_.getString(0))
+        .unionByName(dupProbe)
+        .collect().map(_.getString(0)))
     // NOT MATCHED BY SOURCE detection: any file holding a row that
     // passes some clause's condition may need rewriting (the row might
     // be unmatched — only the join can tell). Pushed-filter scan, so
@@ -2633,9 +2658,13 @@ object LakeTable extends org.apache.spark.internal.Logging {
         val pred = notMatchedBySource
           .map(_.condition.map(c => coalesce(c, lit(false))).getOrElse(lit(true)))
           .reduce(_ || _)
-        detectionScan(spark, table, snap, alias = Some("t"), scope = Some(pred))
-          .select(col("__file")).distinct()
-          .collect().map(_.getString(0))
+        val files = detectionScan(spark, table, snap, alias = Some("t"),
+          scope = Some(pred)).select(col("__file")).distinct()
+        val withProbe =
+          if (matched.isEmpty && notMatchedInsert.isEmpty)
+            files.unionByName(dupProbe)
+          else files
+        requireNoDupMark(withProbe.collect().map(_.getString(0)))
       }
     val affectedRel = mapMatchedRel(spark, table,
       (matchedFileAbs ++ nmbsFileAbs).distinct, "MERGE", snap)
@@ -2872,11 +2901,14 @@ object LakeTable extends org.apache.spark.internal.Logging {
                             scoped: Boolean, cdc: Option[Seq[String]] = None,
                             txnUpdate: Map[String, Long] = Map.empty): Long = {
     val affectedPathSet = affectedRel.toSet
-    def dirOf(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
-    val footprintDirs = (newFiles.map(e => dirOf(e.path)) ++ affectedRel.map(dirOf)).toSet
+    // Disjointness keys on HIVE-PARTITION identity, not the parent dir:
+    // bulk-move commits (r17) give every unpartitioned commit a distinct
+    // batch dir, so a parent-dir check would judge any two of them
+    // disjoint and silently rebase over rows the detection scan never
+    // saw. partitionDirOf maps all unpartitioned files to "" — they
+    // always conflict, matching the AddFile-vs-read-predicate rule.
+    val footprintDirs = (newFiles.map(e => partitionDirOf(e.path)) ++
+      affectedRel.map(partitionDirOf)).toSet
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = if (attempt == 0) baseSnap
@@ -2893,7 +2925,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
           // rows were validated against baseSnap's CHECK constraints;
           // a rebase over a changed set would commit unvalidated rows
           cur.constraints == baseSnap.constraints &&
-          !winnerChanged.exists(e => footprintDirs(dirOf(e.path)))
+          !winnerChanged.exists(e => footprintDirs(partitionDirOf(e.path)))
         if (!disjoint)
           throw new ConcurrentCommitException(
             s"$op on $table lost the commit race to v${cur.version} and the winning " +
@@ -3219,13 +3251,24 @@ object LakeTable extends org.apache.spark.internal.Logging {
       .filter(coalesce(condition, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val matchedAbs = matched.select(col(FilePathCol)).distinct()
-        .collect().map(_.getString(0))
+      // ONE action yields both the matched file set and the per-file
+      // new-position counts (guide §5: the old separate
+      // allRows.groupBy("p").count() job is gone); the committed
+      // cardinality adds the folded old vector's logged cardinality —
+      // sound because morScan already excludes dv'd rows, so new
+      // positions are disjoint from the old vector's by construction
+      val newCounts: Map[String, Long] = matched.groupBy(col(FilePathCol))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val matchedAbs = newCounts.keys.toArray
       if (matchedAbs.isEmpty && dropped.isEmpty) return snap.version
       val affectedRel =
         if (matchedAbs.isEmpty) Seq.empty[String]
         else mapMatchedRel(spark, table, matchedAbs, "DELETE", snap)
       val affectedSet = affectedRel.toSet
+      val prefix = scanDataPrefix(spark, table)
+      def scanAbsOf(e: FileEntry): String =
+        if (isForeignEntry(e.path)) scanFormAbs(e.path)
+        else prefix + scanFormRel(e.path)
 
       // vectors + recorded change rows only for the PARTIALLY matched
       // files; a dropped file's deletes ride as removedFull
@@ -3250,15 +3293,13 @@ object LakeTable extends org.apache.spark.internal.Logging {
           val dvDir = stageDeleteVector(spark, table, allRows,
             math.max(1, math.min(32, affectedRel.size)))
 
-          val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
-            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
           val upd = remaining.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-            val card = cardByFile.getOrElse(scanKey(e), 0L)
+            val newCard = newCounts.getOrElse(scanAbsOf(e), 0L)
             // every affected file has >=1 matched row, so a missing key
-            // means the staged rows and the log disagree on path form
-            require(card > 0, s"internal: no staged vector rows keyed as " +
+            // means the detection rows and the log disagree on path form
+            require(newCard > 0, s"internal: no matched rows keyed as " +
               s"${e.path} — vector-key/entry-path form drift")
+            val card = newCard + e.dv.map(_.cardinality).getOrElse(0L)
             // fully-deleted file: drop the entry outright (vacuum
             // reclaims the bytes once the version ages out)
             if (e.rowCount >= 0 && card >= e.rowCount) None
@@ -3319,11 +3360,20 @@ object LakeTable extends org.apache.spark.internal.Logging {
       .filter(coalesce(condition, lit(false)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val matchedAbs = matched.select(col(FilePathCol)).distinct()
-        .collect().map(_.getString(0))
+      // one action for the matched file set AND per-file new-position
+      // counts; committed cardinality = new + folded old vector's
+      // logged cardinality (disjoint by construction — morScan already
+      // excludes dv'd rows). See deleteMergeOnRead.
+      val newCounts: Map[String, Long] = matched.groupBy(col(FilePathCol))
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val matchedAbs = newCounts.keys.toArray
       if (matchedAbs.isEmpty) return snap.version
       val affectedRel = mapMatchedRel(spark, table, matchedAbs, "UPDATE", snap)
       val affectedSet = affectedRel.toSet
+      val prefix = scanDataPrefix(spark, table)
+      def scanAbsOf(e: FileEntry): String =
+        if (isForeignEntry(e.path)) scanFormAbs(e.path)
+        else prefix + scanFormRel(e.path)
 
       // position-delete the OLD images, folding the affected files'
       // existing vectors so each rewritten entry's single dv reference
@@ -3339,8 +3389,6 @@ object LakeTable extends org.apache.spark.internal.Logging {
           .filter(col("p").isInCollection(withOldDv.map(scanKey))))
       val dvDir = stageDeleteVector(spark, table, allRows,
         math.max(1, math.min(32, affectedRel.size)))
-      val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
       // append the POST images through the ordinary staging path
       // (partition routing, constraints, mapping, generated columns)
@@ -3360,9 +3408,10 @@ object LakeTable extends org.apache.spark.internal.Logging {
           .unionByName(postRows.withColumn(ChangeTypeCol, lit("update_postimage"))))
 
       val updated = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-        val card = cardByFile.getOrElse(scanKey(e), 0L)
-        require(card > 0, s"internal: no staged vector rows keyed as " +
+        val newCard = newCounts.getOrElse(scanAbsOf(e), 0L)
+        require(newCard > 0, s"internal: no matched rows keyed as " +
           s"${e.path} — vector-key/entry-path form drift")
+        val card = newCard + e.dv.map(_.cardinality).getOrElse(0L)
         // every row updated: the old file leaves the snapshot outright
         // (its full content rides the feed as preimages already)
         if (e.rowCount >= 0 && card >= e.rowCount) None
@@ -3438,12 +3487,19 @@ object LakeTable extends org.apache.spark.internal.Logging {
         .join(broadcast(updKeys), keys, "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val matchedAbs = matched.select(col(FilePathCol)).distinct()
-          .collect().map(_.getString(0))
+        // one action for the matched file set AND per-file new-position
+        // counts (see deleteMergeOnRead)
+        val newCounts: Map[String, Long] = matched.groupBy(col(FilePathCol))
+          .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val matchedAbs = newCounts.keys.toArray
         val affectedRel =
           if (matchedAbs.isEmpty) Seq.empty[String]
           else mapMatchedRel(spark, table, matchedAbs, "MERGE", snap)
         val affectedSet = affectedRel.toSet
+        val prefix = scanDataPrefix(spark, table)
+        def scanAbsOf(e: FileEntry): String =
+          if (isForeignEntry(e.path)) scanFormAbs(e.path)
+          else prefix + scanFormRel(e.path)
 
         // position-delete the replaced target rows (fold existing
         // vectors); cloned (foreign) files key on their absolute URIs
@@ -3460,12 +3516,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
                 .filter(col("p").isInCollection(withOldDv.map(scanKey))))
             val dvDir = stageDeleteVector(spark, table, allRows,
               math.max(1, math.min(32, affectedRel.size)))
-            val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
-              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-              val card = cardByFile.getOrElse(scanKey(e), 0L)
-              require(card > 0, s"internal: no staged vector rows keyed as " +
+              val newCard = newCounts.getOrElse(scanAbsOf(e), 0L)
+              require(newCard > 0, s"internal: no matched rows keyed as " +
                 s"${e.path} — vector-key/entry-path form drift")
+              val card = newCard + e.dv.map(_.cardinality).getOrElse(0L)
               if (e.rowCount >= 0 && card >= e.rowCount) None
               else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
             }
@@ -3477,25 +3532,27 @@ object LakeTable extends org.apache.spark.internal.Logging {
           ColumnMapping.mapping(snap.schema), checks = snap.constraints)
 
         // change feed: replaced rows as pre/post images, fresh keys as
-        // inserts — identical kinds to the CoW upsert's
-        val cdcDf = dvdCdc match {
-          case None => updates.withColumn(ChangeTypeCol, lit("insert"))
+        // inserts — identical kinds to the CoW upsert's. No match ⇒ the
+        // commit is append-shaped and the feed synthesizes the same
+        // inserts from the added files: skip the CDC staged write.
+        val cdcFiles = dvdCdc match {
+          case None => None
           case Some(pre) =>
             val tableKeys = pre.select(keys.map(col): _*).distinct()
-            pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+            val cdcDf = pre.withColumn(ChangeTypeCol, lit("update_preimage"))
               .unionByName(updates.join(broadcast(tableKeys), keys, "left_semi")
                 .withColumn(ChangeTypeCol, lit("update_postimage")))
               .unionByName(updates.join(broadcast(tableKeys), keys, "left_anti")
                 .withColumn(ChangeTypeCol, lit("insert")))
+            Some(stageChangeFiles(spark, table, cdcDf))
         }
-        val cdcFiles = stageChangeFiles(spark, table, cdcDf)
 
         val carried = snap.files.filterNot(e => affectedSet.contains(e.path))
         val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
           snap.schema, snap.partitionColumns, carried ++ updated ++ newFiles,
           txns = snap.txns, protocol = Protocol(3, 3))
         if (!tryCommit(spark, table, next, updated ++ newFiles, affectedRel,
-            cdc = Some(cdcFiles), prev = Some(snap)))
+            cdc = cdcFiles, prev = Some(snap)))
           throw new ConcurrentCommitException(
             s"merge-on-read MERGE on $table lost the commit race — re-run (a " +
               "concurrent commit may contain rows this merge never scanned)")
@@ -3571,13 +3628,21 @@ object LakeTable extends org.apache.spark.internal.Logging {
     // discipline — see mergeRows)
     val src = sane.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dupKeys = src.groupBy(keys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dupKeys == 0L,
-        s"MERGE source has duplicate values of key (${keys.mkString(", ")}) — " +
-          "each target row may match at most one source row")
-      val updKeys = src.select(keys.map(col): _*).distinct()
-      val keyRows = updKeys.limit(maxPushedKeys + 1).collect()
+      // ONE action yields the bounded distinct-key sample AND the SQL
+      // MERGE cardinality check (guide §5): when every distinct key fit
+      // under the cap, duplicate detection is a local scan of the
+      // collected counts; only an over-cap source (which degrades to
+      // full-candidate detection anyway) pays a dedicated dup probe.
+      val dupMsg = s"MERGE source has duplicate values of key " +
+        s"(${keys.mkString(", ")}) — each target row may match at most one source row"
+      val aggRows = src.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__cnt")).limit(maxPushedKeys + 1).collect()
+      if (aggRows.length <= maxPushedKeys)
+        require(!aggRows.exists(_.getLong(keys.length) > 1L), dupMsg)
+      else
+        require(src.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count() == 0L, dupMsg)
+      val keyRows = aggRows
       // an empty source is a no-op for the matched/insert tiers, but an
       // NMBS clause then claims (up to its condition) EVERY target row —
       // the sync-to-empty shape must fall through
@@ -3672,12 +3737,19 @@ object LakeTable extends org.apache.spark.internal.Logging {
 
         val hit0 = joined.filter(claimed).select(col(FilePathCol), col(RowPosCol))
         val hit = nmbs.map { case (h, _, _) => hit0.unionByName(h) }.getOrElse(hit0)
-        val matchedAbs = hit.select(col(FilePathCol)).distinct()
-          .collect().map(_.getString(0))
+        // one action for the claimed file set AND per-file new-position
+        // counts (see deleteMergeOnRead)
+        val newCounts: Map[String, Long] = hit.groupBy(col(FilePathCol))
+          .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val matchedAbs = newCounts.keys.toArray
         val affectedRel =
           if (matchedAbs.isEmpty) Seq.empty[String]
           else mapMatchedRel(spark, table, matchedAbs, "MERGE", snap)
         val affectedSet = affectedRel.toSet
+        val prefix = scanDataPrefix(spark, table)
+        def scanAbsOf(e: FileEntry): String =
+          if (isForeignEntry(e.path)) scanFormAbs(e.path)
+          else prefix + scanFormRel(e.path)
 
         // position-delete the claimed pre-images, folding the affected
         // files' existing vectors (same discipline as MoR DELETE/UPDATE);
@@ -3697,12 +3769,11 @@ object LakeTable extends org.apache.spark.internal.Logging {
                 .filter(col("p").isInCollection(withOldDv.map(scanKey))))
             val dvDir = stageDeleteVector(spark, table, allRows,
               math.max(1, math.min(32, affectedRel.size)))
-            val cardByFile: Map[String, Long] = allRows.groupBy("p").count()
-              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
             val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-              val card = cardByFile.getOrElse(scanKey(e), 0L)
-              require(card > 0, s"internal: no staged vector rows keyed as " +
+              val newCard = newCounts.getOrElse(scanAbsOf(e), 0L)
+              require(newCard > 0, s"internal: no matched rows keyed as " +
                 s"${e.path} — vector-key/entry-path form drift")
+              val card = newCard + e.dv.map(_.cardinality).getOrElse(0L)
               if (e.rowCount >= 0 && card >= e.rowCount) None
               else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
             }
@@ -3744,10 +3815,17 @@ object LakeTable extends org.apache.spark.internal.Logging {
         val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns,
           ColumnMapping.mapping(snap.schema), checks = snap.constraints)
 
-        val cdcAll = (cdcRewrite.toSeq ++ insertRows.map(
-          _.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
-          .reduceOption(_ unionByName _)
-        val cdcFiles = cdcAll.map(stageChangeFiles(spark, table, _))
+        // nothing claimed ⇒ the commit is append-shaped (inserts only,
+        // no removes): skip the CDC staged write — the feed synthesizes
+        // the identical inserts from the added files
+        val cdcFiles = cdcRewrite match {
+          case None => None
+          case Some(cdcR) =>
+            val cdcAll = (Seq(cdcR) ++ insertRows.map(
+              _.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
+              .reduce(_ unionByName _)
+            Some(stageChangeFiles(spark, table, cdcAll))
+        }
         val carried = snap.files.filterNot(e => affectedSet.contains(e.path))
         val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
           snap.schema, snap.partitionColumns, carried ++ updated ++ newFiles,
