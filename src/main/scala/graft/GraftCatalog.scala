@@ -377,5 +377,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       evalIntArg("pq_lut", "m", es(2)),
       evalIntArg("pq_lut", "k", es(3))))
     inject("pq_adc", es => PqAdc(es.head, es(1)))
+    inject("nearest_cell", es => NearestCell(es.head, evalDoublesArg(es(1)),
+      evalIntArg("nearest_cell", "k", es(2))))
   }
 }

@@ -473,6 +473,50 @@ object Sketches {
       copy(child = c)
   }
 
+  /** Index of the nearest centroid (squared L2 over the full
+    * dimension, ties to the LOWEST index) among `k` centroids in the
+    * flat array `cb` — the IVF coarse-quantizer assignment as one
+    * codegen kernel: no ML vector conversion, no centroid cross join,
+    * no per-row window (guide §4). Same scan loop as [[PqEncode]] with
+    * a single full-dimension subspace, returning the index instead of
+    * packing it into a code byte.
+    */
+  case class NearestCell(child: Expression, cb: Array[Double], k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+
+    def kernel(a: ArrayData): Int = {
+      val dim = a.numElements()
+      require(cb.length == k * dim,
+        s"nearest_cell: ${cb.length}-entry centroid array is not $k cells of dim $dim")
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = c * dim
+        var d2 = 0.0
+        var d = 0
+        while (d < dim) {
+          val diff = a.getDouble(d) - cb(off + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("nearCell", this, classOf[NearestCell].getName)
+      nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCell =
+      copy(child = c)
+  }
+
   /** Per-QUERY lookup table for the PQ asymmetric-distance scan:
     * `lut[(sub*k)+code] = q_sub · c_{sub,code}` over the same flat
     * codebook as [[PqEncode]]. Computed once per query row (the query
@@ -582,7 +626,8 @@ object Sketches {
     // must fall through and (re-)register everything
     val names = Seq("simhash_bits", "minhash_sig", "dot_d", "jaccard_sorted",
       "lsh_sigs", "char_entropy", "dot_i8", "quantize_i8",
-      "dot_i8_deq", "deq_err_i8", "pq_encode", "pq_lut", "pq_adc")
+      "dot_i8_deq", "deq_err_i8", "pq_encode", "pq_lut", "pq_adc",
+      "nearest_cell")
     if (names.forall(n =>
         reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n))))
       return
@@ -615,6 +660,9 @@ object Sketches {
         evalIntArg("pq_lut", "m", es(2)), evalIntArg("pq_lut", "k", es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("pq_adc",
       es => PqAdc(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nearest_cell",
+      es => NearestCell(es.head, evalDoubles(es(1)),
+        evalIntArg("nearest_cell", "k", es(2))), "scala_udf")
   }
 
   /** Evaluate a foldable array<numeric> argument (the sample-fitted

@@ -81,11 +81,12 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = {
-    // pins below belong to THIS statement: a fresh set releases the
-    // previous statement's eviction protection for this thread only
+    // pins below belong to THIS statement: a fresh set (stamped with
+    // this parse's global sequence number) releases the previous
+    // statement's eviction protection for this thread only
     statementPins.synchronized {
       statementPins.put(Thread.currentThread(),
-        scala.collection.mutable.Set.empty[String])
+        (parseSeq.incrementAndGet(), scala.collection.mutable.Set.empty[String]))
     }
     parseMaintenance(sqlText.trim)
       .getOrElse(delegate.parsePlan(rewriteTimeTravel(rewriteTableChanges(sqlText))))
@@ -211,20 +212,30 @@ class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     * crossing the cap must not drop a view thread A pinned for a
     * statement parsed but not yet analyzed (a ThreadLocal check would
     * only protect B's own pins). Weak keys release a dead thread's
-    * protection with the thread.
+    * protection with the thread — and, since a thread that STOPS
+    * parsing would otherwise keep its last statement's pins protected
+    * forever (idling pinnedViews above its cap), each set is stamped
+    * with its parse's global sequence number and eviction ignores sets
+    * more than [[GraftSqlParser.StalePinGenerations]] statements old:
+    * far wider than any parse→analysis window, yet bounded (protection
+    * cannot outlive the next N statements parsed on the session).
     */
   private val pinnedViews = new java.util.LinkedHashMap[String, Unit](16, 0.75f, true)
-  private val statementPins =
-    new java.util.WeakHashMap[Thread, scala.collection.mutable.Set[String]]()
+  private val parseSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val statementPins = new java.util.WeakHashMap[
+    Thread, (Long, scala.collection.mutable.Set[String])]()
   private def registerPin(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
     df.createOrReplaceTempView(name)
     val inFlight = statementPins.synchronized {
       val mine = statementPins.get(Thread.currentThread())
-      if (mine != null) mine += name
+      if (mine != null) mine._2 += name
       else statementPins.put(Thread.currentThread(),
-        scala.collection.mutable.Set(name))
+        (parseSeq.get(), scala.collection.mutable.Set(name)))
       import scala.jdk.CollectionConverters._
-      statementPins.values.asScala.flatten.toSet
+      val now = parseSeq.get()
+      statementPins.values.asScala
+        .collect { case (g, s) if now - g <= StalePinGenerations => s }
+        .flatten.toSet
     }
     val evicted = pinnedViews.synchronized {
       pinnedViews.put(name, ())
@@ -396,6 +407,13 @@ private[graft] object GraftSqlParser {
   /** Cap on pinned `graft_tt_`/`graft_cdf_` temp views per session. */
   val MaxPinnedViews = 64
 
+  /** How many statements (session-wide) a thread's in-flight pin set
+    * stays eviction-protected after its parse: wide enough to cover any
+    * parse→analysis gap, small enough that an idle thread's stale pins
+    * cannot hold [[pinnedViews]] above [[MaxPinnedViews]] indefinitely.
+    */
+  val StalePinGenerations = 64L
+
   // target: `path`, 'path', or an identifier (registered view name)
   private val T = "(`[^`]+`|'[^']+'|[A-Za-z_][A-Za-z0-9_.]*)"
   private val OptimizeRe =
@@ -565,10 +583,10 @@ private[graft] case class GraftShowPartitionsCommand(target: String)
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $path"))
     require(s.partitionColumns.nonEmpty,
       s"$path is not partitioned — SHOW PARTITIONS needs a hive layout")
-    s.files.groupBy(e => e.path.lastIndexOf('/') match {
-      case -1 => ""
-      case i  => e.path.substring(0, i)
-    }).toSeq.sortBy(_._1).map { case (dir, es) =>
+    // partition identity = leading k=v run, NOT the parent dir: bulk
+    // published files nest a batch dir inside the partition dir
+    s.files.groupBy(e => LakeTable.partitionDirOf(e.path))
+      .toSeq.sortBy(_._1).map { case (dir, es) =>
       val rows: Any =
         if (es.exists(_.liveRowCount < 0)) null else es.map(_.liveRowCount).sum
       Row(dir, es.size.toLong, rows, es.map(_.size).sum)

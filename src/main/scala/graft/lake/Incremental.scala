@@ -106,23 +106,34 @@ object Incremental {
     }
 
     if (done == 0L) {
-      // initial build: one full scan of the pinned source snapshot
-      val agg = requireNonNullKeys(
-        LakeTable.read(spark, source, asOf = Some(srcSnap.version))
-          .groupBy(groupBy.map(col).toIndexedSeq: _*)
-          .agg(count(lit(1)).as(RowsCol),
-            (ms.map { case (n, e) => sum(e).as(n) } ++
-              ext.map { case (n, a) => a.as(n) }): _*))
-      LakeTable.overwrite(spark, target, agg, txn = Some(qid -> srcSnap.version))
+      // initial build: one full scan of the pinned source snapshot.
+      // PERSISTED (groups-scale) before the null-key probe: unpersisted,
+      // the probe and the write would each execute the full scan+agg
+      // (guide §5 — the probe is a second full pass for a ~#groups check)
+      val agg = LakeTable.read(spark, source, asOf = Some(srcSnap.version))
+        .groupBy(groupBy.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as(RowsCol),
+          (ms.map { case (n, e) => sum(e).as(n) } ++
+            ext.map { case (n, a) => a.as(n) }): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        requireNonNullKeys(agg)
+        LakeTable.overwrite(spark, target, agg, txn = Some(qid -> srcSnap.version))
+      } finally agg.unpersist(blocking = false)
     } else {
-      // delta: only the feed of (done, srcSnap.version] is read
+      // delta: only the feed of (done, srcSnap.version] is read.
+      // PERSISTED (groups-scale): consumed by the null-key probe, the
+      // touched-tuples collect (extremes path) and the merge source —
+      // unpersisted each would re-execute the feed scan+agg (guide §5)
       val feed = LakeTable.changes(spark, source, done + 1, srcSnap.version)
       val sign = when(col(LakeTable.ChangeTypeCol)
         .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-      val additive = requireNonNullKeys(feed
+      val additive = feed
         .groupBy(groupBy.map(col).toIndexedSeq: _*)
         .agg(sum(sign).as(RowsCol),
-          ms.map { case (n, e) => sum(sign * e).as(n) }: _*))
+          ms.map { case (n, e) => sum(sign * e).as(n) }: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      requireNonNullKeys(additive)
         // groups the feed touched but left net-unchanged still merge
         // (their measures may have moved even at rows-delta 0)
       val delta =
@@ -156,7 +167,7 @@ object Incremental {
         }
       val addNames = ms.map(_._1) :+ RowsCol
       val extNames = ext.map(_._1)
-      LakeTable.mergeRows(spark, target, delta, groupBy,
+      try LakeTable.mergeRows(spark, target, delta, groupBy,
         matched = Seq(
           // group emptied out: remove its row
           LakeTable.MatchedDelete(
@@ -171,6 +182,7 @@ object Incremental {
           (Some(col(s"s.$RowsCol") > 0L),
             (groupBy ++ addNames ++ extNames).map(n => n -> col(s"s.$n")).toMap)),
         txn = Some(qid -> srcSnap.version))
+      finally additive.unpersist(blocking = false)
     }
   }
 

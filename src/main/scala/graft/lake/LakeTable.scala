@@ -1035,6 +1035,46 @@ object LakeTable extends org.apache.spark.internal.Logging {
               ParquetStats.collect(conf, new Path(dataPath(table), rel), dataSchema)
             FileEntry(rel, len, mtime, rows, stats)
           }
+        } else if (bucketing.isEmpty && physParts.nonEmpty) {
+          // hive-partitioned, unbucketed: publish each staged leaf
+          // partition directory with ONE rename —
+          // <k=v dirs>/<batch-uuid>/<part-file> — instead of a move per
+          // file (guide §6, the partitioned sibling of bulkMove above).
+          // Partition identity is carried by the LEADING k=v segments,
+          // which every consumer parses by name (PartitionPaths.valuesOf)
+          // or by leading run (partitionDirOf), so the nested batch dir
+          // is invisible to partition semantics. Single-file partitions
+          // keep the flat per-file move (a dir rename would add nesting
+          // for no round-trip win).
+          val batchDir = staging.getName
+          val byDir = staged.toSeq.groupBy { case (rel0, _, _, _) =>
+            val i = rel0.lastIndexOf('/')
+            if (i < 0) "" else rel0.substring(0, i)
+          }.toSeq.sortBy(_._1)
+          val moved = stageParallel(byDir) { case (pdir, files) =>
+            val destParent =
+              if (pdir.isEmpty) dataPath(table) else new Path(dataPath(table), pdir)
+            f.mkdirs(destParent)
+            if (files.size > 1 && pdir.nonEmpty) {
+              val destDir = new Path(destParent, batchDir)
+              if (!f.rename(new Path(staging, pdir), destDir))
+                throw new IllegalStateException(
+                  s"could not move ${new Path(staging, pdir)} to $destDir")
+              files.map { case (rel0, _, len, mtime) =>
+                (s"$pdir/$batchDir/${rel0.substring(pdir.length + 1)}", len, mtime)
+              }
+            } else files.map { case (rel0, src, len, mtime) =>
+              val dest = new Path(dataPath(table), rel0)
+              if (!f.rename(src, dest))
+                throw new IllegalStateException(s"could not move $src to $dest")
+              (rel0, len, mtime)
+            }
+          }
+          stageParallel(moved.flatten) { case (rel, len, mtime) =>
+            val (rows, stats) =
+              ParquetStats.collect(conf, new Path(dataPath(table), rel), dataSchema)
+            FileEntry(rel, len, mtime, rows, stats)
+          }
         } else {
           // mkdirs once per distinct destination directory, not per file
           meteredCommit { meteredFileOps {
@@ -1142,6 +1182,41 @@ object LakeTable extends org.apache.spark.internal.Logging {
     try body finally {
       fileOpsDepth.set(Integer.valueOf(d))
       if (d == 0) fileOpsNanosAcc.addAndGet(System.nanoTime() - t0)
+    }
+  }
+
+  /** Run two INDEPENDENT staged writes concurrently (guide §2.6/§5:
+    * a DML commit's data-file, change-feed and deletion-vector writes
+    * share no lineage beyond already-persisted inputs, so running them
+    * serially leaves the cluster idle during each one's driver-side
+    * planning). `b` runs on a helper thread with the commit/fileops
+    * meters SUPPRESSED — the caller's wall clock already covers the
+    * overlapped region once, and double-counting both threads would
+    * inflate commit_s beyond wall time. Spark actions are thread-safe;
+    * the helper thread inherits the caller's job group/description
+    * (InheritableThreadLocal) so bench job labels stay attached.
+    */
+  private def stageConcurrently[A, B](a: => A)(b: => B): (A, B) = meteredCommit {
+    // the whole overlapped region (including the join wait) meters as
+    // the CALLER's commit wall, once — nested meters inside `a` are
+    // depth-guarded, `b`'s thread is suppressed outright
+    val rb = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, B]]()
+    val t = new Thread(() => {
+      meterDepth.set(Integer.valueOf(1))
+      fileOpsDepth.set(Integer.valueOf(1))
+      rb.set(
+        try Right(b)
+        catch { case e: Throwable => Left(e) })
+    }, "graft-staging")
+    t.setDaemon(true)
+    t.start()
+    val ra =
+      try a
+      catch { case e: Throwable => t.join(); throw e }
+    t.join()
+    rb.get() match {
+      case Right(v) => (ra, v)
+      case Left(e)  => throw e
     }
   }
 
@@ -1411,13 +1486,21 @@ object LakeTable extends org.apache.spark.internal.Logging {
   private[lake] def entryPath(dataRoot: Path, rel: String): Path =
     if (isForeignEntry(rel)) new Path(rel) else new Path(dataRoot, rel)
 
-  /** The source data root of a foreign file: strip the file name plus
-    * one hive dir per partition column. This is what `basePath` must
-    * be for Spark to parse the partition values from the foreign dirs.
+  /** The source data root of a foreign file: strip the file name, any
+    * nested batch dirs (bulk-move publishes nest an opaque uuid dir
+    * inside the partition dir, so depth is NOT fixed) and one hive
+    * `k=v` dir per partition column. Counting `k=v` segments is exact:
+    * hive-escaped values cannot contain a literal `=`. This is what
+    * `basePath` must be for Spark to parse the partition values from
+    * the foreign dirs.
     */
   private def foreignBasePath(abs: String, numPartCols: Int): String = {
-    var p = new Path(abs)
-    (0 to numPartCols).foreach(_ => p = p.getParent)
+    var p = new Path(abs).getParent // the file name
+    var remaining = numPartCols
+    while (remaining > 0) {
+      if (p.getName.contains('=')) remaining -= 1
+      p = p.getParent
+    }
     p.toString
   }
 
@@ -1930,14 +2013,13 @@ object LakeTable extends org.apache.spark.internal.Logging {
     val newFiles = stageFiles(spark, table, df, parts, mapping,
       checks = prev0.constraints)
     if (newFiles.isEmpty && txn.isEmpty) return prev0.version // empty load, no watermark
-    // a file's partition is its directory prefix (all segments but the
-    // file name) — written by the same hive encoder on both sides, so
-    // string equality is the partition identity
-    def prefixOf(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
-    val touched = newFiles.map(e => prefixOf(e.path)).toSet
+    // a file's partition is its LEADING run of k=v segments — written
+    // by the same hive encoder on both sides, so string equality is the
+    // partition identity. NOT the raw parent dir: per-partition
+    // bulk-move publishes nest a batch dir inside the partition dir, so
+    // the parent of a new file can differ from the parent of the old
+    // file it replaces while both live in the same partition.
+    val touched = newFiles.map(e => partitionDirOf(e.path)).toSet
     retryCommit(spark, table, "OVERWRITE PARTITIONS") { prevOpt =>
       val prev = prevOpt.getOrElse(throw new IllegalStateException(
         s"$table lost its log while this write was staging"))
@@ -1948,7 +2030,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
         s"partition layout of $table changed while this write was staging " +
           s"(${parts.mkString(",")} -> ${prev.partitionColumns.mkString(",")})")
       val (replaced, carried) =
-        prev.files.partition(e => touched.contains(prefixOf(e.path)))
+        prev.files.partition(e => touched.contains(partitionDirOf(e.path)))
       CommitSpec(mergeSchemas(prev.schema, incoming), parts,
         carried ++ newFiles, newFiles, replaced.map(_.path), reset = false,
         txnUpdate = txn.toMap)
@@ -2458,14 +2540,15 @@ object LakeTable extends org.apache.spark.internal.Logging {
       // its change rows are exactly the added files' rows — skip the
       // CDC staged write and let [[changesOfEntry]] synthesize the
       // identical inserts from the adds (guide §5: one fewer full
-      // execution of the update plan per no-match merge)
-      val cdcFiles = affectedRows match {
-        case None    => None
-        case Some(_) => Some(stageChangeFiles(spark, table, cdcDf))
-      }
-
-      val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns,
-        stagingMap, checks = snap.constraints)
+      // execution of the update plan per no-match merge). When both
+      // writes run, they are independent — overlapped (guide §2.6).
+      val (newFiles, cdcFiles) = stageConcurrently(
+        stageFiles(spark, table, rewritten, snap.partitionColumns,
+          stagingMap, checks = snap.constraints))(
+        affectedRows match {
+          case None    => None
+          case Some(_) => Some(stageChangeFiles(spark, table, cdcDf))
+        })
       commitRewrite(spark, table, snap, "MERGE",
         cur => mergeSchemas(cur.schema, incoming),
         newFiles, affectedRel, scopeToUpdatePartitions, cdc = cdcFiles)
@@ -2736,12 +2819,14 @@ object LakeTable extends org.apache.spark.internal.Logging {
         // rewrite clauses but no affected file and no insert: no-op
         return snap.version
     }
-    val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns,
-      ColumnMapping.mapping(snap.schema), checks = snap.constraints)
     val cdcAll = (cdcRewrite.toSeq ++
       insertRows.map(_.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
       .reduce(_ unionByName _)
-    val cdcFiles = stageChangeFiles(spark, table, cdcAll)
+    // independent staged writes — overlapped (guide §2.6)
+    val (newFiles, cdcFiles) = stageConcurrently(
+      stageFiles(spark, table, toWrite, snap.partitionColumns,
+        ColumnMapping.mapping(snap.schema), checks = snap.constraints))(
+      stageChangeFiles(spark, table, cdcAll))
     commitRewrite(spark, table, snap, "MERGE", _ => snap.schema,
       newFiles, affectedRel, scoped, cdc = Some(cdcFiles), txnUpdate = txnUpdate)
   }
@@ -3013,12 +3098,13 @@ object LakeTable extends org.apache.spark.internal.Logging {
       else {
         val affectedDf = readDataFilesLive(spark, table, snap, affectedRel)
         val kept = affectedDf.filter(!coalesce(condition, lit(false)))
-        val nf = stageFiles(spark, table, kept, snap.partitionColumns,
-          ColumnMapping.mapping(snap.schema))
-        val cf = stageChangeFiles(spark, table,
-          affectedDf.filter(coalesce(condition, lit(false)))
-            .withColumn(ChangeTypeCol, lit("delete")))
-        (nf, cf)
+        // independent staged writes — overlapped (guide §2.6)
+        stageConcurrently(
+          stageFiles(spark, table, kept, snap.partitionColumns,
+            ColumnMapping.mapping(snap.schema)))(
+          stageChangeFiles(spark, table,
+            affectedDf.filter(coalesce(condition, lit(false)))
+              .withColumn(ChangeTypeCol, lit("delete"))))
       }
 
     // Commit, rebasing onto concurrent commits when PROVABLY safe —
@@ -3290,8 +3376,14 @@ object LakeTable extends org.apache.spark.internal.Logging {
             if (withOldDv.isEmpty) newRows
             else newRows.unionByName(dvRows(spark, table, withOldDv)
               .filter(col("p").isInCollection(withOldDv.map(scanKey))))
-          val dvDir = stageDeleteVector(spark, table, allRows,
-            math.max(1, math.min(32, affectedRel.size)))
+          // two independent staged writes off the one persisted
+          // detection scan — overlapped (guide §2.6)
+          val (dvDir, cdc) = stageConcurrently(
+            stageDeleteVector(spark, table, allRows,
+              math.max(1, math.min(32, affectedRel.size))))(
+            stageChangeFiles(spark, table,
+              matched.drop(FilePathCol, RowPosCol)
+                .withColumn(ChangeTypeCol, lit("delete"))))
 
           val upd = remaining.filter(e => affectedSet.contains(e.path)).flatMap { e =>
             val newCard = newCounts.getOrElse(scanAbsOf(e), 0L)
@@ -3305,8 +3397,6 @@ object LakeTable extends org.apache.spark.internal.Logging {
             if (e.rowCount >= 0 && card >= e.rowCount) None
             else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
           }
-          val cdc = stageChangeFiles(spark, table,
-            matched.drop(FilePathCol, RowPosCol).withColumn(ChangeTypeCol, lit("delete")))
           (upd, cdc)
         }
 
@@ -3387,8 +3477,6 @@ object LakeTable extends org.apache.spark.internal.Logging {
         if (withOldDv.isEmpty) newRows
         else newRows.unionByName(dvRows(spark, table, withOldDv)
           .filter(col("p").isInCollection(withOldDv.map(scanKey))))
-      val dvDir = stageDeleteVector(spark, table, allRows,
-        math.max(1, math.min(32, affectedRel.size)))
 
       // append the POST images through the ordinary staging path
       // (partition routing, constraints, mapping, generated columns)
@@ -3399,13 +3487,19 @@ object LakeTable extends org.apache.spark.internal.Logging {
         }
       }
       val postRows = matched.select(applied: _*)
-      val newFiles = stageFiles(spark, table, postRows, snap.partitionColumns,
-        ColumnMapping.mapping(snap.schema), checks = snap.constraints)
-
-      val cdcFiles = stageChangeFiles(spark, table,
-        matched.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-          .withColumn(ChangeTypeCol, lit("update_preimage"))
-          .unionByName(postRows.withColumn(ChangeTypeCol, lit("update_postimage"))))
+      // three independent staged writes off the one persisted detection
+      // scan — overlapped (guide §2.6)
+      val (dvDir, (newFiles, cdcFiles)) = stageConcurrently(
+        stageDeleteVector(spark, table, allRows,
+          math.max(1, math.min(32, affectedRel.size))))(
+        stageConcurrently(
+          stageFiles(spark, table, postRows, snap.partitionColumns,
+            ColumnMapping.mapping(snap.schema), checks = snap.constraints))(
+          stageChangeFiles(spark, table,
+            matched.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(postRows.withColumn(ChangeTypeCol,
+                lit("update_postimage"))))))
 
       val updated = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
         val newCard = newCounts.getOrElse(scanAbsOf(e), 0L)
@@ -3501,11 +3595,17 @@ object LakeTable extends org.apache.spark.internal.Logging {
           if (isForeignEntry(e.path)) scanFormAbs(e.path)
           else prefix + scanFormRel(e.path)
 
-        // position-delete the replaced target rows (fold existing
-        // vectors); cloned (foreign) files key on their absolute URIs
-        val (updated, dvdCdc): (Seq[FileEntry], Option[DataFrame]) =
-          if (affectedRel.isEmpty) (Seq.empty, None)
+        // three independent staged writes: the position-delete vector +
+        // change feed (both derived from the persisted detection scan)
+        // overlap the source append (guide §2.6). No match ⇒ the commit
+        // is append-shaped and the feed synthesizes the same inserts
+        // from the added files: skip both the vector and the CDC write.
+        val ((updated, cdcFiles), newFiles) = stageConcurrently({
+          if (affectedRel.isEmpty)
+            (Seq.empty[FileEntry], Option.empty[Seq[String]])
           else {
+            // position-delete the replaced target rows (fold existing
+            // vectors); cloned (foreign) files key on absolute URIs
             val relCol = morVectorKey(spark, table, "MERGE",
               affectedRel.filter(isForeignEntry))
             val newRows = matched.select(relCol.as("p"), col(RowPosCol).as("pos"))
@@ -3514,8 +3614,20 @@ object LakeTable extends org.apache.spark.internal.Logging {
               if (withOldDv.isEmpty) newRows
               else newRows.unionByName(dvRows(spark, table, withOldDv)
                 .filter(col("p").isInCollection(withOldDv.map(scanKey))))
-            val dvDir = stageDeleteVector(spark, table, allRows,
-              math.max(1, math.min(32, affectedRel.size)))
+            val pre = matched.drop(FilePathCol, RowPosCol)
+            // change feed: replaced rows as pre/post images, fresh keys
+            // as inserts — identical kinds to the CoW upsert's
+            val (dvDir, cdc) = stageConcurrently(
+              stageDeleteVector(spark, table, allRows,
+                math.max(1, math.min(32, affectedRel.size))))({
+              val tableKeys = pre.select(keys.map(col): _*).distinct()
+              stageChangeFiles(spark, table,
+                pre.withColumn(ChangeTypeCol, lit("update_preimage"))
+                  .unionByName(updates.join(broadcast(tableKeys), keys, "left_semi")
+                    .withColumn(ChangeTypeCol, lit("update_postimage")))
+                  .unionByName(updates.join(broadcast(tableKeys), keys, "left_anti")
+                    .withColumn(ChangeTypeCol, lit("insert"))))
+            })
             val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
               val newCard = newCounts.getOrElse(scanAbsOf(e), 0L)
               require(newCard > 0, s"internal: no matched rows keyed as " +
@@ -3524,28 +3636,12 @@ object LakeTable extends org.apache.spark.internal.Logging {
               if (e.rowCount >= 0 && card >= e.rowCount) None
               else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
             }
-            (upd, Some(matched.drop(FilePathCol, RowPosCol)))
+            (upd, Some(cdc))
           }
-
-        // append EVERY source row (replacement images + fresh inserts)
-        val newFiles = stageFiles(spark, table, updates, snap.partitionColumns,
-          ColumnMapping.mapping(snap.schema), checks = snap.constraints)
-
-        // change feed: replaced rows as pre/post images, fresh keys as
-        // inserts — identical kinds to the CoW upsert's. No match ⇒ the
-        // commit is append-shaped and the feed synthesizes the same
-        // inserts from the added files: skip the CDC staged write.
-        val cdcFiles = dvdCdc match {
-          case None => None
-          case Some(pre) =>
-            val tableKeys = pre.select(keys.map(col): _*).distinct()
-            val cdcDf = pre.withColumn(ChangeTypeCol, lit("update_preimage"))
-              .unionByName(updates.join(broadcast(tableKeys), keys, "left_semi")
-                .withColumn(ChangeTypeCol, lit("update_postimage")))
-              .unionByName(updates.join(broadcast(tableKeys), keys, "left_anti")
-                .withColumn(ChangeTypeCol, lit("insert")))
-            Some(stageChangeFiles(spark, table, cdcDf))
-        }
+        })(
+          // append EVERY source row (replacement images + fresh inserts)
+          stageFiles(spark, table, updates, snap.partitionColumns,
+            ColumnMapping.mapping(snap.schema), checks = snap.constraints))
 
         val carried = snap.files.filterNot(e => affectedSet.contains(e.path))
         val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
@@ -3751,43 +3847,6 @@ object LakeTable extends org.apache.spark.internal.Logging {
           if (isForeignEntry(e.path)) scanFormAbs(e.path)
           else prefix + scanFormRel(e.path)
 
-        // position-delete the claimed pre-images, folding the affected
-        // files' existing vectors (same discipline as MoR DELETE/UPDATE);
-        // cloned (foreign) files key on their absolute URIs
-        val (updated, cdcRewrite): (Seq[FileEntry], Option[DataFrame]) =
-          if (affectedRel.isEmpty) (Seq.empty, None)
-          else {
-            val relCol = morVectorKey(spark, table, "MERGE",
-              affectedRel.filter(isForeignEntry))
-            val newRows = hit.select(relCol.as("p"), col(RowPosCol).as("pos"))
-            // fold from the snapshot, not the matched-tier prune: NMBS
-            // may claim rows in files that prune excluded
-            val withOldDv = snap.files.filter(e => affectedSet(e.path) && e.dv.isDefined)
-            val allRows =
-              if (withOldDv.isEmpty) newRows
-              else newRows.unionByName(dvRows(spark, table, withOldDv)
-                .filter(col("p").isInCollection(withOldDv.map(scanKey))))
-            val dvDir = stageDeleteVector(spark, table, allRows,
-              math.max(1, math.min(32, affectedRel.size)))
-            val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
-              val newCard = newCounts.getOrElse(scanAbsOf(e), 0L)
-              require(newCard > 0, s"internal: no matched rows keyed as " +
-                s"${e.path} — vector-key/entry-path form drift")
-              val card = newCard + e.dv.map(_.cardinality).getOrElse(0L)
-              if (e.rowCount >= 0 && card >= e.rowCount) None
-              else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
-            }
-            val cdcDf0 = joined.filter(updatedMark).select(tCols: _*)
-              .withColumn(ChangeTypeCol, lit("update_preimage"))
-              .unionByName(joined.filter(updatedMark).select(projected: _*)
-                .withColumn(ChangeTypeCol, lit("update_postimage")))
-              .unionByName(joined.filter(deletedMark).select(tCols: _*)
-                .withColumn(ChangeTypeCol, lit("delete")))
-            val cdcDf = nmbs.map { case (_, _, c) => cdcDf0.unionByName(c) }
-              .getOrElse(cdcDf0)
-            (upd, Some(cdcDf))
-          }
-
         // append: update post-images (both tiers) + anti-joined inserts.
         // The inner join above saw EVERY key match (candidates cover all
         // files the pushed prune could not exclude), so "key absent from
@@ -3812,20 +3871,57 @@ object LakeTable extends org.apache.spark.internal.Logging {
         // skip the commit entirely (unless a watermark must advance)
         if (affectedRel.isEmpty && txn.isEmpty && toWrite.limit(1).isEmpty)
           return snap.version
-        val newFiles = stageFiles(spark, table, toWrite, snap.partitionColumns,
-          ColumnMapping.mapping(snap.schema), checks = snap.constraints)
 
-        // nothing claimed ⇒ the commit is append-shaped (inserts only,
-        // no removes): skip the CDC staged write — the feed synthesizes
-        // the identical inserts from the added files
-        val cdcFiles = cdcRewrite match {
-          case None => None
-          case Some(cdcR) =>
-            val cdcAll = (Seq(cdcR) ++ insertRows.map(
+        // three independent staged writes: the position-delete vector +
+        // change feed (claimed pre-images, folding the affected files'
+        // existing vectors — same discipline as MoR DELETE/UPDATE, with
+        // cloned files keyed on absolute URIs) overlap the post-image/
+        // insert append (guide §2.6). Nothing claimed ⇒ the commit is
+        // append-shaped (inserts only, no removes): skip the vector and
+        // CDC writes — the feed synthesizes the identical inserts from
+        // the added files.
+        val ((updated, cdcFiles), newFiles) = stageConcurrently({
+          if (affectedRel.isEmpty)
+            (Seq.empty[FileEntry], Option.empty[Seq[String]])
+          else {
+            val relCol = morVectorKey(spark, table, "MERGE",
+              affectedRel.filter(isForeignEntry))
+            val newRows = hit.select(relCol.as("p"), col(RowPosCol).as("pos"))
+            // fold from the snapshot, not the matched-tier prune: NMBS
+            // may claim rows in files that prune excluded
+            val withOldDv = snap.files.filter(e => affectedSet(e.path) && e.dv.isDefined)
+            val allRows =
+              if (withOldDv.isEmpty) newRows
+              else newRows.unionByName(dvRows(spark, table, withOldDv)
+                .filter(col("p").isInCollection(withOldDv.map(scanKey))))
+            val cdcDf0 = joined.filter(updatedMark).select(tCols: _*)
+              .withColumn(ChangeTypeCol, lit("update_preimage"))
+              .unionByName(joined.filter(updatedMark).select(projected: _*)
+                .withColumn(ChangeTypeCol, lit("update_postimage")))
+              .unionByName(joined.filter(deletedMark).select(tCols: _*)
+                .withColumn(ChangeTypeCol, lit("delete")))
+            val cdcDf = nmbs.map { case (_, _, c) => cdcDf0.unionByName(c) }
+              .getOrElse(cdcDf0)
+            val cdcAll = (Seq(cdcDf) ++ insertRows.map(
               _.withColumn(ChangeTypeCol, lit("insert"))).toSeq)
               .reduce(_ unionByName _)
-            Some(stageChangeFiles(spark, table, cdcAll))
-        }
+            val (dvDir, cdc) = stageConcurrently(
+              stageDeleteVector(spark, table, allRows,
+                math.max(1, math.min(32, affectedRel.size))))(
+              stageChangeFiles(spark, table, cdcAll))
+            val upd = snap.files.filter(e => affectedSet.contains(e.path)).flatMap { e =>
+              val newCard = newCounts.getOrElse(scanAbsOf(e), 0L)
+              require(newCard > 0, s"internal: no matched rows keyed as " +
+                s"${e.path} — vector-key/entry-path form drift")
+              val card = newCard + e.dv.map(_.cardinality).getOrElse(0L)
+              if (e.rowCount >= 0 && card >= e.rowCount) None
+              else Some(e.copy(dv = Some(DeleteVector(dvDir, card))))
+            }
+            (upd, Some(cdc))
+          }
+        })(
+          stageFiles(spark, table, toWrite, snap.partitionColumns,
+            ColumnMapping.mapping(snap.schema), checks = snap.constraints))
         val carried = snap.files.filterNot(e => affectedSet.contains(e.path))
         val next = Snapshot(snap.version + 1, System.currentTimeMillis(), "MERGE",
           snap.schema, snap.partitionColumns, carried ++ updated ++ newFiles,
@@ -3889,15 +3985,17 @@ object LakeTable extends org.apache.spark.internal.Logging {
           case None => col(fld.name)
         }
       }.toIndexedSeq: _*)
-    val newFiles = stageFiles(spark, table, rewritten, snap.partitionColumns,
-      ColumnMapping.mapping(snap.schema), checks = snap.constraints)
-    // change feed: pre/post images of exactly the hit rows
+    // change feed: pre/post images of exactly the hit rows; independent
+    // of the rewrite write — overlapped (guide §2.6)
     val hitRows = affectedDf.filter(hit)
-    val cdcFiles = stageChangeFiles(spark, table,
-      hitRows.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
-        .withColumn(ChangeTypeCol, lit("update_preimage"))
-        .unionByName(hitRows.select(applied: _*)
-          .withColumn(ChangeTypeCol, lit("update_postimage"))))
+    val (newFiles, cdcFiles) = stageConcurrently(
+      stageFiles(spark, table, rewritten, snap.partitionColumns,
+        ColumnMapping.mapping(snap.schema), checks = snap.constraints))(
+      stageChangeFiles(spark, table,
+        hitRows.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage"))
+          .unionByName(hitRows.select(applied: _*)
+            .withColumn(ChangeTypeCol, lit("update_postimage")))))
 
     updateBeforeCommitHook()
     commitPredicateRewrite(spark, table, snap, "UPDATE", newFiles, affectedRel,
@@ -4115,7 +4213,7 @@ object LakeTable extends org.apache.spark.internal.Logging {
     * different parent dirs but the SAME (empty) partition, and
     * autoCompact's hot-partition scoping must see them together.
     */
-  private def partitionDirOf(p: String): String =
+  private[lake] def partitionDirOf(p: String): String =
     p.split('/').dropRight(1).takeWhile(_.contains('=')).mkString("/")
 
   /** Post-write auto-compaction (the Delta autoCompact idea): bin-pack

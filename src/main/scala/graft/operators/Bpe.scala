@@ -35,7 +35,8 @@ object Bpe {
     * expressible in portable SQL) → rows-only driver check by design.
     */
   def bpeTrain(spark: SparkSession, dir: String, numMerges: Int = 8): DataFrame =
-    trainWithVocab(spark, dir, numMerges) match { case (merges, vocab) =>
+    trainWithVocab(spark, dir, numMerges,
+        needFinalVocab = false) match { case (merges, vocab) =>
       vocab.unpersist(blocking = false); merges
     }
 
@@ -44,8 +45,8 @@ object Bpe {
     * leans on it: encoding the corpus means encoding the DISTINCT
     * WORDS once and joining, never re-merging per occurrence.
     */
-  private def trainWithVocab(spark: SparkSession, dir: String,
-                             numMerges: Int): (DataFrame, DataFrame) = {
+  private def trainWithVocab(spark: SparkSession, dir: String, numMerges: Int,
+                             needFinalVocab: Boolean = true): (DataFrame, DataFrame) = {
     import spark.implicits._
     val base = Tables.documents(spark, dir)
       .select(explode(TextFns.tokens(lower(col("text")))).as("word"))
@@ -57,6 +58,14 @@ object Bpe {
         expr("array_append(regexp_extract_all(word, '.', 0), '</w>')").as("syms"))
 
     var vocab = base.persist(StorageLevel.MEMORY_AND_DISK)
+    // the predecessor vocabulary, unpersisted one iteration LATE: the
+    // argmax pair count below scans every partition of the current
+    // vocab, so its cache is complete by the time the collect returns —
+    // no dedicated materialization job (the old per-iteration count())
+    // is needed before releasing what it was built from (guide §5:
+    // halves the driver actions per merge). Cost: one extra
+    // vocabulary-scale cache resident per iteration — Heaps-bounded.
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     try {
       var rank = 1
@@ -74,33 +83,50 @@ object Bpe {
           .orderBy(col("pair_count").desc, col("l"), col("r"))
           .limit(1)
           .collect()
+        if (prev != null) { prev.unpersist(blocking = false); prev = null }
         if (best.isEmpty) exhausted = true
         else {
           val row = best.head
           val (l, r, pc) = (row.getString(0), row.getString(1), row.getLong(2))
           val merged = l + r
           merges += ((rank.toLong, l, r, merged, pc))
-          // greedy left-to-right non-overlapping rewrite as a fold: a
-          // just-merged symbol never re-matches `l` in the same pass
-          // (Column-API lambdas, so symbol text never string-interpolates
-          // into SQL). `when`'s And short-circuits, keeping the -1
-          // element_at guarded on non-empty acc under ANSI mode.
-          val rewritten = aggregate(
-            col("syms"),
-            array().cast("array<string>"),
-            (acc, x) =>
-              when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l) && x === lit(r),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-                .otherwise(concat(acc, array(x))))
-          val next = vocab.select(col("word"), col("cnt"), rewritten.as("syms"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the predecessor
-          vocab.unpersist()
-          vocab = next
+          // the LAST merge's rewrite only matters to a caller that wants
+          // the final vocabulary (bpeEncode); the merge table itself is
+          // complete once the pair is chosen — bpeTrain skips a full
+          // vocabulary rewrite pass
+          if (rank < numMerges || needFinalVocab) {
+            // greedy left-to-right non-overlapping rewrite as a fold: a
+            // just-merged symbol never re-matches `l` in the same pass
+            // (Column-API lambdas, so symbol text never string-interpolates
+            // into SQL). `when`'s And short-circuits, keeping the -1
+            // element_at guarded on non-empty acc under ANSI mode.
+            val rewritten = aggregate(
+              col("syms"),
+              array().cast("array<string>"),
+              (acc, x) =>
+                when(size(acc) > 0 && element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                  .otherwise(concat(acc, array(x))))
+            val next = vocab.select(col("word"), col("cnt"), rewritten.as("syms"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            prev = vocab
+            vocab = next
+          }
           rank += 1
         }
       }
-    } catch { case e: Throwable => vocab.unpersist(); throw e }
+      // a caller consuming the final vocabulary does so LAZILY — pin it
+      // before its predecessor (its cache's input) is released
+      if (needFinalVocab && prev != null) {
+        vocab.count()
+        prev.unpersist(blocking = false); prev = null
+      }
+    } catch {
+      case e: Throwable =>
+        vocab.unpersist()
+        if (prev != null) prev.unpersist(blocking = false)
+        throw e
+    }
     (merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count"), vocab)
   }
 

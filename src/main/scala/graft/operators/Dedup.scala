@@ -15,7 +15,7 @@ import graft.functions.TextFns
   * (simhash), or content blocks (jaccard), keeping pair counts
   * near-linear at 100 TB.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /** Caches outstanding from the PREVIOUS invocation of each operator.
     * The caches serve reuse WITHIN the returned (lazy) plan, so they
@@ -193,23 +193,42 @@ object Dedup {
         val viaNbr = sym
           .join(labels.select(col("doc_id").as("dst"), col("rep_id")), Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(min(col("rep_id")).as("nbr_rep"))
+        // pointer jump (label ← my label's CURRENT label): contracts
+        // label chains like path doubling, so a diameter-d component
+        // converges in O(log d) rounds instead of O(d) (guide §2 —
+        // fewer full-shuffle rounds). Labels are always ids of
+        // component members, so the jump stays inside the component
+        // and the fixpoint is unchanged: stable under BOTH terms ⇒
+        // stable under the edge term alone ⇒ the per-component min,
+        // exactly as before.
+        val viaJump = labels
+          .select(col("doc_id"), col("rep_id").as("jump"))
+          .join(labels.select(col("doc_id").as("jump"), col("rep_id").as("rep2")),
+            Seq("jump"))
+          .select(col("doc_id"), col("rep2"))
         val nextRows = labels
           .join(viaNbr, Seq("doc_id"), "left")
+          .join(viaJump, Seq("doc_id"), "left")
           .select(col("doc_id"), col("rep_id").as("old_rep"),
-            least(col("rep_id"), coalesce(col("nbr_rep"), col("rep_id"))).as("rep_id"))
+            least(col("rep_id"),
+              least(coalesce(col("nbr_rep"), col("rep_id")),
+                coalesce(col("rep2"), col("rep_id")))).as("rep_id"))
           .rdd.persist(level)
-        // materialize IN FULL before retiring the predecessor — the new
+        // ONE pass both materializes the round IN FULL (the next
         // round's lineage runs through it, so a partial cache plus an
-        // unpersisted parent would cascade recomputation to round 0
-        nextRows.count()
-        // old and new label side by side: the convergence probe rides
-        // the materialized round, no extra join per iteration
-        val changed = !nextRows.filter(r => r.getLong(2) != r.getLong(1)).isEmpty()
+        // unpersisted parent would cascade recomputation to round 0)
+        // and counts changed labels — the old separate count() +
+        // changed-probe jobs, fused
+        val changed = nextRows.mapPartitions(it =>
+          Iterator.single(it.count(r => r.getLong(2) != r.getLong(1)).toLong))
+          .fold(0L)(_ + _) > 0L
         cur.unpersist(blocking = false)
         cur = nextRows
         converged = !changed
         i += 1
       }
+      logInfo(s"connectedComponents converged after $i rounds " +
+        s"(maxIters $maxIters)")
       retireRdd("connectedComponents", cur)
       toDf(cur).select(col("doc_id"), col("rep_id"))
     } finally sym.unpersist(blocking = false)

@@ -474,12 +474,11 @@ object Similarity {
   def annIvfPq(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
                cells: Int = 16, probes: Int = 10,
                subspaces: Int = 8, codebookSize: Int = 16): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v"))).cache()
-    val model = fitQuantizer(e, cells)
+    val e = vectors(spark, dir).cache()
+    val centers = fitQuantizer(e, cells)
     val cb = fitPqCodebook(e, subspaces, codebookSize)
     val cbSql = s"array(${cb.mkString("D,")}D)"
-    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+    val assigned = e.withColumn("cell", cellOf(centers))
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     retireCache("annIvfPqE", e)
@@ -492,7 +491,6 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     retireCache("annIvfPqEnc", enc)
 
-    val centers = model.clusterCenters.map(_.toArray)
     import spark.implicits._
     val centersDf = centers.zipWithIndex.toSeq
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
@@ -595,22 +593,19 @@ object Similarity {
   def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String,
                       cells: Int = 16, subspaces: Int = 8, codebookSize: Int = 16,
                       only: Option[Column] = None): Unit = {
-    import org.apache.spark.ml.functions.array_to_vector
     Sketches.register(spark)
     import spark.implicits._
     val e = only.foldLeft(vectors(spark, dir))(_.filter(_))
-      .withColumn("features", array_to_vector(col("v")))
-    val model = fitQuantizer(e, cells)
+    val centers = fitQuantizer(e, cells)
     val cb = fitPqCodebook(e, subspaces, codebookSize)
     val subDim = cb.length / (subspaces * codebookSize)
     val cbSql = s"array(${cb.mkString("D,")}D)"
-    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+    val assigned = e.withColumn("cell", cellOf(centers))
       .withColumn("pq", expr(s"pq_encode(v, $cbSql, $subspaces, $codebookSize)"))
       .select(col("vec_id"), col("cell"), col("norm"), col("v"),
         col("pq.codes").as("codes"), col("pq.resid").as("resid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     retireCache("buildIvfPq", assigned)
-    val centers = model.clusterCenters.map(_.toArray)
     val centersDf = centers.zipWithIndex.toSeq
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
     val radius = assigned.join(broadcast(centersDf), Seq("cell"))
@@ -656,12 +651,9 @@ object Similarity {
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("norm", expr("sqrt(dot_d(v, v))"))
       .select(col("vec_id"), col("v"), col("norm"))
-    val assigned = e.crossJoin(broadcast(centersDf.select(col("cell"), col("centroid"))))
-      .withColumn("dist", expr(
-        "dot_d(v, v) - 2 * dot_d(v, centroid) + dot_d(centroid, centroid)"))
-      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
-      .filter(col("cr") === 1)
+    // nearest-centroid assignment as one codegen kernel (see ivfAppend)
+    val centers = readCentroids(spark, indexPath)
+    val assigned = e.withColumn("cell", cellOf(centers))
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     retireCache("ivfPqAppend", assigned)
@@ -688,10 +680,14 @@ object Similarity {
       throw new IllegalStateException(
         "injected crash: radii committed, corpus append not started")
     }
+    // route one task per cell before appending, like the build: an
+    // unrouted delta fans out to (tasks × cells) near-empty files per
+    // append — per-file commit cost + read-side file bloat (guide §6)
     val enc = assigned
       .withColumn("pq", expr(s"pq_encode(v, $cbSql, $m, $kk)"))
       .select(col("vec_id"), col("norm"),
         col("pq.codes").as("codes"), col("pq.resid").as("resid"), col("cell"))
+      .repartition(centers.length, col("cell"))
     graft.lake.LakeTable.append(spark, s"$indexPath/corpus", enc)
   }
 
@@ -888,8 +884,9 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("rep_id"), col("cluster_size"))
   }
 
-  /** IVF (inverted-file) top-k: a KMeans coarse quantizer (Spark ML,
-    * fixed seed) partitions the corpus into cells; each query probes
+  /** IVF (inverted-file) top-k: a KMeans coarse quantizer (local
+    * [[lloyd]] on a bounded deterministic sample) partitions the corpus
+    * into cells; each query probes
     * its `probes` nearest cells first, then — since r14 — every other
     * cell whose ANGULAR upper bound could still beat the provisional
     * k-th cosine, which makes the operator EXACT (same brute-force
@@ -918,10 +915,9 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, dir: String, numQueries: Int = 10, k: Int = 5,
              cells: Int = 16, probes: Int = 10): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = vectors(spark, dir).withColumn("features", array_to_vector(col("v"))).cache()
-    val model = fitQuantizer(e, cells)
-    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+    val e = vectors(spark, dir).cache()
+    val centers = fitQuantizer(e, cells)
+    val assigned = e.withColumn("cell", cellOf(centers))
       .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     retireCache("annIvfE", e)
@@ -929,7 +925,6 @@ object Similarity {
 
     // centroids are cells×dim — tiny, so the query→cells map is computed
     // on the driver and broadcast-joined.
-    val centers = model.clusterCenters.map(_.toArray)
     import spark.implicits._
     val centersDf = centers.zipWithIndex.toSeq
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
@@ -1015,8 +1010,7 @@ object Similarity {
     * parallelism).
     */
   private def fitQuantizer(e: DataFrame, cells: Int, sampleCap: Int = 10000,
-                           sampleFrac: Double = 0.25) = {
-    import org.apache.spark.ml.clustering.KMeans
+                           sampleFrac: Double = 0.25): Array[Array[Double]] = {
     require(sampleFrac > 0.0 && sampleFrac <= 1.0, s"sampleFrac $sampleFrac out of (0,1]")
     // threshold in BigInt space then saturate: the old
     // (2^64 * frac).toLong overflowed for frac > 0.5, silently clamping
@@ -1030,11 +1024,28 @@ object Similarity {
       if (thr >= BigInt(Long.MaxValue)) lit(true)
       else xxhash64(col("vec_id")) < lit(thr.toLong) ||
         col("vec_id") < lit(cells.toLong * 8)
-    val train = e.filter(keep).limit(sampleCap)
-    // few iterations: a coarse quantizer needs rough cells, not convergence
-    new KMeans().setK(cells).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").fit(train)
+    // the sample is DRIVER-scale by construction (sampleCap rows), so
+    // the k-means runs locally via [[lloyd]] — one Spark job to pull
+    // the sample, zero to iterate. The previous Spark ML KMeans spent
+    // a dozen-plus jobs (kmeans|| init + 2/iteration) clustering the
+    // same ≤10k rows (guide §5: driver-scale work must not run as
+    // distributed jobs). Exactness never depended on WHICH centroids
+    // come out — the angular radii make any assignment probe-correct —
+    // so centroid provenance is a pure performance choice.
+    val train = e.filter(keep).select(col("v")).limit(sampleCap).collect()
+    require(train.nonEmpty, "fitQuantizer: empty corpus")
+    lloyd(train.map(_.getSeq[Double](0).toArray), cells, iters = 5)
   }
+
+  /** Cell assignment of column `v` against fitted centroids: nearest
+    * by squared L2, ties to the lowest cell — ONE codegen kernel per
+    * row ([[graft.functions.Sketches.NearestCell]]); replaces the ML
+    * `model.transform` (vector-conversion UDF) and the append path's
+    * crossJoin + per-row window (guide §4/§2: no shuffle, no UDF).
+    */
+  private def cellOf(centers: Array[Array[Double]]): Column =
+    expr(s"nearest_cell(v, array(${centers.flatten.mkString("D,")}D), " +
+      s"${centers.length})")
 
   /** Persisted IVF index: the cell-assigned corpus written as a lake
     * table PARTITIONED BY cell (plus the centroids as a side table) —
@@ -1045,12 +1056,10 @@ object Similarity {
     */
   def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String,
                     cells: Int = 16, only: Option[Column] = None): Unit = {
-    import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
     val e = only.foldLeft(vectors(spark, dir))(_.filter(_))
-      .withColumn("features", array_to_vector(col("v")))
-    val model = fitQuantizer(e, cells)
-    val assigned = model.transform(e).withColumnRenamed("prediction", "cell")
+    val centers = fitQuantizer(e, cells)
+    val assigned = e.withColumn("cell", cellOf(centers))
       .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
     // one file per cell / one metadata file: a default-parallelism
     // write pays per-file stats + commit cost on hundreds of
@@ -1058,7 +1067,7 @@ object Similarity {
     graft.lake.LakeTable.overwrite(spark, s"$indexPath/corpus",
       assigned.repartition(cells, col("cell")),
       partitionBy = Seq("cell"))
-    val centersDf = model.clusterCenters.map(_.toArray).zipWithIndex
+    val centersDf = centers.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
     graft.lake.LakeTable.overwrite(spark, s"$indexPath/centroids",
       centersDf.coalesce(1))
@@ -1118,19 +1127,38 @@ object Similarity {
   def ivfAppend(spark: SparkSession, indexPath: String,
                 newVectors: DataFrame): Long = {
     Sketches.register(spark)
-    val centersDf = graft.lake.LakeTable.read(spark, s"$indexPath/centroids")
+    val centers = readCentroids(spark, indexPath)
     val e = newVectors
       .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("norm", expr("sqrt(dot_d(v, v))"))
       .select(col("vec_id"), col("label"), col("v"), col("norm"))
-    val assigned = e.crossJoin(broadcast(centersDf))
-      .withColumn("dist", expr(
-        "dot_d(v, v) - 2 * dot_d(v, centroid) + dot_d(centroid, centroid)"))
-      .withColumn("cr", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))))
-      .filter(col("cr") === 1)
+    // nearest-centroid assignment as one codegen kernel over the delta
+    // — replaces a delta×cells cross join plus a full-shuffle per-row
+    // window (guide §2: the shuffle carried every float vector; the
+    // kernel touches none). The append routes one task per cell, like
+    // the build: an unrouted delta would fan out to (tasks × cells)
+    // near-empty files per append — per-file commit cost and read-side
+    // file-count bloat for nothing (guide §6).
+    val assigned = e.withColumn("cell", cellOf(centers))
       .select(col("vec_id"), col("label"), col("v"), col("norm"), col("cell"))
+      .repartition(centers.length, col("cell"))
     graft.lake.LakeTable.append(spark, s"$indexPath/corpus", assigned)
+  }
+
+  /** The persisted centroid table as a driver array indexed BY CELL —
+    * cells×dim doubles, metadata-scale by construction (the build
+    * writes one row per cell, coalesce(1)). Cell ids are dense 0..k-1
+    * (written zipWithIndex; appends never add cells), so array index ==
+    * cell id — required loudly rather than assumed.
+    */
+  private def readCentroids(spark: SparkSession, indexPath: String): Array[Array[Double]] = {
+    val rows = graft.lake.LakeTable.read(spark, s"$indexPath/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    rows.zipWithIndex.foreach { case ((c, _), i) =>
+      require(c == i, s"centroid table at $indexPath has non-dense cell ids " +
+        s"(expected $i, found $c)") }
+    rows.map(_._2)
   }
 
   /** Gate query for the incremental-index path, with an EXACT oracle:

@@ -36,14 +36,39 @@ class LakeSpec extends SparkSpec {
     // the union
     assert(snap.files.map(_.path.takeWhile(_ != '/')).distinct.size == 2)
     assert(LakeTable.read(spark, t).count() == 3)
-    // partitioned: hive dirs stay the leading path segments (per-file
-    // move path), so partition pruning semantics are untouched
+    // partitioned: hive dirs stay the LEADING path segments; a
+    // multi-file partition publishes with one dir rename (nested batch
+    // dir inside the partition dir), a single-file partition moves
+    // flat — either way logged size/mtime must match the FS and
+    // partition semantics (pruning, SHOW PARTITIONS, dynamic
+    // partition overwrite) key on the leading k=v run
     val tp = tmpTable("lake_bulk_part")
     LakeTable.overwrite(spark, tp,
-      Seq((1L, "d1"), (2L, "d2")).toDF("id", "dt"), partitionBy = Seq("dt"))
+      Seq((1L, "d1"), (2L, "d2"), (3L, "d1"), (4L, "d2")).toDF("id", "dt")
+        .repartition(2), partitionBy = Seq("dt"))
     val sp = LakeTable.latestSnapshot(spark, tp).get
     assert(sp.filePaths.forall(p => p.startsWith("dt=d1/") || p.startsWith("dt=d2/")),
       s"hive layout must lead: ${sp.filePaths}")
+    assert(sp.files.count(_.path.startsWith("dt=d1/")) > 1,
+      "test needs a multi-file partition to exercise the dir rename")
+    sp.files.foreach { e =>
+      val st = fsys.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$tp/data/${e.path}"))
+      assert(e.size == st.getLen, s"logged size must match FS for ${e.path}")
+      assert(e.mtimeMs == st.getModificationTime,
+        s"logged mtime must match FS for ${e.path}")
+    }
+    assert(LakeTable.read(spark, tp).count() == 4)
+    assert(LakeTable.read(spark, tp).filter(col("dt") === "d1")
+      .as[(Long, String)].collect().toSet == Set((1L, "d1"), (3L, "d1")))
+    // SHOW PARTITIONS reports the k=v identity, not the batch dir
+    val shown = spark.sql(s"SHOW PARTITIONS `$tp`")
+      .collect().map(_.getString(0)).toSet
+    assert(shown == Set("dt=d1", "dt=d2"), s"got $shown")
+    // dynamic partition overwrite replaces the whole nested partition
+    LakeTable.overwritePartitions(spark, tp, Seq((9L, "d1")).toDF("id", "dt"))
+    assert(LakeTable.read(spark, tp).as[(Long, String)].collect().toSet ==
+      Set((9L, "d1"), (2L, "d2"), (4L, "d2")))
   }
 
   test("overwrite commits atomic versions; time travel reads history") {

@@ -999,4 +999,33 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(aggState() == Set((10L, 7.0, 1L, 7.0), (20L, 2.0, 1L, 2.0),
       (30L, 4.0, 1L, 4.0)))
   }
+
+  test("a stale thread's time-travel pins age out of eviction protection") {
+    import graft.lake.{GraftSqlParser, LakeTable}
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("sql_pin_stale").toString + "/t"
+    val versions = GraftSqlParser.MaxPinnedViews + 3
+    LakeTable.overwrite(spark, t, Seq(1L).toDF("id")) // v1
+    (2 to versions).foreach(i => LakeTable.append(spark, t, Seq(i.toLong).toDF("id")))
+    def graftViews: Int = spark.sessionState.catalog
+      .listLocalTempViews("graft_tt_*").size
+    // a worker thread pins ONE snapshot view, then never parses again —
+    // its in-flight set must not protect that pin forever (weak keys
+    // alone only release on thread death)
+    val worker = new Thread(() =>
+      spark.sql(s"SELECT count(*) FROM `$t` FOR VERSION AS OF 1").collect())
+    worker.start(); worker.join()
+    // this thread then parses more statements than StalePinGenerations,
+    // pinning a fresh snapshot each time: once the worker's set is
+    // stale, crossing MaxPinnedViews must evict its view — the pinned
+    // set returns to (at most) the cap instead of idling above it
+    (2 to versions).foreach { v =>
+      spark.sql(s"SELECT count(*) FROM `$t` FOR VERSION AS OF $v").collect()
+    }
+    assert(graftViews <= GraftSqlParser.MaxPinnedViews,
+      s"pinned views idle above the cap: $graftViews")
+    // an evicted pin is re-registered on demand — same deterministic name
+    assert(spark.sql(s"SELECT count(*) FROM `$t` FOR VERSION AS OF 1")
+      .head.getLong(0) == 1L)
+  }
 }
