@@ -193,26 +193,17 @@ object Dedup extends org.apache.spark.internal.Logging {
         val viaNbr = sym
           .join(labels.select(col("doc_id").as("dst"), col("rep_id")), Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(min(col("rep_id")).as("nbr_rep"))
-        // pointer jump (label ← my label's CURRENT label): contracts
-        // label chains like path doubling, so a diameter-d component
-        // converges in O(log d) rounds instead of O(d) (guide §2 —
-        // fewer full-shuffle rounds). Labels are always ids of
-        // component members, so the jump stays inside the component
-        // and the fixpoint is unchanged: stable under BOTH terms ⇒
-        // stable under the edge term alone ⇒ the per-component min,
-        // exactly as before.
-        val viaJump = labels
-          .select(col("doc_id"), col("rep_id").as("jump"))
-          .join(labels.select(col("doc_id").as("jump"), col("rep_id").as("rep2")),
-            Seq("jump"))
-          .select(col("doc_id"), col("rep2"))
+        // NOTE on pointer jumping (label ← my label's label, path-
+        // doubling to O(log d) rounds): tried in r18 and MEASURED
+        // SLOWER on the gate corpus (4.6s → 6.3s) — near-duplicate
+        // components are cliques/short chains that converge in 2-3
+        // rounds anyway, so the extra |V|-scale self-join per round
+        // buys nothing here. Worth revisiting only for long-chain
+        // graphs.
         val nextRows = labels
           .join(viaNbr, Seq("doc_id"), "left")
-          .join(viaJump, Seq("doc_id"), "left")
           .select(col("doc_id"), col("rep_id").as("old_rep"),
-            least(col("rep_id"),
-              least(coalesce(col("nbr_rep"), col("rep_id")),
-                coalesce(col("rep2"), col("rep_id")))).as("rep_id"))
+            least(col("rep_id"), coalesce(col("nbr_rep"), col("rep_id"))).as("rep_id"))
           .rdd.persist(level)
         // ONE pass both materializes the round IN FULL (the next
         // round's lineage runs through it, so a partial cache plus an
