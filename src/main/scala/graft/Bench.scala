@@ -249,16 +249,27 @@ object Bench {
       }
       var run = 0
       while (run < timedRuns && !failed) { timedRun(); run += 1 }
+      // the 2x arm's regime test samples the wcanary FRESH at decision
+      // time (the every-8th sweep's last entry can be up to 7 keys
+      // stale — a regime that degraded since then could only fire via
+      // the +5s arm); decision/re-run samples enter the timeline with
+      // a NEGATIVE index tag, -(i+1), so sweep entries stay unambiguous
+      var sampledAtFire = false
       val fire = !failed && expected.get(name).exists { e =>
-        val regime = wcTimeline.last._2 > 0.75 * wcanaryMax // 1.5x quiet
-        (best > math.max(2 * e, 1.0) && regime) || best > e + 5.0
+        if (best > e + 5.0) true
+        else if (best > math.max(2 * e, 1.0)) {
+          val w = timeWriteCanary()
+          wcTimeline += ((-(i + 1), w))
+          sampledAtFire = true
+          w > 0.75 * wcanaryMax // 1.5x quiet
+        } else false
       }
       if (fire) {
         rerun += name
         Thread.sleep(5000)
         // fresh regime sample right before the re-run: attribution for
         // THIS key, not the window the every-8th sweep happened to cover
-        wcTimeline += ((i, timeWriteCanary()))
+        if (!sampledAtFire) wcTimeline += ((-(i + 1), timeWriteCanary()))
         val hadBest = best
         timedRun()
         // the re-run exists to REPLACE a regime-inflated sample with a
